@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Catalog
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Operator-inventory coverage map (SURVEY.md §2 → catalog entries):
+  *  - §2.2 projections/filters: q02, q16, q17 (P1/P4/P7/P8/P9)
+  *  - §2.3 joins: q03 (J1 left/broadcast), q04 (J2 composite), q05 (star),
+  *    q06 (anti = S9 FK check), q25 (semi/IN)
+  *  - §2.4 aggregations: q01, q26 (A1 quality counters), q28, q13/q14
+  *  - §2.5 window/sort/limit/set ops: q07, q08, q09, q10, q11, q12
+  *  - §2.6 scalar-function bank: q18 (F6/F10/F11), q19 (F1), q20 (F3),
+  *    q21 (F4/F17), q22 (F5), q23 (F14), q24 (F20–F22)
+  *  - §2.7 streaming/incremental: q15 (tumbling window), q29 (sessionize);
+  *    live Structured-Streaming twin in graft.streaming
+  *  - §2.8 upsert/merge: q07, q27 (graft.operators.MergeWriter)
+  *  - LLM-pipeline additions: dd01–dd04 (dedup), ta01–ta04 (text analysis),
+  *    mm01 (multimodal), vs01–vs03 (similarity search)
+  *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):
+  *    graft.wells.*, exercised by the ScalaTest golden suites against
+  *    /root/reference's shipped CSVs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The 5-table star join + exact-decimal revenue rollup (TPC-H Q5 shape). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Catalog.byName("q05_join_star").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Catalog.all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Catalog.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * operators. All pure Catalyst built-ins (whole-stage-codegen'd, no UDFs),
+  * so they stay inside WholeStageCodegen spans in the hot path.
+  */
+object Text {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Word n-grams (space-joined) over a token array; < n tokens → empty. */
+  def wordNGrams(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word n-gram shingle set of a text column. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(wordNGrams(tokens(text), n))
+
+  /** One MinHash signature: lexicographic min of md5(seed ‖ shingle).
+    * md5-hex ordering is a uniform "random permutation" of the shingle
+    * space, so P(sig_a == sig_b) == Jaccard(a, b) — the classic estimator.
+    * Cross-engine stable (md5 and ASCII string order are universal). */
+  def minhashSig(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, x => md5(concat(lit(s"$seed:"), x))))
+
+  /** Stopword ratio for the language-ID heuristic. */
+  def stopwordRatio(toks: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks)
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set (near-identical docs with shuffled wording collide). */
+  def fingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+}

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One catalog entry: a Spark-side query over the sf-dir parquet tables and
+  * (when SQL-expressible) the equivalent DuckDB oracle SQL. The driver runs
+  * both at sf0.01 and hash-compares sorted columns/rows (CORRECTNESS gate).
+  *
+  * Determinism rules every entry obeys:
+  *  - double aggregates go through DECIMAL (exact, order-independent) and are
+  *    cast back to double only at the end — FP sums in shuffle order would
+  *    never hash-match the oracle;
+  *  - every result is fully ordered by a unique key with explicit NULLS FIRST
+  *    (Spark's default) mirrored in the oracle SQL;
+  *  - timestamps are emitted as formatted strings (Spark µs parquet vs DuckDB
+  *    naive timestamps would otherwise differ in type representation);
+  *  - column names are aliased identically on both sides.
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryUtils {
+  /** Exact order-independent sum of a double column: per-row round to
+    * DECIMAL(18,4) (deterministic), exact decimal addition, cast back. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Oracle-side twin of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+}
+
+object Catalog {
+  val all: Seq[Q] = Relational.queries ++ TextOps.queries ++ VectorOps.queries
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,622 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+import graft.queries.QueryUtils._
+import graft.wells.Cleaning
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.8) exercised over the
+  * driver's synthetic TPC-H-ish tables, one catalog entry per operator class.
+  * Scale notes are inline: every join states its expected physical strategy
+  * at 100 TB (broadcast vs sort-merge + bucketing) and every agg is
+  * partial-aggregate friendly.
+  */
+object Relational {
+
+  /** q01 — grouped aggregation (SURVEY A1/A2; TPC-H Q1 shape).
+    * Partial+final hash agg; 6 groups → no skew; scan prunes to 6 columns. */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — projection + predicate pushdown (SURVEY P1/P4/P7 family).
+    * Filter and 4-column projection reach the parquet scan (PushedFilters). */
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        $"l_shipdate" < to_timestamp(lit("1996-06-01 00:00:00")) &&
+        $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_day"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+      |  AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03 — left outer equi-join (SURVEY J1). customer is the small dim →
+    * broadcast hash join; at 100 TB orders stays shuffle-free. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    val c = customer(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"c_mktsegment", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+  private val q03Sql =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q04 — composite-key join of two aggregates (SURVEY J2: (well_name, api)
+    * composite equi-join analog). Both sides pre-aggregated on the same key →
+    * at scale, bucketing on (user_id, day) makes the join co-located. */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d).withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"day").agg(count(lit(1)).as("clicks"))
+    val buys = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"day").agg(dsum($"value").as("spend"))
+    clicks.join(buys, Seq("user_id", "day"), "left")
+      .orderBy($"user_id", $"day")
+  }
+  private val q04Sql =
+    s"""WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events),
+       |c AS (SELECT user_id, day, COUNT(*) AS clicks FROM e WHERE event_type = 'click' GROUP BY user_id, day),
+       |b AS (SELECT user_id, day, ${dsumSql("value")} AS spend FROM e WHERE event_type = 'purchase' GROUP BY user_id, day)
+       |SELECT c.user_id, c.day, c.clicks, b.spend
+       |FROM c LEFT JOIN b ON c.user_id = b.user_id AND c.day = b.day
+       |ORDER BY c.user_id, c.day""".stripMargin
+
+  /** q05 — multi-join star aggregate (TPC-H Q5 shape). Dims broadcast down
+    * the chain; only the lineitem↔orders join is size-relevant and AQE picks
+    * broadcast at small SF / sort-merge at scale. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+  private val q05Sql =
+    s"""SELECT r_name, n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** q06 — anti join (SURVEY S9's FK-integrity check as left_anti). */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+  private val q06Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07 — window dedup, the reference's last-writer-wins upsert kernel
+    * (SURVEY §2.8): row_number over (key, recency desc), keep rank 1. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("latest_orderkey"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("latest_day"),
+        $"o_totalprice".as("latest_totalprice"))
+      .orderBy($"o_custkey")
+  }
+  private val q07Sql =
+    """SELECT o_custkey, o_orderkey AS latest_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS latest_day,
+      |  o_totalprice AS latest_totalprice
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** q08 — running-total window (frame-based agg; DECIMAL keeps the
+    * cumulative sum exact regardless of the engine's frame algorithm). */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_spend",
+        sum($"o_totalprice".cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"running_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q09 — top-k (TakeOrderedAndProject: per-partition top-k then merge —
+    * no global sort shuffle at scale). */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+  private val q09Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q10 — set op EXCEPT (distinct semantics in both engines). */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+  private val q10Sql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q11 — set ops INTERSECT + UNION (distinct) combined. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    val both = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      .intersect(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+      .withColumn("tag", lit("both"))
+    val hi = o.filter($"o_totalprice" > 400000.0).select($"o_custkey")
+      .union(o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"))
+      .distinct()
+      .withColumn("tag", lit("hi_or_urgent"))
+    both.unionByName(hi).orderBy($"tag", $"o_custkey")
+  }
+  private val q11Sql =
+    """SELECT o_custkey, 'both' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'hi_or_urgent' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+      |  UNION
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** q12 — DISTINCT projection (SURVEY §2.5). */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d).select($"c_mktsegment", $"c_nationkey").distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+  private val q12Sql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** q13 — ROLLUP with grouping() indicator (SURVEY §2.4 “free” agg family). */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+  private val q13Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** q14 — CUBE over event dimensions. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .cube($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"event_type".asc_nulls_first, $"day".asc_nulls_first)
+  }
+  private val q14Sql =
+    s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       |  ${dsumSql("value")} AS total_value
+       |FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
+  /** q15 — tumbling-window batch aggregation over the event stream table
+    * (SURVEY §2.7 batch analog; streaming twin lives in graft.streaming). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+  private val q15Sql =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** q16 — ordered LIMIT page (SURVEY P7 --limit semantics). */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d).orderBy($"o_orderkey").limit(100)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+  }
+  private val q16Sql =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  /** q17 — conditional coordinate swap/validation (SURVEY P8/F24: the map
+    * client's lat/lon rescue re-expressed as a relational view). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = orders(s, d)
+      .withColumn("lat0", $"o_totalprice" % 200.0 - 100.0)
+      .withColumn("lon0", $"o_totalprice" % 360.0 - 180.0)
+    base
+      .withColumn("lat", when(abs($"lat0") > 90.0 && abs($"lon0") <= 90.0, $"lon0").otherwise($"lat0"))
+      .withColumn("lon", when(abs($"lat0") > 90.0 && abs($"lon0") <= 90.0, $"lat0").otherwise($"lon0"))
+      .filter(abs($"lat") <= 90.0 && abs($"lon") <= 180.0)
+      .select($"o_orderkey", $"lat", $"lon")
+      .orderBy($"o_orderkey")
+  }
+  private val q17Sql =
+    """WITH base AS (SELECT o_orderkey,
+      |    o_totalprice % 200.0 - 100.0 AS lat0,
+      |    o_totalprice % 360.0 - 180.0 AS lon0 FROM orders),
+      |sw AS (SELECT o_orderkey,
+      |    CASE WHEN abs(lat0) > 90.0 AND abs(lon0) <= 90.0 THEN lon0 ELSE lat0 END AS lat,
+      |    CASE WHEN abs(lat0) > 90.0 AND abs(lon0) <= 90.0 THEN lat0 ELSE lon0 END AS lon
+      |  FROM base)
+      |SELECT o_orderkey, lat, lon FROM sw
+      |WHERE abs(lat) <= 90.0 AND abs(lon) <= 180.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q18 — regex field extraction (SURVEY F6/F10/F11 labeled-value bank). */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        nullif(regexp_extract($"text", "filter ([a-z]+)", 1), lit("")).as("after_filter"),
+        nullif(regexp_extract($"text", "(spark [a-z]+)", 1), lit("")).as("spark_bigram"))
+      .orderBy($"doc_id")
+  }
+  private val q18Sql =
+    """SELECT doc_id,
+      |  NULLIF(regexp_extract(text, 'filter ([a-z]+)', 1), '') AS after_filter,
+      |  NULLIF(regexp_extract(text, '(spark [a-z]+)', 1), '') AS spark_bigram
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q19 — text normalization (SURVEY F1 `_norm`): punctuation translate +
+    * whitespace collapse + trim, over deliberately dirtied strings. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("dirty", concat(lit("  º "), substring($"text", 1, 40), lit("\t ·end— ")))
+      .select($"doc_id", Cleaning.normCol($"dirty").as("clean"))
+      .orderBy($"doc_id")
+  }
+  private val q19Sql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(translate('  º ' || substr(text, 1, 40) || chr(9) || ' ·end— ',
+      |    'º˚’′“”—–·', '°°''''""--.'), '[ \t]+', ' ', 'g')) AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q20 — numeric-string scrub (SURVEY F3 clean_num): strip non-[0-9.]. */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d)
+      .withColumn("dirty",
+        concat(lit("$"), $"p_partkey".cast("string"), lit(",00 kg (approx -"),
+          $"p_size".cast("string"), lit(")")))
+      .select($"p_partkey", Cleaning.cleanNumCol($"dirty").as("num"))
+      .orderBy($"p_partkey")
+  }
+  private val q20Sql =
+    """SELECT p_partkey,
+      |  NULLIF(regexp_replace('$' || CAST(p_partkey AS VARCHAR) || ',00 kg (approx -'
+      |    || CAST(p_size AS VARCHAR) || ')', '[^0-9.]', '', 'g'), '') AS num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q21 — DMS→decimal-degrees parsing (SURVEY F4): DMS strings are
+    * synthesized from integer columns, parsed by the engine's dmsToDecimal
+    * UDF, and the oracle recomputes deg+min/60+sec/3600 arithmetically. */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = part(s, d)
+      .withColumn("deg", ($"p_partkey" % 90).cast("int"))
+      .withColumn("mnt", ($"p_partkey" % 60).cast("int"))
+      .withColumn("sec", (($"p_partkey" * 7) % 60).cast("int"))
+      .withColumn("hemi", when($"p_partkey" % 2 === 0, lit("N")).otherwise(lit("W")))
+      .withColumn("dms", concat($"deg".cast("string"), lit("° "),
+        $"mnt".cast("string"), lit("' "), $"sec".cast("string"), lit("\" "), $"hemi"))
+    p.select($"p_partkey", Cleaning.dmsToDecimalUdf($"dms").as("decimal_deg"))
+      .orderBy($"p_partkey")
+  }
+  private val q21Sql =
+    """WITH g AS (SELECT p_partkey,
+      |    CAST(p_partkey % 90 AS INT) AS deg, CAST(p_partkey % 60 AS INT) AS mnt,
+      |    CAST((p_partkey * 7) % 60 AS INT) AS sec,
+      |    CASE WHEN p_partkey % 2 = 0 THEN 'N' ELSE 'W' END AS hemi
+      |  FROM part)
+      |SELECT p_partkey,
+      |  CASE WHEN hemi = 'W' THEN -(deg + mnt/60.0 + sec/3600.0)
+      |       ELSE deg + mnt/60.0 + sec/3600.0 END AS decimal_deg
+      |FROM g ORDER BY p_partkey""".stripMargin
+
+  /** q22 — API-number normalization (SURVEY F5): NN-NNN-NNNNN formatting
+    * from messy separators; oracle builds the expected form independently. */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .withColumn("g1", lpad(($"o_orderkey" % 100).cast("string"), 2, "0"))
+      .withColumn("g2", lpad(($"o_orderkey" % 1000).cast("string"), 3, "0"))
+      .withColumn("g3", lpad(($"o_orderkey" % 100000).cast("string"), 5, "0"))
+      .withColumn("sep1", when($"o_orderkey" % 3 === 0, lit("-"))
+        .when($"o_orderkey" % 3 === 1, lit("")).otherwise(lit(" - ")))
+      .withColumn("raw", concat($"g1", $"sep1", $"g2", lit("-"), $"g3"))
+    o.select($"o_orderkey", Cleaning.normalizeApiCol($"raw").as("api"))
+      .orderBy($"o_orderkey")
+  }
+  private val q22Sql =
+    """WITH g AS (SELECT o_orderkey,
+      |    lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS g1,
+      |    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS g2,
+      |    lpad(CAST(o_orderkey % 100000 AS VARCHAR), 5, '0') AS g3
+      |  FROM orders)
+      |SELECT o_orderkey, g1 || '-' || g2 || '-' || g3 AS api
+      |FROM g ORDER BY o_orderkey""".stripMargin
+
+  /** q23 — coalesce fallback chain (SURVEY F14, the extractor's signature
+    * pattern): first regex hit wins, then fallback, then default. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id",
+        coalesce(
+          nullif(regexp_extract($"text", "table ([a-z]+)", 1), lit("")),
+          nullif(regexp_extract($"text", "group ([a-z]+)", 1), lit("")),
+          lit("missing")).as("extracted"))
+      .orderBy($"doc_id")
+  }
+  private val q23Sql =
+    """SELECT doc_id,
+      |  COALESCE(NULLIF(regexp_extract(text, 'table ([a-z]+)', 1), ''),
+      |           NULLIF(regexp_extract(text, 'group ([a-z]+)', 1), ''),
+      |           'missing') AS extracted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q24 — null/blank/N-A ladder (SURVEY F20→F21→F22: scrape-norm, N/A→NULL,
+    * NULL→'' sink coercion — the reference's three null encodings). */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = when($"doc_id" % 4 === 0, lit(null).cast("string"))
+      .when($"doc_id" % 4 === 1, lit("   "))
+      .when($"doc_id" % 4 === 2, lit(" members only "))
+      .otherwise($"lang")
+    documents(s, d)
+      .withColumn("raw", raw)
+      .select($"doc_id",
+        Cleaning.scrapeNormCol($"raw").as("normed"),
+        Cleaning.naToNullCol(Cleaning.scrapeNormCol($"raw")).as("nulled"),
+        Cleaning.toStrCol(Cleaning.naToNullCol(Cleaning.scrapeNormCol($"raw"))).as("sink_str"))
+      .orderBy($"doc_id")
+  }
+  private val q24Sql =
+    """WITH r AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN NULL
+      |         WHEN doc_id % 4 = 1 THEN '   '
+      |         WHEN doc_id % 4 = 2 THEN ' members only '
+      |         ELSE lang END AS raw FROM documents),
+      |n AS (SELECT doc_id,
+      |    CASE WHEN raw IS NULL OR trim(raw) = ''
+      |              OR regexp_matches(trim(raw), '^(?i)Members?\s+Only$')
+      |         THEN 'N/A' ELSE trim(raw) END AS normed FROM r)
+      |SELECT doc_id, normed,
+      |  NULLIF(normed, 'N/A') AS nulled,
+      |  COALESCE(NULLIF(normed, 'N/A'), '') AS sink_str
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** q25 — IN/EXISTS subquery → semi join (SURVEY P-family + J-family). */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    val c = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q25Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_custkey IN
+       |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q26 — data-quality counters (SURVEY A1: rows / nulls / blanks / bad
+    * parses in one pass, partial-agg friendly). */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = when($"event_id" % 5 === 0, lit(null).cast("string"))
+      .when($"event_id" % 5 === 1, lit(""))
+      .when($"event_id" % 5 === 2, lit("not-a-number"))
+      .when($"event_id" % 5 === 3, $"user_id".cast("string"))
+      .otherwise(concat($"user_id".cast("string"), lit(".5")))
+    events(s, d)
+      .withColumn("raw", raw)
+      .withColumn("parsed", expr("try_cast(raw AS DOUBLE)"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"raw".isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when($"raw".isNotNull && trim($"raw") === "", 1L).otherwise(0L)).as("n_blank"),
+        sum(when($"raw".isNotNull && trim($"raw") =!= "" && $"parsed".isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when($"parsed".isNotNull, 1L).otherwise(0L)).as("n_ok"))
+  }
+  private val q26Sql =
+    """WITH r AS (SELECT event_id,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL
+      |         WHEN event_id % 5 = 1 THEN ''
+      |         WHEN event_id % 5 = 2 THEN 'not-a-number'
+      |         WHEN event_id % 5 = 3 THEN CAST(user_id AS VARCHAR)
+      |         ELSE CAST(user_id AS VARCHAR) || '.5' END AS raw
+      |  FROM events),
+      |p AS (SELECT raw, TRY_CAST(raw AS DOUBLE) AS parsed FROM r)
+      |SELECT COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  SUM(CASE WHEN raw IS NOT NULL AND trim(raw) = '' THEN 1 ELSE 0 END) AS n_blank,
+      |  SUM(CASE WHEN raw IS NOT NULL AND trim(raw) <> '' AND parsed IS NULL THEN 1 ELSE 0 END) AS n_bad,
+      |  SUM(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS n_ok
+      |FROM p""".stripMargin
+
+  /** q27 — last-writer-wins merge over a union of “existing” + “incoming”
+    * batches (SURVEY §2.8 upsert semantics, the one non-trivial write path). */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+    val existing = e.filter($"event_id" % 2 === 0)
+    val incoming = e.filter($"event_id" % 2 === 1)
+    val merged = graft.operators.MergeWriter.lastWriterWins(
+      existing.unionByName(incoming),
+      keys = Seq("user_id", "event_type"),
+      orderCols = Seq($"ts", $"event_id"))
+    merged.select($"user_id", $"event_type",
+      $"event_id".as("last_event_id"), $"value".as("last_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+  private val q27Sql =
+    """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** q28 — exact COUNT(DISTINCT) per group (expand + two-phase agg). */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+  private val q28Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q29 — sessionization as batch SQL (SURVEY §2.7 incremental analog):
+    * 30-minute-gap sessions via lag + cumulative boundary sum. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessed = events(s, d)
+      .withColumn("prev_s", lag(unix_timestamp($"ts"), 1).over(byUser))
+      .withColumn("boundary",
+        when($"prev_s".isNull || unix_timestamp($"ts") - $"prev_s" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"boundary")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessed.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        dsum($"value").as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+  private val q29Sql =
+    s"""WITH l AS (SELECT user_id, event_id, ts, value,
+       |    LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_s,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS cur_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |b AS (SELECT *, CASE WHEN prev_s IS NULL OR cur_s - prev_s > 1800 THEN 1 ELSE 0 END AS boundary FROM l),
+       |sess AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM b)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  ${dsumSql("value")} AS session_value
+       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
+    Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
+    Q("q03_join_left_broadcast", "left outer broadcast join (J1)", q03, Some(q03Sql)),
+    Q("q04_join_composite_key", "composite-key join of two aggs (J2)", q04, Some(q04Sql)),
+    Q("q05_join_star", "5-table star join + agg (TPC-H Q5 shape)", q05, Some(q05Sql)),
+    Q("q06_join_anti", "anti join = FK integrity check (S9)", q06, Some(q06Sql)),
+    Q("q07_window_dedup", "row_number dedup = upsert kernel (§2.8)", q07, Some(q07Sql)),
+    Q("q08_window_running", "cumulative window sum", q08, Some(q08Sql)),
+    Q("q09_topk", "top-k via TakeOrderedAndProject", q09, Some(q09Sql)),
+    Q("q10_set_except", "EXCEPT distinct", q10, Some(q10Sql)),
+    Q("q11_set_intersect_union", "INTERSECT + UNION distinct", q11, Some(q11Sql)),
+    Q("q12_distinct", "DISTINCT projection", q12, Some(q12Sql)),
+    Q("q13_rollup", "ROLLUP + grouping()", q13, Some(q13Sql)),
+    Q("q14_cube", "CUBE over two dims", q14, Some(q14Sql)),
+    Q("q15_events_hourly", "tumbling-window batch agg (§2.7)", q15, Some(q15Sql)),
+    Q("q16_limit", "ordered LIMIT (P7)", q16, Some(q16Sql)),
+    Q("q17_coord_swap", "conditional coord swap + range filter (P8)", q17, Some(q17Sql)),
+    Q("q18_regex_extract", "regexp field extraction (F6/F10/F11)", q18, Some(q18Sql)),
+    Q("q19_norm_text", "punctuation/space normalization (F1)", q19, Some(q19Sql)),
+    Q("q20_clean_num", "numeric scrub (F3)", q20, Some(q20Sql)),
+    Q("q21_dms_to_decimal", "DMS → decimal degrees (F4/F17)", q21, Some(q21Sql)),
+    Q("q22_normalize_api", "API reformat NN-NNN-NNNNN (F5)", q22, Some(q22Sql)),
+    Q("q23_coalesce_chain", "extractor fallback chain (F14)", q23, Some(q23Sql)),
+    Q("q24_null_ladder", "N/A / blank / '' null semantics (F20-F22)", q24, Some(q24Sql)),
+    Q("q25_semi_join_subquery", "IN-subquery semi join", q25, Some(q25Sql)),
+    Q("q26_quality_stats", "load-quality counters (A1)", q26, Some(q26Sql)),
+    Q("q27_merge_upsert", "last-writer-wins merge (§2.8)", q27, Some(q27Sql)),
+    Q("q28_count_distinct", "exact grouped count-distinct", q28, Some(q28Sql)),
+    Q("q29_sessionize", "gap-based sessionization (§2.7)", q29, Some(q29Sql)),
+  )
+}

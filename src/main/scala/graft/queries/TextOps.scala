@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Text
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * deduplication (exact / MinHash / SimHash / n-gram Jaccard), text
+  * analysis (language-ID, quality, tokens, fingerprint), and the
+  * multimodal binary-column plumbing. Each entry has a DuckDB oracle —
+  * md5 + integer arithmetic are engine-universal, so even the hash-based
+  * sketches verify exactly.
+  */
+object TextOps {
+
+  /** DuckDB CTE producing (doc_id, s) distinct word-3gram shingles —
+    * oracle twin of [[Text.shingles]]. */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s
+      |  FROM toks WHERE len(t) >= 3))""".stripMargin
+
+  /** dd01 — exact dedup: hash-groupBy on content digest (the 100 TB scale
+    * path: one shuffle on a 16-byte key, never on the document body). */
+  private def dd01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", md5($"text").as("content_hash"))
+      .groupBy($"content_hash")
+      .agg(count(lit(1)).as("dup_count"), min($"doc_id").as("keeper_id"))
+      .orderBy($"keeper_id")
+  }
+  private val dd01Sql =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id
+      |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
+
+  /** dd02 — n-gram Jaccard near-dup: top-20 most-similar pairs. The shingle
+    * self-join shuffles on the shingle (small, hashed at scale); Jaccard is
+    * exact int arithmetic so the score hashes identically cross-engine. */
+  private def dd02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = documents(s, d)
+      .select($"doc_id", explode(Text.shingles($"text", 3)).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), $"d1" === $"s1.doc_id")
+      .join(sizes.as("s2"), $"d2" === $"s2.doc_id")
+      .select($"d1", $"d2",
+        ($"inter".cast("double") / ($"s1.sz" + $"s2.sz" - $"inter")).as("jaccard"))
+      .orderBy($"jaccard".desc, $"d1", $"d2")
+      .limit(20)
+  }
+  private val dd02Sql =
+    s"""WITH $shinglesCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+       |FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+       |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+
+  /** dd03 — MinHash signatures + LSH band keys (shingle → minhash → band).
+    * 8 hashes, 4 bands × 2 rows; the band hash is the LSH bucket key a
+    * 100 TB dedup shuffles on instead of on document pairs. */
+  private def dd03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Text.shingles($"text", 3)
+    val withSigs = (0 until 8).foldLeft(
+      documents(s, d).withColumn("sh", sh)) {
+      (df, i) => df.withColumn(s"sig$i", Text.minhashSig($"sh", i))
+    }
+    withSigs
+      .select(Seq(col("doc_id")) ++
+        (0 until 8).map(i => col(s"sig$i")) ++
+        (0 until 4).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as(s"band$b")): _*)
+      .orderBy($"doc_id")
+  }
+  private val dd03Sql = {
+    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(",\n  ")
+    val bands = (0 until 4).map(b => s"md5(sig${2 * b} || sig${2 * b + 1}) AS band$b").mkString(", ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id,
+       |  $sigs
+       |FROM sh GROUP BY doc_id)
+       |SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7, $bands
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  /** dd04 — SimHash (32-bit, unweighted distinct unigrams): per bit b, sum
+    * ±1 over tokens by bit b of md5(token); bit set where the sum is > 0.
+    * Everything is integer/bit arithmetic on md5 — exact cross-engine. */
+  private def dd04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", explode(array_distinct(Text.tokens($"text"))).as("tok"))
+      .withColumn("h8", substring(md5($"tok"), 1, 8))
+    val bits = toks
+      .select($"doc_id", $"h8", explode(sequence(lit(0), lit(31))).as("bitpos"))
+      .withColumn("hexval",
+        expr("CAST(conv(substring(h8, (bitpos DIV 4) + 1, 1), 16, 10) AS INT)"))
+      .withColumn("bit", expr("(hexval >> (3 - bitpos % 4)) & 1"))
+      .withColumn("contrib", when($"bit" === 1, 1L).otherwise(-1L))
+    bits.groupBy($"doc_id", $"bitpos")
+      .agg(sum($"contrib").as("bal"))
+      .withColumn("bitset", when($"bal" > 0, 1.0).otherwise(0.0))
+      .groupBy($"doc_id")
+      .agg(sum($"bitset" * pow(lit(2.0), $"bitpos")).cast("long").as("simhash"))
+      .orderBy($"doc_id")
+  }
+  private val dd04Sql =
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |h AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
+      |bits AS (SELECT doc_id, unnest(range(0, 32)) AS bitpos, h8 FROM h),
+      |v AS (SELECT doc_id, bitpos,
+      |    (strpos('0123456789abcdef', substr(h8, (bitpos // 4) + 1, 1)) - 1) AS hexval
+      |  FROM bits),
+      |b AS (SELECT doc_id, bitpos,
+      |    CASE WHEN ((hexval >> CAST(3 - bitpos % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+      |  FROM v),
+      |bal AS (SELECT doc_id, bitpos, SUM(contrib) AS bal FROM b GROUP BY doc_id, bitpos)
+      |SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1.0 ELSE 0.0 END * power(2.0, bitpos)) AS BIGINT) AS simhash
+      |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** ta01 — language-ID heuristic: stopword-ratio bands (SURVEY's
+    * "n-gram heuristic" class; thresholds shared with the oracle). */
+  private def ta01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    val ratio = Text.stopwordRatio(toks, Seq("the", "a"))
+    documents(s, d)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        when(ratio >= 0.08, lit("en_like"))
+          .when(ratio >= 0.04, lit("mixed"))
+          .otherwise(lit("other")).as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+  private val ta01Sql =
+    """WITH t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t) AS ratio FROM t)
+      |SELECT doc_id, lang AS labeled_lang,
+      |  CASE WHEN ratio >= 0.08 THEN 'en_like'
+      |       WHEN ratio >= 0.04 THEN 'mixed'
+      |       ELSE 'other' END AS pred_lang
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** ta02 — quality scoring: length / token stats / whitespace ratio. */
+  private def ta02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    documents(s, d)
+      .withColumn("t", toks)
+      .select($"doc_id",
+        length($"text").as("n_chars_calc"),
+        size($"t").as("n_tokens"),
+        (aggregate($"t", lit(0), (acc, x) => acc + length(x)).cast("double") / size($"t")).as("avg_token_len"),
+        ((length($"text") - length(regexp_replace($"text", " ", ""))).cast("double") / length($"text")).as("ws_ratio"),
+        (size(array_distinct($"t")).cast("double") / size($"t")).as("distinct_ratio"))
+      .orderBy($"doc_id")
+  }
+  private val ta02Sql =
+    """WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
+      |SELECT doc_id,
+      |  len(text) AS n_chars_calc,
+      |  len(t) AS n_tokens,
+      |  CAST(list_sum([len(x) for x in t]) AS DOUBLE) / len(t) AS avg_token_len,
+      |  CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text) AS ws_ratio,
+      |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** ta03 — token counting: whitespace tokens + regex (BPE-ish) tokens. */
+  private def ta03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    documents(s, d)
+      .select($"doc_id",
+        size(toks).as("n_ws_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val ta03Sql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+      |  len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** ta04 — document fingerprint: md5 of sorted distinct token set plus a
+    * a prefix digest (content-defined identity for shuffled near-dups). */
+  private def ta04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    documents(s, d)
+      .select($"doc_id",
+        Text.fingerprint(toks).as("fingerprint"),
+        md5(substring($"text", 1, 64)).as("prefix_digest"))
+      .orderBy($"doc_id")
+  }
+  private val ta04Sql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint,
+      |  md5(substr(text, 1, 64)) AS prefix_digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** mm01 — multimodal binary plumbing: opaque binary column + typed
+    * metadata + deterministic fake "decode" (real decode is the pluggable
+    * stub in graft.operators.Multimodal — the container has no codec libs). */
+  private def mm01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("blob", encode($"text", "UTF-8"))
+      .select($"doc_id",
+        length($"blob").as("byte_len"),
+        lower(hex(expr("substring(blob, 1, 8)"))).as("header_hex"),
+        md5($"blob").as("checksum"),
+        (lit(64) + length($"blob") % 512).as("width"),
+        (lit(64) + (length($"blob") * 3) % 512).as("height"),
+        (lit(1) + length($"blob") % 30).as("n_frames"))
+      .orderBy($"doc_id")
+  }
+  private val mm01Sql =
+    """WITH b AS (SELECT doc_id, text, encode(text) AS blob FROM documents)
+      |SELECT doc_id,
+      |  CAST(octet_length(blob) AS INT) AS byte_len,
+      |  lower(substr(hex(blob), 1, 16)) AS header_hex,
+      |  md5(text) AS checksum,
+      |  CAST(64 + octet_length(blob) % 512 AS INT) AS width,
+      |  CAST(64 + (octet_length(blob) * 3) % 512 AS INT) AS height,
+      |  CAST(1 + octet_length(blob) % 30 AS INT) AS n_frames
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
+    Q("dd02_ngram_jaccard", "word-3gram Jaccard top-20 pairs", dd02, Some(dd02Sql)),
+    Q("dd03_minhash_lsh", "MinHash signatures + LSH band keys", dd03, Some(dd03Sql)),
+    Q("dd04_simhash", "32-bit SimHash per document", dd04, Some(dd04Sql)),
+    Q("ta01_langid", "stopword-ratio language-ID heuristic", ta01, Some(ta01Sql)),
+    Q("ta02_quality", "document quality metrics", ta02, Some(ta02Sql)),
+    Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),
+    Q("ta04_fingerprint", "sorted-token-set md5 fingerprint", ta04, Some(ta04Sql)),
+    Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
+  )
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Embedding similarity operators. All scores are computed on
+  * integer-quantized vectors (floor(x · 10⁴)): the dot product is then an
+  * exact BIGINT — order-independent, bit-identical across engines — and the
+  * only floating-point steps (sqrt, one division, one multiply) are
+  * single-operation IEEE-deterministic. That turns "cosine similarity" from
+  * an un-oracle-able FP reduction into an exactly verifiable operator.
+  */
+object VectorOps {
+
+  /** Quantized vector column: array<long> from array<float>. */
+  private def quantized(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 10000.0).cast("long"))
+
+  /** Exact dot product of two quantized vectors. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private val quantSql = "[CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding]"
+
+  /** vs01 — brute-force ANN top-k: 10 query vectors × all candidates,
+    * exact quantized cosine, row_number top-5 per query. The scale path
+    * replaces the cross join with an IVF/LSH bucket join (graft.operators.Ann)
+    * but the scoring kernel is identical. */
+  private def vs01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", quantized($"embedding").as("q"))
+      .withColumn("nrm", sqrt(dotQ($"q", $"q").cast("double")))
+      .filter($"nrm" > 0.0)
+    val queries = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    val scored = broadcast(queries).join(e, $"query_id" =!= $"vec_id")
+      .withColumn("cos", dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs01Sql =
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q) + 1)]) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** vs02 — embedding near-dup pairs with IVF-style blocking: candidate
+    * pairs only within the same `label` partition (the coarse cluster), so
+    * the pair space is |cluster|² instead of N² — the 100 TB design. */
+  private def vs02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", $"label", quantized($"embedding").as("q"))
+      .withColumn("nrm", sqrt(dotQ($"q", $"q").cast("double")))
+      .filter($"nrm" > 0.0)
+    val a = e.select($"vec_id".as("id1"), $"label", $"q".as("q1"), $"nrm".as("n1"))
+    val b = e.select($"vec_id".as("id2"), $"label".as("label2"), $"q".as("q2"), $"nrm".as("n2"))
+    a.join(b, $"label" === $"label2" && $"id1" < $"id2")
+      .withColumn("cos", dotQ($"q1", $"q2").cast("double") / ($"n1" * $"n2"))
+      .select($"id1", $"id2", $"label", $"cos")
+      .orderBy($"cos".desc, $"id1", $"id2")
+      .limit(50)
+  }
+  private val vs02Sql =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, label, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q),
+       |f AS (SELECT * FROM n WHERE nrm > 0.0)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+       |  CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q) + 1)]) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+       |FROM f a JOIN f b ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cos DESC, id1, id2 LIMIT 50""".stripMargin
+
+  /** vs03 — per-cluster embedding stats: the IVF "centroid" pass (exact
+    * integer sums per dimension would be the true centroid; here we emit
+    * count + exact quantized L2-norm stats per label, the verifiable core). */
+  private def vs03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"vec_id", $"label", quantized($"embedding").as("q"))
+      .withColumn("sqnorm", aggregate(transform($"q", x => x * x), lit(0L), (a, x) => a + x))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum($"sqnorm").as("sum_sqnorm"),
+        min($"sqnorm").as("min_sqnorm"),
+        max($"sqnorm").as("max_sqnorm"))
+      .orderBy($"label")
+  }
+  private val vs03Sql =
+    s"""WITH q AS (SELECT vec_id, label,
+       |    list_sum([y * y for y in $quantSql]) AS sqnorm
+       |  FROM embeddings)
+       |SELECT label, COUNT(*) AS n_vectors, SUM(sqnorm) AS sum_sqnorm,
+       |  MIN(sqnorm) AS min_sqnorm, MAX(sqnorm) AS max_sqnorm
+       |FROM q GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
+    Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
+    Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
+  )
+}
