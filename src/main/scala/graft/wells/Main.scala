@@ -1,0 +1,49 @@
+package graft.wells
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry points mirroring the reference's three scripts (SURVEY.md §7.1):
+  *
+  *   runMain graft.wells.Main extract <docDir> <outDir>
+  *   runMain graft.wells.Main load <headerCsv> <stimCsv> <tableRoot> [--dry-run]
+  *   runMain graft.wells.Main enrich <tableRoot>
+  *   runMain graft.wells.Main wells <tableRoot>       # prints /wells JSON
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "extract" :: docDir :: outDir :: Nil =>
+      val docs = Extraction.scanDocuments(spark, docDir).cache()
+      val (header, stim) = Extraction.extractAll(docs)
+      header.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/well_header")
+      stim.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/well_stimulation")
+      println(s"[OK] extracted ${docs.count()} documents -> $outDir")
+    case "load" :: headerCsv :: stimCsv :: tableRoot :: rest =>
+      Loader.run(spark, headerCsv, stimCsv, tableRoot,
+        dryRun = rest.contains("--dry-run"))
+      if (!rest.contains("--dry-run")) println(s"[OK] DB import done -> $tableRoot")
+    case "enrich" :: tableRoot :: Nil =>
+      val info = Enrichment.run(spark, tableRoot)
+      println(s"[OK] well_info rows=${info.count()}")
+    case "wells" :: tableRoot :: Nil =>
+      val info = spark.read.parquet(s"$tableRoot/well_info")
+      val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
+      WellsQuery.wellsJson(info, stim).foreach(println)
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.wells
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Golden-input load: the reference's shipped CSVs (its actual extractor
+  * output over the 77-PDF corpus) through the Spark load stage. Pinned
+  * numbers were computed by running the reference's own to_decimal logic
+  * over the same files (FIXTURES.md §1): rows=77, lat_none=1, lon_none=1,
+  * lat_bad=0, lon_bad=0; only W11920.pdf lacks coordinates. */
+class LoaderGoldenSpec extends AnyFunSuite with SparkSpec {
+
+  private val headerCsv = "/root/reference/well_header.csv"
+  private val stimCsv = "/root/reference/well_stimulation.csv"
+
+  test("header load matches the reference's quality report") {
+    val (cleaned, stats, bad) = Loader.loadHeader(spark, headerCsv)
+    assert(stats == Loader.HeaderStats(77, 1, 1, 0, 0))
+    assert(bad.count() == 0)
+    assert(cleaned.count() == 77)
+  }
+
+  test("unicode-minus longitude parses to negative decimal") {
+    val (cleaned, _, _) = Loader.loadHeader(spark, headerCsv)
+    val w = cleaned.filter(col("longitude").cast("double") === -103.602808)
+    assert(w.count() == 1)
+  }
+
+  test("only W11920.pdf has null coordinates") {
+    val (cleaned, _, _) = Loader.loadHeader(spark, headerCsv)
+    val nulls = cleaned
+      .filter(col("latitude").isNull || col("longitude").isNull)
+      .select("pdf_name").collect().map(_.getString(0)).toSeq
+    assert(nulls == Seq("W11920.pdf"))
+  }
+
+  test("latitude lands as DECIMAL(12,9)") {
+    val (cleaned, _, _) = Loader.loadHeader(spark, headerCsv)
+    val dt = cleaned.schema("latitude").dataType
+    assert(dt == org.apache.spark.sql.types.DecimalType(12, 9))
+  }
+
+  test("stim load keeps 77 rows and drops stimulated_in") {
+    val stim = Loader.loadStim(spark, stimCsv)
+    assert(stim.count() == 77)
+    assert(!stim.columns.contains("stimulated_in"))
+    assert(stim.columns.contains("details"))
+  }
+
+  test("dirty dates survive as strings; typed view nulls them") {
+    val stim = Loader.loadStim(spark, stimCsv)
+    val dirty = stim.filter(col("date_simulated").isin("11/E/2013", "07/1212015"))
+    assert(dirty.count() == 2) // preserved verbatim, like the VARCHAR column
+    val typed = stim.withColumn("d", try_to_timestamp(col("date_simulated"), lit("M/d/yyyy")))
+    assert(typed.filter(col("date_simulated").isin("11/E/2013", "07/1212015") &&
+      col("d").isNotNull).count() == 0)
+  }
+
+  test("full load run writes merged parquet tables (last-wins, idempotent)") {
+    val root = Files.createTempDirectory("wells-load").toString
+    val stats = Loader.run(spark, headerCsv, stimCsv, root)
+    assert(stats.rows == 77)
+    val header = spark.read.parquet(s"$root/well_header")
+    val stim = spark.read.parquet(s"$root/well_stimulation")
+    assert(header.count() == 77 && stim.count() == 77)
+    assert(header.select("pdf_name").distinct().count() == 77)
+    // second run over the same input: upsert replaces, count unchanged
+    Loader.run(spark, headerCsv, stimCsv, root)
+    assert(spark.read.parquet(s"$root/well_header").count() == 77)
+    // FK integrity (S9 as anti join): every stim key has a header row
+    val orphans = spark.read.parquet(s"$root/well_stimulation")
+      .join(spark.read.parquet(s"$root/well_header"), Seq("pdf_name"), "left_anti")
+    assert(orphans.count() == 0)
+  }
+}
