@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths share one scoring kernel (exact integer-quantized cosine, the
+  * same trick as the vs* catalog entries — order-independent, verifiable):
+  *
+  *  - [[bruteTopK]]: every query scores every candidate. O(Q×N); right
+  *    when Q is small (broadcast) or N fits a partition.
+  *  - [[lshTopK]]: random-hyperplane LSH — candidates and queries hash to
+  *    sign-bit buckets; scoring only happens within a bucket (multi-probe
+  *    across `tables` independent hash tables for recall). The shuffle key
+  *    is the bucket id, never a pair — the 100 TB path: N² pair space
+  *    becomes Σ|bucket|², and each table is one shuffle.
+  *
+  * Hyperplanes are seeded deterministically (no RNG at plan time) so runs
+  * are reproducible and resumable.
+  */
+object Ann {
+
+  /** array<float> → array<long> quantization (exact integer dot products). */
+  def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 10000.0).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__q", quantize(col(vecCol)))
+      .withColumn("__nrm", sqrt(dotQ(col("__q"), col("__q")).cast("double")))
+      .filter(col("__nrm") > 0.0)
+
+  /** Exact top-k cosine neighbors for each query row.
+    * queries(idCol, vecCol), candidates(idCol, vecCol). */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("qq"), col("__nrm").as("qn"))
+    val c = withNorm(candidates, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim): a hash folded to [-1, 1). Computed as a column expression —
+    * stays in codegen, no closure-captured random arrays. */
+  private def planeComponent(table: Int, bit: Int, dim: Column): Column =
+    (pmod(hash(lit(table), lit(bit), dim, lit(0x5eed)), lit(2000001)) - 1000000)
+      .cast("double") / 1000000.0
+
+  /** Sign-bit bucket id of a vector under `bits` hyperplanes of one table. */
+  private def bucketOf(vec: Column, table: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(table, b, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed top-k: candidates hashed once per table; queries probe
+    * their bucket in every table; per-query dedup + rank merges tables.
+    * recall < 1 by construction; raise `tables` (probes) or lower `bits`
+    * (bigger buckets) to trade cost for recall. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val q0 = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("qq"), col("__nrm").as("qn"))
+    val c0 = withNorm(candidates, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
+
+    def buckets(df: DataFrame, vec: String): DataFrame =
+      (0 until tables).map { t =>
+        df.withColumn("table", lit(t))
+          .withColumn("bucket", bucketOf(col(vec), t, bits))
+      }.reduce(_ unionByName _)
+
+    val qb = buckets(q0, "qq")
+    val cb = buckets(c0, "cq")
+    val paired = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+      .distinct() // same pair can collide in several tables
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    paired.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * travel as opaque `binary` columns with typed metadata, and per-modality
+  * transforms (decode, resize, frame-sample, feature-extract) run as
+  * partition-batched functions over those bytes.
+  *
+  * The decode kernels themselves are pluggable ([[Codec]]): this offline
+  * container ships no image/audio libraries, so the default codec is a
+  * deterministic fake that exercises the real Spark plumbing — schema,
+  * batching, partitioning, null/error isolation — which is the part that
+  * must survive a 100 TB run. A JNI/JavaCV codec drops in behind the same
+  * trait without touching any plan.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every blob. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  final case class Meta(mime: String, width: Int, height: Int,
+      n_frames: Int, duration_ms: Long)
+  final case class Decoded(ok: Boolean, meta: Meta, features: Array[Float])
+
+  /** Modality codec seam: bytes → (metadata, feature vector). MUST be
+    * cheap to construct per partition and never throw for bad bytes —
+    * return ok=false instead (error isolation mirrors the reference's
+    * per-item failure handling). */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): Decoded
+  }
+
+  /** Deterministic fake codec: metadata derived from byte statistics, an
+    * 8-dim "embedding" from rolling byte sums. Real enough to test
+    * partitioning, batch shape and downstream joins end-to-end. */
+  object FakeCodec extends Codec {
+    def decode(bytes: Array[Byte]): Decoded = {
+      if (bytes == null || bytes.isEmpty)
+        return Decoded(ok = false, Meta("application/octet-stream", 0, 0, 0, 0L), Array.empty)
+      val n = bytes.length
+      val mime = bytes.take(4).map(_.toInt & 0xff).sum % 3 match {
+        case 0 => "image/png"
+        case 1 => "audio/wav"
+        case _ => "video/mp4"
+      }
+      val feats = new Array[Float](8)
+      var i = 0
+      while (i < n) { feats(i % 8) += (bytes(i).toInt & 0xff) / 255.0f; i += 1 }
+      Decoded(ok = true,
+        Meta(mime, 64 + n % 512, 64 + (n * 3) % 512, 1 + n % 30, n.toLong * 40L),
+        feats.map(f => f / n * 8))
+    }
+  }
+
+  /** Attach decode output to a frame with a binary column. Runs inside
+    * mapPartitions via a single UDF call per row — the blob crosses the
+    * wire once, all derived columns come from one decode. */
+  def decodeColumn(df: DataFrame, blobCol: String,
+      codec: Codec = FakeCodec): DataFrame = {
+    val c = codec
+    val decodeUdf = udf((bytes: Array[Byte]) => c.decode(bytes))
+    df.withColumn("__dec", decodeUdf(col(blobCol)))
+      .withColumn("decode_ok", col("__dec.ok"))
+      .withColumn("meta", col("__dec.meta"))
+      .withColumn("features", col("__dec.features"))
+      .drop("__dec")
+  }
+
+  /** Frame-sampling plan shape: explode n_frames into (blob, frame_idx)
+    * work units at a given stride — the unit of GPU-batch dispatch at
+    * scale. Pure plan surgery, no decode. */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
+
+  /** Size-aware repartition: big blobs skew task time, so partition count
+    * derives from total bytes / target bytes-per-partition, clamped. This
+    * is the knob that keeps a 100 TB binary scan's tasks uniform. */
+  def repartitionByBytes(df: DataFrame, blobCol: String,
+      targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = df.agg(sum(length(col(blobCol)))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.min(100000,
+      (totalBytes / targetBytesPerPartition).toInt + 1))
+    df.repartition(parts)
+  }
+}

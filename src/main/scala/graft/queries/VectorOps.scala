@@ -105,9 +105,24 @@ object VectorOps {
        |  MIN(sqnorm) AS min_sqnorm, MAX(sqnorm) AS max_sqnorm
        |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** vs04 — LSH-bucketed ANN (graft.operators.Ann.lshTopK): the 100 TB
+    * scale path where the shuffle key is an LSH bucket, never a pair.
+    * Murmur3-seeded hyperplanes aren't reproducible in DuckDB → no SQL
+    * oracle; the driver records the weaker rows-only check, and the
+    * AnnMultimodalSpec pins recall ≥ 0.5 against the exact brute force. */
+  private def vs04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    graft.operators.Ann.lshTopK(
+      e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 5,
+      bits = 4, tables = 6)
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
+    Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path, rows-only check)", vs04, None),
   )
 }

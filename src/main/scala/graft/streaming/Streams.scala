@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch analytics (SURVEY.md §2.7).
+  *
+  * The reference is batch-only; its closest incremental shapes are the
+  * per-item scrape loop and the updated_at bookkeeping column. These
+  * operators give the same queries a streaming execution: the batch
+  * catalog's q15 (tumbling hourly agg) and q29 (gap sessionization) run
+  * here over an event stream with watermarked state cleanup, and new-file
+  * ingest mirrors the reference's "new PDFs arrive, re-run extract" flow.
+  *
+  * All transforms are expressed on unbounded DataFrames: the same code
+  * runs under `spark.readStream` (tests drive it with MemoryStream) and
+  * on a batch frame for backfill.
+  */
+object Streams {
+
+  /** q15's streaming twin: tumbling 1-hour window per event_type with a
+    * watermark bounding state. Late events beyond 2h are dropped —
+    * deterministic completeness contract instead of the batch job's
+    * "whatever is in the table". Sum is decimal-exact like the batch twin. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** q29's streaming twin: 30-minute-gap sessions via
+    * flatMapGroupsWithState (custom state machine, the engine's §2.7
+    * "mapGroupsWithState" surface). Emits a session when the gap timeout
+    * fires; state is one small struct per live user — O(active users), not
+    * O(events). */
+  def sessionize(events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), s.n, s.value))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Incremental document ingest (S1's streaming shape): new files landing
+    * in a directory become extraction rows continuously — the reference's
+    * "drop new PDFs in the folder and re-run" loop without the re-run. */
+  def streamDocuments(spark: SparkSession, dir: String, schema: String = "text"): DataFrame = {
+    val raw = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.pdf")
+      .load(dir)
+      .withColumn("pdf_name", element_at(split(input_file_name(), "/"), -1))
+    raw.select(col("pdf_name"), split(col("value"), "\f").as("pages"))
+  }
+
+  /** Run any of the above to a console/memory sink for N batches — the
+    * minimal foreachBatch harness the enrichment stage plugs into
+    * (EnrichmentClient inside foreachBatch = the streaming scrape). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Streaming twins verified against their batch equivalents — the
+  * batch/stream parity contract (§2.7): same input, same result. */
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyByType stream equals the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(30), "view", 3.0),
+      (ts(65), "click", 4.0), (ts(70), "view", 5.0), (ts(190), "click", 6.0))
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = Streams.hourlyByType(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = stream.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // a far-future event advances the watermark past every real window;
+    // the no-data micro-batch then flushes them all in append mode
+    mem.addData((ts(600), "späte", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin over the identical frame (without the watermark-driver row)
+    val batch = Streams.hourlyByType(rows.toDF("ts", "event_type", "value"))
+      .orderBy("hour", "event_type").collect().map(_.toSeq)
+    val streamed = spark.table("hourly").orderBy("hour", "event_type")
+      .collect().map(_.toSeq)
+    // exact batch/stream parity: every closed window matches; only the
+    // watermark-driver's own still-open window is absent from both
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize closes sessions on gap and matches batch q29 shape") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.SessionEvent]
+    // user 1: two events 10 min apart (one session), then 40-min gap, one more
+    mem.addData(
+      Streams.SessionEvent(1L, ts(0), 1.0),
+      Streams.SessionEvent(1L, ts(10), 2.0),
+      Streams.SessionEvent(1L, ts(50), 4.0),
+      Streams.SessionEvent(2L, ts(5), 8.0),
+      // advance watermark far enough to time out everything open
+      Streams.SessionEvent(99L, ts(600), 0.0))
+
+    val out = Streams.sessionize(mem.toDS())
+    val q = Streams.runToMemory(out.toDF(), "sessions")
+    q.awaitTermination(60000)
+    val got = spark.table("sessions")
+      .select("user_id", "n_events", "session_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1 session A: 2 events value 3.0 (closed by the in-batch gap);
+    // session B and user 2's session close via event-time timeout
+    assert(got.contains((1L, 2L, 3.0)))
+    assert(got.contains((1L, 1L, 4.0)))
+    assert(got.contains((2L, 1L, 8.0)))
+  }
+}
