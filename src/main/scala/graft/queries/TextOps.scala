@@ -42,18 +42,22 @@ object TextOps {
     * exact int arithmetic so the score hashes identically cross-engine. */
   private def dd02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Shingle once, carry the set size alongside each exploded row (so no
+    // separate sizes agg + two joins), and self-join on a 64-bit shingle
+    // hash instead of the string (8-byte shuffle key; the two join branches
+    // share one Exchange via ReusedExchange). Collision risk 2^-64·n² ≈ 0;
+    // equality vs the string-keyed DuckDB oracle is part of the gate.
     val sh = documents(s, d)
-      .select($"doc_id", explode(Text.shingles($"text", 3)).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
+      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
+      .select($"doc_id", $"sz", xxhash64($"sh").as("h"))
+    sh.as("a").join(sh.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), $"d1" === $"s1.doc_id")
-      .join(sizes.as("s2"), $"d2" === $"s2.doc_id")
+      .agg(count(lit(1)).as("inter"),
+        first($"a.sz").as("sz1"), first($"b.sz").as("sz2"))
       .select($"d1", $"d2",
-        ($"inter".cast("double") / ($"s1.sz" + $"s2.sz" - $"inter")).as("jaccard"))
+        ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
       .orderBy($"jaccard".desc, $"d1", $"d2")
       .limit(20)
   }
@@ -71,13 +75,16 @@ object TextOps {
     * 100 TB dedup shuffles on instead of on document pairs. */
   private def dd03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = Text.shingles($"text", 3)
-    val withSigs = (0 until 8).foldLeft(
-      documents(s, d).withColumn("sh", sh)) {
-      (df, i) => df.withColumn(s"sig$i", Text.minhashSig($"sh", i))
-    }
-    withSigs
-      .select(Seq(col("doc_id")) ++
+    // Explode shingles once and take the 8 per-seed minima as grouped
+    // aggregates: map-side partial min keeps the shuffle at 8×32B per doc,
+    // and the shingle array is computed exactly once (the naive 8-column
+    // form re-evaluates it per signature after projection collapse).
+    val exploded = documents(s, d)
+      .select($"doc_id", explode(Text.shingles($"text", 3)).as("sh"))
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"sig$i"))
+    val sigs = exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    sigs.select(Seq(col("doc_id")) ++
         (0 until 8).map(i => col(s"sig$i")) ++
         (0 until 4).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as(s"band$b")): _*)
       .orderBy($"doc_id")
