@@ -26,8 +26,10 @@ object Ann {
   def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 10000.0).cast("long"))
 
+  /** Fused native dot product (graft.functions.QuantizedDotProduct): one
+    * codegen'd loop, no intermediate zip array — the scoring inner loop. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.quantizedDot(a, b)
 
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__q", quantize(col(vecCol)))

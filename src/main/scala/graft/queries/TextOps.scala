@@ -135,6 +135,59 @@ object TextOps {
       |SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1.0 ELSE 0.0 END * power(2.0, bitpos)) AS BIGINT) AS simhash
       |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** dd05 — end-to-end MinHash+LSH dedup: docs pair up iff they share an
+    * LSH band (the bucket join — the only shuffle key at scale), then each
+    * candidate pair is verified with exact shingle-set Jaccard. This is the
+    * complete 100 TB near-dup flow: N docs → 4 band keys each → bucket
+    * join → |candidates| ≪ N² exact verifications. */
+  private def dd05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exploded = documents(s, d)
+      .select($"doc_id", explode(Text.shingles($"text", 3)).as("sh"))
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"sig$i"))
+    val sigs = exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until 4).map { b =>
+      sigs.select($"doc_id", lit(b).as("band"),
+        md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+      .distinct()
+    val sized = documents(s, d)
+      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
+      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
+    val inter = cand
+      .join(sized.as("a"), $"d1" === $"a.doc_id")
+      .join(sized.as("b"), $"d2" === $"b.doc_id" && $"a.sh" === $"b.sh")
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("inter"),
+        first($"a.sz").as("sz1"), first($"b.sz").as("sz2"))
+    inter.select($"d1", $"d2",
+        ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+  private val dd05Sql = {
+    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |i AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM cand JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id AND a.s = b.s
+       |  GROUP BY d1, d2)
+       |SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+       |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   /** ta01 — language-ID heuristic: stopword-ratio bands (SURVEY's
     * "n-gram heuristic" class; thresholds shared with the oracle). */
   private def ta01(s: SparkSession, d: String): DataFrame = {
@@ -249,6 +302,7 @@ object TextOps {
     Q("dd02_ngram_jaccard", "word-3gram Jaccard top-20 pairs", dd02, Some(dd02Sql)),
     Q("dd03_minhash_lsh", "MinHash signatures + LSH band keys", dd03, Some(dd03Sql)),
     Q("dd04_simhash", "32-bit SimHash per document", dd04, Some(dd04Sql)),
+    Q("dd05_lsh_dedup", "LSH band candidates + exact Jaccard verify", dd05, Some(dd05Sql)),
     Q("ta01_langid", "stopword-ratio language-ID heuristic", ta01, Some(ta01Sql)),
     Q("ta02_quality", "document quality metrics", ta02, Some(ta02Sql)),
     Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),

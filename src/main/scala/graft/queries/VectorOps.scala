@@ -19,9 +19,10 @@ object VectorOps {
   private def quantized(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 10000.0).cast("long"))
 
-  /** Exact dot product of two quantized vectors. */
+  /** Exact dot product of two quantized vectors — the native codegen'd
+    * expression (same semantics as aggregate∘zip_with, one fused loop). */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.quantizedDot(a, b)
 
   private val quantSql = "[CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding]"
 
