@@ -52,7 +52,9 @@ object Enrichment {
   /** keys → scraped rows. Partition-parallel; per-row try/catch degrades a
     * throwing client to the blank row (failure isolation, timeout semantics
     * live inside the client). Scrape-norm (F20) applied to every attribute:
-    * null/blank/"Members Only" → "N/A". */
+    * null/blank/"Members Only" → "N/A". A failed fetch also carries the
+    * error message in __error — the S15 failure side-channel — surfaced by
+    * [[rejects]] instead of screenshots-on-disk. */
   def scrape(keys: DataFrame, client: EnrichmentClient,
       parallelism: Int = 0): DataFrame = {
     val spark = keys.sparkSession
@@ -62,22 +64,28 @@ object Enrichment {
       .as[(String, String)]
       .mapPartitions { it =>
         it.map { case (name, api) =>
-          try client.fetch(name, api)
-          catch { case _: Exception => blankRow(name, api) }
+          try (client.fetch(name, api), null: String)
+          catch { case e: Exception => (blankRow(name, api), e.toString) }
         }
       }
-      .toDF()
+      .toDF("r", "__error")
+      .select(col("r.*"), col("__error"))
     Model.scrapeCols.foldLeft(fetched) { (df, c) =>
       df.withColumn(c, Cleaning.scrapeNormCol(col(c)))
     }
   }
+
+  /** S15 reject sink: rows whose fetch threw, with the error string. */
+  def rejects(scraped: DataFrame): DataFrame =
+    scraped.filter(col("__error").isNotNull)
+      .select(col("well_name"), col("api"), col("__error").as("error"))
 
   /** web_table materialization (web_scraping.py:251-281): N/A → null, then
     * the all-TEXT sink coerces null → '' — the reference's three null
     * encodings collapse to empty string here, and joins/filters over
     * web_table must see '' not NULL (§1.2). */
   def webTable(scraped: DataFrame): DataFrame =
-    Model.scrapeCols.foldLeft(scraped) { (df, c) =>
+    Model.scrapeCols.foldLeft(scraped.drop("__error")) { (df, c) =>
       df.withColumn(c, Cleaning.toStrCol(Cleaning.naToNullCol(col(c))))
     }
 

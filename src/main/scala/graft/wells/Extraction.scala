@@ -37,6 +37,20 @@ object Extraction {
         .split("\f", -1).toSeq
   }
 
+  /** S4 extractor preference/fallback (pdf_extraction.py:73-81): use the
+    * preferred extractor unless it yields only blank pages, then fall back
+    * — with `preferFallback` flipping the order (the --prefer-ocr flag). */
+  def withFallback(textLayer: DocumentTextExtractor, ocr: DocumentTextExtractor,
+      preferFallback: Boolean = false): DocumentTextExtractor =
+    new DocumentTextExtractor {
+      def extract(content: Array[Byte]): Seq[String] = {
+        val (first, second) =
+          if (preferFallback) (ocr, textLayer) else (textLayer, ocr)
+        val pages = first.extract(content)
+        if (pages.forall(_.trim.isEmpty)) second.extract(content) else pages
+      }
+    }
+
   // ------------------------------------------------------------ header bank
   // F11 (pdf_extraction.py:213-222): labeled-value extractors, first match,
   // case-insensitive, full-width colon tolerated.
