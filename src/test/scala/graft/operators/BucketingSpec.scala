@@ -13,8 +13,21 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
   test("co-bucketed join plans without any shuffle exchange") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // DROP only clears the per-JVM in-memory catalog; the warehouse dirs
+    // survive across test JVMs and would fail LOCATION_ALREADY_EXISTS
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Bucketing.writeBucketed(orders.withColumnRenamed("o_orderkey", "k"),
       "b_orders", 8, Seq("k"))
     Bucketing.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "k"),
