@@ -21,14 +21,24 @@ object Loader {
 
   /** Raw CSV read with resolved schema; `src_order` pins file order for
     * last-writer-wins determinism (reference semantics are file-order
-    * dependent; Spark is not, so the order is carried as data). */
+    * dependent; Spark is not, so the order is carried as data).
+    *
+    * Encoding fallback (S6, pdf_to_db.py:136-153): read UTF-8 first; if
+    * any cell decoded to U+FFFD replacement characters the bytes weren't
+    * UTF-8 — re-read as ISO-8859-1, which maps every byte and so always
+    * succeeds, exactly like the reference's latin-1 retry. */
   private def readCsv(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read
+    def read(enc: String) = spark.read
       .option("header", "true")
-      .option("encoding", "UTF-8")
+      .option("encoding", enc)
       .option("multiLine", "true")
       .option("escape", "\"") // RFC4180 doubled quotes, like Python's csv module
       .csv(path)
+    val utf8 = read("UTF-8")
+    val mojibake = utf8.columns.map(c => col(c).contains("�"))
+      .reduceOption(_ || _).map(p => utf8.filter(p).limit(1).count() > 0)
+      .getOrElse(false)
+    val raw = if (mojibake) read("ISO-8859-1") else utf8
     SchemaResolver.applyTo(raw)
       .withColumn("src_order", monotonically_increasing_id())
   }
@@ -40,8 +50,12 @@ object Loader {
     * count none/bad per column in one aggregate pass. Returns the cleaned
     * frame (raw lat/lon replaced by parsed decimals), the stats, and the
     * bad-row diagnostics frame (S12). */
-  def loadHeader(spark: SparkSession, path: String): (DataFrame, HeaderStats, DataFrame) = {
-    val df = readCsv(spark, path)
+  def loadHeader(spark: SparkSession, path: String,
+      limit: Option[Int] = None): (DataFrame, HeaderStats, DataFrame) = {
+    // P7 --limit: head-of-file semantics — src_order is file order, so the
+    // limit applies to the first N physical rows like the reference's loop
+    val df0 = readCsv(spark, path)
+    val df = limit.map(n => df0.orderBy("src_order").limit(n)).getOrElse(df0)
     // hints run against the resolved (normalized) names — same outcome as
     // the reference's raw-name scan for any header this pipeline reads,
     // since normalization only lowercases/underscores and hints are
@@ -81,24 +95,28 @@ object Loader {
   /** Stimulation branch (pdf_to_db.py:301-314): repair pre-pass, resolve
     * keys, drop rows with blank pdf_name (P5), drop the DDL-absent
     * stimulated_in column. */
-  def loadStim(spark: SparkSession, path: String): DataFrame = {
+  def loadStim(spark: SparkSession, path: String,
+      limit: Option[Int] = None): DataFrame = {
     val raw = CsvRepair.readRepairedCsv(spark, path)
-    SchemaResolver.applyTo(raw)
+    val df = SchemaResolver.applyTo(raw)
       .withColumn("src_order", monotonically_increasing_id())
       .filter(length(trim(col("pdf_name"))) > 0)
       .drop("stimulated_in")
+    // reference counts KEPT rows against the limit, in file order
+    limit.map(n => df.orderBy("src_order").limit(n)).getOrElse(df)
   }
 
   /** Full load into parquet tables at tableRoot: header + stim merged by
     * pdf_name last-wins against any existing snapshot (§2.8), stats printed
     * in the reference's report shape, bad rows to a diagnostics sink. */
   def run(spark: SparkSession, headerCsv: String, stimCsv: String,
-      tableRoot: String, dryRun: Boolean = false): HeaderStats = {
-    val (header, stats, bad) = loadHeader(spark, headerCsv)
+      tableRoot: String, dryRun: Boolean = false,
+      limit: Option[Int] = None): HeaderStats = {
+    val (header, stats, bad) = loadHeader(spark, headerCsv, limit)
     println(s"[REPORT] well_header: rows=${stats.rows}, " +
       s"lat_none=${stats.latNone}, lon_none=${stats.lonNone}, " +
       s"lat_bad=${stats.latBad}, lon_bad=${stats.lonBad}")
-    val stim = loadStim(spark, stimCsv)
+    val stim = loadStim(spark, stimCsv, limit)
 
     if (!dryRun) {
       if (bad.limit(1).count() > 0)

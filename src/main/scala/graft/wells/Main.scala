@@ -32,8 +32,10 @@ object Main {
         .csv(s"$outDir/well_stimulation")
       println(s"[OK] extracted ${docs.count()} documents -> $outDir")
     case "load" :: headerCsv :: stimCsv :: tableRoot :: rest =>
+      val limit = rest.sliding(2).collectFirst {
+        case Seq("--limit", n) => n.toInt }
       Loader.run(spark, headerCsv, stimCsv, tableRoot,
-        dryRun = rest.contains("--dry-run"))
+        dryRun = rest.contains("--dry-run"), limit = limit)
       if (!rest.contains("--dry-run")) println(s"[OK] DB import done -> $tableRoot")
     case "enrich" :: tableRoot :: Nil =>
       val info = Enrichment.run(spark, tableRoot)

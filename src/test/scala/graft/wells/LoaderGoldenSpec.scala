@@ -76,4 +76,12 @@ class LoaderGoldenSpec extends AnyFunSuite with SparkSpec {
       .join(spark.read.parquet(s"$root/well_header"), Seq("pdf_name"), "left_anti")
     assert(orphans.count() == 0)
   }
+
+  test("--limit takes the first N file-order rows (P7)") {
+    val (cleaned, stats, _) = Loader.loadHeader(spark, headerCsv, limit = Some(10))
+    assert(stats.rows == 10)
+    assert(cleaned.count() == 10)
+    val stim = Loader.loadStim(spark, stimCsv, limit = Some(5))
+    assert(stim.count() == 5)
+  }
 }
