@@ -588,6 +588,62 @@ object Relational {
        |  ${dsumSql("value")} AS session_value
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** q30 — grouped collect + ordered string aggregation (listagg class):
+    * collect_list is shuffle-order nondeterministic, so the engine sorts
+    * before joining — the only way a distributed listagg can hash-match. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(sort_array(collect_set($"c_mktsegment")).as("segs"))
+      .select($"c_nationkey", array_join($"segs", ",").as("segments"),
+        size($"segs").as("n_segments"))
+      .orderBy($"c_nationkey")
+  }
+  private val q30Sql =
+    """SELECT c_nationkey,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+      |  len(list_sort(list(DISTINCT c_mktsegment))) AS n_segments
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** q31 — scalar subquery: orders above the global average price (exact
+    * decimal average so both engines agree bit-for-bit). */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+    val avgPrice = o.agg((dsum($"o_totalprice") / count(lit(1))).as("a"))
+    o.join(broadcast(avgPrice))
+      .filter($"o_totalprice" > $"a")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q31Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_above FROM orders
+       |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q32 — pivot: event counts per user day-of-week, one column per
+    * weekday (fixed column set keeps the shape deterministic). */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("dow", date_format($"ts", "E"))
+      .groupBy($"event_type")
+      .pivot("dow", Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"event_type")
+  }
+  private val q32Sql = {
+    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    val cols = days.map(dy =>
+      s"COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS \"$dy\"")
+      .mkString(", ")
+    s"""SELECT event_type, $cols FROM events
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -618,5 +674,8 @@ object Relational {
     Q("q27_merge_upsert", "last-writer-wins merge (§2.8)", q27, Some(q27Sql)),
     Q("q28_count_distinct", "exact grouped count-distinct", q28, Some(q28Sql)),
     Q("q29_sessionize", "gap-based sessionization (§2.7)", q29, Some(q29Sql)),
+    Q("q30_collect_listagg", "sorted collect_set + listagg", q30, Some(q30Sql)),
+    Q("q31_scalar_subquery", "filter vs global scalar aggregate", q31, Some(q31Sql)),
+    Q("q32_pivot", "weekday pivot of event counts", q32, Some(q32Sql)),
   )
 }

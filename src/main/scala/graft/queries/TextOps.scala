@@ -105,20 +105,21 @@ object TextOps {
     * Everything is integer/bit arithmetic on md5 — exact cross-engine. */
   private def dd04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // One token explode, one shuffle: the 32 per-bit ±1 balances are 32
+    // grouped sums over v = int(md5[0:8]) (map-side partial agg), instead
+    // of exploding every token × 32 bit positions. bitpos counts from the
+    // MSB, so bit(bitpos) = (v >> (31 - bitpos)) & 1.
     val toks = documents(s, d)
       .select($"doc_id", explode(array_distinct(Text.tokens($"text"))).as("tok"))
-      .withColumn("h8", substring(md5($"tok"), 1, 8))
-    val bits = toks
-      .select($"doc_id", $"h8", explode(sequence(lit(0), lit(31))).as("bitpos"))
-      .withColumn("hexval",
-        expr("CAST(conv(substring(h8, (bitpos DIV 4) + 1, 1), 16, 10) AS INT)"))
-      .withColumn("bit", expr("(hexval >> (3 - bitpos % 4)) & 1"))
-      .withColumn("contrib", when($"bit" === 1, 1L).otherwise(-1L))
-    bits.groupBy($"doc_id", $"bitpos")
-      .agg(sum($"contrib").as("bal"))
-      .withColumn("bitset", when($"bal" > 0, 1.0).otherwise(0.0))
-      .groupBy($"doc_id")
-      .agg(sum($"bitset" * pow(lit(2.0), $"bitpos")).cast("long").as("simhash"))
+      .withColumn("v", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    val balances = (0 until 32).map(b =>
+      sum(when(expr(s"(v >> ${31 - b}) & 1") === 1, 1L).otherwise(-1L)).as(s"bal$b"))
+    val simhash = (0 until 32).map(b =>
+      when(col(s"bal$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy($"doc_id")
+      .agg(balances.head, balances.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
       .orderBy($"doc_id")
   }
   private val dd04Sql =
