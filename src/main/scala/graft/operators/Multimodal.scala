@@ -74,6 +74,43 @@ object Multimodal {
       .drop("__dec")
   }
 
+  /** Batched decode over typed rows — the mapInPandas-equivalent shape on
+    * the JVM: each partition's rows are drained in fixed-size batches so a
+    * real codec can dispatch one GPU/vectorized call per batch instead of
+    * per row. The iterator never materializes the partition; memory is
+    * O(batchSize × blob). */
+  final case class BlobRow(id: Long, blob: Array[Byte])
+  final case class DecodedRow(id: Long, decode_ok: Boolean, mime: String,
+      width: Int, height: Int, n_frames: Int, duration_ms: Long,
+      features: Array[Float])
+
+  /** Codec batch seam: decode many blobs in one call. Default adapts a
+    * scalar [[Codec]]; a GPU codec overrides this with one kernel launch. */
+  trait BatchCodec extends Serializable {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Decoded]
+  }
+
+  final class ScalarBatchCodec(codec: Codec) extends BatchCodec {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Decoded] = batch.map(codec.decode)
+  }
+
+  def decodeBatched(ds: org.apache.spark.sql.Dataset[BlobRow],
+      batchCodec: BatchCodec = new ScalarBatchCodec(FakeCodec),
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    val bc = batchCodec
+    val bs = batchSize
+    ds.mapPartitions { it =>
+      it.grouped(bs).flatMap { rows =>
+        val decoded = bc.decodeBatch(rows.map(_.blob))
+        rows.lazyZip(decoded).map { (r, d) =>
+          DecodedRow(r.id, d.ok, d.meta.mime, d.meta.width, d.meta.height,
+            d.meta.n_frames, d.meta.duration_ms, d.features)
+        }
+      }
+    }
+  }
+
   /** Frame-sampling plan shape: explode n_frames into (blob, frame_idx)
     * work units at a given stride — the unit of GPU-batch dispatch at
     * scale. Pure plan surgery, no decode. */

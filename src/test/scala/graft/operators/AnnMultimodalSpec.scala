@@ -81,4 +81,45 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.rdd.getNumPartitions == 6) // 20k bytes / 4k + 1
     assert(out.count() == 20)
   }
+
+  test("decodeBatched: batch dispatch sees fixed-size batches, results align") {
+    import spark.implicits._
+    // closure is serialized to the executor - a plain driver-side queue
+    // would stay empty; an accumulator flows batch sizes back
+    val counts = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val codec = new Multimodal.BatchCodec {
+      def decodeBatch(batch: Seq[Array[Byte]]): Seq[Multimodal.Decoded] = {
+        counts.add(batch.size)
+        batch.map(Multimodal.FakeCodec.decode)
+      }
+    }
+    val rows = (1L to 10L).map(i =>
+      Multimodal.BlobRow(i, s"blob number $i with payload".getBytes("UTF-8")))
+    val ds = spark.createDataset(rows).repartition(1)
+    val out = Multimodal.decodeBatched(ds, codec, batchSize = 4)
+      .collect().sortBy(_.id)
+    assert(out.length == 10)
+    assert(out.forall(_.decode_ok))
+    assert(out.map(_.id).toSeq == (1L to 10L))
+    // per-row parity with the scalar path
+    val scalar = rows.map(r => Multimodal.FakeCodec.decode(r.blob))
+    out.zip(scalar).foreach { case (b, s0) =>
+      assert(b.mime == s0.meta.mime && b.features.toSeq == s0.features.toSeq)
+    }
+    import scala.jdk.CollectionConverters._
+    assert(counts.value.asScala.toSeq.map(_.toInt).sorted == Seq(2, 4, 4)) // 10 rows in batches of 4
+  }
+
+  test("streamDocuments ingests new files incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-docs")
+    java.nio.file.Files.writeString(dir.resolve("A1.pdf"), "page one\fpage two")
+    java.nio.file.Files.writeString(dir.resolve("A2.pdf"), "solo page")
+    val q = graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.streamDocuments(spark, dir.toString), "docs")
+    q.awaitTermination(60000)
+    val got = spark.table("docs").collect()
+      .map(r => r.getAs[String]("pdf_name") -> r.getSeq[String](r.fieldIndex("pages")).length)
+      .toMap
+    assert(got == Map("A1.pdf" -> 2, "A2.pdf" -> 1))
+  }
 }
