@@ -644,6 +644,34 @@ object Relational {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q33 — as-of join (graft.operators.AsofJoin): each purchase event
+    * picks up the latest click at-or-before it per user. Right side is
+    * deduped to one click per (user, ts) so the as-of choice is total and
+    * both engines agree. DuckDB's native ASOF JOIN is the oracle. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"))
+    graft.operators.AsofJoin.asof(purchases, clicks, Seq("user_id"), "ts")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        $"click_id_asof".as("last_click_id"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+  private val q33Sql =
+    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |      WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.user_id, p.event_id AS purchase_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  c.click_id AS last_click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -677,5 +705,6 @@ object Relational {
     Q("q30_collect_listagg", "sorted collect_set + listagg", q30, Some(q30Sql)),
     Q("q31_scalar_subquery", "filter vs global scalar aggregate", q31, Some(q31Sql)),
     Q("q32_pivot", "weekday pivot of event counts", q32, Some(q32Sql)),
+    Q("q33_asof_join", "as-of join: latest click before each purchase", q33, Some(q33Sql)),
   )
 }
