@@ -672,6 +672,28 @@ object Relational {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.user_id, purchase_id""".stripMargin
 
+  /** q34 — semi-structured extraction: JSON props column → typed field,
+    * grouped rollup. from_json with an explicit schema (codegen'd Jackson
+    * parse once per row) rather than repeated get_json_object calls. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k", from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        countDistinct($"k").as("distinct_k"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("null_k"))
+      .orderBy($"event_type")
+  }
+  private val q34Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS distinct_k,
+      |  SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -706,5 +728,6 @@ object Relational {
     Q("q31_scalar_subquery", "filter vs global scalar aggregate", q31, Some(q31Sql)),
     Q("q32_pivot", "weekday pivot of event counts", q32, Some(q32Sql)),
     Q("q33_asof_join", "as-of join: latest click before each purchase", q33, Some(q33Sql)),
+    Q("q34_json_extract", "JSON props field extraction + rollup", q34, Some(q34Sql)),
   )
 }
