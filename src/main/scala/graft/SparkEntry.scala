@@ -6,22 +6,34 @@ import graft.queries.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Operator-inventory coverage map (SURVEY.md §2 → catalog entries):
+  * Operator-inventory coverage map (SURVEY.md §2 → catalog entries; every
+  * entry has DuckDB oracle SQL except vs04, which is hash-seeded):
   *  - §2.2 projections/filters: q02, q16, q17 (P1/P4/P7/P8/P9)
   *  - §2.3 joins: q03 (J1 left/broadcast), q04 (J2 composite), q05 (star),
-  *    q06 (anti = S9 FK check), q25 (semi/IN)
+  *    q06 (anti = S9 FK check), q25 (semi/IN), q31 (scalar subquery),
+  *    q33 (as-of join, graft.operators.AsofJoin)
   *  - §2.4 aggregations: q01, q26 (A1 quality counters), q28, q13/q14
+  *    (rollup/cube), q30 (collect/listagg), q32 (pivot), q34 (JSON extract)
   *  - §2.5 window/sort/limit/set ops: q07, q08, q09, q10, q11, q12
   *  - §2.6 scalar-function bank: q18 (F6/F10/F11), q19 (F1), q20 (F3),
   *    q21 (F4/F17), q22 (F5), q23 (F14), q24 (F20–F22)
   *  - §2.7 streaming/incremental: q15 (tumbling window), q29 (sessionize);
-  *    live Structured-Streaming twin in graft.streaming
+  *    live Structured-Streaming twins in graft.streaming (batch/stream
+  *    parity tested with MemoryStream)
   *  - §2.8 upsert/merge: q07, q27 (graft.operators.MergeWriter)
-  *  - LLM-pipeline additions: dd01–dd04 (dedup), ta01–ta04 (text analysis),
-  *    mm01 (multimodal), vs01–vs03 (similarity search)
+  *  - Training-pipeline additions: dd01 exact dedup, dd02 n-gram Jaccard,
+  *    dd03 MinHash+LSH signatures, dd04 SimHash, dd05 full LSH dedup
+  *    (band bucket join + exact verify); ta01–ta04 (lang-ID, quality,
+  *    tokens, fingerprint); mm01 + graft.operators.Multimodal (binary
+  *    columns, batched codec seam); vs01 brute-force ANN, vs02 embedding
+  *    near-dup, vs03 cluster stats, vs04 LSH ANN (graft.operators.Ann,
+  *    native quantized_dot codegen expression)
+  *  - Scale operators without query-gate shape: graft.operators.Bucketing
+  *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):
-  *    graft.wells.*, exercised by the ScalaTest golden suites against
-  *    /root/reference's shipped CSVs.
+  *    graft.wells.* + CLI (graft.wells.Main), exercised by the ScalaTest
+  *    golden suites against /root/reference's shipped CSVs (77 rows,
+  *    stats 77/1/1/0/0, /wells = 76).
   */
 object SparkEntry {
 
