@@ -163,12 +163,18 @@ object TextOps {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
       .distinct()
-    val inter = cand
-      .join(sized.as("a"), $"d1" === $"a.doc_id")
-      .join(sized.as("b"), $"d2" === $"b.doc_id" && $"a.sh" === $"b.sh")
-      .groupBy($"d1", $"d2")
+    // verification reuses dd02's exchange-shared self-join shape, then a
+    // broadcast semi filter keeps only LSH candidates — at scale this
+    // flips to candidates-first (join cand before counting) when the pair
+    // space outgrows the band-bucket space
+    val hashed = sized.select($"doc_id", $"sz", xxhash64($"sh").as("h"))
+    val inter = hashed.hint("shuffle_hash").as("a")
+      .join(hashed.hint("shuffle_hash").as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("inter"),
         first($"a.sz").as("sz1"), first($"b.sz").as("sz2"))
+      .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
     inter.select($"d1", $"d2",
         ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
       .orderBy($"d1", $"d2")
