@@ -694,6 +694,30 @@ object Relational {
       |  SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q35 — ranking-window family: rank / dense_rank / ntile / lead / lag
+    * in one pass over a single window spec (one shuffle, one sort). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    customer(s, d)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("next_bal", lead($"c_acctbal", 1).over(w))
+      .withColumn("prev_cust", lag($"c_custkey", 1).over(w))
+      .filter($"rnk" <= 5)
+      .select($"c_nationkey", $"rnk", $"drnk", $"quartile",
+        $"c_custkey", $"c_acctbal", $"next_bal", $"prev_cust")
+      .orderBy($"c_nationkey", $"rnk", $"c_custkey")
+  }
+  private val q35Sql =
+    """SELECT c_nationkey, rnk, drnk, quartile, c_custkey, c_acctbal, next_bal, prev_cust
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
+      |    LEAD(c_acctbal, 1) OVER w AS next_bal, LAG(c_custkey, 1) OVER w AS prev_cust
+      |  FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+      |WHERE rnk <= 5 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -729,5 +753,6 @@ object Relational {
     Q("q32_pivot", "weekday pivot of event counts", q32, Some(q32Sql)),
     Q("q33_asof_join", "as-of join: latest click before each purchase", q33, Some(q33Sql)),
     Q("q34_json_extract", "JSON props field extraction + rollup", q34, Some(q34Sql)),
+    Q("q35_rank_family", "rank/dense_rank/ntile/lead/lag one-pass", q35, Some(q35Sql)),
   )
 }
