@@ -55,12 +55,14 @@ object Ann {
   /** Deterministic pseudo-random hyperplane component for (table, bit,
     * dim): a hash folded to [-1, 1). Computed as a column expression —
     * stays in codegen, no closure-captured random arrays. */
-  private def planeComponent(table: Int, bit: Int, dim: Column): Column =
-    (pmod(hash(lit(table), lit(bit), dim, lit(0x5eed)), lit(2000001)) - 1000000)
+  private def planeComponent(table: Column, bit: Int, dim: Column): Column =
+    (pmod(hash(table, lit(bit), dim, lit(0x5eed)), lit(2000001)) - 1000000)
       .cast("double") / 1000000.0
 
-  /** Sign-bit bucket id of a vector under `bits` hyperplanes of one table. */
-  private def bucketOf(vec: Column, table: Int, bits: Int): Column = {
+  /** Sign-bit bucket id of a vector under `bits` hyperplanes of one
+    * table; `table` may be a column so one exploded pass covers every
+    * hash table. */
+  private def bucketOf(vec: Column, table: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -82,11 +84,11 @@ object Ann {
     val c0 = withNorm(candidates, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
 
+    // one pass over the rows: explode the table ids, bucket per (row,
+    // table) — no N-branch union re-reading and re-quantizing the input
     def buckets(df: DataFrame, vec: String): DataFrame =
-      (0 until tables).map { t =>
-        df.withColumn("table", lit(t))
-          .withColumn("bucket", bucketOf(col(vec), t, bits))
-      }.reduce(_ unionByName _)
+      df.withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+        .withColumn("bucket", bucketOf(col(vec), col("table"), bits))
 
     val qb = buckets(q0, "qq")
     val cb = buckets(c0, "cq")
