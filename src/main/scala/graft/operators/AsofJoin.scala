@@ -23,24 +23,30 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightSuffix: String = "_asof"): DataFrame = {
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == timeCol)
-    val lTagged = rightPayload.foldLeft(
-      left.withColumn("__side", lit(1))) { (df, c) =>
-      df.withColumn(s"$c$rightSuffix", lit(null).cast(right.schema(c).dataType))
-    }
-    val rTagged = rightPayload.foldLeft(
-      right.withColumn("__side", lit(0))) { (df, c) =>
-      df.withColumnRenamed(c, s"$c$rightSuffix")
-    }
+    // the whole right payload travels as ONE struct so the carry-forward
+    // picks one entire right row — per-column carry would resurrect older
+    // values under a null field and stitch together a row that never
+    // existed (the struct itself is never null on right rows, so a
+    // latest-row null field stays null)
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => right.schema(c).copy(name = c)))))
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(rightPayload.map(col): _*))
+      .drop(rightPayload: _*)
     // left-only columns null-padded on the right side by unionByName
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"$c$rightSuffix",
-        last(col(s"$c$rightSuffix"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = unioned.withColumn("__carried",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(s"$c$rightSuffix", col(s"__carried.$c"))
+    }.drop("__side", "__payload", "__carried")
   }
 }
 
@@ -71,6 +77,10 @@ object Salting {
     * worth it when the small side fits memory after replication. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // replicating the small side is only sound when unmatched small rows
+    // can't surface: right/full/anti would emit one row per salt replica
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
     val smallExploded = small

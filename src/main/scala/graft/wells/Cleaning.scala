@@ -203,7 +203,8 @@ object Cleaning {
     if (s.isEmpty || NullTokens.contains(s.toLowerCase)) return null
     s = s.replace('−', '-').replace('–', '-').replace('—', '-')
     s = s.replace(",", "")
-    s = s.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+    // Python strip('"').strip("'") removes ALL repeated edge quotes, not one
+    s = s.replaceAll("^\"+|\"+$", "").replaceAll("^'+|'+$", "")
     def asDecimal(str: String): java.math.BigDecimal =
       try {
         val d = new java.math.BigDecimal(str)

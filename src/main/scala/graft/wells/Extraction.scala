@@ -266,9 +266,10 @@ object Extraction {
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(dir)
-      .select(
+      .select(col("path"),
         element_at(split(col("path"), "/"), -1).as("pdf_name"),
         pagesUdf(col("content")).as("pages"))
-      .orderBy("pdf_name")
+      .orderBy("path") // full path, like the reference's sorted(rglob): a
+      .drop("path")    // basename sort would tie on duplicate filenames
   }
 }

@@ -39,8 +39,13 @@ object Loader {
       .reduceOption(_ || _).map(p => utf8.filter(p).limit(1).count() > 0)
       .getOrElse(false)
     val raw = if (mojibake) read("ISO-8859-1") else utf8
-    SchemaResolver.applyTo(raw)
+    val resolved = SchemaResolver.applyTo(raw)
       .withColumn("src_order", monotonically_increasing_id())
+    // the reference strips the pdf_name value per row (pdf_to_db.py:88-91);
+    // untrimmed keys would silently miss every downstream pdf_name join
+    if (resolved.columns.contains("pdf_name"))
+      resolved.withColumn("pdf_name", trim(col("pdf_name")))
+    else resolved
   }
 
   private def isBlankRaw(c: Column): Column = c.isNull || trim(c) === ""
@@ -68,13 +73,16 @@ object Loader {
       .withColumn("__lon_raw", lonCol.map(col).getOrElse(lit(null).cast("string")))
       .withColumn("__lat", Cleaning.toDecimal12_9Col(col("__lat_raw")))
       .withColumn("__lon", Cleaning.toDecimal12_9Col(col("__lon_raw")))
+      .cache() // stats agg, bad-rows scan and merge write share one parse
 
+    // coalesce: sum() over zero rows is SQL NULL, and a headerless-but-
+    // empty CSV must report rows=0 like the reference, not NPE
     val statsRow = withRaw.agg(
       count(lit(1)).as("rows"),
-      sum(when(isBlankRaw(col("__lat_raw")), 1L).otherwise(0L)).as("lat_none"),
-      sum(when(isBlankRaw(col("__lon_raw")), 1L).otherwise(0L)).as("lon_none"),
-      sum(when(!isBlankRaw(col("__lat_raw")) && col("__lat").isNull, 1L).otherwise(0L)).as("lat_bad"),
-      sum(when(!isBlankRaw(col("__lon_raw")) && col("__lon").isNull, 1L).otherwise(0L)).as("lon_bad")
+      coalesce(sum(when(isBlankRaw(col("__lat_raw")), 1L).otherwise(0L)), lit(0L)).as("lat_none"),
+      coalesce(sum(when(isBlankRaw(col("__lon_raw")), 1L).otherwise(0L)), lit(0L)).as("lon_none"),
+      coalesce(sum(when(!isBlankRaw(col("__lat_raw")) && col("__lat").isNull, 1L).otherwise(0L)), lit(0L)).as("lat_bad"),
+      coalesce(sum(when(!isBlankRaw(col("__lon_raw")) && col("__lon").isNull, 1L).otherwise(0L)), lit(0L)).as("lon_bad")
     ).collect()(0)
     val stats = HeaderStats(statsRow.getLong(0), statsRow.getLong(1),
       statsRow.getLong(2), statsRow.getLong(3), statsRow.getLong(4))
@@ -100,7 +108,8 @@ object Loader {
     val raw = CsvRepair.readRepairedCsv(spark, path)
     val df = SchemaResolver.applyTo(raw)
       .withColumn("src_order", monotonically_increasing_id())
-      .filter(length(trim(col("pdf_name"))) > 0)
+      .withColumn("pdf_name", trim(col("pdf_name"))) // pdf_to_db.py:88-91
+      .filter(length(col("pdf_name")) > 0)
       .drop("stimulated_in")
     // reference counts KEPT rows against the limit, in file order
     limit.map(n => df.orderBy("src_order").limit(n)).getOrElse(df)
@@ -119,7 +128,8 @@ object Loader {
     val stim = loadStim(spark, stimCsv, limit)
 
     if (!dryRun) {
-      if (bad.limit(1).count() > 0)
+      // bad-row existence is already known from the stats pass — no scan
+      if (stats.latBad + stats.lonBad > 0)
         bad.coalesce(1).write.mode("overwrite")
           .option("header", "true").csv(s"$tableRoot/bad_rows_header")
       // project to the DDL columns (extra CSV keys are silently unused by

@@ -61,4 +61,26 @@ class AsofSaltingSpec extends AnyFunSuite with SparkSpec {
       .groupBy("name").count().orderBy("name").collect().map(_.toSeq)
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("asof never stitches fields from different right rows (null payload)") {
+    import spark.implicits._
+    val left = Seq((1L, ts(30), "L")).toDF("k", "ts", "l")
+    val right = Seq(
+      (1L, ts(1), Some(1.0), Some(2.0)),
+      (1L, ts(2), Option.empty[Double], Some(3.0))
+    ).toDF("k", "ts", "a", "b")
+    val r = AsofJoin.asof(left, right, Seq("k"), "ts").collect()(0)
+    // the latest right row is (null, 3.0): the null must survive, not be
+    // backfilled from the older row
+    assert(r.isNullAt(r.fieldIndex("a_asof")))
+    assert(r.getDouble(r.fieldIndex("b_asof")) == 3.0)
+  }
+
+  test("saltedJoin rejects join types it cannot compute correctly") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(a, a, "k", 4, joinType = "full")
+    }
+  }
 }

@@ -136,4 +136,12 @@ class CleaningSpec extends AnyFunSuite {
     val t2 = "Details\nkept\n----\ndropped"
     assert(firstBlockAfter("Details", t2) == "kept")
   }
+
+  test("toDecimal12_9 strips repeated edge quotes like Python strip") {
+    assert(toDecimal12_9("\"\"-102.5\"\"").doubleValue() == -102.5)
+    assert(toDecimal12_9("''48.1''").doubleValue() == 48.1)
+    // strip('"') runs BEFORE strip("'"), so quotes nested inside single
+    // quotes survive, fail the parse, and null out — same as the reference
+    assert(toDecimal12_9("'\"48.1\"'") == null)
+  }
 }

@@ -84,4 +84,21 @@ class LoaderGoldenSpec extends AnyFunSuite with SparkSpec {
     val stim = Loader.loadStim(spark, stimCsv, limit = Some(5))
     assert(stim.count() == 5)
   }
+
+  test("zero-data-row CSV reports empty stats instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("empty")
+    java.nio.file.Files.writeString(dir.resolve("h.csv"),
+      "pdf_name,latitude,longitude\n")
+    val (cleaned, stats, bad) = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
+    assert(stats == Loader.HeaderStats(0, 0, 0, 0, 0))
+    assert(cleaned.count() == 0 && bad.count() == 0)
+  }
+
+  test("padded pdf_name keys are trimmed at load (reference strip parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("pad")
+    java.nio.file.Files.writeString(dir.resolve("h.csv"),
+      "pdf_name,latitude,longitude\n  W1.pdf  ,48.1,-103.5\n")
+    val (cleaned, _, _) = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
+    assert(cleaned.select("pdf_name").collect()(0).getString(0) == "W1.pdf")
+  }
 }
