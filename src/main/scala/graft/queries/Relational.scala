@@ -718,6 +718,60 @@ object Relational {
       |  FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
       |WHERE rnk <= 5 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
 
+  /** q36 — TPC-H Q3 shape: selective dimension filter, two fact joins,
+    * grouped revenue, top-10. The segment filter prunes customers before
+    * the broadcast; AQE picks broadcast at small SF / SMJ at scale. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE")
+    val o = orders(s, d).filter($"o_orderdate" < to_timestamp(lit("1996-06-01 00:00:00")))
+    val l = lineitem(s, d).filter($"l_shipdate" > to_timestamp(lit("1996-06-01 00:00:00")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+  private val q36Sql =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'AUTOMOBILE'
+       |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+       |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q37 — TPC-H Q18 shape: HAVING over a grouped sum, joined back to
+    * detail rows (large-quantity customers). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = lineitem(s, d)
+    val big = l.groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150.0)
+    val o = orders(s, d)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(customer(s, d)), o("o_custkey") === col("c_custkey"))
+      .select($"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(50)
+  }
+  private val q37Sql =
+    s"""WITH big AS (SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey HAVING ${dsumSql("l_quantity")} > 150.0)
+       |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       |  o_totalprice, total_qty
+       |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -754,5 +808,7 @@ object Relational {
     Q("q33_asof_join", "as-of join: latest click before each purchase", q33, Some(q33Sql)),
     Q("q34_json_extract", "JSON props field extraction + rollup", q34, Some(q34Sql)),
     Q("q35_rank_family", "rank/dense_rank/ntile/lead/lag one-pass", q35, Some(q35Sql)),
+    Q("q36_tpch_q3", "selective filter + 3-way join + top revenue", q36, Some(q36Sql)),
+    Q("q37_having_join_back", "HAVING agg joined back to detail", q37, Some(q37Sql)),
   )
 }
