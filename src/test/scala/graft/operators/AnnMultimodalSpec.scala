@@ -122,4 +122,16 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(got == Map("A1.pdf" -> 2, "A2.pdf" -> 1))
   }
+
+  test("shingle UDF equals the pure-Catalyst n-gram formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val viaUdf = docs.select($"doc_id", graft.functions.Text.shingles($"text", 3).as("s"))
+    val viaExpr = docs.select($"doc_id", array_distinct(
+      graft.functions.Text.wordNGrams(graft.functions.Text.tokens($"text"), 3)).as("s"))
+    val a = viaUdf.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val b = viaExpr.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(a == b)
+  }
 }
