@@ -45,9 +45,14 @@ object MergeWriter {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    fs.delete(bak, true)
+    // FileSystem.rename/delete signal failure by RETURN VALUE, not by
+    // throwing — ignoring it would report success with a stale table and
+    // the new snapshot stranded in .staging
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"overwriteAtomic: $what failed for $path")
+    if (fs.exists(bak)) must(fs.delete(bak, true), "delete old backup")
+    if (fs.exists(dst)) must(fs.rename(dst, bak), "backup current snapshot")
+    must(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst), "publish staging")
+    if (fs.exists(bak)) must(fs.delete(bak, true), "drop backup")
   }
 }

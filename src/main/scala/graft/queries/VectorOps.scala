@@ -15,14 +15,9 @@ import graft.Tables._
   */
 object VectorOps {
 
-  /** Quantized vector column: array<long> from array<float>. */
-  private def quantized(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 10000.0).cast("long"))
-
-  /** Exact dot product of two quantized vectors — the native codegen'd
-    * expression (same semantics as aggregate∘zip_with, one fused loop). */
-  private def dotQ(a: Column, b: Column): Column =
-    graft.functions.VectorExpressions.quantizedDot(a, b)
+  /** Shared with the ANN operators — one quantization scale, one kernel. */
+  private def quantized(c: Column): Column = graft.operators.Ann.quantize(c)
+  private def dotQ(a: Column, b: Column): Column = graft.operators.Ann.dotQ(a, b)
 
   private val quantSql = "[CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding]"
 

@@ -61,21 +61,31 @@ object Streams {
             val evs = it.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
+            val gapMs = gapSeconds * 1000
             for (e <- evs) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
-                case Some(s) =>
+                case Some(s) if t > s.last + gapMs =>
                   closed += SessionOut(user, new Timestamp(s.start), s.n, s.value)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  // straggler older than the open session minus the gap:
+                  // its own (approximate) singleton session — it must NOT
+                  // move `last` backwards and split the live session
+                  closed += SessionOut(user, new Timestamp(t), 1, e.value)
+                case Some(s) =>
+                  // in-order or late-but-adjacent: extend the interval in
+                  // both directions so batch/stream parity holds for any
+                  // within-watermark arrival order
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.value + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+              state.setTimeoutTimestamp(s.last + gapMs)
             }
             closed.result().iterator
           }

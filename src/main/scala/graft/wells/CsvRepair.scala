@@ -68,9 +68,14 @@ object CsvRepair {
     out.toIndexedSeq
   }
 
+  /** Python splitlines semantics: a trailing newline terminates the last
+    * line without creating an empty one, but interior blank lines (e.g.
+    * from a double newline) ARE lines — they become `\n` continuation
+    * marks when a row is open, so only the split artifact may be dropped. */
   private def physicalLines(text: String): IndexedSeq[String] = {
     val arr = text.split("\r?\n", -1).toIndexedSeq
-    arr.reverse.dropWhile(_.isEmpty).reverse // trailing blank lines are not rows
+    if (text.endsWith("\n") && arr.nonEmpty && arr.last.isEmpty) arr.dropRight(1)
+    else arr
   }
 
   def repairText(text: String): String =
@@ -91,6 +96,8 @@ object CsvRepair {
   def readRepairedCsv(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val lines = repairedLines(spark, path).as[String]
-    spark.read.option("header", "true").csv(lines)
+    spark.read.option("header", "true")
+      .option("escape", "\"") // RFC4180 doubled quotes, like Python's csv
+      .csv(lines)
   }
 }

@@ -19,6 +19,11 @@ object Loader {
   final case class HeaderStats(rows: Long, latNone: Long, lonNone: Long,
       latBad: Long, lonBad: Long)
 
+  /** The cached parse of the most recent loadHeader, released by run()
+    * once all its consumers have executed (long-lived sessions would
+    * otherwise accumulate pinned storage memory across loads). */
+  @volatile private var lastCached: Option[DataFrame] = None
+
   /** Raw CSV read with resolved schema; `src_order` pins file order for
     * last-writer-wins determinism (reference semantics are file-order
     * dependent; Spark is not, so the order is carried as data).
@@ -35,7 +40,8 @@ object Loader {
       .option("escape", "\"") // RFC4180 doubled quotes, like Python's csv module
       .csv(path)
     val utf8 = read("UTF-8")
-    val mojibake = utf8.columns.map(c => col(c).contains("�"))
+    // backticks: raw header names may contain dots ("Well File No.")
+    val mojibake = utf8.columns.map(c => col(s"`$c`").contains("�"))
       .reduceOption(_ || _).map(p => utf8.filter(p).limit(1).count() > 0)
       .getOrElse(false)
     val raw = if (mojibake) read("ISO-8859-1") else utf8
@@ -49,6 +55,11 @@ object Loader {
   }
 
   private def isBlankRaw(c: Column): Column = c.isNull || trim(c) === ""
+
+  /** The reference's bad-parse test excludes only None and exact ""
+    * (`lat_raw not in (None,"")`) — a whitespace-only cell counts as BOTH
+    * none (strip()=="") and bad (parse → None). */
+  private def isEmptyRaw(c: Column): Column = c.isNull || c === ""
 
   /** Header branch (pdf_to_db.py:259-299): resolve lat/lon columns by hint,
     * parse to DECIMAL(12,9) with the reference's to_decimal semantics,
@@ -74,6 +85,7 @@ object Loader {
       .withColumn("__lat", Cleaning.toDecimal12_9Col(col("__lat_raw")))
       .withColumn("__lon", Cleaning.toDecimal12_9Col(col("__lon_raw")))
       .cache() // stats agg, bad-rows scan and merge write share one parse
+    lastCached = Some(withRaw)
 
     // coalesce: sum() over zero rows is SQL NULL, and a headerless-but-
     // empty CSV must report rows=0 like the reference, not NPE
@@ -81,15 +93,15 @@ object Loader {
       count(lit(1)).as("rows"),
       coalesce(sum(when(isBlankRaw(col("__lat_raw")), 1L).otherwise(0L)), lit(0L)).as("lat_none"),
       coalesce(sum(when(isBlankRaw(col("__lon_raw")), 1L).otherwise(0L)), lit(0L)).as("lon_none"),
-      coalesce(sum(when(!isBlankRaw(col("__lat_raw")) && col("__lat").isNull, 1L).otherwise(0L)), lit(0L)).as("lat_bad"),
-      coalesce(sum(when(!isBlankRaw(col("__lon_raw")) && col("__lon").isNull, 1L).otherwise(0L)), lit(0L)).as("lon_bad")
+      coalesce(sum(when(!isEmptyRaw(col("__lat_raw")) && col("__lat").isNull, 1L).otherwise(0L)), lit(0L)).as("lat_bad"),
+      coalesce(sum(when(!isEmptyRaw(col("__lon_raw")) && col("__lon").isNull, 1L).otherwise(0L)), lit(0L)).as("lon_bad")
     ).collect()(0)
     val stats = HeaderStats(statsRow.getLong(0), statsRow.getLong(1),
       statsRow.getLong(2), statsRow.getLong(3), statsRow.getLong(4))
 
     val bad = withRaw.filter(
-      (!isBlankRaw(col("__lat_raw")) && col("__lat").isNull) ||
-      (!isBlankRaw(col("__lon_raw")) && col("__lon").isNull))
+      (!isEmptyRaw(col("__lat_raw")) && col("__lat").isNull) ||
+      (!isEmptyRaw(col("__lon_raw")) && col("__lon").isNull))
       .withColumn("_line", col("src_order") + 2) // header line is 1
       .drop("__lat_raw", "__lon_raw", "__lat", "__lon")
 
@@ -141,6 +153,8 @@ object Loader {
       mergeInto(spark, headerDb, s"$tableRoot/well_header")
       mergeInto(spark, stimDb, s"$tableRoot/well_stimulation")
     }
+    lastCached.foreach(_.unpersist())
+    lastCached = None
     stats
   }
 

@@ -32,8 +32,10 @@ object Main {
         .csv(s"$outDir/well_stimulation")
       println(s"[OK] extracted ${docs.count()} documents -> $outDir")
     case "load" :: headerCsv :: stimCsv :: tableRoot :: rest =>
+      // reference semantics: `if limit and ...` — 0 is falsy, so
+      // --limit 0 means NO limit, not zero rows
       val limit = rest.sliding(2).collectFirst {
-        case Seq("--limit", n) => n.toInt }
+        case Seq("--limit", n) => n.toInt }.filter(_ > 0)
       Loader.run(spark, headerCsv, stimCsv, tableRoot,
         dryRun = rest.contains("--dry-run"), limit = limit)
       if (!rest.contains("--dry-run")) println(s"[OK] DB import done -> $tableRoot")

@@ -49,4 +49,15 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(df.select(VectorExpressions.quantizedDot($"a", $"b"))
       .collect()(0).getLong(0) == 10L)
   }
+
+  test("null element nulls the product, matching aggregate-zip_with") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(4L), Some(5L), Some(6L))))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.quantizedDot($"a", $"b").as("fused"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (s, x) => s + x).as("composed"))
+      .collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
 }

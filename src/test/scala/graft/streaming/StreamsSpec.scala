@@ -69,4 +69,28 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.contains((1L, 1L, 4.0)))
     assert(got.contains((2L, 1L, 8.0)))
   }
+
+  test("late within-watermark event does not split the open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(mem.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    // batch 1: event at t=10min
+    mem.addData(Streams.SessionEvent(7L, ts(10), 1.0))
+    q.processAllAvailable()
+    // batch 2: late event at t=0 (inside watermark) then t=35min: the
+    // session interval is [0,35] with all gaps <= 30min - ONE session
+    mem.addData(Streams.SessionEvent(7L, ts(0), 2.0), Streams.SessionEvent(7L, ts(35), 4.0))
+    q.processAllAvailable()
+    // close everything via watermark driver
+    mem.addData(Streams.SessionEvent(99L, ts(600), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sessions").filter($"user_id" === 7L)
+      .select("n_events", "session_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((3L, 7.0)), s"got $got")
+  }
 }
