@@ -51,7 +51,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    println(json)
+    // stdout from an sbt runMain is interleaved with [info]/log noise, which
+    // broke the driver's parse in round 1 — also land the line in a file the
+    // driver (or anyone) can read back verbatim
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(out), json + "\n")
     spark.stop()
   }
 }

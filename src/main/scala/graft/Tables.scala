@@ -24,7 +24,16 @@ object Tables {
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default. Read nanos as long and convert to a µs
     * timestamp — lossless here (driver data is µs-aligned) and identical to
-    * DuckDB's TIMESTAMP_NS → µs view of the same file. */
+    * DuckDB's TIMESTAMP_NS → µs view of the same file.
+    *
+    * The nanosAsLong flag is deliberately left set for the whole session:
+    * it is consulted again on the EXECUTOR side when each scan task builds
+    * its parquet reader (captured from the session conf at action time), so
+    * a save-and-restore around this lazy read would silently break any
+    * events query executed later. Session-wide effect: a raw
+    * `spark.read.parquet` of some OTHER nanos-timestamp file in the same
+    * session will also see long, not an error — acceptable for this engine,
+    * where all nanos inputs go through this helper. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

@@ -38,7 +38,11 @@ object Text {
     * subexpression elimination inside the lambda, re-running split+filter
     * per gram — O(tokens²) per document, measured 14× slower at sf0.1.
     * The UDF is one linear pass. Output set is identical. */
-  def shingles(text: Column, n: Int = 3): Column = shingleUdfs(n)(text)
+  def shingles(text: Column, n: Int = 3): Column = {
+    require(n >= 1 && n <= 5,
+      s"shingles: n must be in 1..5 (pre-built UDF table), got $n")
+    shingleUdfs(n)(text)
+  }
 
   /** One MinHash signature: lexicographic min of md5(seed ‖ shingle).
     * md5-hex ordering is a uniform "random permutation" of the shingle

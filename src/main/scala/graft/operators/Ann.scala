@@ -52,23 +52,29 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit,
-    * dim): a hash folded to [-1, 1). Computed as a column expression —
-    * stays in codegen, no closure-captured random arrays. */
-  private def planeComponent(table: Column, bit: Int, dim: Column): Column =
-    (pmod(hash(table, lit(bit), dim, lit(0x5eed)), lit(2000001)) - 1000000)
-      .cast("double") / 1000000.0
+  /** Deterministic hyperplane component for (table, bit, dim): the first
+    * 4 md5 bytes of "table:bit:dim" folded to an integer in
+    * [-1000000, 1000000]. md5-derived (not JVM hashing) so any engine can
+    * replay the exact plane matrix — vs04's DuckDB oracle recomputes it —
+    * and *integral* so the sign-bit projection below is exact BIGINT
+    * arithmetic: bucket membership can never flip on floating-point
+    * summation order. */
+  private[graft] def planeComponent(table: Int, bit: Int, dim: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$table:$bit:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L
+  }
 
-  /** Sign-bit bucket id of a vector under `bits` hyperplanes of one
-    * table; `table` may be a column so one exploded pass covers every
-    * hash table. */
-  private def bucketOf(vec: Column, table: Column, bits: Int): Column = {
+  /** Sign-bit bucket id of a quantized vector under `bits` hyperplanes of
+    * one table. The plane matrix is a driver-computed literal (tables ×
+    * bits × dim longs — a few KiB), so per row the work is `bits` fused
+    * integer dot products ([[dotQ]], codegen'd) — no per-row re-hashing. */
+  private def bucketOf(vec: Column, table: Int, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(table, b, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0.0, lit(1L << b)).otherwise(lit(0L))
+      val planes = Array.tabulate(dim)(i => planeComponent(table, b, i))
+      val proj = dotQ(vec, lit(planes))
+      when(proj >= 0L, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -84,11 +90,22 @@ object Ann {
     val c0 = withNorm(candidates, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
 
-    // one pass over the rows: explode the table ids, bucket per (row,
-    // table) — no N-branch union re-reading and re-quantizing the input
-    def buckets(df: DataFrame, vec: String): DataFrame =
-      df.withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
-        .withColumn("bucket", bucketOf(col(vec), col("table"), bits))
+    // the plane matrix is dim-shaped; one single-row driver lookup pins it
+    // (metadata-scale read, not a data collect)
+    val dimRows = candidates.select(size(col(vecCol))).head(1)
+    val dim = if (dimRows.isEmpty) 0 else dimRows(0).getInt(0)
+
+    // one pass over the rows: per row compute every table's bucket, then
+    // explode (table, bucket) structs — no N-branch union re-reading and
+    // re-quantizing the input
+    def buckets(df: DataFrame, vec: String): DataFrame = {
+      val tb = (0 until tables).map(t =>
+        struct(lit(t).as("table"), bucketOf(col(vec), t, bits, dim).as("bucket")))
+      df.withColumn("__tb", explode(array(tb: _*)))
+        .withColumn("table", col("__tb.table"))
+        .withColumn("bucket", col("__tb.bucket"))
+        .drop("__tb")
+    }
 
     val qb = buckets(q0, "qq")
     val cb = buckets(c0, "cq")

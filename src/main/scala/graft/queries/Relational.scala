@@ -519,10 +519,10 @@ object Relational {
       |  FROM events),
       |p AS (SELECT raw, TRY_CAST(raw AS DOUBLE) AS parsed FROM r)
       |SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS n_null,
-      |  SUM(CASE WHEN raw IS NOT NULL AND trim(raw) = '' THEN 1 ELSE 0 END) AS n_blank,
-      |  SUM(CASE WHEN raw IS NOT NULL AND trim(raw) <> '' AND parsed IS NULL THEN 1 ELSE 0 END) AS n_bad,
-      |  SUM(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS n_ok
+      |  CAST(SUM(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(SUM(CASE WHEN raw IS NOT NULL AND trim(raw) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+      |  CAST(SUM(CASE WHEN raw IS NOT NULL AND trim(raw) <> '' AND parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  CAST(SUM(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
       |FROM p""".stripMargin
 
   /** q27 — last-writer-wins merge over a union of “existing” + “incoming”
@@ -581,8 +581,8 @@ object Relational {
        |    CAST(floor(epoch(ts)) AS BIGINT) AS cur_s
        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |b AS (SELECT *, CASE WHEN prev_s IS NULL OR cur_s - prev_s > 1800 THEN 1 ELSE 0 END AS boundary FROM l),
-       |sess AS (SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM b)
+       |sess AS (SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM b)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        |  ${dsumSql("value")} AS session_value
@@ -638,7 +638,7 @@ object Relational {
   private val q32Sql = {
     val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
     val cols = days.map(dy =>
-      s"COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS \"$dy\"")
+      s"CAST(COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS BIGINT) AS \"$dy\"")
       .mkString(", ")
     s"""SELECT event_type, $cols FROM events
        |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -688,11 +688,13 @@ object Relational {
       .orderBy($"event_type")
   }
   private val q34Sql =
-    """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
-      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS distinct_k,
-      |  SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    """WITH x AS (SELECT event_type,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT k) AS distinct_k,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q35 — ranking-window family: rank / dense_rank / ntile / lead / lag
     * in one pass over a single window spec (one shuffle, one sort). */

@@ -163,18 +163,20 @@ object TextOps {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
       .distinct()
-    // verification reuses dd02's exchange-shared self-join shape, then a
-    // broadcast semi filter keeps only LSH candidates — at scale this
-    // flips to candidates-first (join cand before counting) when the pair
-    // space outgrows the band-bucket space
+    // candidates-first verification — the same shape as the oracle SQL and
+    // the only shape that survives 100 TB: each LSH candidate pair pulls
+    // exactly its two shingle sets, so intersection work is
+    // Σ_cand(|doc| shingles), never the Σ|shingle-bucket|² all-pairs space
+    // that LSH exists to avoid. (dd02 keeps the exchange-shared all-pairs
+    // form as the small-N/no-LSH variant.)
     val hashed = sized.select($"doc_id", $"sz", xxhash64($"sh").as("h"))
-    val inter = hashed.hint("shuffle_hash").as("a")
-      .join(hashed.hint("shuffle_hash").as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    val left = hashed.select($"doc_id".as("d1"), $"sz".as("sz1"), $"h")
+    val right = hashed.select($"doc_id".as("d2"), $"sz".as("sz2"), $"h")
+    val inter = cand.join(left, Seq("d1"))
+      .join(right, Seq("d2", "h"))
+      .groupBy($"d1", $"d2")
       .agg(count(lit(1)).as("inter"),
-        first($"a.sz").as("sz1"), first($"b.sz").as("sz2"))
-      .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
+        first($"sz1").as("sz1"), first($"sz2").as("sz2"))
     inter.select($"d1", $"d2",
         ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
       .orderBy($"d1", $"d2")

@@ -95,30 +95,57 @@ object VectorOps {
   }
   private val vs03Sql =
     s"""WITH q AS (SELECT vec_id, label,
-       |    list_sum([y * y for y in $quantSql]) AS sqnorm
+       |    CAST(list_sum([y * y for y in $quantSql]) AS BIGINT) AS sqnorm
        |  FROM embeddings)
-       |SELECT label, COUNT(*) AS n_vectors, SUM(sqnorm) AS sum_sqnorm,
+       |SELECT label, COUNT(*) AS n_vectors, CAST(SUM(sqnorm) AS BIGINT) AS sum_sqnorm,
        |  MIN(sqnorm) AS min_sqnorm, MAX(sqnorm) AS max_sqnorm
        |FROM q GROUP BY label ORDER BY label""".stripMargin
 
   /** vs04 — LSH-bucketed ANN (graft.operators.Ann.lshTopK): the 100 TB
     * scale path where the shuffle key is an LSH bucket, never a pair.
-    * Murmur3-seeded hyperplanes aren't reproducible in DuckDB → no SQL
-    * oracle; the driver records the weaker rows-only check, and the
-    * AnnMultimodalSpec pins recall ≥ 0.5 against the exact brute force. */
+    * Hyperplane components are md5-derived integers (Ann.planeComponent),
+    * so the sign-bit projection is exact BIGINT arithmetic that DuckDB
+    * replays verbatim — the full rows+schema+hash oracle below; the
+    * AnnMultimodalSpec additionally pins recall ≥ 0.5 vs brute force. */
   private def vs04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)
     graft.operators.Ann.lshTopK(
       e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 5,
-      bits = 4, tables = 6)
+      bits = 4, tables = 8)
       .orderBy($"query_id", $"rank")
+  }
+  /** DuckDB twin of the LSH path: plane(t,b,d) = first-8-hex of
+    * md5("t:b:d") mod 2000001 − 1000000 (integer), bucket = 4 sign bits of
+    * the integer projection, probe across 8 tables, dedup, rank ≤ 5. */
+  private val vs04Sql = {
+    // m(t,b,d): parse md5 hex nibble-wise (the dd04 trick — no hex cast
+    // dependence), fold to [-1000000, 1000000]
+    def m(t: String, b: String, d: String) =
+      s"((list_sum([(strpos('0123456789abcdef', substr(md5($t || ':' || $b || ':' || $d), j, 1)) - 1) " +
+        s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)])) % 2000001 - 1000000)"
+    val proj = s"list_sum([q[i] * ${m("CAST(t AS VARCHAR)", "CAST(bb AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")} for i in range(1, len(q) + 1)])"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |tb AS (SELECT vec_id, q, nrm, unnest(range(0, 8)) AS t FROM n),
+       |bk AS (SELECT vec_id, q, nrm, t,
+       |    list_sum([CASE WHEN $proj >= 0 THEN CAST(power(2, bb) AS BIGINT) ELSE 0 END
+       |              for bb in range(0, 4)]) AS bucket
+       |  FROM tb),
+       |p AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+       |  WHERE x.vec_id < 10 AND x.vec_id <> y.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
-    Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path, rows-only check)", vs04, None),
+    Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
   )
 }

@@ -19,10 +19,14 @@ object Loader {
   final case class HeaderStats(rows: Long, latNone: Long, lonNone: Long,
       latBad: Long, lonBad: Long)
 
-  /** The cached parse of the most recent loadHeader, released by run()
-    * once all its consumers have executed (long-lived sessions would
-    * otherwise accumulate pinned storage memory across loads). */
-  @volatile private var lastCached: Option[DataFrame] = None
+  /** loadHeader result: `cleaned`/`bad` share one cached parse (`parsed`);
+    * the caller owns the cache and calls [[HeaderLoad.release]] once every
+    * consumer has executed — no hidden global slot, so concurrent loads in
+    * one session each release exactly their own pinned storage. */
+  final case class HeaderLoad(cleaned: DataFrame, stats: HeaderStats,
+      bad: DataFrame, parsed: DataFrame) {
+    def release(): Unit = parsed.unpersist()
+  }
 
   /** Raw CSV read with resolved schema; `src_order` pins file order for
     * last-writer-wins determinism (reference semantics are file-order
@@ -67,7 +71,7 @@ object Loader {
     * frame (raw lat/lon replaced by parsed decimals), the stats, and the
     * bad-row diagnostics frame (S12). */
   def loadHeader(spark: SparkSession, path: String,
-      limit: Option[Int] = None): (DataFrame, HeaderStats, DataFrame) = {
+      limit: Option[Int] = None): HeaderLoad = {
     // P7 --limit: head-of-file semantics — src_order is file order, so the
     // limit applies to the first N physical rows like the reference's loop
     val df0 = readCsv(spark, path)
@@ -85,7 +89,6 @@ object Loader {
       .withColumn("__lat", Cleaning.toDecimal12_9Col(col("__lat_raw")))
       .withColumn("__lon", Cleaning.toDecimal12_9Col(col("__lon_raw")))
       .cache() // stats agg, bad-rows scan and merge write share one parse
-    lastCached = Some(withRaw)
 
     // coalesce: sum() over zero rows is SQL NULL, and a headerless-but-
     // empty CSV must report rows=0 like the reference, not NPE
@@ -109,7 +112,7 @@ object Loader {
       .withColumn("latitude", col("__lat"))
       .withColumn("longitude", col("__lon"))
       .drop("__lat_raw", "__lon_raw", "__lat", "__lon")
-    (cleaned, stats, bad)
+    HeaderLoad(cleaned, stats, bad, withRaw)
   }
 
   /** Stimulation branch (pdf_to_db.py:301-314): repair pre-pass, resolve
@@ -133,7 +136,8 @@ object Loader {
   def run(spark: SparkSession, headerCsv: String, stimCsv: String,
       tableRoot: String, dryRun: Boolean = false,
       limit: Option[Int] = None): HeaderStats = {
-    val (header, stats, bad) = loadHeader(spark, headerCsv, limit)
+    val load = loadHeader(spark, headerCsv, limit)
+    val (header, stats, bad) = (load.cleaned, load.stats, load.bad)
     println(s"[REPORT] well_header: rows=${stats.rows}, " +
       s"lat_none=${stats.latNone}, lon_none=${stats.lonNone}, " +
       s"lat_bad=${stats.latBad}, lon_bad=${stats.lonBad}")
@@ -153,8 +157,7 @@ object Loader {
       mergeInto(spark, headerDb, s"$tableRoot/well_header")
       mergeInto(spark, stimDb, s"$tableRoot/well_stimulation")
     }
-    lastCached.foreach(_.unpersist())
-    lastCached = None
+    load.release()
     stats
   }
 

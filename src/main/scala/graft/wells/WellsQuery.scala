@@ -26,8 +26,11 @@ object WellsQuery {
     val wsCols = stim.columns.map(c => col(s"ws.$c")) // ws.pdf_name survives (P2)
     wi.join(broadcast(ws), col("wi.pdf_name") === col("ws.pdf_name"), "left")
       .filter(col("wi.latitude").isNotNull && col("wi.longitude").isNotNull)
+      // unique tiebreaker BEFORE projecting wi.pdf_name away: well_name
+      // alone is not unique, and ties would make /wells order flip between
+      // runs (the projection preserves the sort order)
+      .orderBy(col("wi.well_name"), col("wi.pdf_name"))
       .select((wiCols ++ wsCols): _*)
-      .orderBy(col("wi.well_name")) // wi.pdf_name not in output; well_name ≈ stable
   }
 
   /** Same, ordered by the surviving (ws) pdf_name with the original wi key

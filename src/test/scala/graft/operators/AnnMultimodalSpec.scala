@@ -28,7 +28,7 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     val q = emb.filter(col("vec_id") < 20)
     val truth = Ann.bruteTopK(q, emb, "vec_id", "embedding", 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val approx = Ann.lshTopK(q, emb, "vec_id", "embedding", 5, bits = 4, tables = 6)
+    val approx = Ann.lshTopK(q, emb, "vec_id", "embedding", 5, bits = 4, tables = 8)
       .collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (truth intersect approx).size.toDouble / truth.size

@@ -18,30 +18,34 @@ class LoaderGoldenSpec extends AnyFunSuite with SparkSpec {
   private val stimCsv = "/root/reference/well_stimulation.csv"
 
   test("header load matches the reference's quality report") {
-    val (cleaned, stats, bad) = Loader.loadHeader(spark, headerCsv)
-    assert(stats == Loader.HeaderStats(77, 1, 1, 0, 0))
-    assert(bad.count() == 0)
-    assert(cleaned.count() == 77)
+    val load = Loader.loadHeader(spark, headerCsv)
+    assert(load.stats == Loader.HeaderStats(77, 1, 1, 0, 0))
+    assert(load.bad.count() == 0)
+    assert(load.cleaned.count() == 77)
+    load.release()
   }
 
   test("unicode-minus longitude parses to negative decimal") {
-    val (cleaned, _, _) = Loader.loadHeader(spark, headerCsv)
-    val w = cleaned.filter(col("longitude").cast("double") === -103.602808)
+    val load = Loader.loadHeader(spark, headerCsv)
+    val w = load.cleaned.filter(col("longitude").cast("double") === -103.602808)
     assert(w.count() == 1)
+    load.release()
   }
 
   test("only W11920.pdf has null coordinates") {
-    val (cleaned, _, _) = Loader.loadHeader(spark, headerCsv)
-    val nulls = cleaned
+    val load = Loader.loadHeader(spark, headerCsv)
+    val nulls = load.cleaned
       .filter(col("latitude").isNull || col("longitude").isNull)
       .select("pdf_name").collect().map(_.getString(0)).toSeq
     assert(nulls == Seq("W11920.pdf"))
+    load.release()
   }
 
   test("latitude lands as DECIMAL(12,9)") {
-    val (cleaned, _, _) = Loader.loadHeader(spark, headerCsv)
-    val dt = cleaned.schema("latitude").dataType
+    val load = Loader.loadHeader(spark, headerCsv)
+    val dt = load.cleaned.schema("latitude").dataType
     assert(dt == org.apache.spark.sql.types.DecimalType(12, 9))
+    load.release()
   }
 
   test("stim load keeps 77 rows and drops stimulated_in") {
@@ -78,9 +82,10 @@ class LoaderGoldenSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("--limit takes the first N file-order rows (P7)") {
-    val (cleaned, stats, _) = Loader.loadHeader(spark, headerCsv, limit = Some(10))
-    assert(stats.rows == 10)
-    assert(cleaned.count() == 10)
+    val load = Loader.loadHeader(spark, headerCsv, limit = Some(10))
+    assert(load.stats.rows == 10)
+    assert(load.cleaned.count() == 10)
+    load.release()
     val stim = Loader.loadStim(spark, stimCsv, limit = Some(5))
     assert(stim.count() == 5)
   }
@@ -89,16 +94,18 @@ class LoaderGoldenSpec extends AnyFunSuite with SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("empty")
     java.nio.file.Files.writeString(dir.resolve("h.csv"),
       "pdf_name,latitude,longitude\n")
-    val (cleaned, stats, bad) = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
-    assert(stats == Loader.HeaderStats(0, 0, 0, 0, 0))
-    assert(cleaned.count() == 0 && bad.count() == 0)
+    val load = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
+    assert(load.stats == Loader.HeaderStats(0, 0, 0, 0, 0))
+    assert(load.cleaned.count() == 0 && load.bad.count() == 0)
+    load.release()
   }
 
   test("padded pdf_name keys are trimmed at load (reference strip parity)") {
     val dir = java.nio.file.Files.createTempDirectory("pad")
     java.nio.file.Files.writeString(dir.resolve("h.csv"),
       "pdf_name,latitude,longitude\n  W1.pdf  ,48.1,-103.5\n")
-    val (cleaned, _, _) = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
-    assert(cleaned.select("pdf_name").collect()(0).getString(0) == "W1.pdf")
+    val load = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
+    assert(load.cleaned.select("pdf_name").collect()(0).getString(0) == "W1.pdf")
+    load.release()
   }
 }

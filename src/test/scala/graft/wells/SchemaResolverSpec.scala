@@ -34,12 +34,13 @@ class SchemaResolverSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("odd")
     java.nio.file.Files.writeString(dir.resolve("h.csv"),
       "PDF,Operator,Y (Lat),X (Lon)\nW1.pdf,ACME,48.1,−103.5\n")
-    val (cleaned, stats, _) = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
-    assert(stats == Loader.HeaderStats(1, 0, 0, 0, 0))
-    val row = cleaned.selectExpr("pdf_name",
+    val load = Loader.loadHeader(spark, dir.resolve("h.csv").toString)
+    assert(load.stats == Loader.HeaderStats(1, 0, 0, 0, 0))
+    val row = load.cleaned.selectExpr("pdf_name",
       "CAST(latitude AS DOUBLE)", "CAST(longitude AS DOUBLE)").collect()(0)
     assert(row.getString(0) == "W1.pdf")
     assert(row.getDouble(1) == 48.1)
     assert(row.getDouble(2) == -103.5) // unicode minus handled
+    load.release()
   }
 }
