@@ -154,10 +154,14 @@ object TextOps {
     val aggs = (0 until 8).map(i =>
       min(md5(concat(lit(s"$i:"), $"sh"))).as(s"sig$i"))
     val sigs = sized.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-    val bands = (0 until 4).map { b =>
-      sigs.select($"doc_id", lit(b).as("band"),
-        md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey"))
-    }.reduce(_ unionByName _)
+    // one row per (doc, band) via a single explode — a union of 4 selects
+    // would make Spark re-run the whole shingle→signature aggregation per
+    // band per join side (no subplan reuse across union branches)
+    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+      md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey")))
+    val bands = sigs
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
           $"x.doc_id" < $"y.doc_id")

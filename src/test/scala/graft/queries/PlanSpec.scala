@@ -48,4 +48,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftSemi"))
     assert(p.contains("Broadcast"))
   }
+
+  // ---- dedup shuffle-key contracts: the 100 TB claims in TextOps, pinned.
+  // A shuffle that keys on (or carries) raw document text would ship the
+  // corpus around the cluster; these assert every exchange keys on a
+  // digest / band / doc id instead.
+
+  private def hashExchanges(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+  private def allExchanges(p: String): Seq[String] =
+    p.linesIterator.filter(l => l.contains("Exchange ") || l.contains("BroadcastExchange")).toSeq
+
+  test("dd01: shuffles key on the 16-byte digest, never the document body") {
+    val p = plan("dd01_dedup_exact")
+    val hx = hashExchanges(p)
+    assert(hx.nonEmpty && hx.forall(_.contains("content_hash#")))
+    assert(allExchanges(p).forall(l => !l.contains("text#")))
+  }
+
+  test("dd03: map-side partial min; shuffles key on doc_id, not shingle text") {
+    val p = plan("dd03_minhash_lsh")
+    assert(p.contains("partial_min")) // 8×32 B per doc cross the wire, not shingles
+    val hx = hashExchanges(p)
+    assert(hx.nonEmpty && hx.forall(_.contains("doc_id#")))
+    assert(allExchanges(p).forall(l => !l.contains("text#") && !l.contains("(sh#") && !l.contains(" sh#")))
+  }
+
+  test("dd05: candidates-first verify — no all-pairs shingle join survives") {
+    val p = plan("dd05_lsh_dedup")
+    // old shape: unfiltered h==h self-join aggregate, then a LeftSemi filter
+    assert(!p.contains("LeftSemi"))
+    // every shingle-hash join is also keyed by a candidate doc id, so the
+    // pair space is the LSH candidate set, never Σ|shingle-bucket|²
+    val shingleJoins = p.linesIterator
+      .filter(l => l.contains("Join [") && l.contains("h#")).toSeq
+    assert(shingleJoins.nonEmpty && shingleJoins.forall(_.contains("d2#")))
+    assert(allExchanges(p).forall(l => !l.contains("text#")))
+  }
 }
