@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.wells.Main load <headerCsv> <stimCsv> <tableRoot> [--dry-run]
   *   runMain graft.wells.Main enrich <tableRoot>
   *   runMain graft.wells.Main wells <tableRoot>       # prints /wells JSON
+  *   runMain graft.wells.Main serve <tableRoot> [--port N] [--static DIR]
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -46,6 +47,14 @@ object Main {
       val info = spark.read.parquet(s"$tableRoot/well_info")
       val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
       WellsQuery.wellsJson(info, stim).foreach(println)
+    case "serve" :: tableRoot :: rest =>
+      val port = rest.sliding(2).collectFirst {
+        case Seq("--port", p) => p.toInt }.getOrElse(8080)
+      val staticDir = rest.sliding(2).collectFirst {
+        case Seq("--static", d) => d }
+      val server = Serve.start(spark, tableRoot, port, staticDir)
+      println(s"[OK] serving /wells on port ${server.getAddress.getPort}")
+      Thread.currentThread().join() // until killed, like flask run
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       sys.exit(2)
