@@ -7,14 +7,15 @@ import graft.queries.Catalog
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Operator-inventory coverage map (SURVEY.md §2 → catalog entries; every
-  * entry has DuckDB oracle SQL except vs04, which is hash-seeded):
+  * entry has DuckDB oracle SQL):
   *  - §2.2 projections/filters: q02, q16, q17 (P1/P4/P7/P8/P9)
   *  - §2.3 joins: q03 (J1 left/broadcast), q04 (J2 composite), q05 (star),
   *    q06 (anti = S9 FK check), q25 (semi/IN), q31 (scalar subquery),
   *    q33 (as-of join, graft.operators.AsofJoin)
   *  - §2.4 aggregations: q01, q26 (A1 quality counters), q28, q13/q14
   *    (rollup/cube), q30 (collect/listagg), q32 (pivot), q34 (JSON extract)
-  *  - §2.5 window/sort/limit/set ops: q07, q08, q09, q10, q11, q12
+  *  - §2.5 window/sort/limit/set ops: q07, q08, q09, q10, q11, q12,
+  *    q38 (time-RANGE frame)
   *  - §2.6 scalar-function bank: q18 (F6/F10/F11), q19 (F1), q20 (F3),
   *    q21 (F4/F17), q22 (F5), q23 (F14), q24 (F20–F22)
   *  - §2.7 streaming/incremental: q15 (tumbling window), q29 (sessionize);
@@ -23,11 +24,14 @@ import graft.queries.Catalog
   *  - §2.8 upsert/merge: q07, q27 (graft.operators.MergeWriter)
   *  - Training-pipeline additions: dd01 exact dedup, dd02 n-gram Jaccard,
   *    dd03 MinHash+LSH signatures, dd04 SimHash, dd05 full LSH dedup
-  *    (band bucket join + exact verify); ta01–ta04 (lang-ID, quality,
-  *    tokens, fingerprint); mm01 + graft.operators.Multimodal (binary
-  *    columns, batched codec seam); vs01 brute-force ANN, vs02 embedding
-  *    near-dup, vs03 cluster stats, vs04 LSH ANN (graft.operators.Ann,
-  *    native quantized_dot codegen expression)
+  *    (band bucket join + exact verify), dd06 dedup groups
+  *    (graft.operators.ConnectedComponents over LSH pairs); ta01–ta05
+  *    (lang-ID, quality, tokens, fingerprint, repetition metrics);
+  *    sa01/sa02 deterministic hash sampling; mm01 +
+  *    graft.operators.Multimodal (binary columns, batched codec seam);
+  *    vs01 brute-force ANN, vs02 embedding near-dup, vs03 cluster stats,
+  *    vs04 LSH ANN (graft.operators.Ann, native quantized_dot codegen
+  *    expression, md5-derived integer hyperplanes)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation — the step that turns a
+  * near-dup *pair* list (LSH candidates, dd05) into dedup *groups*: every
+  * document gets `component` = the smallest doc id reachable through the
+  * pair graph, so "keep one per group" is `component == id`.
+  *
+  * Each round is one join + one map-side-combinable min aggregate keyed on
+  * vertex ids (never on payloads), and the smallest label floods a
+  * component in O(diameter) rounds — near-dup clusters are shallow (dups of
+  * one source), so this converges in a handful of rounds at any scale. The
+  * driver-side loop is control flow only: one `count()` action per round
+  * reads a single aggregate, no data is collected.
+  */
+object ConnectedComponents {
+
+  /** vertices(idCol); edges(srcCol, dstCol), treated as undirected.
+    * Returns (idCol, component). maxIter bounds pathological graphs (a
+    * chain of length n needs n rounds); convergence is checked every
+    * round, so the bound is never paid on real dedup graphs. */
+  def labelPropagate(vertices: DataFrame, edges: DataFrame,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 16): DataFrame = {
+    // undirected: propagate along both directions of every pair
+    val undirected = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .unionByName(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+      // edges drive every round: materialize once, shuffle-ready
+      .persist()
+
+    var labels = vertices.select(col(idCol), col(idCol).as("component"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // the min label among each vertex's neighbors (partial min before the
+      // shuffle; the shuffle key is __s, an id)
+      val nbrMin = undirected.join(labels, col("__d") === col(idCol))
+        .groupBy(col("__s")).agg(min(col("component")).as("__nbr"))
+      // localCheckpoint (not persist): each round's plan references the
+      // previous round twice, so without truncating the lineage the logical
+      // plan doubles per round — exponential analysis cost long before any
+      // data is big. On a cluster with an unreliable-executor profile,
+      // swap for reliable checkpoint(); the algorithm is unchanged.
+      val next = labels.join(nbrMin, col(idCol) === col("__s"), "left")
+        .select(col(idCol), col("component").as("__old"),
+          least(coalesce(col("__nbr"), col("component")), col("component"))
+            .as("component"))
+        .localCheckpoint(true)
+      // one scalar action on the checkpointed frame: did any label move?
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
+      iter += 1
+    }
+    undirected.unpersist()
+    labels
+  }
+}

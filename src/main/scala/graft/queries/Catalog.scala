@@ -35,7 +35,8 @@ object QueryUtils {
 }
 
 object Catalog {
-  val all: Seq[Q] = Relational.queries ++ TextOps.queries ++ VectorOps.queries
+  val all: Seq[Q] =
+    Relational.queries ++ TextOps.queries ++ VectorOps.queries ++ SampleOps.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

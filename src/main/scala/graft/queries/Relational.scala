@@ -774,6 +774,30 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
+  /** q38 — time-RANGE-framed window: per-user rolling 30-minute value sum.
+    * A different frame class from q08's ROWS frame — the frame is defined
+    * by event-time distance, and equal-timestamp peers share one frame.
+    * DECIMAL keeps the rolling sum exact under either engine's frame
+    * algorithm (incremental vs recompute). */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".cast("long"))
+      .rangeBetween(-1800L, Window.currentRow)
+    events(s, d)
+      .withColumn("rolling_value",
+        sum($"value".cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select($"user_id", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        $"rolling_value")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q38Sql =
+    """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -812,5 +836,6 @@ object Relational {
     Q("q35_rank_family", "rank/dense_rank/ntile/lead/lag one-pass", q35, Some(q35Sql)),
     Q("q36_tpch_q3", "selective filter + 3-way join + top revenue", q36, Some(q36Sql)),
     Q("q37_having_join_back", "HAVING agg joined back to detail", q37, Some(q37Sql)),
+    Q("q38_range_window", "per-user rolling 30-min RANGE-frame sum", q38, Some(q38Sql)),
   )
 }

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Deterministic sampling operators — the way a 100 TB pipeline samples:
+  * no RNG, no `TABLESAMPLE`. Membership is a pure function of the row key
+  * (md5 fold), so a sample is reproducible across runs, engines, partition
+  * counts and retries, composes with partition pruning, and a re-run after
+  * a node failure draws the identical rows. Both entries verify exactly
+  * against DuckDB because md5 is engine-universal.
+  */
+object SampleOps {
+
+  /** Key → uniform bucket in [0, mod): integer fold of the first 8 md5 hex
+    * chars. The same fold DuckDB replays nibble-wise (see hex8Sql). */
+  private def fold(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % mod
+
+  private def hex8Sql(e: String): String =
+    s"(list_sum([(strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1) " +
+      s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)]))"
+
+  /** sa01 — 10% Bernoulli document sample keyed on doc_id. The filter is a
+    * pure row-local predicate: it pushes to the scan, needs no shuffle, and
+    * the same doc_id is in or out of the sample forever. */
+  private def sa01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .filter(fold($"doc_id", 10000) < 1000)
+      .select($"doc_id", length($"text").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+  private val sa01Sql =
+    s"""SELECT doc_id, len(text) AS n_chars FROM documents
+       |WHERE ${hex8Sql("CAST(doc_id AS VARCHAR)")} % 10000 < 1000
+       |ORDER BY doc_id""".stripMargin
+
+  /** sa02 — stratified sample audit: per event_type, a 5% hash sample keyed
+    * on event_id, reported as totals + sampled counts + realized rate (the
+    * bookkeeping a sampling stage emits so downstream weighting is exact). */
+  private def sa02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("keep", fold($"event_id", 100) < 5)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate", $"n_sampled".cast("double") / $"n_total")
+      .orderBy($"event_type")
+  }
+  private val sa02Sql =
+    s"""WITH k AS (SELECT event_type,
+       |    ${hex8Sql("CAST(event_id AS VARCHAR)")} % 100 < 5 AS keep
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+       |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
+    Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
+  )
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -139,6 +140,49 @@ object TextOps {
       |SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1.0 ELSE 0.0 END * power(2.0, bitpos)) AS BIGINT) AS simhash
       |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** One row per (doc, shingle) with the doc's shingle-set size carried —
+    * the single shingle pass feeding signatures AND exact verification. */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
+      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
+  }
+
+  /** LSH candidate pairs (d1 < d2): 8 MinHash signatures → 4 band keys per
+    * doc (one explode — a union of 4 selects would re-run the whole
+    * shingle→signature aggregation per band per join side), band-bucket
+    * self-join. The bucket key is the only shuffle key — the 100 TB path. */
+  private def lshCandidates(sized: DataFrame): DataFrame = {
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
+    val sigs = sized.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+      md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Oracle twin of [[lshCandidates]] (shingles → sig → bands → cand CTEs),
+    * shared by dd05/dd06. */
+  private val lshCandCte = {
+    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""$shinglesCte,
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   /** dd05 — end-to-end MinHash+LSH dedup: docs pair up iff they share an
     * LSH band (the bucket join — the only shuffle key at scale), then each
     * candidate pair is verified with exact shingle-set Jaccard. This is the
@@ -146,27 +190,8 @@ object TextOps {
     * join → |candidates| ≪ N² exact verifications. */
   private def dd05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // one shingle pass feeds both the signature aggregation and the
-    // verification joins
-    val sized = documents(s, d)
-      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
-      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
-    val aggs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"sig$i"))
-    val sigs = sized.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-    // one row per (doc, band) via a single explode — a union of 4 selects
-    // would make Spark re-run the whole shingle→signature aggregation per
-    // band per join side (no subplan reuse across union branches)
-    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
-      md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey")))
-    val bands = sigs
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-      .distinct()
+    val sized = shingled(s, d)
+    val cand = lshCandidates(sized)
     // candidates-first verification — the same shape as the oracle SQL and
     // the only shape that survives 100 TB: each LSH candidate pair pulls
     // exactly its two shingle sets, so intersection work is
@@ -185,16 +210,8 @@ object TextOps {
         ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
       .orderBy($"d1", $"d2")
   }
-  private val dd05Sql = {
-    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sig")
-      .mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows),
-       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+  private val dd05Sql =
+    s"""WITH $lshCandCte,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |i AS (SELECT d1, d2, COUNT(*) AS inter
        |  FROM cand JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id AND a.s = b.s
@@ -202,7 +219,33 @@ object TextOps {
        |SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
        |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |ORDER BY d1, d2""".stripMargin
+
+  /** dd06 — dedup groups: connected components over the LSH candidate
+    * pairs (graft.operators.ConnectedComponents min-label propagation), so
+    * every doc gets the smallest doc_id of its near-dup cluster — the step
+    * that turns pair lists into "keep one per group". The DuckDB oracle
+    * computes the same fixpoint as a recursive CTE (min reachable id). */
+  private def dd06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = lshCandidates(shingled(s, d))
+    val docs = documents(s, d).select($"doc_id")
+    val labels = graft.operators.ConnectedComponents.labelPropagate(
+      docs, cand, idCol = "doc_id", srcCol = "d1", dstCol = "d2")
+    val sizes = labels.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select($"doc_id", $"component".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
   }
+  private val dd06Sql =
+    s"""WITH RECURSIVE $lshCandCte,
+       |e AS (SELECT d1 AS a, d2 AS b FROM cand UNION ALL SELECT d2 AS a, d1 AS b FROM cand),
+       |r AS (SELECT doc_id AS node, doc_id AS reach FROM documents
+       |      UNION
+       |      SELECT e.a AS node, r.reach FROM e JOIN r ON e.b = r.node),
+       |lbl AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lbl ORDER BY doc_id""".stripMargin
 
   /** ta01 — language-ID heuristic: stopword-ratio bands (SURVEY's
     * "n-gram heuristic" class; thresholds shared with the oracle). */
@@ -286,6 +329,60 @@ object TextOps {
       |  md5(substr(text, 1, 64)) AS prefix_digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ta05 — repetition / boilerplate metrics (the Gopher-class quality
+    * signals a 100 TB corpus filter runs): most-frequent token and its
+    * character share, plus the duplicate word-2gram fraction. One token
+    * explode feeds both aggregates; ties on the top token break
+    * lexicographically so both engines pick the same winner. */
+  private def ta05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = documents(s, d)
+      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"doc_id").orderBy($"n".desc, $"tok")
+    val top = counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"tok".as("top_token"), $"n".as("top_token_n"))
+    val charTotals = counts.groupBy($"doc_id")
+      .agg(sum(length($"tok") * $"n").as("tok_chars"))
+    // multiset 2-gram total is positional (n_tokens - 1); the distinct set
+    // comes from the shingle pass
+    val grams = documents(s, d)
+      .select($"doc_id", size(Text.tokens($"text")).as("n_t"),
+        size(Text.shingles($"text", 2)).as("d2"))
+      .select($"doc_id",
+        when($"n_t" >= 2, $"n_t" - 1).otherwise(0).as("t2"), $"d2")
+    grams.join(top, Seq("doc_id"), "left")
+      .join(charTotals, Seq("doc_id"), "left")
+      .select($"doc_id", $"top_token",
+        coalesce($"top_token_n", lit(0L)).as("top_token_n"),
+        when(coalesce($"tok_chars", lit(0L)) > 0,
+          ($"top_token_n" * length($"top_token")).cast("double") / $"tok_chars")
+          .otherwise(0.0).as("top_char_frac"),
+        when($"t2" > 0, lit(1.0) - $"d2".cast("double") / $"t2")
+          .otherwise(0.0).as("dup_2gram_frac"))
+      .orderBy($"doc_id")
+  }
+  private val ta05Sql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |c AS (SELECT doc_id, unnest(t) AS tok FROM t),
+      |cnt AS (SELECT doc_id, tok, COUNT(*) AS n FROM c GROUP BY doc_id, tok),
+      |top AS (SELECT doc_id, tok AS top_token, n AS top_token_n FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn FROM cnt) WHERE rn = 1),
+      |ct AS (SELECT doc_id, CAST(SUM(len(tok) * n) AS BIGINT) AS tok_chars FROM cnt GROUP BY doc_id),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS t2,
+      |    len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS d2
+      |  FROM t)
+      |SELECT g.doc_id, top_token,
+      |  COALESCE(top_token_n, 0) AS top_token_n,
+      |  CASE WHEN COALESCE(tok_chars, 0) > 0
+      |       THEN CAST(top_token_n * len(top_token) AS DOUBLE) / tok_chars
+      |       ELSE 0.0 END AS top_char_frac,
+      |  CASE WHEN t2 > 0 THEN 1.0 - CAST(d2 AS DOUBLE) / t2 ELSE 0.0 END AS dup_2gram_frac
+      |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+      |       LEFT JOIN ct ON g.doc_id = ct.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** mm01 — multimodal binary plumbing: opaque binary column + typed
     * metadata + deterministic fake "decode" (real decode is the pluggable
     * stub in graft.operators.Multimodal — the container has no codec libs). */
@@ -319,10 +416,12 @@ object TextOps {
     Q("dd03_minhash_lsh", "MinHash signatures + LSH band keys", dd03, Some(dd03Sql)),
     Q("dd04_simhash", "32-bit SimHash per document", dd04, Some(dd04Sql)),
     Q("dd05_lsh_dedup", "LSH band candidates + exact Jaccard verify", dd05, Some(dd05Sql)),
+    Q("dd06_dup_clusters", "connected-component dedup groups over LSH pairs", dd06, Some(dd06Sql)),
     Q("ta01_langid", "stopword-ratio language-ID heuristic", ta01, Some(ta01Sql)),
     Q("ta02_quality", "document quality metrics", ta02, Some(ta02Sql)),
     Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),
     Q("ta04_fingerprint", "sorted-token-set md5 fingerprint", ta04, Some(ta04Sql)),
+    Q("ta05_repetition", "top-token share + duplicate-2gram fraction", ta05, Some(ta05Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
   )
 }
