@@ -44,13 +44,6 @@ object Text {
     shingleUdfs(n)(text)
   }
 
-  /** One MinHash signature: lexicographic min of md5(seed ‖ shingle).
-    * md5-hex ordering is a uniform "random permutation" of the shingle
-    * space, so P(sig_a == sig_b) == Jaccard(a, b) — the classic estimator.
-    * Cross-engine stable (md5 and ASCII string order are universal). */
-  def minhashSig(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, x => md5(concat(lit(s"$seed:"), x))))
-
   /** Stopword ratio for the language-ID heuristic. */
   def stopwordRatio(toks: Column, stops: Seq[String]): Column = {
     val stopArr = array(stops.map(lit): _*)

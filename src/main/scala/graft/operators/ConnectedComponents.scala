@@ -20,7 +20,12 @@ object ConnectedComponents {
   /** vertices(idCol); edges(srcCol, dstCol), treated as undirected.
     * Returns (idCol, component). maxIter bounds pathological graphs (a
     * chain of length n needs n rounds); convergence is checked every
-    * round, so the bound is never paid on real dedup graphs. */
+    * round, so the bound is never paid on real dedup graphs.
+    *
+    * Only edge-incident vertices iterate: an isolated vertex (the vast
+    * majority of a deduped corpus) can never change label, so it joins the
+    * result through one final map-side stitch instead of riding every
+    * round. The per-round work scales with the dup graph, not the corpus. */
   def labelPropagate(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 16): DataFrame = {
@@ -30,7 +35,8 @@ object ConnectedComponents {
       // edges drive every round: materialize once, shuffle-ready
       .persist()
 
-    var labels = vertices.select(col(idCol), col(idCol).as("component"))
+    var labels = undirected.select(col("__s").as(idCol)).distinct()
+      .select(col(idCol), col(idCol).as("component"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -54,6 +60,9 @@ object ConnectedComponents {
       iter += 1
     }
     undirected.unpersist()
-    labels
+    // stitch the isolated vertices back: component = own id
+    vertices.join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
   }
 }

@@ -32,6 +32,22 @@ object QueryUtils {
   /** Oracle-side twin of [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** First 8 md5 hex chars of a string column as a BIGINT in [0, 2³²) —
+    * the engine-universal uniform hash used for minhash signatures and
+    * deterministic sampling. A long fold (unlike the raw hex string) keeps
+    * min/sum aggregates hash-aggregatable: no SortAggregate, no sort of
+    * the exploded stream. */
+  def hex8(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Oracle-side twin of [[hex8]]: nibble-wise parse (no hex-cast
+    * dependence in DuckDB), cast to BIGINT so downstream aggregates don't
+    * widen to HUGEINT (which pandas renders as float64 and breaks the
+    * driver's hash compare). `e` is a VARCHAR expression. */
+  def hex8Sql(e: String): String =
+    s"CAST(list_sum([(strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1) " +
+      s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT)"
 }
 
 object Catalog {

@@ -14,14 +14,12 @@ import graft.Tables._
   */
 object SampleOps {
 
+  import QueryUtils.{hex8, hex8Sql}
+
   /** Key → uniform bucket in [0, mod): integer fold of the first 8 md5 hex
     * chars. The same fold DuckDB replays nibble-wise (see hex8Sql). */
   private def fold(key: Column, mod: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % mod
-
-  private def hex8Sql(e: String): String =
-    s"(list_sum([(strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1) " +
-      s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)]))"
+    hex8(key.cast("string")) % mod
 
   /** sa01 — 10% Bernoulli document sample keyed on doc_id. The filter is a
     * pure row-local predicate: it pushes to the scan, needs no shuffle, and

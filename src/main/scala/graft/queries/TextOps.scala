@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.Text
+import graft.queries.QueryUtils.{hex8, hex8Sql}
 
 /** Training-data-pipeline text operators over the `documents` table:
   * deduplication (exact / MinHash / SimHash / n-gram Jaccard), text
@@ -76,26 +77,32 @@ object TextOps {
 
   /** dd03 — MinHash signatures + LSH band keys (shingle → minhash → band).
     * 8 hashes, 4 bands × 2 rows; the band hash is the LSH bucket key a
-    * 100 TB dedup shuffles on instead of on document pairs. */
+    * 100 TB dedup shuffles on instead of on document pairs.
+    *
+    * Signatures are BIGINT md5-folds (QueryUtils.hex8), not md5 hex
+    * strings: a string min forces SortAggregate — Spark sorts the whole
+    * exploded shingle stream twice — while a long min is a plain
+    * HashAggregate with map-side partial min, and the shuffle carries
+    * 8×8 B per doc. */
   private def dd03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Explode shingles once and take the 8 per-seed minima as grouped
-    // aggregates: map-side partial min keeps the shuffle at 8×32B per doc,
-    // and the shingle array is computed exactly once (the naive 8-column
-    // form re-evaluates it per signature after projection collapse).
+    // aggregates (the naive 8-column form re-evaluates the shingle array
+    // per signature after projection collapse).
     val exploded = documents(s, d)
       .select($"doc_id", explode(Text.shingles($"text", 3)).as("sh"))
     val aggs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"sig$i"))
+      min(hex8(concat(lit(s"$i:"), $"sh"))).as(s"sig$i"))
     val sigs = exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
     sigs.select(Seq(col("doc_id")) ++
         (0 until 8).map(i => col(s"sig$i")) ++
-        (0 until 4).map(b => md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as(s"band$b")): _*)
+        (0 until 4).map(b => md5(concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as(s"band$b")): _*)
       .orderBy($"doc_id")
   }
   private val dd03Sql = {
-    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(",\n  ")
-    val bands = (0 until 4).map(b => s"md5(sig${2 * b} || sig${2 * b + 1}) AS band$b").mkString(", ")
+    val sigs = (0 until 8).map(i => s"min(${hex8Sql(s"'$i:' || s")}) AS sig$i").mkString(",\n  ")
+    val bands = (0 until 4).map(b =>
+      s"md5(CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)) AS band$b").mkString(", ")
     s"""WITH $shinglesCte,
        |sig AS (SELECT doc_id,
        |  $sigs
@@ -154,11 +161,13 @@ object TextOps {
     * shingle→signature aggregation per band per join side), band-bucket
     * self-join. The bucket key is the only shuffle key — the 100 TB path. */
   private def lshCandidates(sized: DataFrame): DataFrame = {
+    // BIGINT signature folds (see dd03): hash-aggregatable min, 8×8 B per
+    // doc over the wire instead of 8 hex strings
     val aggs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
+      min(hex8(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
     val sigs = sized.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
-      md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey")))
+      md5(concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey")))
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -172,9 +181,9 @@ object TextOps {
   /** Oracle twin of [[lshCandidates]] (shingles → sig → bands → cand CTEs),
     * shared by dd05/dd06. */
   private val lshCandCte = {
-    val sigs = (0 until 8).map(i => s"min(md5('$i:' || s)) AS sig$i").mkString(", ")
+    val sigs = (0 until 8).map(i => s"min(${hex8Sql(s"'$i:' || s")}) AS sig$i").mkString(", ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(sig${2 * b} || sig${2 * b + 1}) AS bkey FROM sig")
+      s"SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bkey FROM sig")
       .mkString("\n  UNION ALL ")
     s"""$shinglesCte,
        |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
