@@ -92,6 +92,29 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join (§2.7's two-stream surface): each
+    * purchase pairs with the same user's clicks from the preceding
+    * `windowSeconds`. Both sides carry watermarks, and the join condition
+    * bounds event-time distance in BOTH directions, so Spark can expire
+    * buffered state: without the interval bound a stream-stream join
+    * buffers forever. The same function runs on batch frames (watermarks
+    * are a no-op there) — the parity test's oracle. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      windowSeconds: Long = 1800): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+  }
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */

@@ -70,6 +70,46 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.contains((2L, 1L, 8.0)))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // purchases at t=40,90; clicks at t=15,35,70 — click 15 is outside
+    // purchase 40's 30-min window start? no: 40-30=10 <= 15, so it joins;
+    // click 70 joins only purchase 90; click 35 joins only purchase 40
+    val pRows = Seq((1L, 100L, ts(40)), (1L, 101L, ts(90)))
+    val cRows = Seq((1L, 200L, ts(15)), (1L, 201L, ts(35)), (1L, 202L, ts(70)),
+      (2L, 203L, ts(41))) // other user: never joins
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.purchaseClickJoin(
+      pMem.toDF().toDF("user_id", "event_id", "ts"),
+      cMem.toDF().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    pMem.addData(pRows: _*)
+    cMem.addData(cRows: _*)
+    q.processAllAvailable()
+    // watermark drivers on both sides flush the inner-join output
+    // (distinct users so the drivers don't join each other)
+    pMem.addData((98L, 999L, ts(600)))
+    cMem.addData((99L, 998L, ts(600)))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = Streams.purchaseClickJoin(
+        pRows.toDF("user_id", "event_id", "ts"),
+        cRows.toDF("user_id", "event_id", "ts"))
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq)
+    val streamed = spark.table("ssjoin")
+      .orderBy("purchase_id", "click_id").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    // the pairs are exactly the interval-compatible ones
+    val pairs = spark.table("ssjoin")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 200L), (100L, 201L), (101L, 202L)))
+  }
+
   test("late within-watermark event does not split the open session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
