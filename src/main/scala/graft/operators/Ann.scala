@@ -90,10 +90,12 @@ object Ann {
     val c0 = withNorm(candidates, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
 
-    // the plane matrix is dim-shaped; one single-row driver lookup pins it
-    // (metadata-scale read, not a data collect)
-    val dimRows = candidates.select(size(col(vecCol))).head(1)
-    val dim = if (dimRows.isEmpty) 0 else dimRows(0).getInt(0)
+    // the plane matrix is dim-shaped; one scalar aggregate pins it.
+    // max(size), not head(1): a NULL embedding in an arbitrary first row
+    // would report size = -1 → zero planes → every vector in one bucket
+    // (LSH silently degenerating to the all-pairs join it exists to avoid)
+    val dimRow = candidates.agg(max(size(col(vecCol)))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else math.max(dimRow.getInt(0), 0)
 
     // one pass over the rows: per row compute every table's bucket, then
     // explode (table, bucket) structs — no N-branch union re-reading and

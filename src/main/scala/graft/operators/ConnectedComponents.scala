@@ -59,6 +59,13 @@ object ConnectedComponents {
       labels = next.drop("__old")
       iter += 1
     }
+    // fail loud, not wrong: an unconverged result would silently mislabel
+    // the far end of any component whose diameter exceeds maxIter (and
+    // diverge from dd06's exact recursive-CTE oracle). Real dedup graphs
+    // converge in a handful of rounds; a hit here means raise maxIter.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise it")
     undirected.unpersist()
     // stitch the isolated vertices back: component = own id
     vertices.join(labels, Seq(idCol), "left")

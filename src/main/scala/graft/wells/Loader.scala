@@ -137,28 +137,29 @@ object Loader {
       tableRoot: String, dryRun: Boolean = false,
       limit: Option[Int] = None): HeaderStats = {
     val load = loadHeader(spark, headerCsv, limit)
-    val (header, stats, bad) = (load.cleaned, load.stats, load.bad)
-    println(s"[REPORT] well_header: rows=${stats.rows}, " +
-      s"lat_none=${stats.latNone}, lon_none=${stats.lonNone}, " +
-      s"lat_bad=${stats.latBad}, lon_bad=${stats.lonBad}")
-    val stim = loadStim(spark, stimCsv, limit)
+    try {
+      val (header, stats, bad) = (load.cleaned, load.stats, load.bad)
+      println(s"[REPORT] well_header: rows=${stats.rows}, " +
+        s"lat_none=${stats.latNone}, lon_none=${stats.lonNone}, " +
+        s"lat_bad=${stats.latBad}, lon_bad=${stats.lonBad}")
+      val stim = loadStim(spark, stimCsv, limit)
 
-    if (!dryRun) {
-      // bad-row existence is already known from the stats pass — no scan
-      if (stats.latBad + stats.lonBad > 0)
-        bad.coalesce(1).write.mode("overwrite")
-          .option("header", "true").csv(s"$tableRoot/bad_rows_header")
-      // project to the DDL columns (extra CSV keys are silently unused by
-      // the reference's named-parameter upserts, pdf_to_db.py:202-244)
-      val headerDb = header.select((Model.headerCols :+ "src_order").map(col): _*)
-      val stimDb = stim
-        .withColumn("updated_at", current_timestamp())
-        .select((Model.stimDbCols ++ Seq("updated_at", "src_order")).map(col): _*)
-      mergeInto(spark, headerDb, s"$tableRoot/well_header")
-      mergeInto(spark, stimDb, s"$tableRoot/well_stimulation")
-    }
-    load.release()
-    stats
+      if (!dryRun) {
+        // bad-row existence is already known from the stats pass — no scan
+        if (stats.latBad + stats.lonBad > 0)
+          bad.coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(s"$tableRoot/bad_rows_header")
+        // project to the DDL columns (extra CSV keys are silently unused by
+        // the reference's named-parameter upserts, pdf_to_db.py:202-244)
+        val headerDb = header.select((Model.headerCols :+ "src_order").map(col): _*)
+        val stimDb = stim
+          .withColumn("updated_at", current_timestamp())
+          .select((Model.stimDbCols ++ Seq("updated_at", "src_order")).map(col): _*)
+        mergeInto(spark, headerDb, s"$tableRoot/well_header")
+        mergeInto(spark, stimDb, s"$tableRoot/well_stimulation")
+      }
+      stats
+    } finally load.release() // a mid-run failure must not leak the pinned parse
   }
 
   /** Last-wins merge of an incoming batch (carrying src_order) into the

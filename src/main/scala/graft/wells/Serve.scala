@@ -31,11 +31,16 @@ object Serve {
 
     server.createContext("/wells", (ex: HttpExchange) =>
       handle(ex) {
-        val info = spark.read.parquet(s"$tableRoot/well_info")
-        val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
-        val body = WellsQuery.wellsJson(info, stim)
-          .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
-        (200, "application/json", body)
+        // JDK contexts are longest-prefix matched; Flask routes are exact —
+        // /wellsfoo and /wells/1 must 404, not leak the full payload
+        if (ex.getRequestURI.getPath != "/wells") notFound
+        else {
+          val info = spark.read.parquet(s"$tableRoot/well_info")
+          val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
+          val body = WellsQuery.wellsJson(info, stim)
+            .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+          (200, "application/json", body)
+        }
       })
 
     server.createContext("/", (ex: HttpExchange) =>
@@ -47,11 +52,18 @@ object Serve {
         }
         staticDir match {
           case Some(dir) =>
-            val base = Path.of(dir).toAbsolutePath.normalize()
+            // compare REAL paths: normalize alone would let a symlink
+            // inside the static dir serve files outside it
+            val base = Path.of(dir).toRealPath()
             val f = base.resolve(req).normalize()
-            if (f.startsWith(base) && Files.isRegularFile(f))
-              (200, contentType(req), Files.readAllBytes(f))
-            else notFound
+            val real =
+              try Some(f.toRealPath())
+              catch { case _: java.io.IOException => None }
+            real match {
+              case Some(r) if r.startsWith(base) && Files.isRegularFile(r) =>
+                (200, contentType(req), Files.readAllBytes(r))
+              case _ => notFound
+            }
           case None => notFound
         }
       })

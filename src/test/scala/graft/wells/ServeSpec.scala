@@ -41,8 +41,16 @@ class ServeSpec extends AnyFunSuite with SparkSpec {
       val map = get(port, "/map")
       assert(map.statusCode() == 200 && map.body().contains("map"))
       assert(get(port, "/nope.html").statusCode() == 404)
+      // exact-route parity with Flask: prefix extensions must not match
+      assert(get(port, "/wells/1").statusCode() == 404)
+      assert(get(port, "/wellsfoo").statusCode() == 404)
       // traversal guard: escaping the static root is a 404, not a file read
       assert(get(port, "/..%2F..%2Fetc%2Fpasswd").statusCode() == 404)
+      // symlink guard: a link inside the static dir pointing outside it
+      // must not serve the target
+      Files.createSymbolicLink(staticDir.resolve("leak.html"),
+        java.nio.file.Path.of("/etc/hostname"))
+      assert(get(port, "/leak.html").statusCode() == 404)
     } finally server.stop(0)
   }
 
