@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Band (interval / range) self-join: pairs of rows with the same key
+  * whose ordering values lie within `band` of each other — "events of the
+  * same user within 5 minutes", the nearby-event-correlation primitive.
+  *
+  * A naive θ-join on `abs(l - r) <= band` has no equi key for the value
+  * part, so engines either cross-join per key or sort-merge the whole key
+  * group. This operator uses the bucket trick — the scale path:
+  * each row lands in bucket `floor(v / band)`; in a qualifying pair the
+  * LOWER value's bucket is either the higher's bucket or the one before
+  * it, so exploding the lower side into (bucket, bucket+1) probes covers
+  * every candidate with equi-shuffles on (key, bucket), then the exact
+  * band predicate filters. Work is Σ|bucket|² per key instead of
+  * Σ|key-group|², the shuffle key is (key, bucket) — never a pair — and
+  * the value-ordered pairing means each pair matches exactly once (no
+  * distinct pass).
+  */
+object BandJoin {
+
+  /** df(keyCol, ordCol (numeric/castable to long), idCol unique): returns
+    * (key, id1, v1, id2, v2) where row1 is the band-earlier row — v1 < v2,
+    * or v1 == v2 and id1 < id2 — and v2 - v1 <= band. */
+  def selfBand(df: DataFrame, keyCol: String, ordCol: String, idCol: String,
+      band: Long): DataFrame = {
+    require(band > 0, s"band must be positive, got $band")
+    val v: Column = col(ordCol).cast("long")
+    val base = df.select(col(keyCol).as("key"), col(idCol).as("id"),
+      v.as("v"), floor(v / lit(band)).cast("long").as("bucket"))
+    val probes = base
+      .withColumn("probe", explode(array(col("bucket"), col("bucket") + 1)))
+      .select(col("key"), col("id").as("id1"), col("v").as("v1"), col("probe"))
+    val build = base.select(col("key"), col("id").as("id2"),
+      col("v").as("v2"), col("bucket").as("probe"))
+    probes.join(build, Seq("key", "probe"))
+      .filter(
+        (col("v1") < col("v2") || (col("v1") === col("v2") && col("id1") < col("id2"))) &&
+          col("v2") - col("v1") <= band)
+      .select(col("key"), col("id1"), col("v1"), col("id2"), col("v2"))
+  }
+}

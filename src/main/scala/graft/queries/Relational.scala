@@ -798,6 +798,28 @@ object Relational {
       |    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** q39 — band join (graft.operators.BandJoin): same-user event pairs
+    * within 5 minutes of each other. The operator buckets by
+    * floor(t/band) and probes (bucket, bucket+1) — equi-shuffles on
+    * (user, bucket), never a per-key cross join; the oracle is the naive
+    * θ-join DuckDB can afford at sf. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d).select($"user_id", $"event_id",
+      $"ts".cast("long").as("tsec"))
+    graft.operators.BandJoin.selfBand(e, "user_id", "tsec", "event_id", 300L)
+      .select($"key".as("user_id"), $"id1".as("e1"), $"v1".as("t1"),
+        $"id2".as("e2"), $"v2".as("t2"))
+      .orderBy($"user_id", $"e1", $"e2")
+  }
+  private val q39Sql =
+    """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events)
+      |SELECT a.user_id, a.event_id AS e1, a.tsec AS t1, b.event_id AS e2, b.tsec AS t2
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      |  AND (a.tsec < b.tsec OR (a.tsec = b.tsec AND a.event_id < b.event_id))
+      |  AND b.tsec - a.tsec <= 300
+      |ORDER BY a.user_id, e1, e2""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -837,5 +859,6 @@ object Relational {
     Q("q36_tpch_q3", "selective filter + 3-way join + top revenue", q36, Some(q36Sql)),
     Q("q37_having_join_back", "HAVING agg joined back to detail", q37, Some(q37Sql)),
     Q("q38_range_window", "per-user rolling 30-min RANGE-frame sum", q38, Some(q38Sql)),
+    Q("q39_band_join", "same-user event pairs within 5 min (bucketed band join)", q39, Some(q39Sql)),
   )
 }

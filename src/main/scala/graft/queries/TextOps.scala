@@ -419,6 +419,26 @@ object TextOps {
       |  CAST(1 + octet_length(blob) % 30 AS INT) AS n_frames
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** mm02 — frame-sampling work units (graft.operators.Multimodal
+    * .sampleFrames): every-4th-frame indices from the deterministic fake
+    * metadata, the explode that turns one video row into per-frame decode
+    * tasks. The explode multiplies rows BEFORE the expensive decode stage,
+    * so Spark can repartition the work units — that's the whole point of
+    * materializing them. */
+  private def mm02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withMeta = documents(s, d)
+      .withColumn("blob", encode($"text", "UTF-8"))
+      .withColumn("meta", struct((lit(1) + length($"blob") % 30).as("n_frames")))
+    graft.operators.Multimodal.sampleFrames(withMeta, stride = 4)
+      .select($"doc_id", $"meta.n_frames".as("n_frames"), $"frame_idx")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+  private val mm02Sql =
+    """WITH b AS (SELECT doc_id, 1 + octet_length(encode(text)) % 30 AS n_frames FROM documents)
+      |SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
+      |FROM b ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
     Q("dd02_ngram_jaccard", "word-3gram Jaccard top-20 pairs", dd02, Some(dd02Sql)),
@@ -432,5 +452,6 @@ object TextOps {
     Q("ta04_fingerprint", "sorted-token-set md5 fingerprint", ta04, Some(ta04Sql)),
     Q("ta05_repetition", "top-token share + duplicate-2gram fraction", ta05, Some(ta05Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
+    Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
   )
 }

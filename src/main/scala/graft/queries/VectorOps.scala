@@ -142,10 +142,33 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** vs05 — IVF centroid pass: per-(label, dimension) exact integer sums
+    * of the quantized vectors (sum/n IS the centroid; the sum is the
+    * exact, order-independent part so that's what the gate pins).
+    * posexplode → groupBy(label, dim) is one shuffle with map-side
+    * partial sums — the transposed layout a distributed centroid update
+    * wants, never a per-cluster collect. */
+  private def vs05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select($"label", posexplode(quantized($"embedding")).as(Seq("dim", "qv")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n_vectors"), sum($"qv").as("sum_q"))
+      .select($"label", $"dim".cast("long").as("dim"), $"n_vectors", $"sum_q")
+      .orderBy($"label", $"dim")
+  }
+  private val vs05Sql =
+    s"""WITH q AS (SELECT label, $quantSql AS q FROM embeddings),
+       |d AS (SELECT label, unnest(range(1, len(q) + 1)) AS i, q FROM q)
+       |SELECT label, i - 1 AS dim, COUNT(*) AS n_vectors,
+       |  CAST(SUM(q[i]) AS BIGINT) AS sum_q
+       |FROM d GROUP BY label, i ORDER BY label, dim""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
+    Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
   )
 }
