@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** vertices(idCol); edges(srcCol, dstCol), treated as undirected.
-    * Returns (idCol, component). maxIter bounds pathological graphs (a
-    * chain of length n needs n rounds); convergence is checked every
-    * round, so the bound is never paid on real dedup graphs.
+    * Returns (idCol, component). Each round applies TWO propagation hops,
+    * so maxIter=16 covers components of diameter 32; convergence is
+    * checked every round, so the bound is never paid on real dedup graphs.
     *
     * Only edge-incident vertices iterate: an isolated vertex (the vast
     * majority of a deduped corpus) can never change label, so it joins the
@@ -29,30 +29,44 @@ object ConnectedComponents {
   def labelPropagate(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 16): DataFrame = {
-    // undirected: propagate along both directions of every pair
-    val undirected = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .unionByName(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
-      // edges drive every round: materialize once, shuffle-ready
-      .persist()
+    // EAGERLY materialize the directed edge list (localCheckpoint, not a
+    // lazy persist): the union below reads it via two branches that can run
+    // as parallel stages, and a lazily-cached frame races them past the
+    // unfilled cache — dd06's whole LSH candidate generation ran twice
+    // that way. One blocking materialization, then both orientations are
+    // projections of stored blocks.
+    val directed = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d")).localCheckpoint(true)
+    val undirected = directed.unionByName(
+      directed.select(col("__d").as("__s"), col("__s").as("__d")))
+
+    // one propagation hop: component := min(component, min over neighbors);
+    // preserves the __old column for the convergence check
+    def hop(ls: DataFrame): DataFrame = {
+      val nbrMin = undirected
+        .join(ls.select(col(idCol), col("component")), col("__d") === col(idCol))
+        .groupBy(col("__s")).agg(min(col("component")).as("__nbr"))
+      ls.join(nbrMin, col(idCol) === col("__s"), "left")
+        .select(col(idCol), col("__old"),
+          least(coalesce(col("__nbr"), col("component")), col("component"))
+            .as("component"))
+    }
 
     var labels = undirected.select(col("__s").as(idCol)).distinct()
       .select(col(idCol), col(idCol).as("component"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // the min label among each vertex's neighbors (partial min before the
-      // shuffle; the shuffle key is __s, an id)
-      val nbrMin = undirected.join(labels, col("__d") === col(idCol))
-        .groupBy(col("__s")).agg(min(col("component")).as("__nbr"))
+      // TWO hops per materialized round: labels are monotone non-increasing
+      // under min-propagation, so a change can never revert — composing
+      // hops halves the blocking checkpoint barriers without touching the
+      // fixpoint or its detection.
       // localCheckpoint (not persist): each round's plan references the
-      // previous round twice, so without truncating the lineage the logical
-      // plan doubles per round — exponential analysis cost long before any
-      // data is big. On a cluster with an unreliable-executor profile,
-      // swap for reliable checkpoint(); the algorithm is unchanged.
-      val next = labels.join(nbrMin, col(idCol) === col("__s"), "left")
-        .select(col(idCol), col("component").as("__old"),
-          least(coalesce(col("__nbr"), col("component")), col("component"))
-            .as("component"))
+      // previous round's twice, so without truncating the lineage the
+      // logical plan doubles per round — exponential analysis cost long
+      // before any data is big. On a cluster with an unreliable-executor
+      // profile, swap for reliable checkpoint(); the algorithm is unchanged.
+      val next = hop(hop(labels.withColumn("__old", col("component"))))
         .localCheckpoint(true)
       // one scalar action on the checkpointed frame: did any label move?
       converged = next.filter(col("component") =!= col("__old")).isEmpty
@@ -66,7 +80,6 @@ object ConnectedComponents {
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds — " +
         "a component's diameter exceeds maxIter; raise it")
-    undirected.unpersist()
     // stitch the isolated vertices back: component = own id
     vertices.join(labels, Seq(idCol), "left")
       .select(col(idCol),

@@ -20,8 +20,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
-  test("a chain needs one round per hop: min floods to the far end") {
-    // worst-case diameter for the iteration bound: 9-hop chain
+  test("min floods a long chain to the far end (worst-case diameter)") {
+    // 9-hop chain exercises multiple double-hop rounds
     val m = labelsOf(1L to 10L, (1L to 9L).map(i => (i, i + 1)))
     assert(m.values.toSet == Set(1L))
   }
