@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.QuantizedDotProduct
+import graft.functions.{Md5Fold32, QuantizedDotProduct}
 
 /** Session-extension entry point: registers the engine's native
   * expressions as SQL functions so pure-SQL users get them too.
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDotProduct].getName, "quantized_dot"),
       GraftExtensions.quantizedDotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_fold32"),
+      new ExpressionInfo(classOf[Md5Fold32].getName, "md5_fold32"),
+      GraftExtensions.md5Fold32Builder))
   }
 }
 
@@ -32,10 +36,19 @@ object GraftExtensions {
       s"quantized_dot expects 2 arguments, got ${children.length}")
   }
 
+  private[graft] val md5Fold32Builder: Seq[Expression] => Expression = {
+    case Seq(c) => Md5Fold32(c)
+    case children => throw new IllegalArgumentException(
+      s"md5_fold32 expects 1 argument, got ${children.length}")
+  }
+
   /** Register on an already-running session (getOrCreate ignores
     * withExtensions once a session exists). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(
       spark, "quantized_dot", quantizedDotBuilder,
       classOf[QuantizedDotProduct].getName)
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "md5_fold32", md5Fold32Builder, classOf[Md5Fold32].getName)
+  }
 }

@@ -59,12 +59,10 @@ object Ann {
     * and *integral* so the sign-bit projection below is exact BIGINT
     * arithmetic: bucket membership can never flip on floating-point
     * summation order. */
-  private[graft] def planeComponent(table: Int, bit: Int, dim: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$table:$bit:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L
-  }
+  private[graft] def planeComponent(table: Int, bit: Int, dim: Int): Long =
+    graft.functions.Md5Fold32.fold(
+      s"$table:$bit:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
+      2000001L - 1000000L
 
   /** Sign-bit bucket id of a quantized vector under `bits` hyperplanes of
     * one table. The plane matrix is a driver-computed literal (tables ×

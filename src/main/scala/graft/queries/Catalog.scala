@@ -37,9 +37,9 @@ object QueryUtils {
     * the engine-universal uniform hash used for minhash signatures and
     * deterministic sampling. A long fold (unlike the raw hex string) keeps
     * min/sum aggregates hash-aggregatable: no SortAggregate, no sort of
-    * the exploded stream. */
-  def hex8(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    * the exploded stream. Backed by the fused native expression
+    * (graft.functions.Md5Fold32) — one digest, no hex-string round trip. */
+  def hex8(c: Column): Column = graft.functions.HashExpressions.md5Fold32(c)
 
   /** Oracle-side twin of [[hex8]]: nibble-wise parse (no hex-cast
     * dependence in DuckDB), cast to BIGINT so downstream aggregates don't
