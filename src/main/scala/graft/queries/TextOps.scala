@@ -392,6 +392,73 @@ object TextOps {
       |       LEFT JOIN ct ON g.doc_id = ct.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** dd07 — benchmark-contamination check: word-3gram overlap of every
+    * document against a benchmark set (docs 0-19 stand in for an eval
+    * suite). The benchmark shingle set is tiny and broadcast; each corpus
+    * doc needs only |its shingles| probe lookups — the decontamination
+    * pass a training pipeline runs before export, at corpus scale. */
+  private def dd07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sized = shingled(s, d)
+    val bench = sized.filter($"doc_id" < 20)
+      .select($"sh").distinct()
+    val hits = sized.filter($"doc_id" >= 20)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    sized.filter($"doc_id" >= 20)
+      .select($"doc_id", $"sz").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        (coalesce($"n_overlap", lit(0L)).cast("double") / $"sz").as("contamination"))
+      .filter($"n_overlap" > 0)
+      .orderBy($"contamination".desc, $"doc_id")
+  }
+  private val dd07Sql =
+    s"""WITH $shinglesCte,
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh WHERE doc_id >= 20 GROUP BY doc_id),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_overlap FROM sh
+       |  WHERE doc_id >= 20 AND s IN (SELECT s FROM bench) GROUP BY doc_id)
+       |SELECT sz.doc_id, h.n_overlap,
+       |  CAST(h.n_overlap AS DOUBLE) / sz.sz AS contamination
+       |FROM sz JOIN hits h ON sz.doc_id = h.doc_id
+       |WHERE h.n_overlap > 0
+       |ORDER BY contamination DESC, sz.doc_id""".stripMargin
+
+  /** ta06 — PII scrub (the pre-export redaction pass): count and redact
+    * email / phone-shaped / IPv4 spans with fixed placeholder tokens.
+    * Patterns are kept in the regex subset Java and RE2 (DuckDB) agree
+    * on — no backrefs, no lookarounds — so the oracle replays the exact
+    * redacted text. */
+  private def ta06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+    // Column API only: routing the pattern through expr()'s SQL literal
+    // would apply SQL-string escaping and silently turn \b into a
+    // backspace character (PiiRedactSpec pins this)
+    documents(s, d)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(email), lit(0))).as("n_email"),
+        size(regexp_extract_all($"text", lit(ip), lit(0))).as("n_ip"),
+        size(regexp_extract_all($"text", lit(phone), lit(0))).as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"text",
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+  private val ta06Sql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+      |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** mm01 — multimodal binary plumbing: opaque binary column + typed
     * metadata + deterministic fake "decode" (real decode is the pluggable
     * stub in graft.operators.Multimodal — the container has no codec libs). */
@@ -451,6 +518,8 @@ object TextOps {
     Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),
     Q("ta04_fingerprint", "sorted-token-set md5 fingerprint", ta04, Some(ta04Sql)),
     Q("ta05_repetition", "top-token share + duplicate-2gram fraction", ta05, Some(ta05Sql)),
+    Q("dd07_contamination", "benchmark n-gram contamination check", dd07, Some(dd07Sql)),
+    Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
   )
