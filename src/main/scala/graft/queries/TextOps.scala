@@ -459,6 +459,92 @@ object TextOps {
       |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** pp01 — the composed export pipeline, end to end: quality gate →
+    * exact dedup → LSH near-dup drop (verified Jaccard ≥ 0.5, greedy
+    * drop-the-larger-id) → benchmark decontamination (docs 0-19 as the
+    * eval set; anything over 50% shingle overlap is excluded, including
+    * the eval docs themselves) → deterministic 50% sample. This is the
+    * job the engine exists to run at 100 TB; every stage reuses the
+    * per-operator kernels, and the whole chain is exactly replayed by the
+    * DuckDB oracle. */
+  private def pp01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val t = Text.tokens($"text")
+    // stage 1 — quality: ≥ 20 tokens and ≥ 0.3 distinct-token ratio
+    val q1 = docs.filter(size(t) >= 20 &&
+      size(array_distinct(t)).cast("double") / size(t) >= 0.3)
+    // stage 2 — exact dedup: min doc_id per content hash survives
+    val q2 = q1
+      .withColumn("__k", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"__k").drop("__k")
+    // stage 3 — near-dup: LSH candidates among survivors, exact Jaccard
+    // verify (candidates-first), drop the larger id of each ≥ 0.5 pair
+    val sized2 = q2
+      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
+      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
+    val cand2 = lshCandidates(sized2)
+    val left2 = sized2.select($"doc_id".as("d1"), $"sz".as("sz1"), xxhash64($"sh").as("h"))
+    val right2 = sized2.select($"doc_id".as("d2"), $"sz".as("sz2"), xxhash64($"sh").as("h"))
+    val nearDrop = cand2.join(left2, Seq("d1")).join(right2, Seq("d2", "h"))
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("inter"), first($"sz1").as("sz1"), first($"sz2").as("sz2"))
+      .filter($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter") >= 0.5)
+      .select($"d2".as("doc_id")).distinct()
+    val q3 = q2.join(nearDrop, Seq("doc_id"), "left_anti")
+    // stage 4 — decontamination vs the benchmark shingle set (full-corpus
+    // docs 0-19), broadcast probe like dd07
+    val bench = shingled(s, d).filter($"doc_id" < 20).select($"sh").distinct()
+    val sized3 = sized2.join(q3.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val cont = sized3.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    val szOf = sized3.select($"doc_id", $"sz").distinct()
+    val q4 = q3.join(szOf, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .filter(coalesce($"n_overlap", lit(0L)).cast("double") / $"sz" <= 0.5)
+    // stage 5 — deterministic 50% sample on the doc key
+    q4.filter(hex8($"doc_id".cast("string")) % 100 < 50)
+      .select($"doc_id", length($"text").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+  private val pp01Sql = {
+    val sigs2 = (0 until 8).map(i => s"min(${hex8Sql(s"'$i:' || s")}) AS sig$i").mkString(", ")
+    val bandRows2 = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bkey FROM sig2")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |t2 AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |q1 AS (SELECT doc_id, text FROM t2
+       |  WHERE len(t) >= 20 AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3),
+       |q2 AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS k FROM q1)
+       |  WHERE doc_id = k),
+       |sh2 AS (SELECT sh.doc_id, s FROM sh JOIN q2 USING (doc_id)),
+       |sz2 AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+       |sig2 AS (SELECT doc_id, $sigs2 FROM sh2 GROUP BY doc_id),
+       |bands2 AS ($bandRows2),
+       |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands2 x JOIN bands2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |i2 AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM cand2 JOIN sh2 a ON d1 = a.doc_id JOIN sh2 b ON d2 = b.doc_id AND a.s = b.s
+       |  GROUP BY d1, d2),
+       |drop2 AS (SELECT DISTINCT d2 AS doc_id FROM i2
+       |  JOIN sz2 s1 ON d1 = s1.doc_id JOIN sz2 s2 ON d2 = s2.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+       |q3 AS (SELECT q2.* FROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+       |cont AS (SELECT sh2.doc_id, COUNT(*) AS n_overlap FROM sh2
+       |  JOIN q3 USING (doc_id)
+       |  WHERE s IN (SELECT s FROM bench) GROUP BY sh2.doc_id),
+       |q4 AS (SELECT q3.doc_id, q3.text FROM q3
+       |  JOIN sz2 ON q3.doc_id = sz2.doc_id
+       |  LEFT JOIN cont ON q3.doc_id = cont.doc_id
+       |  WHERE CAST(COALESCE(cont.n_overlap, 0) AS DOUBLE) / sz2.sz <= 0.5)
+       |SELECT doc_id, len(text) AS n_chars FROM q4
+       |WHERE ${hex8Sql("CAST(doc_id AS VARCHAR)")} % 100 < 50
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** mm01 — multimodal binary plumbing: opaque binary column + typed
     * metadata + deterministic fake "decode" (real decode is the pluggable
     * stub in graft.operators.Multimodal — the container has no codec libs). */
@@ -522,5 +608,6 @@ object TextOps {
     Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
+    Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
   )
 }
