@@ -480,9 +480,13 @@ object TextOps {
       .filter($"doc_id" === $"__k").drop("__k")
     // stage 3 — near-dup: LSH candidates among survivors, exact Jaccard
     // verify (candidates-first), drop the larger id of each ≥ 0.5 pair
+    // the survivor shingle table feeds candidates, both verify sides,
+    // contamination, and sizes — five consumers; materialize it once
+    // (at 100 TB this is the natural persisted intermediate of the job)
     val sized2 = q2
       .select($"doc_id", Text.shingles($"text", 3).as("arr"))
       .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
+      .localCheckpoint(true)
     val cand2 = lshCandidates(sized2)
     val left2 = sized2.select($"doc_id".as("d1"), $"sz".as("sz1"), xxhash64($"sh").as("h"))
     val right2 = sized2.select($"doc_id".as("d2"), $"sz".as("sz2"), xxhash64($"sh").as("h"))
