@@ -28,8 +28,14 @@ object BandJoin {
       band: Long): DataFrame = {
     require(band > 0, s"band must be positive, got $band")
     val v: Column = col(ordCol).cast("long")
-    val base = df.select(col(keyCol).as("key"), col(idCol).as("id"),
-      v.as("v"), floor(v / lit(band)).cast("long").as("bucket"))
+    // pure integer floor division — `floor(v / band)` (and Column `/`)
+    // route through double division, whose ulp near 2^63-scale longs
+    // (nanosecond epochs) exceeds 1, putting a row one bucket off and
+    // silently dropping qualifying pairs at bucket boundaries.
+    // v - pmod(v, band) is the exact floor multiple, so integral `div`
+    // of it is floor division for negatives too.
+    val base = df.select(col(keyCol).as("key"), col(idCol).as("id"), v.as("v"))
+      .withColumn("bucket", expr(s"(v - pmod(v, ${band}L)) div ${band}L"))
     val probes = base
       .withColumn("probe", explode(array(col("bucket"), col("bucket") + 1)))
       .select(col("key"), col("id").as("id1"), col("v").as("v1"), col("probe"))

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** vertices(idCol); edges(srcCol, dstCol), treated as undirected.
-    * Returns (idCol, component). Each round applies TWO propagation hops,
-    * so maxIter=16 covers components of diameter 32; convergence is
+    * Returns (idCol, component). Each round applies TWO propagation hops
+    * and convergence needs one fully-quiet round, so maxIter=16 covers
+    * components of diameter up to 2·maxIter − 2 = 30; convergence is
     * checked every round, so the bound is never paid on real dedup graphs.
     *
     * Only edge-incident vertices iterate: an isolated vertex (the vast
@@ -29,14 +30,18 @@ object ConnectedComponents {
   def labelPropagate(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 16): DataFrame = {
-    // EAGERLY materialize the directed edge list (localCheckpoint, not a
+    // EAGERLY materialize the directed edge list (persist + count, not a
     // lazy persist): the union below reads it via two branches that can run
     // as parallel stages, and a lazily-cached frame races them past the
     // unfilled cache — dd06's whole LSH candidate generation ran twice
-    // that way. One blocking materialization, then both orientations are
-    // projections of stored blocks.
+    // that way. The blocking count fills the cache first; the explicit
+    // unpersist below releases it deterministically (per-round checkpoint
+    // blocks, by contrast, are unreferenced after the loop and freed by
+    // the ContextCleaner — the standard lifetime for iterative
+    // localCheckpoint state).
     val directed = edges
-      .select(col(srcCol).as("__s"), col(dstCol).as("__d")).localCheckpoint(true)
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d")).persist()
+    directed.count()
     val undirected = directed.unionByName(
       directed.select(col("__d").as("__s"), col("__s").as("__d")))
 
@@ -79,7 +84,8 @@ object ConnectedComponents {
     // converge in a handful of rounds; a hit here means raise maxIter.
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds — " +
-        "a component's diameter exceeds maxIter; raise it")
+        "a component's diameter exceeds 2*maxIter - 2; raise maxIter")
+    directed.unpersist()
     // stitch the isolated vertices back: component = own id
     vertices.join(labels, Seq(idCol), "left")
       .select(col(idCol),

@@ -17,6 +17,16 @@ import graft.queries.QueryUtils.{hex8, hex8Sql}
   */
 object TextOps {
 
+  /** PII patterns, shared between ta06 and PiiRedactSpec's RE2-parity pin
+    * so the spec cannot silently drift from the query. Keep them in the
+    * Java/RE2-common regex subset (no backrefs, no lookarounds) — the
+    * DuckDB oracle replays them verbatim. */
+  object Pii {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+  }
+
   /** DuckDB CTE producing (doc_id, s) distinct word-3gram shingles —
     * oracle twin of [[Text.shingles]]. */
   private val shinglesCte =
@@ -178,19 +188,43 @@ object TextOps {
       .distinct()
   }
 
-  /** Oracle twin of [[lshCandidates]] (shingles → sig → bands → cand CTEs),
-    * shared by dd05/dd06. */
-  private val lshCandCte = {
+  /** Candidates-first exact verification: intersection count + both set
+    * sizes per LSH candidate pair — each pair pulls exactly its two
+    * shingle sets, so the work is Σ_cand(|doc| shingles), never the
+    * Σ|shingle-bucket|² all-pairs space LSH exists to avoid. Shared by
+    * dd05 (jaccard output) and pp01 (≥ threshold drop). */
+  private def interCounts(sized: DataFrame, cand: DataFrame): DataFrame = {
+    val hashed = sized.select(col("doc_id"), col("sz"), xxhash64(col("sh")).as("h"))
+    val left = hashed.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("h"))
+    val right = hashed.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("h"))
+    cand.join(left, Seq("d1"))
+      .join(right, Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+  }
+
+  /** Oracle twin of [[lshCandidates]] over shingle CTE `shName`, emitting
+    * sig/bands/cand CTEs with `suffix` appended (so one statement can use
+    * two instantiations). Shared by dd05/dd06/pp01. */
+  private def lshCandCteOver(shName: String, suffix: String): String = {
     val sigs = (0 until 8).map(i => s"min(${hex8Sql(s"'$i:' || s")}) AS sig$i").mkString(", ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bkey FROM sig")
+      s"SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bkey FROM sig$suffix")
       .mkString("\n  UNION ALL ")
-    s"""$shinglesCte,
-       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows),
-       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+    s"""sig$suffix AS (SELECT doc_id, $sigs FROM $shName GROUP BY doc_id),
+       |bands$suffix AS ($bandRows),
+       |cand$suffix AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands$suffix x JOIN bands$suffix y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  /** Oracle twin of [[interCounts]] over `shName`/`cand$suffix`. */
+  private def interCteOver(shName: String, suffix: String): String =
+    s"""i$suffix AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM cand$suffix JOIN $shName a ON d1 = a.doc_id JOIN $shName b ON d2 = b.doc_id AND a.s = b.s
+       |  GROUP BY d1, d2)""".stripMargin
+
+  private val lshCandCte = s"$shinglesCte,\n${lshCandCteOver("sh", "")}"
 
   /** dd05 — end-to-end MinHash+LSH dedup: docs pair up iff they share an
     * LSH band (the bucket join — the only shuffle key at scale), then each
@@ -200,21 +234,7 @@ object TextOps {
   private def dd05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sized = shingled(s, d)
-    val cand = lshCandidates(sized)
-    // candidates-first verification — the same shape as the oracle SQL and
-    // the only shape that survives 100 TB: each LSH candidate pair pulls
-    // exactly its two shingle sets, so intersection work is
-    // Σ_cand(|doc| shingles), never the Σ|shingle-bucket|² all-pairs space
-    // that LSH exists to avoid. (dd02 keeps the exchange-shared all-pairs
-    // form as the small-N/no-LSH variant.)
-    val hashed = sized.select($"doc_id", $"sz", xxhash64($"sh").as("h"))
-    val left = hashed.select($"doc_id".as("d1"), $"sz".as("sz1"), $"h")
-    val right = hashed.select($"doc_id".as("d2"), $"sz".as("sz2"), $"h")
-    val inter = cand.join(left, Seq("d1"))
-      .join(right, Seq("d2", "h"))
-      .groupBy($"d1", $"d2")
-      .agg(count(lit(1)).as("inter"),
-        first($"sz1").as("sz1"), first($"sz2").as("sz2"))
+    val inter = interCounts(sized, lshCandidates(sized))
     inter.select($"d1", $"d2",
         ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
       .orderBy($"d1", $"d2")
@@ -222,9 +242,7 @@ object TextOps {
   private val dd05Sql =
     s"""WITH $lshCandCte,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       |i AS (SELECT d1, d2, COUNT(*) AS inter
-       |  FROM cand JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id AND a.s = b.s
-       |  GROUP BY d1, d2)
+       |${interCteOver("sh", "")}
        |SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
        |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |ORDER BY d1, d2""".stripMargin
@@ -399,19 +417,21 @@ object TextOps {
     * pass a training pipeline runs before export, at corpus scale. */
   private def dd07(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sized = shingled(s, d)
+    // materialize the shingle pass once — the bench set and the corpus
+    // probe are two consumers of it
+    val sized = shingled(s, d).localCheckpoint(true)
     val bench = sized.filter($"doc_id" < 20)
-      .select($"sh").distinct()
-    val hits = sized.filter($"doc_id" >= 20)
-      .join(broadcast(bench), Seq("sh"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      .select($"sh").distinct().withColumn("__hit", lit(1))
+    // single corpus pass: left-join the broadcast bench set (unique sh →
+    // no fanout) and count hits and carry sz in ONE aggregation
     sized.filter($"doc_id" >= 20)
-      .select($"doc_id", $"sz").distinct()
-      .join(hits, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
-        (coalesce($"n_overlap", lit(0L)).cast("double") / $"sz").as("contamination"))
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(first($"sz").as("sz"),
+        sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_overlap"))
       .filter($"n_overlap" > 0)
+      .select($"doc_id", $"n_overlap",
+        ($"n_overlap".cast("double") / $"sz").as("contamination"))
       .orderBy($"contamination".desc, $"doc_id")
   }
   private val dd07Sql =
@@ -433,9 +453,7 @@ object TextOps {
     * redacted text. */
   private def ta06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-    val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+    import Pii.{email, ip, phone}
     // Column API only: routing the pattern through expr()'s SQL literal
     // would apply SQL-string escaping and silently turn \b into a
     // backspace character (PiiRedactSpec pins this)
@@ -470,10 +488,14 @@ object TextOps {
   private def pp01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val t = Text.tokens($"text")
-    // stage 1 — quality: ≥ 20 tokens and ≥ 0.3 distinct-token ratio
-    val q1 = docs.filter(size(t) >= 20 &&
-      size(array_distinct(t)).cast("double") / size(t) >= 0.3)
+    // stage 1 — quality: ≥ 20 tokens and ≥ 0.3 distinct-token ratio.
+    // Tokenize ONCE into a projected column: lambda expressions get no
+    // subexpression elimination, so referencing Text.tokens three times
+    // inside one predicate would tokenize every row three times.
+    val q1 = docs.withColumn("__t", Text.tokens($"text"))
+      .filter(size($"__t") >= 20 &&
+        size(array_distinct($"__t")).cast("double") / size($"__t") >= 0.3)
+      .drop("__t")
     // stage 2 — exact dedup: min doc_id per content hash survives
     val q2 = q1
       .withColumn("__k", min($"doc_id").over(Window.partitionBy(md5($"text"))))
@@ -487,12 +509,7 @@ object TextOps {
       .select($"doc_id", Text.shingles($"text", 3).as("arr"))
       .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
       .localCheckpoint(true)
-    val cand2 = lshCandidates(sized2)
-    val left2 = sized2.select($"doc_id".as("d1"), $"sz".as("sz1"), xxhash64($"sh").as("h"))
-    val right2 = sized2.select($"doc_id".as("d2"), $"sz".as("sz2"), xxhash64($"sh").as("h"))
-    val nearDrop = cand2.join(left2, Seq("d1")).join(right2, Seq("d2", "h"))
-      .groupBy($"d1", $"d2")
-      .agg(count(lit(1)).as("inter"), first($"sz1").as("sz1"), first($"sz2").as("sz2"))
+    val nearDrop = interCounts(sized2, lshCandidates(sized2))
       .filter($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter") >= 0.5)
       .select($"d2".as("doc_id")).distinct()
     val q3 = q2.join(nearDrop, Seq("doc_id"), "left_anti")
@@ -512,10 +529,6 @@ object TextOps {
       .orderBy($"doc_id")
   }
   private val pp01Sql = {
-    val sigs2 = (0 until 8).map(i => s"min(${hex8Sql(s"'$i:' || s")}) AS sig$i").mkString(", ")
-    val bandRows2 = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(CAST(sig${2 * b} AS VARCHAR) || ':' || CAST(sig${2 * b + 1} AS VARCHAR)) AS bkey FROM sig2")
-      .mkString("\n  UNION ALL ")
     s"""WITH $shinglesCte,
        |t2 AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
        |q1 AS (SELECT doc_id, text FROM t2
@@ -525,13 +538,8 @@ object TextOps {
        |  WHERE doc_id = k),
        |sh2 AS (SELECT sh.doc_id, s FROM sh JOIN q2 USING (doc_id)),
        |sz2 AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
-       |sig2 AS (SELECT doc_id, $sigs2 FROM sh2 GROUP BY doc_id),
-       |bands2 AS ($bandRows2),
-       |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM bands2 x JOIN bands2 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |i2 AS (SELECT d1, d2, COUNT(*) AS inter
-       |  FROM cand2 JOIN sh2 a ON d1 = a.doc_id JOIN sh2 b ON d2 = b.doc_id AND a.s = b.s
-       |  GROUP BY d1, d2),
+       |${lshCandCteOver("sh2", "2")},
+       |${interCteOver("sh2", "2")},
        |drop2 AS (SELECT DISTINCT d2 AS doc_id FROM i2
        |  JOIN sz2 s1 ON d1 = s1.doc_id JOIN sz2 s2 ON d2 = s2.doc_id
        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),

@@ -40,4 +40,19 @@ class BandJoinSpec extends AnyFunSuite with SparkSpec {
     } yield (i, j)).toSet
     assert(pairs(rows, 7L) == expected)
   }
+
+  test("buckets stay exact at 2^60 scale (nanosecond epochs) and for negatives") {
+    // double division's ulp at 2^60 is 256 — a float bucket would misplace
+    // rows near boundaries and silently drop pairs
+    val base = 1L << 60
+    val rows = (1L to 30L).map(i => ("u", i, base + i * 3L))
+    val expected = (for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (j - i) * 3L <= 7L
+    } yield (i, j)).toSet
+    assert(pairs(rows, 7L) == expected)
+    // negative values floor (not truncate) into buckets
+    assert(pairs(Seq(("u", 1L, -1500L), ("u", 2L, -800L)), 1000L) == Set((1L, 2L)))
+    assert(pairs(Seq(("u", 1L, -2500L), ("u", 2L, -800L)), 1000L) == Set.empty)
+  }
 }

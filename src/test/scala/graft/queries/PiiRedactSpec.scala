@@ -12,9 +12,11 @@ import graft.SparkSpec
   * before the oracle ever could. */
 class PiiRedactSpec extends AnyFunSuite with SparkSpec {
 
-  private val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  private val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+  // the exact patterns ta06 ships — referencing them (not copies) means a
+  // pattern change re-runs this parity pin against the new regexes
+  private val email = TextOps.Pii.email
+  private val ip = TextOps.Pii.ip
+  private val phone = TextOps.Pii.phone
 
   test("counts and redaction match the RE2/DuckDB reference on matching text") {
     import spark.implicits._
