@@ -74,6 +74,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(allExchanges(p).forall(l => !l.contains("text#") && !l.contains("(sh#") && !l.contains(" sh#")))
   }
 
+  test("q39: band join stays an equi join on (key, bucket) — never theta") {
+    val p = plan("q39_band_join")
+    // the bucket trick's whole point: a |v1-v2|<=band predicate must not
+    // plan as a per-key cross join
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val joins = p.linesIterator.filter(_.contains("Join [")).toSeq
+    assert(joins.nonEmpty && joins.forall(l => l.contains("key#") && l.contains("probe#")))
+  }
+
+  test("vs05: centroid sums partial-aggregate before the exchange") {
+    val p = plan("vs05_centroid_sums")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+    val hx = hashExchanges(p)
+    assert(hx.nonEmpty && hx.forall(l => l.contains("label#") && l.contains("dim#")))
+  }
+
   test("dd05: candidates-first verify — no all-pairs shingle join survives") {
     val p = plan("dd05_lsh_dedup")
     // old shape: unfiltered h==h self-join aggregate, then a LeftSemi filter
