@@ -115,6 +115,19 @@ object Streams {
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
   }
 
+  /** dd01's streaming twin: exact dedup on a document stream by content
+    * digest. dropDuplicatesWithinWatermark keeps one row per key and —
+    * unlike a bare dropDuplicates, whose state grows forever — expires a
+    * key's state once the watermark passes it, so state is bounded by the
+    * dedup window instead of the stream's lifetime. The digest is
+    * computed first so state stores 32-byte keys, never document bodies
+    * (the same never-ship-the-body rule as the batch dedup shuffles). */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */

@@ -110,6 +110,23 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((100L, 200L), (100L, 201L), (101L, 202L)))
   }
 
+  test("dedupStream keeps one row per content hash with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.dedupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"), (3L, ts(2), "beta"))
+    q.processAllAvailable()
+    // same content arriving within the watermark window stays deduped
+    mem.addData((4L, ts(3), "alpha"), (5L, ts(4), "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup").select("text").collect().map(_.getString(0))
+    assert(texts.sorted.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("late within-watermark event does not split the open session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
