@@ -13,7 +13,7 @@ import graft.queries.Catalog
   *    q06 (anti = S9 FK check), q25 (semi/IN), q31 (scalar subquery),
   *    q33 (as-of join, graft.operators.AsofJoin)
   *  - §2.4 aggregations: q01, q26 (A1 quality counters), q28, q13/q14
-  *    (rollup/cube), q30 (collect/listagg), q32 (pivot), q34 (JSON extract)
+  *    (rollup/cube), q30 (collect/listagg), q32 (pivot), q40 (unpivot), q34 (JSON extract)
   *  - §2.5 window/sort/limit/set ops: q07, q08, q09, q10, q11, q12,
   *    q38 (time-RANGE frame)
   *  - §2.6 scalar-function bank: q18 (F6/F10/F11), q19 (F1), q20 (F3),

@@ -820,6 +820,33 @@ object Relational {
       |  AND b.tsec - a.tsec <= 300
       |ORDER BY a.user_id, e1, e2""".stripMargin
 
+  /** q40 — unpivot (melt): q32's wide day-of-week counts back to long
+    * (event_type, day, n) form via the Dataset.unpivot API — the
+    * wide→long reshape that pairs with pivot's long→wide. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    events(s, d)
+      .withColumn("dow", date_format($"ts", "E"))
+      .groupBy($"event_type")
+      .pivot("dow", days)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array($"event_type"), days.map(col).toArray, "day", "n")
+      .orderBy($"event_type", $"day")
+  }
+  private val q40Sql = {
+    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    val cols = days.map(dy =>
+      s"CAST(COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS BIGINT) AS \"$dy\"")
+      .mkString(", ")
+    val arms = days.map(dy => s"SELECT event_type, '$dy' AS day, \"$dy\" AS n FROM p")
+      .mkString("\nUNION ALL ")
+    s"""WITH p AS (SELECT event_type, $cols FROM events GROUP BY event_type)
+       |$arms
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -860,5 +887,6 @@ object Relational {
     Q("q37_having_join_back", "HAVING agg joined back to detail", q37, Some(q37Sql)),
     Q("q38_range_window", "per-user rolling 30-min RANGE-frame sum", q38, Some(q38Sql)),
     Q("q39_band_join", "same-user event pairs within 5 min (bucketed band join)", q39, Some(q39Sql)),
+    Q("q40_unpivot", "wide day-of-week counts melted back to long form", q40, Some(q40Sql)),
   )
 }
