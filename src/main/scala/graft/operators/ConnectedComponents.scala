@@ -26,22 +26,30 @@ object ConnectedComponents {
     * Only edge-incident vertices iterate: an isolated vertex (the vast
     * majority of a deduped corpus) can never change label, so it joins the
     * result through one final map-side stitch instead of riding every
-    * round. The per-round work scales with the dup graph, not the corpus. */
+    * round. The per-round work scales with the dup graph, not the corpus.
+    *
+    * `materialize` is the checkpoint strategy for the edge list and each
+    * round's labels. The default, eager localCheckpoint, is the fast path
+    * but is NOT recoverable on executor loss (lineage is truncated); on a
+    * cluster with spot/decommissioning executors pass
+    * `_.checkpoint(eager = true)` (requires `sc.setCheckpointDir`) for
+    * reliable storage — the algorithm is unchanged. */
   def labelPropagate(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
-      maxIter: Int = 16): DataFrame = {
-    // EAGERLY materialize the directed edge list (localCheckpoint, not a
-    // lazy persist): the union below reads it via two branches that can run
+      maxIter: Int = 16,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    // EAGERLY materialize the directed edge list (checkpoint, not a lazy
+    // persist): the union below reads it via two branches that can run
     // as parallel stages, and a lazily-cached frame races them past the
     // unfilled cache — dd06's whole LSH candidate generation ran twice
     // that way. Checkpoint-block reads also measure ~35% faster per round
-    // than InMemoryRelation scans here. Lifetime: these blocks (like each
-    // round's) are freed by the ContextCleaner once the frame is
-    // unreferenced — the standard lifetime for iterative checkpoint state;
-    // long-lived sessions calling this repeatedly rely on driver GC, not
-    // an explicit unpersist.
-    val directed = edges
-      .select(col(srcCol).as("__s"), col(dstCol).as("__d")).localCheckpoint(true)
+    // than InMemoryRelation scans here. Lifetime: local-checkpoint blocks
+    // (like each round's) are freed by the ContextCleaner once the frame
+    // is unreferenced — the standard lifetime for iterative checkpoint
+    // state; long-lived sessions calling this repeatedly rely on driver
+    // GC, not an explicit unpersist.
+    val directed = materialize(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")))
     val undirected = directed.unionByName(
       directed.select(col("__d").as("__s"), col("__s").as("__d")))
 
@@ -71,8 +79,8 @@ object ConnectedComponents {
       // logical plan doubles per round — exponential analysis cost long
       // before any data is big. On a cluster with an unreliable-executor
       // profile, swap for reliable checkpoint(); the algorithm is unchanged.
-      val next = hop(hop(labels.withColumn("__old", col("component"))))
-        .localCheckpoint(true)
+      val next = materialize(
+        hop(hop(labels.withColumn("__old", col("component")))))
       // one scalar action on the checkpointed frame: did any label move?
       converged = next.filter(col("component") =!= col("__old")).isEmpty
       labels = next.drop("__old")

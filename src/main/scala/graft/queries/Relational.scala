@@ -623,26 +623,32 @@ object Relational {
        |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  /** q32 — pivot: event counts per user day-of-week, one column per
-    * weekday (fixed column set keeps the shape deterministic). */
-  private def q32(s: SparkSession, d: String): DataFrame = {
+  /** One weekday list + one wide pivot, shared by q32 (pivot) and q40
+    * (unpivot) on both engines — the reshape pair derives from a single
+    * definition so a day-handling change cannot silently split them. */
+  private val weekdays = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+  private def dowPivot(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     events(s, d)
       .withColumn("dow", date_format($"ts", "E"))
       .groupBy($"event_type")
-      .pivot("dow", Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"))
+      .pivot("dow", weekdays)
       .agg(count(lit(1)))
       .na.fill(0L)
-      .orderBy($"event_type")
   }
-  private val q32Sql = {
-    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
-    val cols = days.map(dy =>
-      s"CAST(COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS BIGINT) AS \"$dy\"")
-      .mkString(", ")
-    s"""SELECT event_type, $cols FROM events
+  private val dowPivotColsSql = weekdays.map(dy =>
+    s"CAST(COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS BIGINT) AS \"$dy\"")
+    .mkString(", ")
+
+  /** q32 — pivot: event counts per user day-of-week, one column per
+    * weekday (fixed column set keeps the shape deterministic). */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dowPivot(s, d).orderBy($"event_type")
+  }
+  private val q32Sql =
+    s"""SELECT event_type, $dowPivotColsSql FROM events
        |GROUP BY event_type ORDER BY event_type""".stripMargin
-  }
 
   /** q33 — as-of join (graft.operators.AsofJoin): each purchase event
     * picks up the latest click at-or-before it per user. Right side is
@@ -822,27 +828,18 @@ object Relational {
 
   /** q40 — unpivot (melt): q32's wide day-of-week counts back to long
     * (event_type, day, n) form via the Dataset.unpivot API — the
-    * wide→long reshape that pairs with pivot's long→wide. */
+    * wide→long reshape that pairs with pivot's long→wide, built from the
+    * same [[dowPivot]] definition. */
   private def q40(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
-    events(s, d)
-      .withColumn("dow", date_format($"ts", "E"))
-      .groupBy($"event_type")
-      .pivot("dow", days)
-      .agg(count(lit(1)))
-      .na.fill(0L)
-      .unpivot(Array($"event_type"), days.map(col).toArray, "day", "n")
+    dowPivot(s, d)
+      .unpivot(Array($"event_type"), weekdays.map(col).toArray, "day", "n")
       .orderBy($"event_type", $"day")
   }
   private val q40Sql = {
-    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
-    val cols = days.map(dy =>
-      s"CAST(COALESCE(SUM(CASE WHEN strftime(ts, '%a') = '$dy' THEN 1 ELSE 0 END), 0) AS BIGINT) AS \"$dy\"")
-      .mkString(", ")
-    val arms = days.map(dy => s"SELECT event_type, '$dy' AS day, \"$dy\" AS n FROM p")
+    val arms = weekdays.map(dy => s"SELECT event_type, '$dy' AS day, \"$dy\" AS n FROM p")
       .mkString("\nUNION ALL ")
-    s"""WITH p AS (SELECT event_type, $cols FROM events GROUP BY event_type)
+    s"""WITH p AS (SELECT event_type, $dowPivotColsSql FROM events GROUP BY event_type)
        |$arms
        |ORDER BY event_type, day""".stripMargin
   }
