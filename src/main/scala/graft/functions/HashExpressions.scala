@@ -40,12 +40,21 @@ final case class Md5Fold32(child: Expression) extends UnaryExpression {
 }
 
 object Md5Fold32 {
+  // MessageDigest.getInstance per call is a measurable share of the
+  // ~50M-call MinHash hot path this expression exists to speed up; MD5
+  // instances are not thread-safe, so cache one per executor thread.
+  // digest() resets the instance after completing; the explicit reset()
+  // guards against a previous partially-fed, aborted update.
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Big-endian unsigned fold of the first 4 md5 digest bytes — equal to
     * parsing the first 8 hex chars of the hex digest. Called from
-    * generated code; commons-codec is on Spark's classpath and is what
-    * Spark's own md5 expression uses. */
+    * generated code. */
   def fold(bytes: Array[Byte]): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(bytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }

@@ -2,20 +2,41 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
-/** Connected components by min-label propagation — the step that turns a
-  * near-dup *pair* list (LSH candidates, dd05) into dedup *groups*: every
-  * document gets `component` = the smallest doc id reachable through the
-  * pair graph, so "keep one per group" is `component == id`.
+/** Connected components — the step that turns near-dup *pair* lists or
+  * LSH *bucket memberships* into dedup *groups*: every document gets
+  * `component` = the smallest doc id reachable through the graph, so
+  * "keep one per group" is `component == id`.
   *
-  * Each round is one join + one map-side-combinable min aggregate keyed on
-  * vertex ids (never on payloads), and the smallest label floods a
-  * component in O(diameter) rounds — near-dup clusters are shallow (dups of
-  * one source), so this converges in a handful of rounds at any scale. The
-  * driver-side loop is control flow only: one `count()` action per round
-  * reads a single aggregate, no data is collected.
+  * Two algorithms, one contract:
+  *
+  *  - [[labelPropagate]] — generic edge-list input (any pair source).
+  *  - [[bipartite]] — item–bucket membership input, the LSH-native form.
+  *    LSH candidates are cliques per bucket: materializing them as pairs
+  *    costs k(k−1)/2 edges for a k-doc bucket (quadratic in exactly the
+  *    hot buckets that are the skew risk at 100 TB), while the membership
+  *    table stays k rows and the per-bucket min is one map-side-combinable
+  *    aggregate. Same components, strictly less work — preferred whenever
+  *    the graph came from bucketing.
+  *
+  * Every round is joins + min aggregates keyed on vertex/bucket ids (never
+  * on payloads); the smallest label floods a component in O(diameter)
+  * propagation hops, and near-dup clusters are shallow (dups of one
+  * source), so a handful of materialized rounds suffices at any scale. The
+  * driver-side loop is control flow only — each round reads one empty/
+  * non-empty signal, no data is collected.
   */
 object ConnectedComponents {
+
+  private val debug = sys.env.contains("GRAFT_CC_DEBUG")
+  private def timed[T](label: String)(f: => T): T =
+    if (!debug) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
   /** vertices(idCol); edges(srcCol, dstCol), treated as undirected.
     * Returns (idCol, component). Each round applies TWO propagation hops
@@ -43,13 +64,9 @@ object ConnectedComponents {
     // as parallel stages, and a lazily-cached frame races them past the
     // unfilled cache — dd06's whole LSH candidate generation ran twice
     // that way. Checkpoint-block reads also measure ~35% faster per round
-    // than InMemoryRelation scans here. Lifetime: local-checkpoint blocks
-    // (like each round's) are freed by the ContextCleaner once the frame
-    // is unreferenced — the standard lifetime for iterative checkpoint
-    // state; long-lived sessions calling this repeatedly rely on driver
-    // GC, not an explicit unpersist.
-    val directed = materialize(
-      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")))
+    // than InMemoryRelation scans here.
+    val directed = timed("edges materialize")(materialize(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))))
     val undirected = directed.unionByName(
       directed.select(col("__d").as("__s"), col("__s").as("__d")))
 
@@ -67,6 +84,7 @@ object ConnectedComponents {
 
     var labels = undirected.select(col("__s").as(idCol)).distinct()
       .select(col(idCol), col(idCol).as("component"))
+    var retired: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -77,12 +95,17 @@ object ConnectedComponents {
       // localCheckpoint (not persist): each round's plan references the
       // previous round's twice, so without truncating the lineage the
       // logical plan doubles per round — exponential analysis cost long
-      // before any data is big. On a cluster with an unreliable-executor
-      // profile, swap for reliable checkpoint(); the algorithm is unchanged.
-      val next = materialize(
-        hop(hop(labels.withColumn("__old", col("component")))))
+      // before any data is big.
+      val next = timed(s"round $iter materialize")(materialize(
+        hop(hop(labels.withColumn("__old", col("component"))))))
       // one scalar action on the checkpointed frame: did any label move?
-      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      converged = timed(s"round $iter converge-check")(
+        next.filter(col("component") =!= col("__old")).isEmpty)
+      // the retired round fed `next` (now materialized) and the check —
+      // nothing references it anymore; free its blocks instead of leaving
+      // them pinned until driver GC + ContextCleaner get around to it
+      retired.foreach(Bridge.unpersistMaterialized)
+      retired = Some(next)
       labels = next.drop("__old")
       iter += 1
     }
@@ -93,9 +116,102 @@ object ConnectedComponents {
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds — " +
         "a component's diameter exceeds 2*maxIter - 2; raise maxIter")
+    // the loop is over: the labels checkpoint is self-contained, so the
+    // edge list's blocks can go too
+    Bridge.unpersistMaterialized(directed)
     // stitch the isolated vertices back: component = own id
     vertices.join(labels, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
+  }
+
+  /** Connected components over an item–bucket membership table: two items
+    * are connected iff they ever share a bucket. Returns (idCol, component
+    * = min reachable item id) for every item IN the table — callers stitch
+    * bucketless items back themselves (component = own id).
+    *
+    * One wave is item→bucket→item: each bucket takes the min label of its
+    * members (map-side-combinable min, one row per bucket no matter how
+    * hot), each item takes the min over its buckets — covering distance 2
+    * of the equivalent pair graph without ever materializing the pairs.
+    * The first materialized round floods THREE waves (labels are monotone
+    * non-increasing, so composing waves cannot overshoot the fixpoint);
+    * every later round is one wave, whose quiescence is a full convergence
+    * proof. maxIter=16 covers pair-graph diameters past 30; real LSH dedup
+    * graphs (chains of a few buckets) converge in 2 rounds, the second
+    * being the quiet one.
+    *
+    * `materialize` as in [[labelPropagate]]: eager localCheckpoint default,
+    * pass `_.checkpoint(true)` for executor-loss-recoverable rounds. */
+  def bipartite(members: DataFrame,
+      idCol: String = "id", bucketCol: String = "bucket",
+      maxIter: Int = 16,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    // distinct: duplicate memberships would only re-derive the same min,
+    // but they multiply every wave's join fanout. A single-member bucket
+    // cannot connect anything: pruning it (the window count — ONE shuffle,
+    // vs three for a groupBy + semi-join) keeps the iteration on
+    // bucket-SHARING items only — the dup graph, not the corpus (the
+    // overwhelmingly-isolated majority re-enters through the caller's
+    // stitch). Materialized once in one barrier — every round reads these
+    // blocks, never the upstream bucketing.
+    import org.apache.spark.sql.expressions.Window
+    val m = timed("members materialize")(materialize(
+      members.select(col(idCol).as("__i"), col(bucketCol).as("__b")).distinct()
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__b"))))
+        .filter(col("__n") >= 2).drop("__n")))
+
+    // one wave: bucket := min over members, item := min over its buckets.
+    // The item's own label rides through its buckets' minima (it is a
+    // member), so no separate self-union is needed.
+    def wave(ls: DataFrame): DataFrame = {
+      val bmin = m.join(ls, "__i")
+        .groupBy(col("__b")).agg(min(col("component")).as("__bc"))
+      m.join(bmin, "__b")
+        .groupBy(col("__i")).agg(min(col("__bc")).as("component"))
+    }
+    // final wave of a round: same propagation, but rides the incoming
+    // label alongside as __old so convergence is a filter on the
+    // materialized frame — no separate old-vs-new join job
+    def waveCarryOld(ls: DataFrame): DataFrame = {
+      val bmin = m.join(ls, "__i")
+        .groupBy(col("__b")).agg(min(col("component")).as("__bc"))
+      m.join(bmin, "__b")
+        .select(col("__i"), col("__bc").as("component"), lit(false).as("__isold"))
+        .unionByName(ls.select(col("__i"), col("component"), lit(true).as("__isold")))
+        .groupBy(col("__i"))
+        // min over {bucket minima} ∪ {old} = min over bucket minima (the
+        // old label already rode through its buckets); the union exists
+        // only to carry __old through the same aggregate
+        .agg(min(col("component")).as("component"),
+          max(when(col("__isold"), col("component"))).as("__old"))
+    }
+
+    var labels = m.select(col("__i")).distinct()
+      .select(col("__i"), col("__i").as("component"))
+    var retired: Option[DataFrame] = None
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // THREE waves in the first round (LSH chains observed at pair-graph
+      // diameter 5-6 even on small corpora), then ONE per round: labels
+      // are monotone non-increasing so extra waves cannot overshoot, the
+      // first round does the flooding, and a single quiet wave is a full
+      // convergence proof (one unchanged wave ⇒ fixpoint).
+      val waves = if (iter == 0) 2 else 0
+      val next = timed(s"round $iter materialize")(materialize(
+        waveCarryOld((1 to waves).foldLeft(labels)((ls, _) => wave(ls)))))
+      converged = timed(s"round $iter converge-check")(
+        next.filter(col("component") =!= col("__old")).isEmpty)
+      retired.foreach(Bridge.unpersistMaterialized)
+      retired = Some(next)
+      labels = next.drop("__old")
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds ~4*maxIter; raise maxIter")
+    Bridge.unpersistMaterialized(m)
+    labels.select(col("__i").as(idCol), col("component"))
   }
 }

@@ -157,20 +157,28 @@ object TextOps {
       |SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1.0 ELSE 0.0 END * power(2.0, bitpos)) AS BIGINT) AS simhash
       |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Default materialize strategy for the multi-consumer intermediates in
+    * the dedup/export pipelines: eager localCheckpoint — the fast path, but
+    * NOT recoverable on executor loss (lineage is truncated). On a cluster
+    * with spot/decommissioning executors pass `_.checkpoint(true)`
+    * (requires `sc.setCheckpointDir`) to [[lshDedup]]/[[dupClusters]]/
+    * [[contamination]]/[[exportPipeline]] — reliable storage, same results
+    * (TextOpsMaterializeSpec pins that). [[lshDedup]] alone defaults to
+    * `identity` instead — see its note. */
+  val localMaterialize: DataFrame => DataFrame = _.localCheckpoint(true)
+
   /** One row per (doc, shingle) with the doc's shingle-set size carried —
     * the single shingle pass feeding signatures AND exact verification. */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d)
-      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
-      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
-  }
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
 
-  /** LSH candidate pairs (d1 < d2): 8 MinHash signatures → 4 band keys per
-    * doc (one explode — a union of 4 selects would re-run the whole
-    * shingle→signature aggregation per band per join side), band-bucket
-    * self-join. The bucket key is the only shuffle key — the 100 TB path. */
-  private def lshCandidates(sized: DataFrame): DataFrame = {
+  /** 8 MinHash signatures → 4 LSH band keys per doc (one explode — a union
+    * of 4 selects would re-run the whole shingle→signature aggregation per
+    * band per consumer): (doc_id, band, bkey). The (band, bkey) bucket is
+    * the only shuffle key downstream — the 100 TB path. */
+  private def sigBands(sized: DataFrame): DataFrame = {
     // BIGINT signature folds (see dd03): hash-aggregatable min, 8×8 B per
     // doc over the wire instead of 8 hex strings
     val aggs = (0 until 8).map(i =>
@@ -178,15 +186,24 @@ object TextOps {
     val sigs = sized.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
       md5(concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))).as("bkey")))
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    bands.as("x").join(bands.as("y"),
+  }
+
+  /** LSH candidate pairs (d1 < d2) from the band table: band-bucket
+    * self-join. shuffle_hash on BOTH sides: the two branches then need the
+    * SAME (band, bkey) exchange, which ReusedExchange computes once — with
+    * the default broadcast plan the whole shingle→signature pipeline ran
+    * twice, once per join side (the dd02 lesson, re-learned here: this was
+    * 3 BroadcastExchanges and 4 scans of `documents` in dd05's executed
+    * plan). */
+  private def lshCandidates(bands: DataFrame): DataFrame =
+    bands.hint("shuffle_hash").as("x").join(bands.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-  }
 
   /** Candidates-first exact verification: intersection count + both set
     * sizes per LSH candidate pair — each pair pulls exactly its two
@@ -194,6 +211,11 @@ object TextOps {
     * Σ|shingle-bucket|² all-pairs space LSH exists to avoid. Shared by
     * dd05 (jaccard output) and pp01 (≥ threshold drop). */
   private def interCounts(sized: DataFrame, cand: DataFrame): DataFrame = {
+    // Shingles are equated by xxhash64 while the DuckDB oracle compares
+    // exact strings: a 64-bit collision between two DIFFERENT shingles of
+    // a candidate pair would overcount `inter`. P ≈ n²/2⁶⁵ per pair at
+    // n shingles per doc — astronomically unlikely, and the oracle gate
+    // would catch it; accepted in exchange for an 8-byte join key.
     val hashed = sized.select(col("doc_id"), col("sz"), xxhash64(col("sh")).as("h"))
     val left = hashed.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("h"))
     val right = hashed.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("h"))
@@ -231,14 +253,25 @@ object TextOps {
     * candidate pair is verified with exact shingle-set Jaccard. This is the
     * complete 100 TB near-dup flow: N docs → 4 band keys each → bucket
     * join → |candidates| ≪ N² exact verifications. */
-  private def dd05(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sized = shingled(s, d)
-    val inter = interCounts(sized, lshCandidates(sized))
-    inter.select($"d1", $"d2",
-        ($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter")).as("jaccard"))
-      .orderBy($"d1", $"d2")
+  def lshDedup(docs: DataFrame,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // Default identity: with a rescannable columnar source, re-deriving
+    // the shingle pass per consumer stays inside one job and overlaps
+    // fully (measured faster at bench scale than a checkpoint barrier),
+    // and the expensive signature aggregation is still computed once via
+    // the pinned ReusedExchange in lshCandidates. Shingling a 100 TB
+    // corpus three times is CPU the caller may not want to spend — pass
+    // `_.localCheckpoint(true)` (or reliable `_.checkpoint(true)`) to
+    // materialize the shingle pass once instead.
+    val sized = materialize(shingleRows(docs))
+    val inter = interCounts(sized, lshCandidates(sigBands(sized)))
+    inter.select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
   }
+  private def dd05(s: SparkSession, d: String): DataFrame =
+    lshDedup(documents(s, d))
   private val dd05Sql =
     s"""WITH $lshCandCte,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -247,22 +280,35 @@ object TextOps {
        |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |ORDER BY d1, d2""".stripMargin
 
-  /** dd06 — dedup groups: connected components over the LSH candidate
-    * pairs (graft.operators.ConnectedComponents min-label propagation), so
+  /** dd06 — dedup groups: connected components over the LSH graph, so
     * every doc gets the smallest doc_id of its near-dup cluster — the step
-    * that turns pair lists into "keep one per group". The DuckDB oracle
-    * computes the same fixpoint as a recursive CTE (min reachable id). */
-  private def dd06(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val cand = lshCandidates(shingled(s, d))
-    val docs = documents(s, d).select($"doc_id")
-    val labels = graft.operators.ConnectedComponents.labelPropagate(
-      docs, cand, idCol = "doc_id", srcCol = "d1", dstCol = "d2")
-    val sizes = labels.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    * that turns candidate generation into "keep one per group". Runs
+    * [[graft.operators.ConnectedComponents.bipartite]] directly on the
+    * doc↔band-bucket membership table: a bucket holding k docs is k rows
+    * here but would be k(k−1)/2 pair edges — materializing LSH candidate
+    * pairs before clustering is quadratic in exactly the hot buckets that
+    * are the skew risk at 100 TB, and connectivity through a shared bucket
+    * is identical either way. The DuckDB oracle computes the same fixpoint
+    * as a recursive CTE (min reachable id) over the pair form. */
+  def dupClusters(docs: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+    // no checkpoint on the shingle pass here: its single consumer chain
+    // (signatures → bands → memberships) is materialized once INSIDE
+    // bipartite(), so the pass runs exactly once anyway
+    val sized = shingleRows(docs)
+    val members = sigBands(sized)
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket"))
+    val comp = graft.operators.ConnectedComponents.bipartite(
+      members, idCol = "doc_id", bucketCol = "bucket", materialize = materialize)
+    val labels = docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
-      .select($"doc_id", $"component".as("cluster_id"), $"cluster_size")
-      .orderBy($"doc_id")
+      .select(col("doc_id"), col("component").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
   }
+  private def dd06(s: SparkSession, d: String): DataFrame =
+    dupClusters(documents(s, d))
   private val dd06Sql =
     s"""WITH RECURSIVE $lshCandCte,
        |e AS (SELECT d1 AS a, d2 AS b FROM cand UNION ALL SELECT d2 AS a, d1 AS b FROM cand),
@@ -415,25 +461,27 @@ object TextOps {
     * suite). The benchmark shingle set is tiny and broadcast; each corpus
     * doc needs only |its shingles| probe lookups — the decontamination
     * pass a training pipeline runs before export, at corpus scale. */
-  private def dd07(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def contamination(docs: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
     // materialize the shingle pass once — the bench set and the corpus
     // probe are two consumers of it
-    val sized = shingled(s, d).localCheckpoint(true)
-    val bench = sized.filter($"doc_id" < 20)
-      .select($"sh").distinct().withColumn("__hit", lit(1))
+    val sized = materialize(shingleRows(docs))
+    val bench = sized.filter(col("doc_id") < 20)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1))
     // single corpus pass: left-join the broadcast bench set (unique sh →
     // no fanout) and count hits and carry sz in ONE aggregation
-    sized.filter($"doc_id" >= 20)
+    sized.filter(col("doc_id") >= 20)
       .join(broadcast(bench), Seq("sh"), "left")
-      .groupBy($"doc_id")
-      .agg(first($"sz").as("sz"),
-        sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_overlap"))
-      .filter($"n_overlap" > 0)
-      .select($"doc_id", $"n_overlap",
-        ($"n_overlap".cast("double") / $"sz").as("contamination"))
-      .orderBy($"contamination".desc, $"doc_id")
+      .groupBy(col("doc_id"))
+      .agg(first(col("sz")).as("sz"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("sz")).as("contamination"))
+      .orderBy(col("contamination").desc, col("doc_id"))
   }
+  private def dd07(s: SparkSession, d: String): DataFrame =
+    contamination(documents(s, d))
   private val dd07Sql =
     s"""WITH $shinglesCte,
        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
@@ -485,49 +533,50 @@ object TextOps {
     * job the engine exists to run at 100 TB; every stage reuses the
     * per-operator kernels, and the whole chain is exactly replayed by the
     * DuckDB oracle. */
-  private def pp01(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = documents(s, d)
+  def exportPipeline(docs: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
     // stage 1 — quality: ≥ 20 tokens and ≥ 0.3 distinct-token ratio.
     // Tokenize ONCE into a projected column: lambda expressions get no
     // subexpression elimination, so referencing Text.tokens three times
     // inside one predicate would tokenize every row three times.
-    val q1 = docs.withColumn("__t", Text.tokens($"text"))
-      .filter(size($"__t") >= 20 &&
-        size(array_distinct($"__t")).cast("double") / size($"__t") >= 0.3)
+    val q1 = docs.withColumn("__t", Text.tokens(col("text")))
+      .filter(size(col("__t")) >= 20 &&
+        size(array_distinct(col("__t"))).cast("double") / size(col("__t")) >= 0.3)
       .drop("__t")
     // stage 2 — exact dedup: min doc_id per content hash survives
     val q2 = q1
-      .withColumn("__k", min($"doc_id").over(Window.partitionBy(md5($"text"))))
-      .filter($"doc_id" === $"__k").drop("__k")
+      .withColumn("__k", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__k")).drop("__k")
     // stage 3 — near-dup: LSH candidates among survivors, exact Jaccard
     // verify (candidates-first), drop the larger id of each ≥ 0.5 pair
     // the survivor shingle table feeds candidates, both verify sides,
     // contamination, and sizes — five consumers; materialize it once
     // (at 100 TB this is the natural persisted intermediate of the job)
-    val sized2 = q2
-      .select($"doc_id", Text.shingles($"text", 3).as("arr"))
-      .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh"))
-      .localCheckpoint(true)
-    val nearDrop = interCounts(sized2, lshCandidates(sized2))
-      .filter($"inter".cast("double") / ($"sz1" + $"sz2" - $"inter") >= 0.5)
-      .select($"d2".as("doc_id")).distinct()
+    val sized2 = materialize(shingleRows(q2))
+    val nearDrop = interCounts(sized2, lshCandidates(sigBands(sized2)))
+      .filter(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")) >= 0.5)
+      .select(col("d2").as("doc_id")).distinct()
     val q3 = q2.join(nearDrop, Seq("doc_id"), "left_anti")
     // stage 4 — decontamination vs the benchmark shingle set (full-corpus
-    // docs 0-19), broadcast probe like dd07
-    val bench = shingled(s, d).filter($"doc_id" < 20).select($"sh").distinct()
-    val sized3 = sized2.join(q3.select($"doc_id"), Seq("doc_id"), "left_semi")
+    // docs 0-19), broadcast probe like dd07. Filter BEFORE shingling: the
+    // bench set is 20 docs; the predicate reaches the parquet scan instead
+    // of shingling the whole corpus to keep 20 docs' worth.
+    val bench = shingleRows(docs.filter(col("doc_id") < 20))
+      .select(col("sh")).distinct()
+    val sized3 = sized2.join(q3.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val cont = sized3.join(broadcast(bench), Seq("sh"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
-    val szOf = sized3.select($"doc_id", $"sz").distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    val szOf = sized3.select(col("doc_id"), col("sz")).distinct()
     val q4 = q3.join(szOf, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
-      .filter(coalesce($"n_overlap", lit(0L)).cast("double") / $"sz" <= 0.5)
+      .filter(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("sz") <= 0.5)
     // stage 5 — deterministic 50% sample on the doc key
-    q4.filter(hex8($"doc_id".cast("string")) % 100 < 50)
-      .select($"doc_id", length($"text").as("n_chars"))
-      .orderBy($"doc_id")
+    q4.filter(hex8(col("doc_id").cast("string")) % 100 < 50)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
   }
+  private def pp01(s: SparkSession, d: String): DataFrame =
+    exportPipeline(documents(s, d))
   private val pp01Sql = {
     s"""WITH $shinglesCte,
        |t2 AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

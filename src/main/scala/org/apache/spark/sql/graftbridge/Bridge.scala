@@ -13,6 +13,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Free the storage blocks behind a checkpointed frame (localCheckpoint
+    * pins its RDD via persist; waiting for the ContextCleaner means every
+    * retired iteration round stays pinned until driver GC). No-op for
+    * frames that are not checkpoint-backed, so callers can apply it to
+    * whatever a caller-supplied materialize strategy produced. */
+  def unpersistMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Register a native-expression SQL function on a LIVE session (the
     * extensions path only applies to sessions built with withExtensions). */
   def registerFunction(spark: SparkSession, name: String,
