@@ -3,6 +3,8 @@ package graft.wells
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicReference
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -13,34 +15,72 @@ import org.apache.spark.sql.SparkSession
   * dependencies. The engine owns the query ([[WellsQuery]]); this layer
   * only maps routes to bytes:
   *
-  *   GET /wells  → JSON array from WellsQuery.wellsJson (re-reads the
-  *                 parquet snapshot per request, like the reference
-  *                 re-queries MySQL per request — a load can swap the
-  *                 snapshot underneath and the next request sees it)
+  *   GET /wells  → JSON array from WellsQuery.wellsJson, served from an
+  *                 in-memory payload cache — NOT a Spark job per request.
+  *                 The cache key is the snapshot token (the parquet table
+  *                 directories' modification times): `MergeWriter
+  *                 .overwriteAtomic` publishes a new snapshot by directory
+  *                 rename, which bumps the token, so the next request
+  *                 recomputes — the reference's read-your-load semantics
+  *                 (a load swaps the table, the next query sees it) at a
+  *                 directory-stat per request instead of a query. The
+  *                 token also moves when OTHER processes swap the
+  *                 snapshot — an in-process invalidation callback would
+  *                 miss the CLI `load` running in its own JVM.
   *   GET /       → static/index.html   (when a static dir is configured)
   *   GET /map    → static/map.html
   *   GET /<file> → static asset, traversal-guarded
+  *
+  * Requests run on a cached thread pool (daemon threads): the default
+  * zero-executor HttpServer dispatches everything on one thread, where a
+  * single slow /wells recompute would block the static routes too.
   */
 object Serve {
+
+  private final case class Cached(token: (Long, Long), body: Array[Byte])
 
   /** Bind and start; port 0 picks an ephemeral port (tests). The returned
     * server's actual port is `getAddress.getPort`. */
   def start(spark: SparkSession, tableRoot: String, port: Int,
       staticDir: Option[String]): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val cache = new AtomicReference[Cached]()
+
+    // snapshot identity: modification times of the two table directories.
+    // A rename-publish (MergeWriter.overwriteAtomic) changes both; a
+    // missing table reads as -1 and the query below reports the error.
+    def snapshotToken(): (Long, Long) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def m(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        try path.getFileSystem(conf).getFileStatus(path).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
+      }
+      (m(s"$tableRoot/well_info"), m(s"$tableRoot/well_stimulation"))
+    }
+
+    def wellsPayload(): Array[Byte] = {
+      // token BEFORE the read: if a swap lands mid-read, the stored entry
+      // carries the pre-swap token and the next request recomputes
+      val token = snapshotToken()
+      val c = cache.get()
+      if (c != null && c.token == token) c.body
+      else {
+        val info = spark.read.parquet(s"$tableRoot/well_info")
+        val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
+        val body = WellsQuery.wellsJson(info, stim)
+          .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+        cache.set(Cached(token, body))
+        body
+      }
+    }
 
     server.createContext("/wells", (ex: HttpExchange) =>
       handle(ex) {
         // JDK contexts are longest-prefix matched; Flask routes are exact —
         // /wellsfoo and /wells/1 must 404, not leak the full payload
         if (ex.getRequestURI.getPath != "/wells") notFound
-        else {
-          val info = spark.read.parquet(s"$tableRoot/well_info")
-          val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
-          val body = WellsQuery.wellsJson(info, stim)
-            .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
-          (200, "application/json", body)
-        }
+        else (200, "application/json", wellsPayload())
       })
 
     server.createContext("/", (ex: HttpExchange) =>
@@ -68,6 +108,13 @@ object Serve {
         }
       })
 
+    // daemon threads: the server must not pin the JVM open after the
+    // caller's main exits (the CLI stops it explicitly; tests stop(0))
+    server.setExecutor(Executors.newCachedThreadPool { (r: Runnable) =>
+      val t = new Thread(r, "graft-serve")
+      t.setDaemon(true)
+      t
+    })
     server.start()
     server
   }
@@ -89,8 +136,12 @@ object Serve {
     val (status, mime, body) =
       try f
       catch { case e: Exception =>
+        // the exception goes to the server log only: messages carry
+        // filesystem paths and Spark internals no HTTP client should see
+        System.err.println(s"[serve] ${ex.getRequestURI.getPath} failed: $e")
+        e.printStackTrace()
         (500, "text/plain",
-          s"error: ${e.getMessage}".getBytes(StandardCharsets.UTF_8))
+          "internal error".getBytes(StandardCharsets.UTF_8))
       }
     try {
       ex.getResponseHeaders.set("Content-Type", mime)

@@ -62,4 +62,62 @@ class ServeSpec extends AnyFunSuite with SparkSpec {
       assert(get(port, "/").statusCode() == 404)
     } finally server.stop(0)
   }
+
+  test("/wells is served from cache (no Spark job per request) and a " +
+      "snapshot swap invalidates it") {
+    // a fresh table root so the other tests' cache state can't interfere
+    val dir = Files.createTempDirectory("wells-serve-cache").toString
+    Loader.run(spark, "/root/reference/well_header.csv",
+      "/root/reference/well_stimulation.csv", dir)
+    Enrichment.run(spark, dir)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // listener events are delivered async: wait until the counter has been
+    // quiet for a few polls before reading it
+    def settled(): Int = {
+      var last = -1
+      var cur = jobs.get()
+      while (cur != last) { Thread.sleep(150); last = cur; cur = jobs.get() }
+      cur
+    }
+    val server = Serve.start(spark, dir, 0, None)
+    try {
+      val port = server.getAddress.getPort
+      val first = get(port, "/wells")
+      assert(first.statusCode() == 200)
+      val afterFirst = settled()
+      assert(afterFirst > 0) // the first request did run the query
+
+      val second = get(port, "/wells")
+      assert(second.statusCode() == 200 && second.body() == first.body())
+      assert(settled() == afterFirst) // cache hit: zero new Spark jobs
+
+      // snapshot swap via the engine's own atomic publish: drop one well,
+      // overwrite well_info in place — the directory rename bumps the
+      // cache token, so the NEXT request recomputes and sees the new data
+      import org.apache.spark.sql.functions.col
+      val info = spark.read.parquet(s"$dir/well_info")
+      // drop a well that /wells actually serves (coords present), so the
+      // served row count must shrink by exactly one
+      val victim = info
+        .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+        .select("pdf_name").orderBy("pdf_name").head().getString(0)
+      val oneLess = info.filter(col("pdf_name") =!= victim)
+      graft.operators.MergeWriter.overwriteAtomic(oneLess, s"$dir/well_info")
+      val third = get(port, "/wells")
+      assert(third.statusCode() == 200)
+      assert(third.body() != first.body())
+      assert(third.body().split("\\},\\{").length ==
+        first.body().split("\\},\\{").length - 1)
+    } finally {
+      server.stop(0)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
