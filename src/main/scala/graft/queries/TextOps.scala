@@ -169,7 +169,7 @@ object TextOps {
 
   /** One row per (doc, shingle) with the doc's shingle-set size carried —
     * the single shingle pass feeding signatures AND exact verification. */
-  private def shingleRows(docs: DataFrame): DataFrame =
+  private[queries] def shingleRows(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("arr"))
       .select(col("doc_id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
@@ -178,7 +178,7 @@ object TextOps {
     * of 4 selects would re-run the whole shingle→signature aggregation per
     * band per consumer): (doc_id, band, bkey). The (band, bkey) bucket is
     * the only shuffle key downstream — the 100 TB path. */
-  private def sigBands(sized: DataFrame): DataFrame = {
+  private[queries] def sigBands(sized: DataFrame): DataFrame = {
     // BIGINT signature folds (see dd03): hash-aggregatable min, 8×8 B per
     // doc over the wire instead of 8 hex strings
     val aggs = (0 until 8).map(i =>
@@ -192,25 +192,43 @@ object TextOps {
   }
 
   /** LSH candidate pairs (d1 < d2) from the band table: band-bucket
-    * self-join. shuffle_hash on BOTH sides: the two branches then need the
-    * SAME (band, bkey) exchange, which ReusedExchange computes once — with
-    * the default broadcast plan the whole shingle→signature pipeline ran
-    * twice, once per join side (the dd02 lesson, re-learned here: this was
-    * 3 BroadcastExchanges and 4 scans of `documents` in dd05's executed
-    * plan). */
-  private def lshCandidates(bands: DataFrame): DataFrame =
-    bands.hint("shuffle_hash").as("x").join(bands.hint("shuffle_hash").as("y"),
+    * self-join. The join shape is gated on Catalyst's size estimate for the
+    * band table, using the planner's own broadcast criterion:
+    *
+    *  - estimate ≤ autoBroadcastJoinThreshold → leave unhinted, the planner
+    *    broadcasts one side. The broadcast side re-derives the
+    *    shingle→signature pipeline, but at that size the recompute is
+    *    cheaper than shuffling both sides: measured at sf0.1 over 4 runs,
+    *    broadcast 1.27–1.49 s vs shuffle_hash 1.38–1.59 s end-to-end dd05
+    *    (a join-free groupBy(bucket)+pair-explode variant sat between the
+    *    two and adds a giant-row risk on hot buckets, so it lost too).
+    *  - estimate above threshold → shuffle_hash on BOTH sides: broadcasting
+    *    a corpus-sized band table is impossible, and the hint beats the
+    *    default sort-merge join (no sort of either side); the two identical
+    *    branches then need the SAME (band, bkey) exchange, which AQE's
+    *    ReusedExchange computes once (pinned on the executed plan in
+    *    PlanSpec).
+    *
+    * With broadcasts disabled (threshold = -1) the gate degrades to the
+    * shuffled shape, which is also the branch every cluster-scale corpus
+    * takes. */
+  private[queries] def lshCandidates(bands: DataFrame): DataFrame = {
+    val est = bands.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = bands.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val side = if (est <= threshold) bands else bands.hint("shuffle_hash")
+    side.as("x").join(side.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
 
   /** Candidates-first exact verification: intersection count + both set
     * sizes per LSH candidate pair — each pair pulls exactly its two
     * shingle sets, so the work is Σ_cand(|doc| shingles), never the
     * Σ|shingle-bucket|² all-pairs space LSH exists to avoid. Shared by
     * dd05 (jaccard output) and pp01 (≥ threshold drop). */
-  private def interCounts(sized: DataFrame, cand: DataFrame): DataFrame = {
+  private[queries] def interCounts(sized: DataFrame, cand: DataFrame): DataFrame = {
     // Shingles are equated by xxhash64 while the DuckDB oracle compares
     // exact strings: a 64-bit collision between two DIFFERENT shingles of
     // a candidate pair would overcount `inter`. P ≈ n²/2⁶⁵ per pair at
@@ -257,12 +275,12 @@ object TextOps {
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     // Default identity: with a rescannable columnar source, re-deriving
     // the shingle pass per consumer stays inside one job and overlaps
-    // fully (measured faster at bench scale than a checkpoint barrier),
-    // and the expensive signature aggregation is still computed once via
-    // the pinned ReusedExchange in lshCandidates. Shingling a 100 TB
-    // corpus three times is CPU the caller may not want to spend — pass
-    // `_.localCheckpoint(true)` (or reliable `_.checkpoint(true)`) to
-    // materialize the shingle pass once instead.
+    // fully (measured faster at bench scale than a checkpoint barrier);
+    // above the broadcast threshold lshCandidates' shuffled branch computes
+    // the signature aggregation once via ReusedExchange. Shingling a
+    // 100 TB corpus several times is CPU the caller may not want to
+    // spend — pass `_.localCheckpoint(true)` (or reliable
+    // `_.checkpoint(true)`) to materialize the shingle pass once instead.
     val sized = materialize(shingleRows(docs))
     val inter = interCounts(sized, lshCandidates(sigBands(sized)))
     inter.select(col("d1"), col("d2"),

@@ -109,16 +109,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(allExchanges(p).forall(l => !l.contains("text#")))
   }
 
-  test("dd05: band self-join reuses ONE signature exchange (shuffle_hash)") {
-    // without the shuffle_hash hints the planner broadcast one band side
-    // and recomputed the whole shingle→signature pipeline for it: 3
-    // BroadcastExchanges and 4 scans of `documents` (measured). Exchange
-    // reuse is a RUNTIME decision under AQE — the initial plan
-    // (isFinalPlan=false) prints both band-side exchanges separately — so
-    // execute first and assert on the final adaptive plan.
-    val df = Catalog.byName("dd05_lsh_dedup").fn(spark, sf)
-    df.collect()
-    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  test("dd05: small band table → planner broadcasts the band self-join") {
+    // lshCandidates gates its join shape on Catalyst's size estimate using
+    // the planner's own broadcast criterion; below the threshold (every
+    // test/bench SF — measured fastest at sf0.1: 1.27–1.49 s vs 1.38–1.59 s
+    // shuffled) the join must plan as a broadcast, not a two-sided shuffle
+    val p = plan("dd05_lsh_dedup")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("band#") && l.contains("bkey#")))
+  }
+
+  test("dd05: large band table → shuffle_hash reusing ONE signature exchange") {
+    // the cluster-scale branch: estimate above autoBroadcastJoinThreshold
+    // (forced here with -1, which also stops the planner broadcasting).
+    // shuffle_hash on both identical band branches beats sort-merge (no
+    // sort), and they need the SAME (band, bkey) exchange — reuse is a
+    // RUNTIME decision under AQE, the initial plan (isFinalPlan=false)
+    // prints both exchanges separately, so execute first and assert on the
+    // final adaptive plan.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Catalog.byName("dd05_lsh_dedup").fn(spark, sf)
+      df.collect()
+      val exec = df.queryExecution.executedPlan.toString
+      assert(exec.contains("ShuffledHashJoin"))
+      assert(exec.contains("ReusedExchange"))
+    } finally spark.conf.set(key, saved)
   }
 
   test("pp01: composed chain — broadcast bench probe, no all-pairs join") {
