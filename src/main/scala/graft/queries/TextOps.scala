@@ -282,12 +282,27 @@ object TextOps {
     // spend — pass `_.localCheckpoint(true)` (or reliable
     // `_.checkpoint(true)`) to materialize the shingle pass once instead.
     val sized = materialize(shingleRows(docs))
-    val inter = interCounts(sized, lshCandidates(sigBands(sized)))
+    jaccardOf(interCounts(sized, lshCandidates(sigBands(sized))))
+  }
+
+  /** (inter, sz1, sz2) → sorted (d1, d2, jaccard). */
+  private def jaccardOf(inter: DataFrame): DataFrame =
     inter.select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
           .as("jaccard"))
       .orderBy(col("d1"), col("d2"))
-  }
+
+  /** Exact-Jaccard verification of externally-supplied candidate pairs
+    * (`d1`, `d2` doc-id columns; duplicates tolerated) against the corpus —
+    * the batch half of the streaming near-dup flow: the stream emits LSH
+    * band-bucket candidates within its watermark
+    * ([[graft.streaming.Streams.lshCandidateStream]]), this join verifies
+    * them against the document store, each pair touching only its own two
+    * shingle sets. Output schema matches [[lshDedup]] exactly (StreamsSpec
+    * pins the parity). */
+  def verifyPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardOf(interCounts(shingleRows(docs),
+      pairs.select(col("d1"), col("d2")).distinct()))
   private def dd05(s: SparkSession, d: String): DataFrame =
     lshDedup(documents(s, d))
   private val dd05Sql =

@@ -128,6 +128,89 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** dd05's streaming twin, candidate half: per-document MinHash band keys
+    * computed ROW-LOCALLY — the same shingles, md5-fold signatures and band
+    * keys as the batch `sigBands` aggregation (byte-identical buckets, the
+    * parity contract), but via `array_min` over the row's own shingle set
+    * instead of a groupBy, so no shuffle precedes the stateful stage.
+    * Docs with fewer than 3 tokens have no shingles and emit no bands,
+    * matching the batch explode. Output: (doc_id, ts, bucket) with
+    * bucket = "band:bkey", 4 rows per doc. */
+  def docBands(docs: DataFrame): DataFrame = {
+    import graft.queries.QueryUtils.hex8
+    val arr = docs
+      .select(col("doc_id"), col("ts"), graft.functions.Text.shingles(col("text"), 3).as("arr"))
+      .filter(size(col("arr")) > 0)
+    val sigs = (0 until 8).map(i =>
+      array_min(transform(col("arr"), s => hex8(concat(lit(s"$i:"), s)))).as(s"sig$i"))
+    val bandStructs = (0 until 4).map(b =>
+      concat_ws(":", lit(b), md5(concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))))
+    arr.select(col("doc_id") +: col("ts") +: sigs: _*)
+      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bucket"))
+  }
+
+  final case class BandHit(bucket: String, doc_id: Long, ts: Timestamp)
+  final case class BucketState(docs: List[(Long, Long)])
+  final case class CandPair(d1: Long, d2: Long, ts: Timestamp)
+
+  /** dd05's streaming twin: near-dup CANDIDATE pairs from a document
+    * stream. Each arriving doc lands in its 4 LSH band buckets; the bucket
+    * is the state key and its value is the (doc_id, event-time) list of
+    * docs seen within the watermark — band keys and ids only, NEVER text
+    * (state per doc is 4 buckets × 16 bytes, bounded by the watermark
+    * horizon regardless of stream length). A new doc pairs with every
+    * retained same-bucket doc; pairs are emitted immediately (append mode,
+    * no flush-on-watermark latency). The same pair can surface from two
+    * bands — downstream exact verification ([[graft.queries.TextOps
+    * .verifyPairs]], which de-duplicates) absorbs that, exactly as the
+    * batch `lshCandidates.distinct()` does.
+    *
+    * Expiry contract: a doc stops pairing once the watermark passes its
+    * event time — the streaming analogue of batch dd05's "corpus = the
+    * window you ran it over". On event-time timeout the whole bucket's
+    * retained list is already behind the watermark (the timeout is its max
+    * ts), so the state is simply removed. */
+  def lshCandidateStream(docs: DataFrame,
+      watermarkDelayMinutes: Int = 120): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docBands(docs)
+      .withWatermark("ts", s"$watermarkDelayMinutes minutes")
+      .as[BandHit]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, it: Iterator[BandHit], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark > max retained ts ⇒ every entry is expired
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val retained = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_._2 >= wm)
+            val fresh = it.map(h => (h.doc_id, h.ts.getTime)).toList
+              .sortBy(identity)
+            // new×retained + new×new pairs, always (min, max) id order so
+            // the batch d1 < d2 convention holds
+            val out = List.newBuilder[CandPair]
+            var seen = retained
+            for ((id, t) <- fresh) {
+              for ((oid, ot) <- seen if oid != id)
+                out += CandPair(math.min(id, oid), math.max(id, oid),
+                  new Timestamp(math.max(t, ot)))
+              seen = (id, t) :: seen
+            }
+            val next = BucketState(seen)
+            state.update(next)
+            // +1 ms: the API rejects a timeout ≤ the current watermark, and
+            // a batch's max event time can coincide with it exactly
+            state.setTimeoutTimestamp(next.docs.map(_._2).max + 1)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */

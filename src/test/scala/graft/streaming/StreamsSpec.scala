@@ -127,6 +127,72 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(texts.sorted.toSeq == Seq("alpha", "beta", "gamma"))
   }
 
+  test("streaming LSH candidates + batch verify == batch lshDedup (parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus: the sf0.001 documents table (30 verified near-dup pairs)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), ts(0)))
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val cand = Streams.lshCandidateStream(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+    val q = cand.toDF().writeStream.format("memory").queryName("lshcand")
+      .outputMode("append").start()
+    mem.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // stream candidates → batch exact verification against the doc store;
+    // must equal the all-batch pipeline row for row (same buckets ⇒ same
+    // candidate set ⇒ same verified pairs + jaccard)
+    val streamed = graft.queries.TextOps
+      .verifyPairs(docs, spark.table("lshcand"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.TextOps.lshDedup(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("lshCandidateStream expires buckets: a doc behind the watermark no longer pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val near1 = "the quick brown fox jumps over the lazy dog again and again ok"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again yes"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val cand = Streams.lshCandidateStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), watermarkDelayMinutes = 60)
+    val q = cand.toDF().writeStream.format("memory").queryName("lshexp")
+      .outputMode("append").start()
+    mem.addData((1L, near1, ts(0)))
+    q.processAllAvailable()
+    // advance the watermark far past doc 1 (+60 min delay), expiring its
+    // buckets; the sentinel shares no shingles so it pairs with nothing
+    mem.addData((9L, "zzz yyy xxx www vvv uuu ttt sss", ts(600)))
+    q.processAllAvailable()
+    // near-identical doc arrives, but doc 1 is gone from state (its ts is
+    // behind the watermark) — no pair may surface
+    mem.addData((2L, near2, ts(601)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("lshexp").isEmpty)
+
+    // control: the same two docs within one watermark window DO pair
+    val mem2 = MemoryStream[(Long, String, Timestamp)]
+    val cand2 = Streams.lshCandidateStream(
+      mem2.toDF().toDF("doc_id", "text", "ts"), watermarkDelayMinutes = 60)
+    val q2 = cand2.toDF().writeStream.format("memory").queryName("lshexp2")
+      .outputMode("append").start()
+    mem2.addData((1L, near1, ts(0)), (2L, near2, ts(1)))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("lshexp2").select("d1", "d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("late within-watermark event does not split the open session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
