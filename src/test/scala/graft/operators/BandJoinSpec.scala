@@ -55,4 +55,26 @@ class BandJoinSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(Seq(("u", 1L, -1500L), ("u", 2L, -800L)), 1000L) == Set((1L, 2L)))
     assert(pairs(Seq(("u", 1L, -2500L), ("u", 2L, -800L)), 1000L) == Set.empty)
   }
+
+  test("salted selfBand: adversarial hot bucket — identical results, salt in the shuffle key") {
+    import spark.implicits._
+    // one user bursting 300 events inside a single band bucket (plus a few
+    // spread rows and a second key): the exact distribution where the
+    // unsalted join serializes Σ|bucket|² on one reducer
+    val rows = (1L to 300L).map(i => ("hot", i, 10L + (i % 7))) ++
+      Seq(("hot", 400L, 1013L), ("hot", 401L, 1028L), ("cold", 500L, 12L), ("cold", 501L, 19L))
+    val df = rows.toDF("k", "id", "v")
+    def run(salts: Int): Set[(Long, Long)] =
+      BandJoin.selfBand(df, "k", "v", "id", 15L, salts)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val unsalted = run(1)
+    // sanity: the hot bucket really is quadratic (all 300 in-band pairs)
+    assert(unsalted.count { case (a, b) => a <= 300 && b <= 300 } == 300 * 299 / 2)
+    assert(run(8) == unsalted)
+    assert(run(3) == unsalted) // salts not dividing the bucket size evenly
+    // the salt must reach the join, spreading the (key, bucket) hash space
+    val p = BandJoin.selfBand(df, "k", "v", "id", 15L, salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt#"))
+  }
 }
