@@ -137,7 +137,9 @@ object ConnectedComponents {
     * The first materialized round floods THREE waves (labels are monotone
     * non-increasing, so composing waves cannot overshoot the fixpoint);
     * every later round is one wave, whose quiescence is a full convergence
-    * proof. maxIter=16 covers pair-graph diameters past 30; real LSH dedup
+    * proof. Coverage is 2·maxIter + 4 pair-graph hops (round 0's three
+    * waves span distance 6, each later round 2, and the final round doubles
+    * as the quiet proof), so maxIter=16 covers diameters past 30; real LSH dedup
     * graphs (chains of a few buckets) converge in 2 rounds, the second
     * being the quiet one.
     *
@@ -210,7 +212,8 @@ object ConnectedComponents {
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds — " +
-        "a component's diameter exceeds ~4*maxIter; raise maxIter")
+        s"a component's pair-graph diameter exceeds 2*maxIter + 4 = ${2 * maxIter + 4}; " +
+        "raise maxIter")
     Bridge.unpersistMaterialized(m)
     labels.select(col("__i").as(idCol), col("component"))
   }

@@ -17,16 +17,18 @@ import org.apache.spark.sql.SparkSession
   *
   *   GET /wells  → JSON array from WellsQuery.wellsJson, served from an
   *                 in-memory payload cache — NOT a Spark job per request.
-  *                 The cache key is the snapshot token (the parquet table
-  *                 directories' modification times): `MergeWriter
+  *                 The cache key is the snapshot token (a fingerprint of
+  *                 the parquet tables' file listings): `MergeWriter
   *                 .overwriteAtomic` publishes a new snapshot by directory
-  *                 rename, which bumps the token, so the next request
-  *                 recomputes — the reference's read-your-load semantics
-  *                 (a load swaps the table, the next query sees it) at a
-  *                 directory-stat per request instead of a query. The
-  *                 token also moves when OTHER processes swap the
-  *                 snapshot — an in-process invalidation callback would
-  *                 miss the CLI `load` running in its own JVM.
+  *                 rename with fresh part-file names, which changes the
+  *                 token, so the next request recomputes — the reference's
+  *                 read-your-load semantics (a load swaps the table, the
+  *                 next query sees it) at a directory listing per request
+  *                 instead of a query. The token also moves when OTHER
+  *                 processes swap the snapshot — an in-process
+  *                 invalidation callback would miss the CLI `load` running
+  *                 in its own JVM. Cache misses are single-flighted:
+  *                 concurrent requests share one computation.
   *   GET /       → static/index.html   (when a static dir is configured)
   *   GET /map    → static/map.html
   *   GET /<file> → static asset, traversal-guarded
@@ -37,7 +39,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Serve {
 
-  private final case class Cached(token: (Long, Long), body: Array[Byte])
+  private final case class Cached(token: String,
+      body: java.util.concurrent.CompletableFuture[Array[Byte]])
 
   /** Bind and start; port 0 picks an ephemeral port (tests). The returned
     * server's actual port is `getAddress.getPort`. */
@@ -46,33 +49,62 @@ object Serve {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val cache = new AtomicReference[Cached]()
 
-    // snapshot identity: modification times of the two table directories.
-    // A rename-publish (MergeWriter.overwriteAtomic) changes both; a
-    // missing table reads as -1 and the query below reports the error.
-    def snapshotToken(): (Long, Long) = {
+    // snapshot identity: fingerprint of each table directory's file
+    // listing (name:length:mtime per entry) — NOT the directory mtime,
+    // which object stores report as fake/zero for prefixes and coarse
+    // filesystems may not bump on a swap. A rename-publish (MergeWriter
+    // .overwriteAtomic) writes fresh UUID-named part files, so the
+    // listing always changes even where mtimes lie. A missing table
+    // fingerprints as "missing" and the query below reports the error.
+    def snapshotToken(): String = {
       val conf = spark.sparkContext.hadoopConfiguration
-      def m(p: String): Long = {
+      def sig(p: String): String = {
         val path = new org.apache.hadoop.fs.Path(p)
-        try path.getFileSystem(conf).getFileStatus(path).getModificationTime
-        catch { case _: java.io.FileNotFoundException => -1L }
+        try path.getFileSystem(conf).listStatus(path)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(",")
+        catch { case _: java.io.FileNotFoundException => "missing" }
       }
-      (m(s"$tableRoot/well_info"), m(s"$tableRoot/well_stimulation"))
+      sig(s"$tableRoot/well_info") + "|" + sig(s"$tableRoot/well_stimulation")
     }
 
+    val cacheLock = new Object
     def wellsPayload(): Array[Byte] = {
       // token BEFORE the read: if a swap lands mid-read, the stored entry
-      // carries the pre-swap token and the next request recomputes
+      // carries the pre-swap token and the next request recomputes.
       val token = snapshotToken()
-      val c = cache.get()
-      if (c != null && c.token == token) c.body
-      else {
-        val info = spark.read.parquet(s"$tableRoot/well_info")
-        val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
-        val body = WellsQuery.wellsJson(info, stim)
-          .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
-        cache.set(Cached(token, body))
-        body
+      // single-flight: exactly one request per token runs the Spark query;
+      // concurrent misses for the same token share its future instead of
+      // each launching the full computation (and a thread pile-up)
+      val (fut, owner) = cacheLock.synchronized {
+        val c = cache.get()
+        if (c != null && c.token == token) (c.body, false)
+        else {
+          val f = new java.util.concurrent.CompletableFuture[Array[Byte]]()
+          cache.set(Cached(token, f))
+          (f, true)
+        }
       }
+      if (!owner) fut.get()
+      else
+        try {
+          val info = spark.read.parquet(s"$tableRoot/well_info")
+          val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
+          val body = WellsQuery.wellsJson(info, stim)
+            .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+          fut.complete(body)
+          body
+        } catch { case e: Throwable =>
+          // a failure must not poison the cache: clear OUR entry (a newer
+          // token may have replaced it) so the next request retries, and
+          // fail every waiter sharing this flight
+          cacheLock.synchronized {
+            val c = cache.get()
+            if (c != null && (c.body eq fut)) cache.set(null)
+          }
+          fut.completeExceptionally(e)
+          throw e
+        }
     }
 
     server.createContext("/wells", (ex: HttpExchange) =>
@@ -109,12 +141,14 @@ object Serve {
       })
 
     // daemon threads: the server must not pin the JVM open after the
-    // caller's main exits (the CLI stops it explicitly; tests stop(0))
-    server.setExecutor(Executors.newCachedThreadPool { (r: Runnable) =>
+    // caller's main exits (the CLI stops it explicitly; tests stop(0)).
+    // Bounded pool: /wells is single-flighted and static files are cheap,
+    // so 16 threads serve a burst without an unbounded thread pile-up.
+    server.setExecutor(Executors.newFixedThreadPool(16, { (r: Runnable) =>
       val t = new Thread(r, "graft-serve")
       t.setDaemon(true)
       t
-    })
+    }))
     server.start()
     server
   }

@@ -17,14 +17,37 @@ object Bridge {
     * pins its RDD via persist; waiting for the ContextCleaner means every
     * retired iteration round stays pinned until driver GC). No-op for
     * frames that are not checkpoint-backed, so callers can apply it to
-    * whatever a caller-supplied materialize strategy produced. */
+    * whatever a caller-supplied materialize strategy produced.
+    *
+    * PRECONDITION: nothing may still compute from `df` after this call.
+    * A localCheckpoint's lineage is truncated, so its freed blocks are
+    * UNRECOVERABLE — the caller must have fully materialized the successor
+    * frame (eagerly, or forced via an action such as a convergence check)
+    * before retiring its predecessor. Every current call site satisfies
+    * this (ConnectedComponents retires round N only after round N+1's
+    * materialize + converge-check actions ran). Spark logs that exact
+    * caveat as a WARN on every such unpersist; since it is the designed
+    * and documented behavior here, the warning is suppressed for the
+    * duration of the call instead of spamming every bench/test log. */
   def unpersistMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false); ()
+        quietly(l.rdd.getClass.getName) { l.rdd.unpersist(blocking = false) }
       case _ => ()
     }
+
+  /** Run `body` with `loggerName` raised to ERROR, restoring the previous
+    * level after. Driver-side only; the narrow window can mask unrelated
+    * warnings from the same class, which is the accepted trade. */
+  private def quietly(loggerName: String)(body: => Unit): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val prev = LogManager.getLogger(loggerName).getLevel
+    Configurator.setLevel(loggerName, Level.ERROR)
+    try body
+    finally Configurator.setLevel(loggerName, prev)
+  }
 
   /** Register a native-expression SQL function on a LIVE session (the
     * extensions path only applies to sessions built with withExtensions). */
