@@ -24,14 +24,14 @@ object Bench {
     // classloading + codegen compilation costs.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    // Steady-state timing: three runs per query, score the MEDIAN. The
-    // first run of each distinct plan shape pays one-time whole-stage-
-    // codegen compilation + JIT (measured 2-5x inflation on sub-second
-    // queries), and a single GC/compaction pause can poison one reading —
-    // round 3's headline total was inflated ~10% by exactly that (one
-    // 4.5 s outlier on a 1.4 s query). Median of 3 survives one outlier
-    // in either direction; per-run times are emitted so any outlier is
-    // visible in the artifact instead of silently folded in.
+    // Steady-state timing: three runs per query. The first run of each
+    // distinct plan shape pays one-time whole-stage-codegen compilation +
+    // JIT (measured 2-5x inflation on sub-second queries), so the headline
+    // stays MIN (round-over-round comparable; min-of-3 only lies if all
+    // three runs of one query are poisoned, where round 3's min-of-2 was
+    // inflated ~10% by one GC pause landing on both runs of q01). The
+    // MEDIAN per query and every per-run time are emitted alongside, so
+    // an outlier is visible in the artifact instead of silently folded in.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -49,18 +49,20 @@ object Bench {
       }
       // a failed query must not score its (near-zero) failure duration as
       // a time — mark it -1 so the consumer can't mistake it for fast
+      val min = times.minOption.getOrElse(-1.0)
       val median =
         if (times.isEmpty) -1.0 else times.sorted.apply((times.size - 1) / 2)
-      (name, median, times)
+      (name, min, median, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
-    val perRun = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def qmap(f: ((String, Double, Double, Seq[Double])) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = qmap(r => num(r._2))
+    val qsMedian = qmap(r => num(r._3))
+    val perRun = qmap(_._4.map(num).mkString("[", ",", "]"))
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$perRun,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"agg":"median"}"""
+    val totalMedian = results.map(_._3).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(json)
     // stdout from an sbt runMain is interleaved with [info]/log noise, which
     // broke the driver's parse in round 1 — also land the line in a file the
