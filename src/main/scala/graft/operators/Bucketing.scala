@@ -32,7 +32,7 @@ object Bucketing {
       keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), keys, joinType)
 
-  /** True if the physical plan of df contains any shuffle Exchange. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True if the physical plan of df contains any shuffle Exchange
+    * (typed-tree probe, see [[PlanInspect.hasShuffle]]). */
+  def hasShuffle(df: DataFrame): Boolean = PlanInspect.hasShuffle(df)
 }

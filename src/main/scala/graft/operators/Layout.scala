@@ -24,10 +24,9 @@ object Layout {
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
 
-  /** The scan's partition-pruning evidence: the PartitionFilters entry of
-    * the FileSourceScan in df's executed plan (empty string if none). */
+  /** The scan's partition-pruning evidence: every FileSourceScan's
+    * partition filters rendered to one string (empty if none) — derived
+    * from the typed scan nodes, not the plan's printed form. */
   def partitionFilters(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString.linesIterator
-      .find(_.contains("PartitionFilters"))
-      .getOrElse("")
+    PlanInspect.partitionFilters(df).mkString("; ")
 }

@@ -589,7 +589,12 @@ object TextOps {
     val nearDrop = interCounts(sized2, lshCandidates(sigBands(sized2)))
       .filter(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")) >= 0.5)
       .select(col("d2").as("doc_id")).distinct()
-    val q3 = q2.join(nearDrop, Seq("doc_id"), "left_anti")
+    // past the shingle materialization nothing needs the body — only the
+    // final n_chars. Compute it HERE and drop text, so stages 3-5 join and
+    // shuffle (doc_id, n_chars) rows, never the corpus (the plan pin
+    // allows exactly ONE text-carrying exchange: the stage-2 window).
+    val q3 = q2.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(nearDrop, Seq("doc_id"), "left_anti")
     // stage 4 — decontamination vs the benchmark shingle set (full-corpus
     // docs 0-19), broadcast probe like dd07. Filter BEFORE shingling: the
     // bench set is 20 docs; the predicate reaches the parquet scan instead
@@ -605,7 +610,7 @@ object TextOps {
       .filter(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("sz") <= 0.5)
     // stage 5 — deterministic 50% sample on the doc key
     q4.filter(hex8(col("doc_id").cast("string")) % 100 < 50)
-      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
   private def pp01(s: SparkSession, d: String): DataFrame =

@@ -1,112 +1,140 @@
 package graft.queries
 
+import org.apache.spark.sql.execution.{RDDScanExec, SortExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Partial}
+import org.apache.spark.sql.catalyst.plans.{LeftOuter, LeftSemi}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
+import graft.operators.PlanInspect._
 
 /** Physical-plan contracts: the optimizer behaviors the 100 TB design
   * depends on, pinned as assertions so a refactor that silently loses a
-  * pushdown or broadcast fails here, not in production. */
+  * pushdown or broadcast fails here, not in production.
+  *
+  * All assertions probe the TYPED operator tree via
+  * [[graft.operators.PlanInspect]] — never the plan's printed string,
+  * whose formatting broke two of these pins in round 3 (an `sh#NNN`
+  * column satisfying a substring probe for `h#`, and AQE printing both
+  * pre-reuse exchanges in the un-executed plan). */
 class PlanSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private def plan(name: String): String =
-    Catalog.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+  private def df(name: String) = Catalog.byName(name).fn(spark, sf)
 
   test("q02: filters push into the parquet scan, columns prune") {
-    val p = plan("q02_filter_project")
-    assert(p.contains("PushedFilters:"))
-    assert(p.contains("GreaterThan(l_shipdate") || p.contains("IsNotNull(l_shipdate"))
+    val scans = fileScans(df("q02_filter_project"))
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan(l_shipdate") || pushed.contains("IsNotNull(l_shipdate"))
     // projection+filter columns only — the 16-column lineitem scan reads 5
-    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    val read = scans.flatMap(_.requiredSchema.fieldNames).toSet
     assert(read.contains("l_orderkey") && read.contains("l_discount"))
     assert(!read.contains("l_comment") && !read.contains("l_partkey"))
   }
 
   test("q03: dimension join broadcasts") {
-    assert(plan("q03_join_left_broadcast").contains("BroadcastHashJoin"))
+    assert(nodes(df("q03_join_left_broadcast"))
+      .exists(_.isInstanceOf[BroadcastHashJoinExec]))
   }
 
   test("q05: star join broadcasts every dimension") {
-    val p = plan("q05_join_star")
-    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3)
+    assert(nodes(df("q05_join_star"))
+      .count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3)
   }
 
   test("q09: top-k plans as TakeOrderedAndProject, not global sort") {
-    val p = plan("q09_topk")
-    assert(p.contains("TakeOrderedAndProject"))
-    assert(!p.contains("\n+- Sort "))
+    val ns = nodes(df("q09_topk"))
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    assert(!ns.exists(_.isInstanceOf[SortExec]))
   }
 
   test("q01: aggregation is partial+final (map-side combine)") {
-    val p = plan("q01_agg_pricing")
-    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+    assert(nodes(df("q01_agg_pricing"))
+      .count(_.isInstanceOf[HashAggregateExec]) >= 2)
   }
 
   test("q25: IN-subquery plans as a broadcast semi join") {
-    val p = plan("q25_semi_join_subquery")
-    assert(p.contains("LeftSemi"))
-    assert(p.contains("Broadcast"))
+    assert(nodes(df("q25_semi_join_subquery")).exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftSemi
+      case _ => false
+    })
   }
 
   // ---- dedup shuffle-key contracts: the 100 TB claims in TextOps, pinned.
   // A shuffle that keys on (or carries) raw document text would ship the
   // corpus around the cluster; these assert every exchange keys on a
-  // digest / band / doc id instead.
+  // digest / band / doc id — and, via exchangePayloads, that the document
+  // body never even rides along as shuffle/broadcast PAYLOAD (stronger
+  // than the old printed-line checks, which only saw the partition keys).
 
-  private def hashExchanges(p: String): Seq[String] =
-    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-  private def allExchanges(p: String): Seq[String] =
-    p.linesIterator.filter(l => l.contains("Exchange ") || l.contains("BroadcastExchange")).toSeq
-  // `sh#NNN` (the shingle string column) must NOT satisfy a match for the
-  // shingle-hash column `h#NNN` — require a non-identifier char before `h#`
-  private val shingleHashRef = raw"(?<![A-Za-z0-9_])h#\d".r
-  private def shingleHashJoins(p: String): Seq[String] =
-    p.linesIterator
-      .filter(l => l.contains("Join [") && shingleHashRef.findFirstIn(l).isDefined)
-      .toSeq
+  private def noTextPayload(payloads: Seq[Set[String]]): Unit =
+    payloads.foreach(p => assert(!p.contains("text"), s"exchange ships the body: $p"))
+
+  /** Joins keyed (partly) on the 64-bit shingle hash column `h`. */
+  private def shingleHashJoinKeys(name: String): Seq[Set[String]] =
+    equiJoinKeys(df(name)).filter(_.contains("h"))
 
   test("dd01: shuffles key on the 16-byte digest, never the document body") {
-    val p = plan("dd01_dedup_exact")
-    val hx = hashExchanges(p)
-    assert(hx.nonEmpty && hx.forall(_.contains("content_hash#")))
-    assert(allExchanges(p).forall(l => !l.contains("text#")))
+    val d = df("dd01_dedup_exact")
+    val keys = hashShuffleKeys(d)
+    assert(keys.nonEmpty && keys.forall(_.contains("content_hash")))
+    noTextPayload(exchangePayloads(d))
   }
 
   test("dd03: map-side partial min; shuffles key on doc_id, not shingle text") {
-    val p = plan("dd03_minhash_lsh")
-    assert(p.contains("partial_min")) // 8×32 B per doc cross the wire, not shingles
-    val hx = hashExchanges(p)
-    assert(hx.nonEmpty && hx.forall(_.contains("doc_id#")))
-    assert(allExchanges(p).forall(l => !l.contains("text#") && !l.contains("(sh#") && !l.contains(" sh#")))
+    val d = df("dd03_minhash_lsh")
+    // 8×8 B partial mins per doc cross the wire, not shingles
+    assert(nodes(d).exists {
+      case h: HashAggregateExec =>
+        h.aggregateExpressions.exists((a: AggregateExpression) => a.mode == Partial)
+      case _ => false
+    })
+    val keys = hashShuffleKeys(d)
+    assert(keys.nonEmpty && keys.forall(_.contains("doc_id")))
+    exchangePayloads(d).foreach { p =>
+      assert(!p.contains("text") && !p.contains("sh"), s"exchange ships shingles: $p")
+    }
   }
 
   test("q39: band join stays an equi join on (key, bucket) — never theta") {
-    val p = plan("q39_band_join")
+    val d = df("q39_band_join")
     // the bucket trick's whole point: a |v1-v2|<=band predicate must not
     // plan as a per-key cross join
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
-    val joins = p.linesIterator.filter(_.contains("Join [")).toSeq
-    assert(joins.nonEmpty && joins.forall(l => l.contains("key#") && l.contains("probe#")))
+    val ns = nodes(d)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    val joins = equiJoinKeys(d)
+    assert(joins.nonEmpty && joins.forall(k => k.contains("key") && k.contains("probe")))
   }
 
   test("vs05: centroid sums partial-aggregate before the exchange") {
-    val p = plan("vs05_centroid_sums")
-    assert(p.contains("partial_sum") || p.contains("partial_count"))
-    val hx = hashExchanges(p)
-    assert(hx.nonEmpty && hx.forall(l => l.contains("label#") && l.contains("dim#")))
+    val d = df("vs05_centroid_sums")
+    assert(nodes(d).exists {
+      case h: HashAggregateExec =>
+        h.aggregateExpressions.exists((a: AggregateExpression) => a.mode == Partial)
+      case _ => false
+    })
+    val keys = hashShuffleKeys(d)
+    assert(keys.nonEmpty && keys.forall(k => k.contains("label") && k.contains("dim")))
   }
 
   test("dd05: candidates-first verify — no all-pairs shingle join survives") {
-    val p = plan("dd05_lsh_dedup")
+    val d = df("dd05_lsh_dedup")
     // old shape: unfiltered h==h self-join aggregate, then a LeftSemi filter
-    assert(!p.contains("LeftSemi"))
+    assert(!nodes(d).exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftSemi
+      case j: ShuffledHashJoinExec => j.joinType == LeftSemi
+      case _ => false
+    })
     // every shingle-hash join is also keyed by a candidate doc id, so the
     // pair space is the LSH candidate set, never Σ|shingle-bucket|²
-    val shingleJoins = shingleHashJoins(p)
-    assert(shingleJoins.nonEmpty && shingleJoins.forall(_.contains("d2#")))
-    assert(allExchanges(p).forall(l => !l.contains("text#")))
+    val sj = shingleHashJoinKeys("dd05_lsh_dedup")
+    assert(sj.nonEmpty && sj.forall(_.contains("d2")))
+    noTextPayload(exchangePayloads(d))
   }
 
   test("dd05: small band table → planner broadcasts the band self-join") {
@@ -114,9 +142,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the planner's own broadcast criterion; below the threshold (every
     // test/bench SF — measured fastest at sf0.1: 1.27–1.49 s vs 1.38–1.59 s
     // shuffled) the join must plan as a broadcast, not a two-sided shuffle
-    val p = plan("dd05_lsh_dedup")
-    assert(p.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") && l.contains("band#") && l.contains("bkey#")))
+    assert(nodes(df("dd05_lsh_dedup")).exists {
+      case j: BroadcastHashJoinExec =>
+        val k = (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet
+        k.contains("band") && k.contains("bkey")
+      case _ => false
+    })
   }
 
   test("dd05: large band table → shuffle_hash reusing ONE signature exchange") {
@@ -124,79 +155,89 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // (forced here with -1, which also stops the planner broadcasting).
     // shuffle_hash on both identical band branches beats sort-merge (no
     // sort), and they need the SAME (band, bkey) exchange — reuse is a
-    // RUNTIME decision under AQE, the initial plan (isFinalPlan=false)
-    // prints both exchanges separately, so execute first and assert on the
-    // final adaptive plan.
+    // RUNTIME decision under AQE (the un-executed plan holds both
+    // exchanges separately), so execute first: PlanInspect reads the
+    // adaptive plan's CURRENT tree, which is the final one after collect.
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
-      val df = Catalog.byName("dd05_lsh_dedup").fn(spark, sf)
-      df.collect()
-      val exec = df.queryExecution.executedPlan.toString
-      assert(exec.contains("ShuffledHashJoin"))
-      assert(exec.contains("ReusedExchange"))
+      val d = df("dd05_lsh_dedup")
+      d.collect()
+      val ns = nodes(d)
+      assert(ns.exists(_.isInstanceOf[ShuffledHashJoinExec]))
+      assert(ns.exists(_.isInstanceOf[ReusedExchangeExec]))
     } finally spark.conf.set(key, saved)
   }
 
   test("pp01: composed chain — broadcast bench probe, no all-pairs join") {
-    val p = plan("pp01_export_pipeline")
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val d = df("pp01_export_pipeline")
+    val ns = nodes(d)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
     // candidates-first near-dup verify inside the chain: every
-    // shingle-hash join is keyed by a candidate doc id. (The intended
-    // LeftSemi decontamination join keys on the shingle column `sh#` —
-    // shingleHashJoins' boundary-safe matcher keeps it out of this pin.)
-    val shingleJoins = shingleHashJoins(p)
-    assert(shingleJoins.nonEmpty && shingleJoins.forall(_.contains("d2#")))
+    // shingle-hash join is keyed by a candidate doc id. (The decontamination
+    // LeftSemi keys on the shingle STRING column `sh`, a distinct name in
+    // the typed tree — no regex boundary games needed to exclude it.)
+    val sj = shingleHashJoinKeys("pp01_export_pipeline")
+    assert(sj.nonEmpty && sj.forall(_.contains("d2")))
     // decontamination: the benchmark shingle set broadcasts into a semi join
-    assert(p.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")))
-    assert(allExchanges(p).forall(l => !l.contains("text#")))
+    assert(ns.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftSemi
+      case _ => false
+    })
+    // the document body crosses the wire EXACTLY once: the exact-dedup
+    // window (keyed on the precomputed md5, carrying the surviving rows).
+    // Every other exchange — signatures, bands, candidates, verification,
+    // decontamination — ships digests and ids only.
+    assert(exchangePayloads(d).count(_.contains("text")) == 1)
   }
 
   test("dd07: bench set broadcasts; the corpus shingle pass runs once") {
-    val p = plan("dd07_contamination")
+    val d = df("dd07_contamination")
     // the final plan reads the ONE materialized shingle pass (checkpoint
     // blocks) for both the bench set and the corpus probe — `documents`
     // itself was scanned exactly once, inside the materialize job, so no
     // parquet scan may survive here
-    assert(!p.contains("Scan parquet"))
-    assert(p.contains("Scan ExistingRDD"))
-    assert(p.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")))
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val ns = nodes(d)
+    assert(fileScans(d).isEmpty)
+    assert(ns.exists(_.isInstanceOf[RDDScanExec]))
+    assert(ns.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftOuter
+      case _ => false
+    })
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 
   test("dd06: final plan exchanges key on doc ids / components only") {
-    val p = plan("dd06_dup_clusters")
-    val hx = hashExchanges(p)
-    assert(hx.nonEmpty &&
-      hx.forall(l => l.contains("doc_id#") || l.contains("component#")))
-    assert(allExchanges(p).forall(l =>
-      !l.contains("text#") && !l.contains(" sh#") && !l.contains("(sh#")))
+    val d = df("dd06_dup_clusters")
+    val keys = hashShuffleKeys(d)
+    assert(keys.nonEmpty &&
+      keys.forall(k => k.contains("doc_id") || k.contains("component")))
+    exchangePayloads(d).foreach { p =>
+      assert(!p.contains("text") && !p.contains("sh"), s"exchange ships the corpus: $p")
+    }
   }
 
   test("dd06: every clustering round exchanges on item/bucket ids only") {
     // the iteration's plans never reach the final query (each round is a
     // checkpoint job) — capture them through the materialize hook instead
-    val captured = scala.collection.mutable.Buffer[String]()
-    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
-      captured += df.queryExecution.executedPlan.toString
-      df.localCheckpoint(true)
+    val captured = scala.collection.mutable.Buffer[(Seq[Set[String]], Seq[Set[String]])]()
+    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { frame =>
+      captured += ((hashShuffleKeys(frame), exchangePayloads(frame)))
+      frame.localCheckpoint(true)
     }
     TextOps.dupClusters(graft.Tables.documents(spark, sf), hook).collect()
     // membership table + at least round 0 — at sf0.001 round 0's three
     // waves already reach the fixpoint, so exactly 2 captures is correct
     assert(captured.size >= 2)
-    val allowed = Seq("doc_id#", "__i#", "__b#", "component#")
-    captured.foreach { p =>
-      hashExchanges(p).foreach { l =>
-        assert(allowed.exists(l.contains),
-          s"round exchange keyed off the id/bucket contract: $l")
-      }
-      assert(allExchanges(p).forall(l => !l.contains("text#")))
+    val allowed = Set("doc_id", "__i", "__b", "component")
+    captured.foreach { case (keys, payloads) =>
+      keys.foreach(k => assert(k.subsetOf(allowed),
+        s"round exchange keyed off the id/bucket contract: $k"))
+      payloads.foreach(p => assert(!p.contains("text"),
+        s"round exchange ships the body: $p"))
     }
   }
 }
