@@ -50,8 +50,15 @@ object Bench {
       // a failed query must not score its (near-zero) failure duration as
       // a time — mark it -1 so the consumer can't mistake it for fast
       val min = times.minOption.getOrElse(-1.0)
+      // true median: mean of the two middle values when the count is even
+      // (a failed run leaves 2 of 3 — lower-middle alone would just be min)
       val median =
-        if (times.isEmpty) -1.0 else times.sorted.apply((times.size - 1) / 2)
+        if (times.isEmpty) -1.0
+        else {
+          val s = times.sorted
+          val n = s.size
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+        }
       (name, min, median, times)
     }
     def qmap(f: ((String, Double, Double, Seq[Double])) => String): String =

@@ -137,9 +137,10 @@ object ConnectedComponents {
     * The first materialized round floods THREE waves (labels are monotone
     * non-increasing, so composing waves cannot overshoot the fixpoint);
     * every later round is one wave, whose quiescence is a full convergence
-    * proof. Coverage is 2·maxIter + 4 pair-graph hops (round 0's three
-    * waves span distance 6, each later round 2, and the final round doubles
-    * as the quiet proof), so maxIter=16 covers diameters past 30; real LSH dedup
+    * proof. One wave is a closed-neighborhood min — ONE pair-graph hop
+    * (doc→bucket→doc) — so coverage is maxIter + 2 hops (three waves in
+    * round 0, one per later round, the final round doubling as the quiet
+    * proof): maxIter=16 covers diameters to ~17; real LSH dedup
     * graphs (chains of a few buckets) converge in 2 rounds, the second
     * being the quiet one.
     *
@@ -212,8 +213,8 @@ object ConnectedComponents {
     }
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds — " +
-        s"a component's pair-graph diameter exceeds 2*maxIter + 4 = ${2 * maxIter + 4}; " +
-        "raise maxIter")
+        s"a component's pair-graph diameter exceeds maxIter + 2 = ${maxIter + 2} " +
+        "hops (each wave floods one doc→bucket→doc hop); raise maxIter")
     Bridge.unpersistMaterialized(m)
     labels.select(col("__i").as(idCol), col("component"))
   }

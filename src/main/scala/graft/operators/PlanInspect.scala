@@ -66,8 +66,9 @@ object PlanInspect {
   def fileScans(df: DataFrame): Seq[FileSourceScanExec] =
     nodes(df).collect { case f: FileSourceScanExec => f }
 
-  /** True if the physical plan contains any hash-shuffle Exchange. */
-  def hasShuffle(df: DataFrame): Boolean = hashShuffleKeys(df).nonEmpty
+  /** True if the physical plan contains ANY shuffle Exchange — hash,
+    * round-robin (repartition(n)) or range (global sort) alike. */
+  def hasShuffle(df: DataFrame): Boolean = shuffles(df).nonEmpty
 
   /** The scan's partition-pruning evidence: every FileSourceScan's
     * partition filters, rendered. Empty when nothing pruned. */

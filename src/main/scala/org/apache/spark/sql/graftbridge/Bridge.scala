@@ -38,15 +38,35 @@ object Bridge {
     }
 
   /** Run `body` with `loggerName` raised to ERROR, restoring the previous
-    * level after. Driver-side only; the narrow window can mask unrelated
-    * warnings from the same class, which is the accepted trade. */
-  private def quietly(loggerName: String)(body: => Unit): Unit = {
+    * configuration after. Serialized under a lock (two concurrent retires
+    * must not race the save/restore into pinning the level), and a logger
+    * that had NO explicit config before is restored by REMOVING the
+    * temporary config — re-setting the previously-effective level would
+    * convert the inherited level into an explicit one, detaching the
+    * (very common) concrete RDD class logger from future root-level
+    * changes like sparkContext.setLogLevel. Driver-side only; the narrow
+    * window can mask unrelated warnings from the same class, which is the
+    * accepted trade. */
+  private val logLock = new Object
+  private def quietly(loggerName: String)(body: => Unit): Unit = logLock.synchronized {
     import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.config.Configurator
+    val ctx = LogManager.getContext(false) match {
+      case c: LoggerContext => Some(c)
+      case _ => None
+    }
+    val hadExplicit = ctx.exists(_.getConfiguration.getLoggers.containsKey(loggerName))
     val prev = LogManager.getLogger(loggerName).getLevel
     Configurator.setLevel(loggerName, Level.ERROR)
     try body
-    finally Configurator.setLevel(loggerName, prev)
+    finally {
+      if (hadExplicit || ctx.isEmpty) Configurator.setLevel(loggerName, prev)
+      else ctx.foreach { c =>
+        c.getConfiguration.removeLogger(loggerName)
+        c.updateLoggers()
+      }
+    }
   }
 
   /** Register a native-expression SQL function on a LIVE session (the

@@ -72,9 +72,10 @@ class BandJoinSpec extends AnyFunSuite with SparkSpec {
     assert(unsalted.count { case (a, b) => a <= 300 && b <= 300 } == 300 * 299 / 2)
     assert(run(8) == unsalted)
     assert(run(3) == unsalted) // salts not dividing the bucket size evenly
-    // the salt must reach the join, spreading the (key, bucket) hash space
-    val p = BandJoin.selfBand(df, "k", "v", "id", 15L, salts = 8)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("__salt#"))
+    // the salt must reach the join KEYS (typed probe, not plan-string
+    // matching), spreading the (key, bucket) hash space
+    val salted = BandJoin.selfBand(df, "k", "v", "id", 15L, salts = 8)
+    val joinKeys = PlanInspect.equiJoinKeys(salted)
+    assert(joinKeys.nonEmpty && joinKeys.forall(_.contains("__salt")))
   }
 }

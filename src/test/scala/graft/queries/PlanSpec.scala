@@ -124,10 +124,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("dd05: candidates-first verify — no all-pairs shingle join survives") {
     val d = df("dd05_lsh_dedup")
-    // old shape: unfiltered h==h self-join aggregate, then a LeftSemi filter
+    // old shape: unfiltered h==h self-join aggregate, then a LeftSemi
+    // filter. Ban EVERY join exec (BaseJoinExec covers broadcast/shuffled/
+    // sort-merge/nested-loop): at corpus scale the planner would pick a
+    // sort-merge semi, which a hash-join-only probe would miss.
     assert(!nodes(d).exists {
-      case j: BroadcastHashJoinExec => j.joinType == LeftSemi
-      case j: ShuffledHashJoinExec => j.joinType == LeftSemi
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType == LeftSemi
       case _ => false
     })
     // every shingle-hash join is also keyed by a candidate doc id, so the
