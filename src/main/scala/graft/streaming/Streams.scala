@@ -211,6 +211,30 @@ object Streams {
       }
   }
 
+  /** dd07's streaming twin: benchmark-contamination scoring of a document
+    * stream. Entirely STATELESS — each doc's score needs only its own
+    * shingle set against the fixed benchmark set, so the bench shingles
+    * ride along as a broadcast (the same shape as batch `contamination`'s
+    * `broadcast(bench)` probe; benchmark suites are small by nature) and
+    * every row is scored in place: no watermark, no state store, no
+    * shuffle before the sink. Emits (doc_id, n_overlap, contamination,
+    * ts) for contaminated docs only — identical scores to the batch
+    * operator for the same corpus (StreamsSpec pins it). */
+  def contaminationStream(docs: DataFrame, benchShingles: Set[String]): DataFrame = {
+    val bench = docs.sparkSession.sparkContext.broadcast(benchShingles)
+    val hits = udf((arr: Seq[String]) => arr.count(bench.value.contains))
+    docs
+      .select(col("doc_id"), col("ts"),
+        graft.functions.Text.shingles(col("text"), 3).as("arr"))
+      .filter(size(col("arr")) > 0)
+      .select(col("doc_id"), col("ts"),
+        hits(col("arr")).as("n_overlap"), size(col("arr")).as("sz"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_overlap").cast("long").as("n_overlap"),
+        (col("n_overlap").cast("double") / col("sz")).as("contamination"),
+        col("ts"))
+  }
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */

@@ -193,6 +193,35 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("contaminationStream scores a doc stream identically to batch dd07") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // batch dd07 contract: docs 0-19 are the benchmark, the rest stream in
+    val bench = docs.filter($"doc_id" < 20)
+      .select(explode(graft.functions.Text.shingles($"text", 3)).as("sh"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val rows = docs.filter($"doc_id" >= 20).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), ts(0)))
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.contaminationStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), bench)
+    val q = out.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    mem.addData(rows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("contam")
+      .select("doc_id", "n_overlap", "contamination")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.queries.TextOps.contamination(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("late within-watermark event does not split the open session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
