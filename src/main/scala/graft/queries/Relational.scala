@@ -844,6 +844,51 @@ object Relational {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** q41 — EXACT percentiles (linear interpolation) per group. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the formula
+    * `lower + (upper - lower) * frac` at position p·(n−1), so the doubles
+    * agree bit-for-bit on the same data; rounded to 4dp as a guard. The
+    * approx family (percentile_approx) is deliberately NOT a gate — its
+    * error bound is engine-specific (ApproxSpec covers it). */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+      .orderBy($"l_returnflag")
+  }
+  private val q41Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q42 — explicit GROUPING SETS (the rollup/cube generalization, §2.4):
+    * two independent 1-D groupings plus the grand total in ONE pass —
+    * Spark expands to a single Expand + aggregate, not N scans. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_st"),
+        grouping($"o_orderpriority").cast("int").as("g_pr"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+  private val q42Sql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total,
+       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -885,5 +930,7 @@ object Relational {
     Q("q38_range_window", "per-user rolling 30-min RANGE-frame sum", q38, Some(q38Sql)),
     Q("q39_band_join", "same-user event pairs within 5 min (bucketed band join)", q39, Some(q39Sql)),
     Q("q40_unpivot", "wide day-of-week counts melted back to long form", q40, Some(q40Sql)),
+    Q("q41_percentile", "exact interpolated percentiles per group", q41, Some(q41Sql)),
+    Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
   )
 }
