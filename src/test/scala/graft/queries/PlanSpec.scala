@@ -57,6 +57,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .count(_.isInstanceOf[HashAggregateExec]) >= 2)
   }
 
+  test("q42: grouping sets expand in ONE pass — single scan, single Expand") {
+    val d = df("q42_grouping_sets")
+    assert(fileScans(d).size == 1)
+    assert(nodes(d).count(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]) == 1)
+  }
+
   test("q25: IN-subquery plans as a broadcast semi join") {
     assert(nodes(df("q25_semi_join_subquery")).exists {
       case j: BroadcastHashJoinExec => j.joinType == LeftSemi
