@@ -58,6 +58,18 @@ object Md5Fold32 {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** fold of `prefix ++ bytes` without concatenating — the MinHash inner
+    * loop calls this 8× per shingle with a static prefix, so the per-call
+    * string build + UTF-8 encode is worth skipping. */
+  def fold2(prefix: Array[Byte], bytes: Array[Byte]): Long = {
+    val md = md5.get()
+    md.reset()
+    md.update(prefix)
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 }
 
 object HashExpressions {

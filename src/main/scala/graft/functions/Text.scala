@@ -31,6 +31,44 @@ object Text {
   private val shingleUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
     (1 to 5).map(n => n -> udf((t: String) => shingleArr(t, n))).toMap
 
+  private val seedPrefixes: Array[Array[Byte]] =
+    (0 until 8).map(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  private def minhash8Arr(t: String): Array[Long] = {
+    val sh = shingleArr(t, 3)
+    if (sh.isEmpty) null
+    else {
+      val mins = Array.fill(8)(Long.MaxValue)
+      var j = 0
+      while (j < sh.length) {
+        val bytes = sh(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < 8) {
+          val f = graft.functions.Md5Fold32.fold2(seedPrefixes(i), bytes)
+          if (f < mins(i)) mins(i) = f
+          i += 1
+        }
+        j += 1
+      }
+      mins
+    }
+  }
+  // asNondeterministic: semantically the UDF IS deterministic (the oracle
+  // replays it), but the marker stops the optimizer from inlining the call
+  // into every consumer projection/filter — collapse would re-run the
+  // whole shingle+digest pass per signature column (perf trap #2).
+  private val minhash8Udf = udf((t: String) => minhash8Arr(t)).asNondeterministic()
+
+  /** All 8 MinHash signature minima of the text's word-3gram shingle set
+    * in ONE row-local pass — `sig(i) = min over shingles of
+    * md5_fold32("i:" + shingle)`, element-for-element identical to the
+    * exploded `groupBy(doc).agg(min(...)×8)` aggregation, but with no
+    * explode (no ~300× row blowup) and NO SHUFFLE: signatures and band
+    * keys become plain projected columns, so the first exchange of any
+    * LSH pipeline is the band-bucket join itself. Null for docs with no
+    * shingles (such docs simply vanish from the explode path too). */
+  def minhashSigs(text: Column): Column = minhash8Udf(text)
+
   /** Distinct word n-gram shingle set of a text column.
     *
     * Implemented as a Scala UDF, deliberately: the pure-Catalyst form

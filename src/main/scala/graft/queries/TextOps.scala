@@ -98,7 +98,12 @@ object TextOps {
     import s.implicits._
     // Explode shingles once and take the 8 per-seed minima as grouped
     // aggregates (the naive 8-column form re-evaluates the shingle array
-    // per signature after projection collapse).
+    // per signature after projection collapse). A row-local one-pass UDF
+    // variant (Text.minhashSigs) was measured SLOWER end-to-end here
+    // (1.04-1.13 s vs 0.79-0.89 s at sf0.1, same JVM A/B): with the full
+    // signature table as output, the codegen'd explode+partial-min beats
+    // the UDF row conversions — row-local wins only where the shingle
+    // table has no other consumer (dd06, streaming).
     val exploded = documents(s, d)
       .select($"doc_id", explode(Text.shingles($"text", 3)).as("sh"))
     val aggs = (0 until 8).map(i =>
@@ -173,6 +178,25 @@ object TextOps {
     docs
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("arr"))
       .select(col("doc_id"), size(col("arr")).as("sz"), explode(col("arr")).as("sh"))
+
+  /** [[sigBands]]'s row-local twin, from the documents frame directly:
+    * signatures via the one-pass `Text.minhashSigs` UDF (no explode, no
+    * aggregation exchange), bands projected from the signature array.
+    * Used where the shingle table is NOT otherwise needed (dd06: buckets
+    * only, no pair verification) or would be re-derived anyway (dd03).
+    * The verification pipelines (dd05/pp01) keep the sized-rows variant:
+    * their shingle table already exists for interCounts, so deriving
+    * bands from it costs one agg exchange but no re-tokenization. */
+  private[queries] def sigBandsLocal(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), Text.minhashSigs(col("text")).as("sigs"))
+      .filter(col("sigs").isNotNull)
+    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
+      md5(concat_ws(":", col("sigs")(2 * b), col("sigs")(2 * b + 1))).as("bkey")))
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
 
   /** 8 MinHash signatures → 4 LSH band keys per doc (one explode — a union
     * of 4 selects would re-run the whole shingle→signature aggregation per
@@ -325,11 +349,10 @@ object TextOps {
     * as a recursive CTE (min reachable id) over the pair form. */
   def dupClusters(docs: DataFrame,
       materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
-    // no checkpoint on the shingle pass here: its single consumer chain
-    // (signatures → bands → memberships) is materialized once INSIDE
-    // bipartite(), so the pass runs exactly once anyway
-    val sized = shingleRows(docs)
-    val members = sigBands(sized)
+    // clustering needs only the BUCKETS, never the shingle table — derive
+    // band keys row-locally (one pass, no explode, no agg exchange); the
+    // membership frame is materialized once inside bipartite()
+    val members = sigBandsLocal(docs)
       .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket"))
     val comp = graft.operators.ConnectedComponents.bipartite(
       members, idCol = "doc_id", bucketCol = "bucket", materialize = materialize)
