@@ -137,16 +137,16 @@ object Streams {
     * matching the batch explode. Output: (doc_id, ts, bucket) with
     * bucket = "band:bkey", 4 rows per doc. */
   def docBands(docs: DataFrame): DataFrame = {
-    import graft.queries.QueryUtils.hex8
-    val arr = docs
-      .select(col("doc_id"), col("ts"), graft.functions.Text.shingles(col("text"), 3).as("arr"))
-      .filter(size(col("arr")) > 0)
-    val sigs = (0 until 8).map(i =>
-      array_min(transform(col("arr"), s => hex8(concat(lit(s"$i:"), s)))).as(s"sig$i"))
+    // one-pass signature UDF (shared with batch dd06's sigBandsLocal):
+    // the 8×array_min(transform(...)) lambda form re-loops the shingle
+    // array per signature (lambdas get no subexpression elimination)
+    val sigs = docs
+      .select(col("doc_id"), col("ts"),
+        graft.functions.Text.minhashSigs(col("text")).as("sigs"))
+      .filter(col("sigs").isNotNull)
     val bandStructs = (0 until 4).map(b =>
-      concat_ws(":", lit(b), md5(concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))))
-    arr.select(col("doc_id") +: col("ts") +: sigs: _*)
-      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bucket"))
+      concat_ws(":", lit(b), md5(concat_ws(":", col("sigs")(2 * b), col("sigs")(2 * b + 1)))))
+    sigs.select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bucket"))
   }
 
   final case class BandHit(bucket: String, doc_id: Long, ts: Timestamp)
