@@ -59,6 +59,18 @@ object Text {
   // whole shingle+digest pass per signature column (perf trap #2).
   private val minhash8Udf = udf((t: String) => minhash8Arr(t)).asNondeterministic()
 
+  /** The word-3gram shingle set as a plain array — for row-local scorers
+    * that fold over it in one UDF pass (streaming contamination). */
+  private[graft] def shingleSet(t: String): Array[String] = shingleArr(t, 3)
+
+  /** The 4 LSH band keys of a [[minhashSigs]] array, as array<string>:
+    * `bkey(b) = md5(sig(2b) || ":" || sig(2b+1))` — THE band-key formula;
+    * every derivation site (batch sigBandsLocal, streaming docBands) must
+    * use this helper so batch/stream bucket parity can never drift. */
+  def bandKeys(sigs: Column): Column =
+    array((0 until 4).map(b =>
+      md5(concat_ws(":", sigs(2 * b), sigs(2 * b + 1)))): _*)
+
   /** All 8 MinHash signature minima of the text's word-3gram shingle set
     * in ONE row-local pass — `sig(i) = min over shingles of
     * md5_fold32("i:" + shingle)`, element-for-element identical to the

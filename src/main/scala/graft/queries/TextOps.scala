@@ -187,16 +187,12 @@ object TextOps {
     * The verification pipelines (dd05/pp01) keep the sized-rows variant:
     * their shingle table already exists for interCounts, so deriving
     * bands from it costs one agg exchange but no re-tokenization. */
-  private[queries] def sigBandsLocal(docs: DataFrame): DataFrame = {
-    val sigs = docs
+  private[queries] def sigBandsLocal(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), Text.minhashSigs(col("text")).as("sigs"))
       .filter(col("sigs").isNotNull)
-    val bandStructs = (0 until 4).map(b => struct(lit(b).as("band"),
-      md5(concat_ws(":", col("sigs")(2 * b), col("sigs")(2 * b + 1))).as("bkey")))
-    sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
+      .select(col("doc_id"), posexplode(Text.bandKeys(col("sigs"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
 
   /** 8 MinHash signatures → 4 LSH band keys per doc (one explode — a union
     * of 4 selects would re-run the whole shingle→signature aggregation per

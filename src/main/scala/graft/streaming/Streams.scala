@@ -129,25 +129,21 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** dd05's streaming twin, candidate half: per-document MinHash band keys
-    * computed ROW-LOCALLY — the same shingles, md5-fold signatures and band
-    * keys as the batch `sigBands` aggregation (byte-identical buckets, the
-    * parity contract), but via `array_min` over the row's own shingle set
-    * instead of a groupBy, so no shuffle precedes the stateful stage.
-    * Docs with fewer than 3 tokens have no shingles and emit no bands,
-    * matching the batch explode. Output: (doc_id, ts, bucket) with
-    * bucket = "band:bkey", 4 rows per doc. */
-  def docBands(docs: DataFrame): DataFrame = {
-    // one-pass signature UDF (shared with batch dd06's sigBandsLocal):
-    // the 8×array_min(transform(...)) lambda form re-loops the shingle
-    // array per signature (lambdas get no subexpression elimination)
-    val sigs = docs
+    * computed ROW-LOCALLY via the one-pass `Text.minhashSigs` UDF and the
+    * shared `Text.bandKeys` formula — byte-identical buckets to the batch
+    * pipelines (the parity contract), with no shuffle preceding the
+    * stateful stage. Docs with fewer than 3 tokens have no shingles and
+    * emit no bands, matching the batch explode. Output: (doc_id, ts,
+    * bucket) with bucket = "band:bkey", 4 rows per doc. */
+  def docBands(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("ts"),
         graft.functions.Text.minhashSigs(col("text")).as("sigs"))
       .filter(col("sigs").isNotNull)
-    val bandStructs = (0 until 4).map(b =>
-      concat_ws(":", lit(b), md5(concat_ws(":", col("sigs")(2 * b), col("sigs")(2 * b + 1)))))
-    sigs.select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bucket"))
-  }
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.functions.Text.bandKeys(col("sigs"))))
+      .select(col("doc_id"), col("ts"),
+        concat_ws(":", col("pos"), col("col")).as("bucket"))
 
   final case class BandHit(bucket: String, doc_id: Long, ts: Timestamp)
   final case class BucketState(docs: List[(Long, Long)])
@@ -222,16 +218,29 @@ object Streams {
     * operator for the same corpus (StreamsSpec pins it). */
   def contaminationStream(docs: DataFrame, benchShingles: Set[String]): DataFrame = {
     val bench = docs.sparkSession.sparkContext.broadcast(benchShingles)
-    val hits = udf((arr: Seq[String]) => arr.count(bench.value.contains))
+    // ONE combined UDF (shingle + probe + size) marked nondeterministic:
+    // split across deterministic UDFs the optimizer substitutes them into
+    // the pushed-down filters and recomputes them in the projections above
+    // (verified in the 4.1.2 optimized plan) — the dominant per-row work
+    // would run twice. Nulls (no shingles) drop via the n_overlap filter.
+    val score = udf { (t: String) =>
+      val sh = graft.functions.Text.shingleSet(t)
+      if (sh.isEmpty) null
+      else {
+        var n = 0
+        var j = 0
+        while (j < sh.length) {
+          if (bench.value.contains(sh(j))) n += 1
+          j += 1
+        }
+        (n.toLong, sh.length)
+      }
+    }.asNondeterministic()
     docs
-      .select(col("doc_id"), col("ts"),
-        graft.functions.Text.shingles(col("text"), 3).as("arr"))
-      .filter(size(col("arr")) > 0)
-      .select(col("doc_id"), col("ts"),
-        hits(col("arr")).as("n_overlap"), size(col("arr")).as("sz"))
-      .filter(col("n_overlap") > 0)
-      .select(col("doc_id"), col("n_overlap").cast("long").as("n_overlap"),
-        (col("n_overlap").cast("double") / col("sz")).as("contamination"),
+      .select(col("doc_id"), col("ts"), score(col("text")).as("s"))
+      .filter(col("s._1") > 0)
+      .select(col("doc_id"), col("s._1").as("n_overlap"),
+        (col("s._1").cast("double") / col("s._2")).as("contamination"),
         col("ts"))
   }
 
