@@ -67,9 +67,14 @@ object Bench {
     val qsMedian = qmap(r => num(r._3))
     val perRun = qmap(_._4.map(num).mkString("[", ",", "]"))
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    // a query that failed SOME of its runs still scores min/median of the
+    // survivors — list it so the artifact flags flakiness without the
+    // consumer having to diff the per-run arrays against runs_per_query
+    val partial = results.filter(r => r._4.nonEmpty && r._4.size < runs)
+      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMedian = results.map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"partial":$partial,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(json)
     // stdout from an sbt runMain is interleaved with [info]/log noise, which
     // broke the driver's parse in round 1 — also land the line in a file the

@@ -49,21 +49,29 @@ object Serve {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val cache = new AtomicReference[Cached]()
 
-    // snapshot identity: fingerprint of each table directory's file
-    // listing (name:length:mtime per entry) — NOT the directory mtime,
+    // snapshot identity: fingerprint of each table's RECURSIVE file
+    // listing (path:length:mtime per file) — NOT the directory mtime,
     // which object stores report as fake/zero for prefixes and coarse
     // filesystems may not bump on a swap. A rename-publish (MergeWriter
     // .overwriteAtomic) writes fresh UUID-named part files, so the
-    // listing always changes even where mtimes lie. A missing table
-    // fingerprints as "missing" and the query below reports the error.
+    // listing always changes even where mtimes lie. Recursion matters for
+    // partitioned layouts: a swap inside a partition subdirectory leaves
+    // the top-level prefix entries untouched on an object store, so a
+    // one-level listStatus would miss it. A missing table fingerprints
+    // as "missing" and the query below reports the error.
     def snapshotToken(): String = {
       val conf = spark.sparkContext.hadoopConfiguration
       def sig(p: String): String = {
         val path = new org.apache.hadoop.fs.Path(p)
-        try path.getFileSystem(conf).listStatus(path)
-          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-          .sorted.mkString(",")
-        catch { case _: java.io.FileNotFoundException => "missing" }
+        try {
+          val files = path.getFileSystem(conf).listFiles(path, true)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (files.hasNext) {
+            val s = files.next()
+            entries += s"${s.getPath.toUri.getPath}:${s.getLen}:${s.getModificationTime}"
+          }
+          entries.sorted.mkString(",")
+        } catch { case _: java.io.FileNotFoundException => "missing" }
       }
       sig(s"$tableRoot/well_info") + "|" + sig(s"$tableRoot/well_stimulation")
     }
@@ -85,8 +93,15 @@ object Serve {
           (f, true)
         }
       }
-      if (!owner) fut.get()
-      else
+      if (!owner) {
+        // bounded wait: if the owning flight is abandoned without ever
+        // completing (server stopped / executor shutdown mid-query), the
+        // waiters must time out to a 500 instead of parking pool threads
+        // forever and starving the static routes too
+        try fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException("/wells computation timed out") }
+      } else
         try {
           val info = spark.read.parquet(s"$tableRoot/well_info")
           val stim = spark.read.parquet(s"$tableRoot/well_stimulation")
@@ -104,6 +119,19 @@ object Serve {
           }
           fut.completeExceptionally(e)
           throw e
+        } finally {
+          // the flight must END on every exit path — if the owner thread
+          // died between cache.set and the try (stop-the-thread, stack
+          // overflow in frame setup), waiters would otherwise rely only on
+          // their timeout; completing here is a no-op when already done
+          if (!fut.isDone) {
+            cacheLock.synchronized {
+              val c = cache.get()
+              if (c != null && (c.body eq fut)) cache.set(null)
+            }
+            fut.completeExceptionally(
+              new IllegalStateException("/wells flight abandoned"))
+          }
         }
     }
 
@@ -166,21 +194,23 @@ object Serve {
       case _ => "application/octet-stream"
     }
 
-  private def handle(ex: HttpExchange)(f: => (Int, String, Array[Byte])): Unit = {
-    val (status, mime, body) =
-      try f
-      catch { case e: Exception =>
-        // the exception goes to the server log only: messages carry
-        // filesystem paths and Spark internals no HTTP client should see
-        System.err.println(s"[serve] ${ex.getRequestURI.getPath} failed: $e")
-        e.printStackTrace()
-        (500, "text/plain",
-          "internal error".getBytes(StandardCharsets.UTF_8))
-      }
+  private def handle(ex: HttpExchange)(f: => (Int, String, Array[Byte])): Unit =
+    // close on EVERY exit: a fatal error (OOM, LinkageError) from the query
+    // path escapes the NonFatal catch below by design — the exchange must
+    // still be closed on the way out or the client hangs on a dead request
     try {
+      val (status, mime, body) =
+        try f
+        catch { case scala.util.control.NonFatal(e) =>
+          // the exception goes to the server log only: messages carry
+          // filesystem paths and Spark internals no HTTP client should see
+          System.err.println(s"[serve] ${ex.getRequestURI.getPath} failed: $e")
+          e.printStackTrace()
+          (500, "text/plain",
+            "internal error".getBytes(StandardCharsets.UTF_8))
+        }
       ex.getResponseHeaders.set("Content-Type", mime)
       ex.sendResponseHeaders(status, body.length.toLong)
       ex.getResponseBody.write(body)
     } finally ex.close()
-  }
 }
