@@ -26,15 +26,19 @@ import graft.queries.Catalog
   *    dd03 MinHash+LSH signatures, dd04 SimHash, dd05 full LSH dedup
   *    (band bucket join + exact verify), dd06 dedup groups
   *    (graft.operators.ConnectedComponents over LSH pairs), dd07
-  *    benchmark-contamination check; ta01–ta06 (lang-ID, quality, tokens,
-  *    fingerprint, repetition metrics, PII redaction); sa01/sa02
-  *    deterministic hash sampling (native md5_fold32 expression);
-  *    q39 band join (graft.operators.BandJoin); mm01/mm02 +
+  *    benchmark-contamination check, dd08 Bloom-pruned decontamination
+  *    (the eval-suite-scale path, exact after verify), pp02 incremental
+  *    LSH index maintenance (new-batch dup pairs only); ta01–ta06
+  *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
+  *    redaction); sa01/sa02 deterministic hash sampling (native
+  *    md5_fold32 expression); q39 band join (graft.operators.BandJoin);
+  *    q43 grouped top-k (graft.operators.GroupedTopK bounded-buffer
+  *    aggregator — no window sort); mm01/mm02 +
   *    graft.operators.Multimodal (binary columns, batched codec seam,
   *    frame sampling); vs01 brute-force ANN, vs02 embedding near-dup,
   *    vs03 cluster stats, vs04 LSH ANN (graft.operators.Ann, native
   *    quantized_dot codegen expression, md5-derived integer hyperplanes),
-  *    vs05 IVF centroid sums
+  *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

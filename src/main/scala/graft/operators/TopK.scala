@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Grouped top-k as a PARTIAL-AGGREGATING typed Aggregator — the scale
+  * replacement for the `row_number().over(Window.partitionBy(g))` idiom.
+  *
+  * The window form shuffles EVERY detail row to its group's reducer and
+  * sorts whole partitions before discarding all but k rows per group; at
+  * 100 TB that is a full-table shuffle + sort to keep a sliver. This
+  * aggregator keeps a bounded (k-element, sorted) buffer per group, so the
+  * map side combines each partition down to ≤ k rows per group BEFORE the
+  * exchange: the shuffle carries O(groups × k × maps) buffer rows, never
+  * the detail table, and nothing is ever globally sorted. TopKSpec pins
+  * both halves of that contract (ObjectHashAggregate with a partial pass,
+  * no WindowExec) and exact parity with the window form.
+  *
+  * Results are fully deterministic: ordering is (value DESC, id ASC), so
+  * ties break on the id just like the `ROW_NUMBER() OVER (ORDER BY v
+  * DESC, id)` oracle.
+  */
+object GroupedTopK {
+
+  /** One scored row entering the aggregate. */
+  final case class In(v: Double, id: Long)
+
+  /** Sorted parallel arrays (v DESC, id ASC), length ≤ k — a flat,
+    * Encoder-friendly buffer (primitive arrays serialize natively; a
+    * kryo'd collection buffer would defeat ObjectHashAggregate's cheap
+    * buffer spill). */
+  final case class Buf(vs: Array[Double], ids: Array[Long])
+
+  final class TopKAgg(k: Int) extends Aggregator[In, Buf, Buf] {
+    override def zero: Buf = Buf(Array.empty, Array.empty)
+
+    // before(i, x): does buffer slot i rank strictly ahead of x?
+    private def before(b: Buf, i: Int, v: Double, id: Long): Boolean =
+      b.vs(i) > v || (b.vs(i) == v && b.ids(i) < id)
+
+    // O(k) insert keeping the arrays sorted and bounded — k is small by
+    // contract (a top-k over millions of groups, not a sort key)
+    private def insert(b: Buf, v: Double, id: Long): Buf = {
+      val n = b.vs.length
+      if (n == k && before(b, n - 1, v, id)) return b
+      var pos = 0
+      while (pos < n && before(b, pos, v, id)) pos += 1
+      val m = math.min(n + 1, k)
+      val vs = new Array[Double](m)
+      val ids = new Array[Long](m)
+      java.lang.System.arraycopy(b.vs, 0, vs, 0, pos)
+      java.lang.System.arraycopy(b.ids, 0, ids, 0, pos)
+      vs(pos) = v; ids(pos) = id
+      java.lang.System.arraycopy(b.vs, pos, vs, pos + 1, m - pos - 1)
+      java.lang.System.arraycopy(b.ids, pos, ids, pos + 1, m - pos - 1)
+      Buf(vs, ids)
+    }
+
+    override def reduce(b: Buf, a: In): Buf = insert(b, a.v, a.id)
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      var acc = b1
+      var i = 0
+      while (i < b2.vs.length) { acc = insert(acc, b2.vs(i), b2.ids(i)); i += 1 }
+      acc
+    }
+
+    override def finish(b: Buf): Buf = b
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+
+  /** Top `k` rows per `group`, ranked by (`value` DESC, `id` ASC).
+    * Output: (group, rank starting at 1, v, id) — one row per kept
+    * detail row, ≤ k per group. */
+  def topK(df: DataFrame, group: String, value: String, id: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val fn = udaf(new TopKAgg(k), Encoders.product[In])
+    df.groupBy(col(group))
+      .agg(fn(col(value).cast("double"), col(id).cast("long")).as("top"))
+      // named struct through zip_with: arrays_zip field names depend on the
+      // input expression shape, these don't
+      .select(col(group), posexplode(zip_with(col("top.vs"), col("top.ids"),
+        (v, i) => struct(v.as("v"), i.as("id")))))
+      .select(col(group), (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").as("v"), col("col.id").as("id"))
+  }
+}

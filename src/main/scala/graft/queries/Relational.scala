@@ -889,6 +889,28 @@ object Relational {
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q43 — grouped top-k WITHOUT a window: the bounded-buffer typed
+    * aggregator (graft.operators.GroupedTopK) combines map-side to ≤ k
+    * rows per group before the exchange, where the row_number window
+    * shape shuffles and sorts the entire detail table to keep 3 rows per
+    * customer. Same rows as the window oracle below, different (scale-
+    * correct) plan — TopKSpec pins partial ObjectHashAggregate + no
+    * WindowExec. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.GroupedTopK
+      .topK(orders(s, d), "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+      .select($"o_custkey", $"id".as("o_orderkey"), $"v".as("o_totalprice"), $"rank")
+      .orderBy($"o_custkey", $"rank")
+  }
+  private val q43Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -932,5 +954,6 @@ object Relational {
     Q("q40_unpivot", "wide day-of-week counts melted back to long form", q40, Some(q40Sql)),
     Q("q41_percentile", "exact interpolated percentiles per group", q41, Some(q41Sql)),
     Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
+    Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
   )
 }

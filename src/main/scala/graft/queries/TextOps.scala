@@ -323,6 +323,44 @@ object TextOps {
   def verifyPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
     jaccardOf(interCounts(shingleRows(docs),
       pairs.select(col("d1"), col("d2")).distinct()))
+
+  /** Incremental LSH index maintenance — the daily-increment flow: a
+    * standing band index (doc_id, band, bkey) over the corpus, a batch of
+    * NEW documents, and the question "which duplicate pairs did this batch
+    * introduce?". Nothing corpus-sized is recomputed:
+    *
+    *  - the increment's band keys come from the row-local signature UDF
+    *    ([[sigBandsLocal]] / Text.minhashSigs — byte-identical to the
+    *    aggregated [[sigBands]] form, pinned in MinhashParitySpec), so
+    *    indexing N new docs is one map pass over N rows — no shuffle, no
+    *    aggregation over the standing corpus;
+    *  - candidates come from probing the index with the (small, broadcast)
+    *    increment bands — the index is only ever READ at its own
+    *    partitioning, never re-derived;
+    *  - exact-Jaccard verification pulls just the candidate docs' shingle
+    *    sets out of `corpus` through the interCounts join.
+    *
+    * The union with the increment's own bands catches new–new duplicates
+    * inside the batch; `least/greatest` + distinct collapses the two
+    * directed hits a new–new pair produces. Returns (d1, d2, jaccard) for
+    * pairs touching ≥ 1 new doc — exactly [[lshDedup]]'s pairs restricted
+    * to the increment (the pp02 oracle states it that way, as a filter on
+    * the full-corpus candidate CTE). In production the caller appends
+    * `newBands` to the index table afterwards (MergeWriter); the bands are
+    * returned alongside for that. */
+  def incrementalDupPairs(indexBands: DataFrame, newDocs: DataFrame,
+      corpus: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+    val newBands = sigBandsLocal(newDocs)
+    val allBands = indexBands.unionByName(newBands)
+    val cand = broadcast(newBands).as("x").join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .distinct()
+    jaccardOf(interCounts(materialize(shingleRows(corpus)), cand))
+  }
   private def dd05(s: SparkSession, d: String): DataFrame =
     lshDedup(documents(s, d))
   private val dd05Sql =
@@ -534,6 +572,48 @@ object TextOps {
   }
   private def dd07(s: SparkSession, d: String): DataFrame =
     contamination(documents(s, d))
+
+  /** dd08 — Bloom-pruned decontamination: same answer as [[contamination]]
+    * by a different (cluster-scale) route. dd07 broadcasts the benchmark
+    * shingle SET, which stops working when the eval suite's shingles no
+    * longer fit in an executor-friendly hash map; a Bloom filter of the
+    * same set is ~10 bits per shingle at 1% FP, broadcastable long after
+    * the set itself is not. The corpus's shingle stream is pruned against
+    * the filter FIRST (row-local, no false negatives → no lost hits), and
+    * only the survivors — true hits plus the ~1% FP — reach the exact
+    * membership join that removes the false positives. The planner picks
+    * the exact join's shape: broadcast at test scale, shuffle on the
+    * (already pruned, tiny) survivor stream at corpus scale. Exactness is
+    * the gate: dd08's oracle is dd07's, verbatim.
+    *
+    * The probe is a Scala UDF (§2.9 exception, justified: Spark's native
+    * BloomFilterMightContain is planner-internal, and the sketch probe is
+    * a row-local bit test with no builtin equivalent). */
+  def contaminationBloom(docs: DataFrame, fpp: Double = 0.01,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+    val sized = materialize(shingleRows(docs))
+    val bench = sized.filter(col("doc_id") < 20).select(col("sh")).distinct()
+    // one extra job on the SMALL side to size the filter honestly — a
+    // guessed expectedNumItems either wastes broadcast bytes or blows the
+    // FP rate, and the count is free relative to the corpus pass
+    val expected = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("sh", expected, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    sized.filter(col("doc_id") >= 20)
+      .filter(mightContain(col("sh")))
+      .join(bench.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("sz")).as("sz"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("sz")).as("contamination"))
+      .orderBy(col("contamination").desc, col("doc_id"))
+  }
+  private def dd08(s: SparkSession, d: String): DataFrame =
+    contaminationBloom(documents(s, d))
   private val dd07Sql =
     s"""WITH $shinglesCte,
        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
@@ -663,6 +743,32 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** pp02 — incremental index maintenance gate: a deterministic 20% of
+    * the corpus (md5-keyed on the doc id, salt "inc:" so it does not
+    * correlate with pp01's export sample) arrives as "today's batch"; the
+    * other 80% is the standing index. [[incrementalDupPairs]] must emit
+    * exactly the full-corpus LSH pairs that touch the batch — the oracle
+    * says it that way: dd05's candidate CTE filtered to new-doc pairs. */
+  private def pp02(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    incrementalDupPairs(sigBandsLocal(docs.filter(!isNew)),
+      docs.filter(isNew), docs)
+  }
+  private val pp02Sql =
+    s"""WITH $lshCandCte,
+       |newids AS (SELECT doc_id FROM documents
+       |  WHERE ${hex8Sql("'inc:' || CAST(doc_id AS VARCHAR)")} % 5 = 0),
+       |candn AS (SELECT d1, d2 FROM cand
+       |  WHERE d1 IN (SELECT doc_id FROM newids) OR d2 IN (SELECT doc_id FROM newids)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |i AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM candn JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id AND a.s = b.s
+       |  GROUP BY d1, d2)
+       |SELECT i.d1, i.d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+       |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+       |ORDER BY i.d1, i.d2""".stripMargin
+
   /** mm01 — multimodal binary plumbing: opaque binary column + typed
     * metadata + deterministic fake "decode" (real decode is the pluggable
     * stub in graft.operators.Multimodal — the container has no codec libs). */
@@ -723,9 +829,11 @@ object TextOps {
     Q("ta04_fingerprint", "sorted-token-set md5 fingerprint", ta04, Some(ta04Sql)),
     Q("ta05_repetition", "top-token share + duplicate-2gram fraction", ta05, Some(ta05Sql)),
     Q("dd07_contamination", "benchmark n-gram contamination check", dd07, Some(dd07Sql)),
+    Q("dd08_contamination_bloom", "Bloom-pruned decontamination, exact after verify (scale path)", dd08, Some(dd07Sql)),
     Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
+    Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
   )
 }

@@ -164,11 +164,84 @@ object VectorOps {
        |  CAST(SUM(q[i]) AS BIGINT) AS sum_q
        |FROM d GROUP BY label, i ORDER BY label, dim""".stripMargin
 
+  /** vs06 — IVF ANN search, end to end: the inverted-file flow vs01's
+    * brute force and vs04's LSH sit either side of. Coarse quantizer =
+    * the first 8 vectors as fixed centroids (deterministic and
+    * SQL-expressible, where a k-means fit would not oracle-check); every
+    * vector is assigned to its nearest centroid; a query probes its
+    * nProbe=2 nearest centroids and scores ONLY those clusters' members.
+    *
+    * Every stage has the 100 TB shape: assignment is a broadcast of the
+    * centroid table + a grouped argmax (max over a (cos, -cid) struct —
+    * map-side partial agg, ties to the lowest centroid id), never a
+    * window over the corpus; the search joins queries to candidates ON
+    * THE CENTROID ID — the IVF list is the physical partition key, so a
+    * probe touches nProbe/nList of the data. Top-k per query is a window
+    * over just the probed candidates. Approximate by construction
+    * (a true neighbor in an unprobed cluster is missed) — the oracle
+    * replays the same probe decisions exactly, and AnnSpec pins recall
+    * vs the vs01 exact answer. */
+  private def vs06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+      .select($"vec_id", quantized($"embedding").as("q"))
+      .withColumn("nrm", sqrt(dotQ($"q", $"q").cast("double")))
+      .filter($"nrm" > 0.0)
+    val cents = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"nrm".as("cn"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ($"q", $"cq").cast("double") / ($"nrm" * $"cn"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("m"),
+        first($"q").as("q"), first($"nrm").as("nrm"))
+      .select($"vec_id", (-$"m.ncid").as("cid"), $"q", $"nrm")
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    val pw = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cid")
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", dotQ($"qq", $"cq").cast("double") / ($"qn" * $"cn"))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= 2)
+      .select($"query_id", $"qq", $"qn", $"cid")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    probed.join(assigned, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"cid", $"vec_id".as("neighbor_id"), $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs06Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |p0 AS (SELECT n.vec_id AS query_id, n.q, n.nrm, c.cid, ${dot("n", "c")} AS pcos
+       |  FROM n CROSS JOIN c WHERE n.vec_id >= 10 AND n.vec_id < 20),
+       |p AS (SELECT query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, cid) AS rn FROM p0) WHERE rn <= 2),
+       |s AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM p JOIN a ON p.cid = a.cid AND a.vec_id <> p.query_id
+       |       JOIN n x ON x.vec_id = p.query_id
+       |       JOIN n y ON y.vec_id = a.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
+    Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
   )
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TopKSpec extends AnyFunSuite with SparkSpec {
+
+  private def windowTopK(rows: Seq[(Long, Double, Long)], k: Int): Set[(Long, Int, Double, Long)] = {
+    import spark.implicits._
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    rows.toDF("g", "v", "id")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(1), r.getLong(2))).toSet
+  }
+
+  private def aggTopK(rows: Seq[(Long, Double, Long)], k: Int, parts: Int = 4): Set[(Long, Int, Double, Long)] = {
+    import spark.implicits._
+    GroupedTopK.topK(rows.toDF("g", "v", "id").repartition(parts), "g", "v", "id", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+  }
+
+  test("matches the window form: ties, short groups, k=1") {
+    // group 1: ties on v (ranked by id), more rows than k
+    // group 2: fewer rows than k
+    // group 3: single row
+    val rows = Seq(
+      (1L, 5.0, 10L), (1L, 5.0, 9L), (1L, 7.0, 11L), (1L, 1.0, 1L),
+      (2L, 3.0, 20L), (2L, 4.0, 21L),
+      (3L, 2.0, 30L))
+    for (k <- Seq(1, 2, 3, 5))
+      assert(aggTopK(rows, k) == windowTopK(rows, k), s"k=$k")
+  }
+
+  test("merge path: many partitions, every partition holding a full buffer") {
+    // 64 rows in one group across 8 partitions: each map-side partial
+    // buffer fills to k, the reduce-side merge must interleave correctly
+    val rows = (1L to 64L).map(i => (1L, (i % 16).toDouble, i))
+    assert(aggTopK(rows, 5, parts = 8) == windowTopK(rows, 5))
+  }
+
+  test("plan: partial ObjectHashAggregate, no window, no full-table sort") {
+    import spark.implicits._
+    val df = GroupedTopK.topK(
+      (1L to 1000L).map(i => (i % 50, i.toDouble, i)).toDF("g", "v", "id")
+        .repartition(4),
+      "g", "v", "id", 3)
+    df.collect() // finalize AQE before inspecting
+    val nodes = PlanInspect.nodes(df)
+    val aggs = nodes.collect { case a: ObjectHashAggregateExec => a }
+    // one partial (map-side, combining to <= k per group pre-shuffle) and
+    // one final aggregate — the contract that keeps the exchange bounded
+    assert(aggs.size >= 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "grouped top-k must not fall back to a window")
+  }
+
+  test("rejects non-positive k") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 1L)).toDF("g", "v", "id")
+    intercept[IllegalArgumentException](GroupedTopK.topK(df, "g", "v", "id", 0))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The round-5 scale-path twins: each must give EXACTLY the answer of its
+  * direct counterpart — the whole point of a scale path is that only the
+  * plan changes, never the result. */
+class ScalePathsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.Tables.documents(spark, sfDir)
+
+  private def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  test("contaminationBloom == contamination on the corpus") {
+    assert(rows(TextOps.contaminationBloom(docs)) == rows(TextOps.contamination(docs)))
+  }
+
+  test("contaminationBloom stays exact when the filter is deliberately lousy") {
+    // fpp 0.5 floods the pruned stream with false positives — the exact
+    // membership join must remove every one of them
+    assert(rows(TextOps.contaminationBloom(docs, fpp = 0.5)) ==
+      rows(TextOps.contamination(docs)))
+  }
+
+  test("incrementalDupPairs == lshDedup restricted to pairs touching the batch") {
+    val isNew = QueryUtils.hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val newIds = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < 500, "batch split degenerate")
+    val full = rows(TextOps.lshDedup(docs))
+      .filter(r => newIds(r.getLong(0)) || newIds(r.getLong(1)))
+    val inc = rows(TextOps.incrementalDupPairs(
+      TextOps.sigBandsLocal(docs.filter(!isNew)), docs.filter(isNew), docs))
+    assert(inc == full)
+  }
+
+  test("incrementalDupPairs: new-new and new-old pairs found, old-old never re-emitted") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    // 1 ≈ 2 are near-identical OLD docs (their pair must NOT appear —
+    // it predates the batch); 3 ≈ 4 are identical NEW docs (new-new);
+    // 3 ≈ 1 shares most shingles (new-old); 5 is unrelated old noise
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val all = Seq(
+      mk(1L, base + " one"), mk(2L, base + " one"),
+      mk(5L, "totally different words with no overlap whatsoever here"),
+      mk(3L, base + " one"), mk(4L, base + " one")
+    ).toDF("doc_id", "text")
+    val old = all.filter($"doc_id" <= 2 || $"doc_id" === 5L)
+    val batch = all.filter($"doc_id" === 3L || $"doc_id" === 4L)
+    val got = rows(TextOps.incrementalDupPairs(
+      TextOps.sigBandsLocal(old), batch, all))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("vs06 IVF search: recall vs exact brute force on real embeddings") {
+    val out = Catalog.byName("vs06_ivf_search").fn(spark, sfDir)
+    val approx = rows(out)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows(out).size == 30) // 10 queries x top-3
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val truth = graft.operators.Ann.bruteTopK(q, emb, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    // 2 probes of 8 clusters: well over half the true neighbors live in
+    // the probed cells on this corpus — pin a conservative floor
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+}
