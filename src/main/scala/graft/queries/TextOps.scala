@@ -348,6 +348,12 @@ object TextOps {
     * the full-corpus candidate CTE). In production the caller appends
     * `newBands` to the index table afterwards (MergeWriter); the bands are
     * returned alongside for that. */
+  /** The persistable band-index rows for `docs` (doc_id, band, bkey) —
+    * the row-local signature path, public so the streaming maintainer
+    * ([[graft.streaming.Streams.maintainBandIndex]]) can append a
+    * batch's rows to the standing index it probes. */
+  def bandIndex(docs: DataFrame): DataFrame = sigBandsLocal(docs)
+
   def incrementalDupPairs(indexBands: DataFrame, newDocs: DataFrame,
       corpus: DataFrame,
       materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
