@@ -58,8 +58,48 @@ object SampleOps {
        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Domain-mix sampling — per-source keep rates steering the corpus
+    * toward a target mixture (the data-mixing step of a training
+    * pipeline: upweight books, downsample crawl). Rates are integer
+    * basis points of 10000 — no floating point anywhere in the
+    * membership decision — looked up from a map literal (broadcast
+    * semantics; a rates TABLE would broadcast-join identically), with
+    * `defaultBps` for sources outside the map. Membership is the same
+    * salted md5 fold as sa01: row-local, pushdown-friendly, reproducible
+    * across runs/engines/retries, and independent per salt (a different
+    * salt draws an independent sample of the same corpus). */
+  def domainMix(docs: DataFrame, bpsBySource: Map[String, Int],
+      defaultBps: Int, salt: String): DataFrame = {
+    val bps = coalesce(element_at(typedLit(bpsBySource), col("source")),
+      lit(defaultBps))
+    docs.filter(
+      hex8(concat_ws(":", lit(salt), col("doc_id").cast("string"))) % 10000 < bps)
+  }
+
+  private val sa03Bps = Map(
+    "src0" -> 10000, "src1" -> 7500, "src2" -> 5000, "src3" -> 2500, "src4" -> 1000)
+
+  /** sa03 — the domain-mix gate: five pinned sources at descending rates,
+    * everything else at 5%. Row-level output so the oracle hash-verifies
+    * exact membership, not just realized counts. */
+  private def sa03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    domainMix(documents(s, d), sa03Bps, defaultBps = 500, salt = "mix")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+  private val sa03Sql = {
+    val rateCase = sa03Bps.toSeq.sortBy(_._1)
+      .map { case (src, bps) => s"WHEN '$src' THEN $bps" }
+      .mkString("CASE source ", " ", " ELSE 500 END")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${hex8Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
+    Q("sa03_domain_mix", "per-source basis-point mix sampling (data mixing)", sa03, Some(sa03Sql)),
   )
 }

@@ -775,6 +775,43 @@ object TextOps {
        |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
        |ORDER BY i.d1, i.d2""".stripMargin
 
+  /** pp03 — sequence packing (concat-then-chunk): where each document
+    * lands when the corpus is concatenated in doc_id order and split into
+    * fixed 512-token training sequences — start offset, first/last chunk,
+    * boundary-crossing flag. The running token offset uses the
+    * distributed two-level prefix sum ([[graft.operators.PrefixSum]]);
+    * the oracle states the same thing as the single-partition
+    * `SUM ... OVER (ORDER BY)` this operator exists to avoid at scale.
+    * 512 = 2⁹ keeps the offset division FP-exact on both engines (it is
+    * written as integer DIV anyway). */
+  private def pp03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", size(Text.tokens($"text")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "running")
+      .withColumn("start_offset", $"running" - $"n_tokens")
+      .withColumn("chunk_first", expr("start_offset DIV 512"))
+      .withColumn("chunk_last",
+        expr("(start_offset + greatest(n_tokens, 1L) - 1L) DIV 512"))
+      .withColumn("crosses_boundary", $"chunk_last" > $"chunk_first")
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        $"chunk_first", $"chunk_last", $"crosses_boundary")
+      .orderBy($"doc_id")
+  }
+  private val pp03Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      |  FROM t)
+      |SELECT doc_id, n_tokens, running - n_tokens AS start_offset,
+      |  (running - n_tokens) // 512 AS chunk_first,
+      |  (running - n_tokens + GREATEST(n_tokens, 1) - 1) // 512 AS chunk_last,
+      |  ((running - n_tokens + GREATEST(n_tokens, 1) - 1) // 512)
+      |    > ((running - n_tokens) // 512) AS crosses_boundary
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** mm01 — multimodal binary plumbing: opaque binary column + typed
     * metadata + deterministic fake "decode" (real decode is the pluggable
     * stub in graft.operators.Multimodal — the container has no codec libs). */
@@ -841,5 +878,6 @@ object TextOps {
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
+    Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),
   )
 }

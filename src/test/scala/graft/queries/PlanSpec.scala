@@ -248,4 +248,76 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"round exchange ships the body: $p"))
     }
   }
+
+  test("dd08: bloom prune feeds an exact broadcast probe — dd07's contracts hold") {
+    val d = df("dd08_contamination_bloom")
+    val ns = nodes(d)
+    // one materialized shingle pass feeds bench + pruned corpus probe
+    assert(fileScans(d).isEmpty)
+    assert(ns.exists(_.isInstanceOf[RDDScanExec]))
+    // the exact membership join that removes the bloom's false positives
+    assert(ns.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftOuter
+      case _ => false
+    })
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("pp02: increment bands broadcast into the index probe; verify is candidate-keyed") {
+    val d = df("pp02_incremental_index")
+    // the standing index is PROBED by the (small, broadcast) batch bands —
+    // never shuffled to meet them
+    assert(nodes(d).exists {
+      case j: BroadcastHashJoinExec =>
+        val k = (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet
+        k.contains("band") && k.contains("bkey")
+      case _ => false
+    })
+    // exact verification touches only candidate doc ids, like dd05
+    val sj = shingleHashJoinKeys("pp02_incremental_index")
+    assert(sj.nonEmpty && sj.forall(_.contains("d2")))
+    noTextPayload(exchangePayloads(d))
+  }
+
+  test("vs06: every window is per-query; assignment aggregates partially map-side") {
+    val d = df("vs06_ivf_search")
+    d.collect()
+    val ns = nodes(d)
+    // the corpus→centroid assignment is a grouped argmax with a map-side
+    // partial pass — a row_number window over the corpus would be an
+    // unbounded per-vector sort the aggregate exists to avoid. (The struct
+    // buffer keeps it off the fast HashAggregate path — SortAggregate —
+    // but partial aggregation and the bounded exchange are what the scale
+    // claim needs.)
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    // windows are allowed only over per-query row sets (probe selection on
+    // Q×C rows, final top-k over the probed candidates)
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts == Set("query_id"), s"window partitioned over $parts")
+    }
+  }
+
+  test("q43: hash exchanges key on the group and carry buffers, not detail rows") {
+    val d = df("q43_grouped_topk")
+    d.collect()
+    val hashShuffles = shuffles(d).filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashShuffles.nonEmpty)
+    hashShuffles.foreach { s =>
+      val payload = s.child.output.map(_.name).toSet
+      // the detail columns ride INSIDE the serialized top-k buffer; raw
+      // (o_orderkey, o_totalprice) rows must not cross the agg exchange
+      // (the final global orderBy is a range exchange, not counted here)
+      assert(!payload.contains("o_orderkey") && !payload.contains("o_totalprice"),
+        s"agg exchange ships detail rows: $payload")
+    }
+  }
 }
