@@ -66,6 +66,13 @@ object PlanInspect {
   def fileScans(df: DataFrame): Seq[FileSourceScanExec] =
     nodes(df).collect { case f: FileSourceScanExec => f }
 
+  /** Root paths of every file-backed relation the plan scans — "which
+    * TABLES does this job read" as data, so a spec can pin that a probe
+    * touches only its intended standing tables (e.g. the incremental
+    * verify reads the shingle store, never the document store). */
+  def scanRoots(df: DataFrame): Seq[String] =
+    fileScans(df).flatMap(_.relation.location.rootPaths.map(_.toString))
+
   /** True if the physical plan contains ANY shuffle Exchange — hash,
     * round-robin (repartition(n)) or range (global sort) alike. */
   def hasShuffle(df: DataFrame): Boolean = shuffles(df).nonEmpty

@@ -254,7 +254,15 @@ object TextOps {
     // a candidate pair would overcount `inter`. P ≈ n²/2⁶⁵ per pair at
     // n shingles per doc — astronomically unlikely, and the oracle gate
     // would catch it; accepted in exchange for an 8-byte join key.
-    val hashed = sized.select(col("doc_id"), col("sz"), xxhash64(col("sh")).as("h"))
+    interCountsHashed(
+      sized.select(col("doc_id"), col("sz"), xxhash64(col("sh")).as("h")), cand)
+  }
+
+  /** [[interCounts]] over the already-hashed (doc_id, sz, h) form — the
+    * shape the PERSISTED shingle store holds (24 bytes/row, no shingle
+    * strings), so incremental verification can consume the store directly
+    * without re-deriving anything from text. */
+  private[queries] def interCountsHashed(hashed: DataFrame, cand: DataFrame): DataFrame = {
     val left = hashed.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("h"))
     val right = hashed.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("h"))
     cand.join(left, Seq("d1"))
@@ -325,47 +333,80 @@ object TextOps {
       pairs.select(col("d1"), col("d2")).distinct()))
 
   /** Incremental LSH index maintenance — the daily-increment flow: a
-    * standing band index (doc_id, band, bkey) over the corpus, a batch of
-    * NEW documents, and the question "which duplicate pairs did this batch
-    * introduce?". Nothing corpus-sized is recomputed:
-    *
-    *  - the increment's band keys come from the row-local signature UDF
-    *    ([[sigBandsLocal]] / Text.minhashSigs — byte-identical to the
-    *    aggregated [[sigBands]] form, pinned in MinhashParitySpec), so
-    *    indexing N new docs is one map pass over N rows — no shuffle, no
-    *    aggregation over the standing corpus;
-    *  - candidates come from probing the index with the (small, broadcast)
-    *    increment bands — the index is only ever READ at its own
-    *    partitioning, never re-derived;
-    *  - exact-Jaccard verification pulls just the candidate docs' shingle
-    *    sets out of `corpus` through the interCounts join.
+    * standing band index (doc_id, band, bkey) AND a standing shingle
+    * store (doc_id, sz, h) over the corpus, a batch of NEW documents, and
+    * the question "which duplicate pairs did this batch introduce?".
+    * Nothing corpus-sized is recomputed: the increment's band keys come
+    * from the row-local signature UDF ([[sigBandsLocal]] /
+    * Text.minhashSigs — byte-identical to the aggregated [[sigBands]]
+    * form, pinned in MinhashParitySpec), so indexing N new docs is one
+    * map pass over N rows; candidates and verification read the two
+    * standing tables at their own layout (see [[incrementalPairs]]).
     *
     * The union with the increment's own bands catches new–new duplicates
     * inside the batch; `least/greatest` + distinct collapses the two
-    * directed hits a new–new pair produces. Returns (d1, d2, jaccard) for
-    * pairs touching ≥ 1 new doc — exactly [[lshDedup]]'s pairs restricted
-    * to the increment (the pp02 oracle states it that way, as a filter on
-    * the full-corpus candidate CTE). In production the caller appends
-    * `newBands` to the index table afterwards (MergeWriter); the bands are
-    * returned alongside for that. */
+    * directed hits a new–new pair produces. After the pairs land the
+    * caller appends the increment's band and shingle rows to the two
+    * standing tables — [[graft.streaming.Streams.maintainBandIndex]] is
+    * that loop, end to end. */
   /** The persistable band-index rows for `docs` (doc_id, band, bkey) —
     * the row-local signature path, public so the streaming maintainer
     * ([[graft.streaming.Streams.maintainBandIndex]]) can append a
     * batch's rows to the standing index it probes. */
   def bandIndex(docs: DataFrame): DataFrame = sigBandsLocal(docs)
 
+  /** The persistable SHINGLE STORE rows for `docs` — (doc_id, sz, h) with
+    * h = xxhash64(shingle) and sz the doc's shingle-set size: exactly the
+    * form [[interCountsHashed]] verifies candidate pairs against. This is
+    * the standing intermediate the incremental flow maintains alongside
+    * the band index, so per-batch verification reads 24-byte rows from
+    * the store instead of re-shingling the corpus (the round-5 scale
+    * debt). Appending a batch's rows keeps it current: shingle hashes are
+    * pure per-document functions, so the store of a corpus is the union
+    * of the stores of its batches. */
+  def shingleStore(docs: DataFrame): DataFrame =
+    shingleRows(docs).select(col("doc_id"), col("sz"), xxhash64(col("sh")).as("h"))
+
+  /** Convenience form of [[incrementalPairs]] that derives the increment's
+    * bands and shingles from the raw documents. */
   def incrementalDupPairs(indexBands: DataFrame, newDocs: DataFrame,
-      corpus: DataFrame,
+      store: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame =
+    incrementalPairs(indexBands, sigBandsLocal(newDocs), shingleStore(newDocs),
+      store, materialize)
+
+  /** Incremental duplicate pairs with every corpus-sized input in its
+    * MAINTAINED form: `indexBands` is the standing band index, `store` the
+    * standing shingle store, and only `newBands`/`newShingles` (derived
+    * from the increment alone) are computed fresh. Per batch the work is:
+    *
+    *  - candidates: the (small, broadcast) increment bands probe the index
+    *    — one pass over the index at its own layout, nothing re-derived;
+    *  - verification: the store ∪ increment rows are PRUNED to candidate
+    *    doc ids first (broadcast semi-join on the batch-bounded id set),
+    *    so the pair join touches Σ_cand |doc| store rows — never corpus
+    *    shingling, never a corpus shuffle.
+    *
+    * `materialize` lands the candidate pair set once (default eager local
+    * checkpoint — it has two consumers, the id-prune and the pair join;
+    * recomputing it would probe the full index twice). Output is exactly
+    * [[lshDedup]]'s pairs restricted to pairs touching the increment
+    * (pp02's oracle states it that way). */
+  def incrementalPairs(indexBands: DataFrame, newBands: DataFrame,
+      newShingles: DataFrame, store: DataFrame,
       materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
-    val newBands = sigBandsLocal(newDocs)
     val allBands = indexBands.unionByName(newBands)
-    val cand = broadcast(newBands).as("x").join(allBands.as("y"),
+    val cand = materialize(broadcast(newBands).as("x").join(allBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-      .distinct()
-    jaccardOf(interCounts(materialize(shingleRows(corpus)), cand))
+      .distinct())
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val pruned = store.unionByName(newShingles)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    jaccardOf(interCountsHashed(pruned, cand))
   }
   private def dd05(s: SparkSession, d: String): DataFrame =
     lshDedup(documents(s, d))
@@ -752,14 +793,19 @@ object TextOps {
   /** pp02 — incremental index maintenance gate: a deterministic 20% of
     * the corpus (md5-keyed on the doc id, salt "inc:" so it does not
     * correlate with pp01's export sample) arrives as "today's batch"; the
-    * other 80% is the standing index. [[incrementalDupPairs]] must emit
-    * exactly the full-corpus LSH pairs that touch the batch — the oracle
-    * says it that way: dd05's candidate CTE filtered to new-doc pairs. */
+    * other 80% is the standing index + shingle store (derived here from
+    * the same parquet the oracle reads; in production both are maintained
+    * parquet tables — IncrementalIndexAppendSpec pins that the probe then
+    * scans ONLY the store and the increment). [[incrementalDupPairs]]
+    * must emit exactly the full-corpus LSH pairs that touch the batch —
+    * the oracle says it that way: dd05's candidate CTE filtered to
+    * new-doc pairs. */
   private def pp02(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
-    incrementalDupPairs(sigBandsLocal(docs.filter(!isNew)),
-      docs.filter(isNew), docs)
+    val old = docs.filter(!isNew)
+    incrementalDupPairs(sigBandsLocal(old), docs.filter(isNew),
+      shingleStore(old))
   }
   private val pp02Sql =
     s"""WITH $lshCandCte,

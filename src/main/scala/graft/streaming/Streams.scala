@@ -246,10 +246,10 @@ object Streams {
 
   /** pp02's streaming twin: CONTINUOUS LSH index maintenance. One
     * micro-batch of documents lands; the batch is probed against the
-    * standing band index ([[graft.queries.TextOps.incrementalDupPairs]]),
-    * the duplicate pairs it introduces are appended to `pairsTable`, and
-    * the index and document store are atomically advanced to include the
-    * batch. Invariants:
+    * standing band index + shingle store
+    * ([[graft.queries.TextOps.incrementalPairs]]), the duplicate pairs it
+    * introduces are appended to `pairsTable`, and all three standing
+    * tables advance by APPENDING the batch's own rows. Invariants:
     *
     *  - every duplicate pair of the eventual corpus is emitted EXACTLY
     *    once — in the micro-batch where its later member arrives (both
@@ -258,42 +258,50 @@ object Streams {
     *    how the stream was split (IncrementalIndexStreamSpec pins this);
     *  - redelivery is safe: a doc_id already in the store is dropped
     *    before probing (at-least-once delivery emits no duplicate pairs
-    *    and the index gains no duplicate rows);
-    *  - pairs are written BEFORE either table is swapped — their plan
-    *    reads the pre-batch snapshots;
-    *  - only the increment is ever (re)signatured — the standing index is
-    *    read, never re-derived. Verification shingles the stored corpus
-    *    per batch here; at 100 TB the shingle/signature table is itself a
-    *    maintained intermediate, and the interCounts probe pulls only the
-    *    candidate docs' rows from it.
-    */
+    *    and the tables gain no duplicate rows). Only the doc store's ID
+    *    column is read for the guard — never bodies;
+    *  - pairs are written BEFORE any table advances — their plan reads
+    *    the pre-batch file listings;
+    *  - per-batch work and write volume are O(batch + candidates), not
+    *    O(corpus): the increment alone is (re)signatured and shingled,
+    *    the index and shingle store are read at their own layout (the
+    *    store additionally pruned to candidate ids before the pair join),
+    *    and every write is an append of batch-derived rows —
+    *    IncrementalIndexAppendSpec pins that a later batch leaves every
+    *    earlier data file byte-identical in place.
+    *
+    * Advance order is pairs → index → shingles → docs: the doc store is
+    * the redelivery guard, so a crash mid-advance makes the whole batch
+    * redeliverable. A redelivered batch whose pairs already landed would
+    * then append them twice — the at-least-once seam a transactional
+    * table format (Delta/Iceberg, absent offline) would close with a
+    * single multi-table commit; downstream consumers get exactly-once by
+    * reading pairs through a distinct(). */
   def maintainBandIndex(batch: DataFrame, indexTable: String, docTable: String,
-      pairsTable: String): Unit = {
+      pairsTable: String, shingleTable: String): Unit = {
     val spark = batch.sparkSession
     def tryRead(p: String): Option[DataFrame] =
       try Some(spark.read.parquet(p))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val existingDocs = tryRead(docTable)
-    val existingIdx = tryRead(indexTable)
     val arrived = batch.select(col("doc_id"), col("text"))
-    // three consumers of the deduped increment (probe, band append, store
-    // append) — materialize once, eagerly (perf-lesson: a lazily persisted
-    // frame racing parallel consumers can compute twice)
-    val fresh = existingDocs
+    // the deduped increment feeds three derivations — materialize once,
+    // eagerly (perf-lesson: a lazily persisted frame racing parallel
+    // consumers can compute twice)
+    val fresh = tryRead(docTable)
       .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
       .localCheckpoint(true)
-    val corpus = existingDocs
-      .map(_.select(col("doc_id"), col("text")).unionByName(fresh))
-      .getOrElse(fresh)
-    val idx = existingIdx.getOrElse(emptyBandIndex(spark))
-    graft.queries.TextOps.incrementalDupPairs(idx, fresh, corpus)
+    // bands and shingles each have two consumers (probe + append): land
+    // them once so the append re-writes bytes, not the signature UDF
+    val freshBands = graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true)
+    val freshShingles = graft.queries.TextOps.shingleStore(fresh).localCheckpoint(true)
+    val idx = tryRead(indexTable).getOrElse(emptyBandIndex(spark))
+    val store = tryRead(shingleTable).getOrElse(emptyShingleStore(spark))
+    graft.queries.TextOps.incrementalPairs(idx, freshBands, freshShingles, store)
       .write.mode("append").parquet(pairsTable)
-    // advance the snapshots only after the pairs landed: index first (its
-    // union still reads the old index files), then the doc store
-    graft.operators.MergeWriter.overwriteAtomic(
-      idx.unionByName(graft.queries.TextOps.bandIndex(fresh)), indexTable)
-    graft.operators.MergeWriter.overwriteAtomic(corpus, docTable)
+    freshBands.write.mode("append").parquet(indexTable)
+    freshShingles.write.mode("append").parquet(shingleTable)
+    fresh.write.mode("append").parquet(docTable)
   }
 
   private def emptyBandIndex(spark: SparkSession): DataFrame = {
@@ -303,14 +311,21 @@ object Streams {
         StructField("bkey", StringType))))
   }
 
+  private def emptyShingleStore(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("sz", IntegerType),
+        StructField("h", LongType))))
+  }
+
   /** [[maintainBandIndex]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def incrementalIndexStream(docs: DataFrame, indexTable: String,
-      docTable: String, pairsTable: String)
+      docTable: String, pairsTable: String, shingleTable: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch((b: DataFrame, _: Long) =>
-        maintainBandIndex(b, indexTable, docTable, pairsTable))
+        maintainBandIndex(b, indexTable, docTable, pairsTable, shingleTable))
       .start()
 
   /** Incremental document ingest (S1's streaming shape): new files landing

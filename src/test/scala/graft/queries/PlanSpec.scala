@@ -265,19 +265,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("pp02: increment bands broadcast into the index probe; verify is candidate-keyed") {
-    val d = df("pp02_incremental_index")
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val isNew = QueryUtils.hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val old = docs.filter(!isNew)
+    // the candidate stage is materialized (two consumers: id-prune + pair
+    // join) — its plan never reaches the final query, so capture it
+    // through the materialize hook like dd06's clustering rounds
+    val captured = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { f =>
+      captured += f; f.localCheckpoint(true)
+    }
+    val pairs = TextOps.incrementalDupPairs(TextOps.sigBandsLocal(old),
+      docs.filter(isNew), TextOps.shingleStore(old), hook)
+    pairs.collect()
     // the standing index is PROBED by the (small, broadcast) batch bands —
     // never shuffled to meet them
-    assert(nodes(d).exists {
+    assert(captured.size == 1)
+    assert(nodes(captured.head).exists {
       case j: BroadcastHashJoinExec =>
         val k = (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet
         k.contains("band") && k.contains("bkey")
       case _ => false
     })
     // exact verification touches only candidate doc ids, like dd05
-    val sj = shingleHashJoinKeys("pp02_incremental_index")
+    val sj = equiJoinKeys(pairs).filter(_.contains("h"))
     assert(sj.nonEmpty && sj.forall(_.contains("d2")))
-    noTextPayload(exchangePayloads(d))
+    noTextPayload(exchangePayloads(pairs))
+    noTextPayload(exchangePayloads(captured.head))
   }
 
   test("vs06: every window is per-query; assignment aggregates partially map-side") {

@@ -34,7 +34,8 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     val full = rows(TextOps.lshDedup(docs))
       .filter(r => newIds(r.getLong(0)) || newIds(r.getLong(1)))
     val inc = rows(TextOps.incrementalDupPairs(
-      TextOps.sigBandsLocal(docs.filter(!isNew)), docs.filter(isNew), docs))
+      TextOps.sigBandsLocal(docs.filter(!isNew)), docs.filter(isNew),
+      TextOps.shingleStore(docs.filter(!isNew))))
     assert(inc == full)
   }
 
@@ -53,7 +54,7 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     val old = all.filter($"doc_id" <= 2 || $"doc_id" === 5L)
     val batch = all.filter($"doc_id" === 3L || $"doc_id" === 4L)
     val got = rows(TextOps.incrementalDupPairs(
-      TextOps.sigBandsLocal(old), batch, all))
+      TextOps.sigBandsLocal(old), batch, TextOps.shingleStore(old)))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }

@@ -11,14 +11,31 @@ import graft.queries.TextOps
 /** pp02's streaming loop end to end: however the corpus is split into
   * micro-batches, the union of per-batch emitted pairs must equal batch
   * lshDedup over the whole corpus — each pair surfacing exactly once, in
-  * the batch where its later member arrived. */
+  * the batch where its later member arrived. Round 6 additionally pins the
+  * APPEND-ONLY advance: a later batch must leave every earlier data file
+  * of all three standing tables byte-identical in place (per-batch write
+  * volume O(batch), never an O(corpus) rewrite). */
 class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
 
-  test("arbitrary batch splits reproduce batch lshDedup; redelivery emits nothing") {
+  /** (relative path → (length, mtime)) for every data file under `dir`. */
+  private def dataFiles(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Path.of(dir)
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (root.relativize(p).toString,
+        (Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+    finally walk.close()
+  }
+
+  test("arbitrary batch splits reproduce batch lshDedup; advance is append-only; redelivery emits nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("inc-idx").toString
-    val (indexT, docT, pairsT) = (s"$root/index", s"$root/docs", s"$root/pairs")
+    val (indexT, docT, pairsT, shT) =
+      (s"$root/index", s"$root/docs", s"$root/pairs", s"$root/shingles")
 
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
@@ -28,9 +45,22 @@ class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
 
     val mem = MemoryStream[(Long, String)]
     val q = Streams.incrementalIndexStream(
-      mem.toDF().toDF("doc_id", "text"), indexT, docT, pairsT)
+      mem.toDF().toDF("doc_id", "text"), indexT, docT, pairsT, shT)
     try {
-      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      var afterPrev = Map.empty[String, (Long, Long)]
+      for (b <- batches) {
+        mem.addData(b: _*); q.processAllAvailable()
+        // append-only: every data file present after the previous batch is
+        // still there, same bytes, same mtime — the batch wrote only its
+        // own new files (O(batch) write volume, the round-5 scale debt)
+        val now = Seq(indexT, docT, shT).flatMap(t =>
+          dataFiles(t).map { case (k, v) => (s"$t/$k", v) }).toMap
+        afterPrev.foreach { case (f, sig) =>
+          assert(now.get(f).contains(sig),
+            s"advance rewrote or dropped an earlier batch's file: $f")
+        }
+        afterPrev = now
+      }
 
       def pairSet() = spark.read.parquet(pairsT).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -48,10 +78,18 @@ class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(idx == direct)
 
+      // the maintained shingle store is exactly the corpus's shingle store
+      val sh = spark.read.parquet(shT)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val shDirect = TextOps.shingleStore(docs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(sh == shDirect)
+
       // at-least-once safety: redeliver a whole earlier batch
       mem.addData(batches(1): _*); q.processAllAvailable()
       assert(pairSet() == streamed)
       assert(spark.read.parquet(indexT).count() == idx.size)
+      assert(spark.read.parquet(shT).count() == sh.size)
       assert(spark.read.parquet(docT).count() == all.length)
     } finally q.stop()
   }
