@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -46,10 +45,13 @@ object Ann {
       .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    // bounded-buffer grouped top-k: the Q×N scored stream is map-side
+    // combined to ≤ k rows per query before any exchange — never
+    // window-sorted (same (cos DESC, id) order, GroupedTopK's contract)
+    GroupedTopK.topK(scored.select(col("query_id"), col("cos"), col("neighbor_id")),
+        "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("v").as("cos"))
   }
 
   /** Deterministic hyperplane component for (table, bit, dim): the first
@@ -114,8 +116,11 @@ object Ann {
       .withColumn("cos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
       .select("query_id", "neighbor_id", "cos")
       .distinct() // same pair can collide in several tables
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    paired.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-query rank merge across tables via the bounded-buffer aggregator
+    // — the bucket-join output is combined to ≤ k rows per query map-side,
+    // not shuffled whole to a window sort
+    GroupedTopK.topK(paired, "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("v").as("cos"), col("rank"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -23,17 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object GroupedTopK {
 
-  /** One scored row entering the aggregate. */
-  final case class In(v: Double, id: Long)
+  /** One scored row entering the aggregate; `p` is an opaque payload that
+    * rides along with its row (e.g. the neighbor's IVF cell in vs06) and
+    * never participates in the ordering. */
+  final case class In(v: Double, id: Long, p: Long)
 
   /** Sorted parallel arrays (v DESC, id ASC), length ≤ k — a flat,
     * Encoder-friendly buffer (primitive arrays serialize natively; a
     * kryo'd collection buffer would defeat ObjectHashAggregate's cheap
     * buffer spill). */
-  final case class Buf(vs: Array[Double], ids: Array[Long])
+  final case class Buf(vs: Array[Double], ids: Array[Long], ps: Array[Long])
 
   final class TopKAgg(k: Int) extends Aggregator[In, Buf, Buf] {
-    override def zero: Buf = Buf(Array.empty, Array.empty)
+    override def zero: Buf = Buf(Array.empty, Array.empty, Array.empty)
 
     // before(i, x): does buffer slot i rank strictly ahead of x?
     private def before(b: Buf, i: Int, v: Double, id: Long): Boolean =
@@ -41,7 +43,7 @@ object GroupedTopK {
 
     // O(k) insert keeping the arrays sorted and bounded — k is small by
     // contract (a top-k over millions of groups, not a sort key)
-    private def insert(b: Buf, v: Double, id: Long): Buf = {
+    private def insert(b: Buf, v: Double, id: Long, p: Long): Buf = {
       val n = b.vs.length
       if (n == k && before(b, n - 1, v, id)) return b
       var pos = 0
@@ -49,20 +51,23 @@ object GroupedTopK {
       val m = math.min(n + 1, k)
       val vs = new Array[Double](m)
       val ids = new Array[Long](m)
+      val ps = new Array[Long](m)
       java.lang.System.arraycopy(b.vs, 0, vs, 0, pos)
       java.lang.System.arraycopy(b.ids, 0, ids, 0, pos)
-      vs(pos) = v; ids(pos) = id
+      java.lang.System.arraycopy(b.ps, 0, ps, 0, pos)
+      vs(pos) = v; ids(pos) = id; ps(pos) = p
       java.lang.System.arraycopy(b.vs, pos, vs, pos + 1, m - pos - 1)
       java.lang.System.arraycopy(b.ids, pos, ids, pos + 1, m - pos - 1)
-      Buf(vs, ids)
+      java.lang.System.arraycopy(b.ps, pos, ps, pos + 1, m - pos - 1)
+      Buf(vs, ids, ps)
     }
 
-    override def reduce(b: Buf, a: In): Buf = insert(b, a.v, a.id)
+    override def reduce(b: Buf, a: In): Buf = insert(b, a.v, a.id, a.p)
 
     override def merge(b1: Buf, b2: Buf): Buf = {
       var acc = b1
       var i = 0
-      while (i < b2.vs.length) { acc = insert(acc, b2.vs(i), b2.ids(i)); i += 1 }
+      while (i < b2.vs.length) { acc = insert(acc, b2.vs(i), b2.ids(i), b2.ps(i)); i += 1 }
       acc
     }
 
@@ -71,19 +76,38 @@ object GroupedTopK {
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
   }
 
-  /** Top `k` rows per `group`, ranked by (`value` DESC, `id` ASC).
-    * Output: (group, rank starting at 1, v, id) — one row per kept
-    * detail row, ≤ k per group. */
-  def topK(df: DataFrame, group: String, value: String, id: String, k: Int): DataFrame = {
+  private def agg(df: DataFrame, group: String, value: String, id: String,
+      payload: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val fn = udaf(new TopKAgg(k), Encoders.product[In])
     df.groupBy(col(group))
-      .agg(fn(col(value).cast("double"), col(id).cast("long")).as("top"))
+      .agg(fn(col(value).cast("double"), col(id).cast("long"),
+        payload.cast("long")).as("top"))
+  }
+
+  /** Top `k` rows per `group`, ranked by (`value` DESC, `id` ASC).
+    * Output: (group, rank starting at 1, v, id) — one row per kept
+    * detail row, ≤ k per group. */
+  def topK(df: DataFrame, group: String, value: String, id: String, k: Int): DataFrame =
+    agg(df, group, value, id, lit(0L), k)
       // named struct through zip_with: arrays_zip field names depend on the
       // input expression shape, these don't
       .select(col(group), posexplode(zip_with(col("top.vs"), col("top.ids"),
         (v, i) => struct(v.as("v"), i.as("id")))))
       .select(col(group), (col("pos") + 1).cast("int").as("rank"),
         col("col.v").as("v"), col("col.id").as("id"))
-  }
+
+  /** [[topK]] with an extra BIGINT `carry` column that rides along with
+    * each kept row (not part of the ordering) — so a top-k whose output
+    * needs a third attribute of the winning row (vs06 carries the
+    * neighbor's IVF cell) stays one aggregation instead of a join back to
+    * the detail table. Output: (group, rank, v, id, carry). */
+  def topKCarry(df: DataFrame, group: String, value: String, id: String,
+      carry: String, k: Int): DataFrame =
+    agg(df, group, value, id, col(carry), k)
+      .select(col(group), posexplode(zip_with(col("top.vs"),
+        zip_with(col("top.ids"), col("top.ps"), (i, p) => struct(i.as("id"), p.as("p"))),
+        (v, ip) => struct(v.as("v"), ip.getField("id").as("id"), ip.getField("p").as("p")))))
+      .select(col(group), (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").as("v"), col("col.id").as("id"), col("col.p").as("carry"))
 }

@@ -22,9 +22,13 @@ object VectorOps {
   private val quantSql = "[CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding]"
 
   /** vs01 — brute-force ANN top-k: 10 query vectors × all candidates,
-    * exact quantized cosine, row_number top-5 per query. The scale path
-    * replaces the cross join with an IVF/LSH bucket join (graft.operators.Ann)
-    * but the scoring kernel is identical. */
+    * exact quantized cosine, top-5 per query via the bounded-buffer
+    * [[graft.operators.GroupedTopK]] aggregator (map-side combine to ≤ k
+    * rows per query — the corpus-sized scored stream is never shuffled or
+    * window-sorted; same (cos DESC, vec_id) order as the oracle's
+    * ROW_NUMBER). The scale path replaces the cross join with an IVF/LSH
+    * bucket join (graft.operators.Ann) but the scoring kernel is
+    * identical. */
   private def vs01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)
@@ -35,10 +39,9 @@ object VectorOps {
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
     val scored = broadcast(queries).join(e, $"query_id" =!= $"vec_id")
       .withColumn("cos", dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cos")
+    graft.operators.GroupedTopK.topK(
+        scored.select($"query_id", $"cos", $"vec_id"), "query_id", "cos", "vec_id", 5)
+      .select($"query_id", $"id".as("neighbor_id"), $"rank", $"v".as("cos"))
       .orderBy($"query_id", $"rank")
   }
   private val vs01Sql =
@@ -176,11 +179,16 @@ object VectorOps {
     * map-side partial agg, ties to the lowest centroid id), never a
     * window over the corpus; the search joins queries to candidates ON
     * THE CENTROID ID — the IVF list is the physical partition key, so a
-    * probe touches nProbe/nList of the data. Top-k per query is a window
-    * over just the probed candidates. Approximate by construction
-    * (a true neighbor in an unprobed cluster is missed) — the oracle
-    * replays the same probe decisions exactly, and AnnSpec pins recall
-    * vs the vs01 exact answer. */
+    * probe touches nProbe/nList of the data. Top-k per query is the
+    * bounded-buffer [[graft.operators.GroupedTopK]] aggregator over the
+    * probed candidates (carrying the neighbor's cell id), so even the
+    * probed stream is map-side combined to ≤ k rows per query — no
+    * WindowExec after the candidates join (PlanSpec pins that). The one
+    * remaining window ranks each query's 8 centroid distances (Q×C rows,
+    * per-query bounded). Approximate by construction (a true neighbor in
+    * an unprobed cluster is missed) — the oracle replays the same probe
+    * decisions exactly, and AnnSpec pins recall vs the vs01 exact
+    * answer. */
   private def vs06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)
@@ -203,13 +211,14 @@ object VectorOps {
       .withColumn("prn", row_number().over(pw))
       .filter($"prn" <= 2)
       .select($"query_id", $"qq", $"qn", $"cid")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    probed.join(assigned, Seq("cid"))
+    val scored = probed.join(assigned, Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos", dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"cid", $"vec_id".as("neighbor_id"), $"rank", $"cos")
+    graft.operators.GroupedTopK.topKCarry(
+        scored.select($"query_id", $"cos", $"vec_id", $"cid"),
+        "query_id", "cos", "vec_id", "cid", 3)
+      .select($"query_id", $"carry".as("cid"), $"id".as("neighbor_id"),
+        $"rank", $"v".as("cos"))
       .orderBy($"query_id", $"rank")
   }
   private val vs06Sql = {

@@ -295,7 +295,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     noTextPayload(exchangePayloads(captured.head))
   }
 
-  test("vs06: every window is per-query; assignment aggregates partially map-side") {
+  test("vs06: final top-k is a bounded aggregate, not a window; one per-query window remains") {
     val d = df("vs06_ivf_search")
     d.collect()
     val ns = nodes(d)
@@ -310,10 +310,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
       case _ => false
     })
-    // windows are allowed only over per-query row sets (probe selection on
-    // Q×C rows, final top-k over the probed candidates)
+    // the final per-query top-3 over the probed candidates is the
+    // GroupedTopK bounded-buffer aggregator (ObjectHashAggregate), so the
+    // ONLY window left is probe selection over Q×C (8-row-per-query)
+    // centroid distances — never a rank over candidate rows
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
     val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.nonEmpty)
+    assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
     windows.foreach { w =>
       val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
       assert(parts == Set("query_id"), s"window partitioned over $parts")
