@@ -165,9 +165,22 @@ object Streams {
     * event time — the streaming analogue of batch dd05's "corpus = the
     * window you ran it over". On event-time timeout the whole bucket's
     * retained list is already behind the watermark (the timeout is its max
-    * ts), so the state is simply removed. */
+    * ts), so the state is simply removed.
+    *
+    * Hot-bucket bound: a bucket retains at most `maxBucketDocs` docs — on
+    * overflow the OLDEST retained (event time, then doc id) is evicted, so
+    * state per bucket and pairs emitted per arriving doc are both capped
+    * at `maxBucketDocs` instead of degrading to the |bucket|² quadratic
+    * the batch side's salting guards against. Documented pair loss: in a
+    * bucket holding more than the cap within one watermark horizon, a new
+    * doc pairs only with the cap most-recent members — an evicted doc
+    * stops pairing early, exactly as if the watermark had already passed
+    * it. Buckets that never exceed the cap (every bucket of the parity
+    * corpus at the default) emit identically to an unbounded bucket —
+    * StreamsSpec pins both halves. */
   def lshCandidateStream(docs: DataFrame,
-      watermarkDelayMinutes: Int = 120): Dataset[CandPair] = {
+      watermarkDelayMinutes: Int = 120,
+      maxBucketDocs: Int = 256): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docBands(docs)
@@ -196,6 +209,14 @@ object Streams {
                 out += CandPair(math.min(id, oid), math.max(id, oid),
                   new Timestamp(math.max(t, ot)))
               seen = (id, t) :: seen
+              // hot-bucket cap: evict the oldest (event time, then id) so
+              // the NEXT arrival pairs with ≤ maxBucketDocs members.
+              // patch (not filterNot): removes exactly ONE occurrence even
+              // if a redelivered (id, ts) duplicates the oldest entry
+              if (seen.size > maxBucketDocs) {
+                val oldest = seen.minBy { case (d, ts0) => (ts0, d) }
+                seen = seen.patch(seen.indexOf(oldest), Nil, 1)
+              }
             }
             val next = BucketState(seen)
             state.update(next)

@@ -193,6 +193,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("lshCandidateStream caps a hot bucket: bounded emission, oldest evicted first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60 identical docs within one watermark horizon — every one lands in
+    // the same 4 band buckets, the adversarial distribution the batch
+    // side's salting (BandJoinSpec) guards against
+    val text = "same words in every single document of this one hot bucket here now"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val cand = Streams.lshCandidateStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), watermarkDelayMinutes = 120,
+      maxBucketDocs = 8)
+    val q = cand.toDF().writeStream.format("memory").queryName("lshhot")
+      .outputMode("append").start()
+    mem.addData((1L to 60L).map(i => (i, text, ts(i.toInt))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // raw emission is arrivals × ≤cap per bucket — never the |bucket|²
+    // quadratic (uncapped this batch would emit 60·59/2 = 1770 per bucket)
+    val raw = spark.table("lshhot").count()
+    assert(raw > 0 && raw <= 60L * 8 * 4, s"emission not bounded by the cap: $raw")
+    // deterministic pair loss: each arrival pairs with exactly the 8
+    // most-recent members (oldest evicted first), so the distinct pair set
+    // is {(j, i) : 1 ≤ i − j ≤ 8}
+    val pairs = spark.table("lshhot").select("d1", "d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      (for (i <- 1L to 60L; j <- math.max(1L, i - 8) until i) yield (j, i)).toSet
+    assert(pairs == expected)
+  }
+
   test("contaminationStream scores a doc stream identically to batch dd07") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
