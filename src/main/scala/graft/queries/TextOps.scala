@@ -639,12 +639,23 @@ object TextOps {
   def contaminationBloom(docs: DataFrame, fpp: Double = 0.01,
       materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
     val sized = materialize(shingleRows(docs))
-    val bench = sized.filter(col("doc_id") < 20).select(col("sh")).distinct()
-    // one extra job on the SMALL side to size the filter honestly — a
-    // guessed expectedNumItems either wastes broadcast bytes or blows the
-    // FP rate, and the count is free relative to the corpus pass
-    val expected = math.max(bench.count(), 1L)
-    val bloom = bench.stat.bloomFilter("sh", expected, fpp)
+    val benchRows = sized.filter(col("doc_id") < 20).select(col("sh"))
+    val bench = benchRows.distinct()
+    // Sizing: Spark's fixed-size BloomFilter needs expectedNumItems up
+    // front, so ONE sizing job on the small side is the API's honest
+    // cost. It is kept cheap two ways: the count is over the PRE-distinct
+    // rows — map-only over the already-materialized shingle checkpoint,
+    // no shuffle (per-doc shingles are already distinct, so cross-doc
+    // duplication only OVERsizes the filter → lower FP rate, and
+    // exactness never depends on it: the membership join removes FPs) —
+    // and the build inserts the pre-distinct rows too (insertion is
+    // idempotent), skipping the distinct exchange the old build paid.
+    // Measured at sf0.1 (3 runs, same JVM A/B): 0.85-1.04 s vs
+    // 0.94-1.18 s for the count+build-over-distinct form. `bench` stays
+    // distinct for the exact join below, where a duplicate would
+    // double-count hits.
+    val expected = math.max(benchRows.count(), 1L)
+    val bloom = benchRows.stat.bloomFilter("sh", expected, fpp)
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((s: String) => s != null && bloomBc.value.mightContainString(s))
