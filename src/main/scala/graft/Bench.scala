@@ -23,6 +23,16 @@ object Bench {
     // JVM/executor warm-up so the first measured query doesn't absorb
     // classloading + codegen compilation costs.
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // Fixed pre-suite warmup (round-5 advice: round-over-round totals
+    // drifted ±10% on untouched queries): run three representative
+    // catalog queries untimed — a parquet scan+agg, the shuffle-heavy
+    // text/UDF path, the vector path — so session-level one-time costs
+    // (parquet footer caches, UDF/codegen classes, broadcast machinery)
+    // land here instead of inflating whichever measured query runs first.
+    for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk");
+         fn <- SparkEntry.queries.get(w))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
 
     // Steady-state timing: three runs per query. The first run of each
     // distinct plan shape pays one-time whole-stage-codegen compilation +
@@ -59,12 +69,22 @@ object Bench {
           val n = s.size
           if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
         }
-      (name, min, median, times)
+      // relative stddev across the runs — the machine-flaggable noise
+      // signal: an untouched query whose round-over-round delta is within
+      // its own rsd is drift, not regression
+      val rsd =
+        if (times.size < 2) 0.0
+        else {
+          val m = times.sum / times.size
+          math.sqrt(times.map(t => (t - m) * (t - m)).sum / times.size) / m
+        }
+      (name, min, median, times, rsd)
     }
-    def qmap(f: ((String, Double, Double, Seq[Double])) => String): String =
+    def qmap(f: ((String, Double, Double, Seq[Double], Double)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = qmap(r => num(r._2))
     val qsMedian = qmap(r => num(r._3))
+    val qsRsd = qmap(r => num(r._5))
     val perRun = qmap(_._4.map(num).mkString("[", ",", "]"))
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     // a query that failed SOME of its runs still scores min/median of the
@@ -74,7 +94,7 @@ object Bench {
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMedian = results.map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"partial":$partial,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"queries_rsd":$qsRsd,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"partial":$partial,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
     println(json)
     // stdout from an sbt runMain is interleaved with [info]/log noise, which
     // broke the driver's parse in round 1 — also land the line in a file the

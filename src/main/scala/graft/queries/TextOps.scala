@@ -815,8 +815,11 @@ object TextOps {
     val docs = documents(s, d)
     val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
     val old = docs.filter(!isNew)
+    // materialize the store like the standing table it stands in for —
+    // the pair join reads it on both sides, and in production it is a
+    // persisted intermediate, not a derivation over text
     incrementalDupPairs(sigBandsLocal(old), docs.filter(isNew),
-      shingleStore(old))
+      localMaterialize(shingleStore(old)))
   }
   private val pp02Sql =
     s"""WITH $lshCandCte,
