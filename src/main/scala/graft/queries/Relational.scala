@@ -848,8 +848,11 @@ object Relational {
     * `percentile` and DuckDB's `quantile_cont` share the formula
     * `lower + (upper - lower) * frac` at position p·(n−1), so the doubles
     * agree bit-for-bit on the same data; rounded to 4dp as a guard. The
-    * approx family (percentile_approx) is deliberately NOT a gate — its
-    * error bound is engine-specific (ApproxSpec covers it). */
+    * exact aggregate buffers O(group size) values, so the 100×-scale path
+    * is `approx_percentile` (bounded-memory KLL-style sketch, mergeable
+    * map-side) — in the catalog's approx family and exercised by
+    * ApproxSpec; it is deliberately NOT a gate because its error bound is
+    * engine-specific. */
   private def q41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d)
