@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-order-of-magnitude scaling probe for the dedup/clustering gates —
+  * the empirical leg under the 100 TB plan-shape arguments (COVERAGE.md
+  * records the result table).
+  *
+  * Generates a deterministic 10× `documents` corpus from sf0.1: ten
+  * replicas with shifted doc_ids, replica k ≥ 1 suffixing every token
+  * with `_k` — a BIJECTION on the token space, so each replica's shingle
+  * sets (and hence within-replica Jaccard, dup pairs, cluster shapes) are
+  * exactly sf0.1's while sharing zero shingles across replicas. Duplicate
+  * density stays constant and the corpus gets 10× MORE LSH buckets of the
+  * same size distribution (the realistic growth regime), not 10×-bigger
+  * buckets (the skew regime, which BandJoinSpec covers separately — a
+  * shared salt PREFIX was tried first and collapsed short docs into
+  * per-replica mega-buckets). Then times the three corpus-shaped gates
+  * (dd05 LSH dedup, dd06 dup clusters, pp02 incremental index) at sf0.1
+  * and at the 10× corpus and prints the observed scaling factor per
+  * gate.
+  *
+  * Usage: `runMain graft.ScaleProbe [workDir]` (default /tmp/graft-sf1).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val docsPath = s"$work/documents.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
+      val base = spark.read.parquet(s"$sf01/documents.parquet")
+      (0 until 10).map { k =>
+        base.select(
+          (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          (if (k == 0) col("text")
+           else array_join(
+             transform(split(col("text"), " "), t => concat(t, lit(s"_$k"))),
+             " ")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+
+    val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters", "pp02_incremental_index")
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.Catalog.byName(name).fn(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both scales once so codegen/JIT lands outside the measurement
+    gates.foreach { g => run(g, sf01); run(g, work) }
+    println("| gate | sf0.1 s | sf1 (10x docs) s | ratio | exponent |")
+    println("|---|---|---|---|---|")
+    for (g <- gates) {
+      val a = (1 to 3).map(_ => run(g, sf01)).min
+      val b = (1 to 3).map(_ => run(g, work)).min
+      val ratio = b / a
+      val expn = math.log10(ratio) // growth 10× ⇒ exponent = log10(ratio)
+      println(f"| $g | $a%.2f | $b%.2f | $ratio%.2f | $expn%.2f |")
+    }
+    spark.stop()
+  }
+}
