@@ -28,7 +28,11 @@ import graft.queries.Catalog
   *    (graft.operators.ConnectedComponents over LSH pairs), dd07
   *    benchmark-contamination check, dd08 Bloom-pruned decontamination
   *    (the eval-suite-scale path, exact after verify), pp02 incremental
-  *    LSH index maintenance (new-batch dup pairs only); ta01–ta06
+  *    LSH index maintenance (new-batch dup pairs only, verified against
+  *    the standing shingle store), pp04 incremental cluster maintenance
+  *    (standing labels + bucket index advanced per batch, merges via a
+  *    component-collapsed batch-sized graph — dd06's oracle verbatim);
+  *    ta01–ta06
   *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
   *    redaction); sa01/sa02 deterministic hash sampling (native
   *    md5_fold32 expression); q39 band join (graft.operators.BandJoin);

@@ -446,6 +446,95 @@ object TextOps {
   }
   private def dd06(s: SparkSession, d: String): DataFrame =
     dupClusters(documents(s, d))
+
+  /** Incremental cluster maintenance — dd06's incremental twin, closing
+    * the standing-state story: pairs (pp02) tell you WHAT the batch
+    * duplicates, this tells you WHERE every doc now belongs. Standing
+    * state is two tables: per-doc labels (doc_id, component) and the
+    * bucket index (bucket, component) — a bucket's member docs share one
+    * component by construction, so the mapping is single-valued.
+    *
+    * Per batch, the full-corpus clustering problem collapses to a graph
+    * that is O(batch + touched components): each standing component
+    * becomes ONE pseudo-member (its label id — which is its min doc id)
+    * of every increment-shared bucket, and connected components run over
+    * just {new docs ∪ touched components} × {increment buckets}.
+    * Connectivity through arbitrarily long old-corpus paths is preserved
+    * because those paths lie inside single components by definition; the
+    * merged label is min(touched component labels, new doc ids) = the
+    * global min doc id, exactly dd06's label. Old labels then advance
+    * through a broadcast remap of the touched components only — no
+    * corpus-sized relabeling job (in a table-maintenance loop the remap
+    * is appended and folded in at read or compaction, like the band
+    * index's appends). The pp04 gate pins the end state against dd06's
+    * full-corpus oracle VERBATIM. */
+  def incrementalClusters(oldLabels: DataFrame, bucketComp: DataFrame,
+      newDocs: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame =
+    incrementalClusterKernel(oldLabels, bucketComp,
+      newDocs.select(col("doc_id")),
+      sigBandsLocal(newDocs)
+        .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")),
+      materialize)
+
+  /** [[incrementalClusters]] on pre-derived increment membership rows —
+    * the testable kernel (IncrementalClustersSpec fabricates bucket
+    * collisions that are hard to force through real MinHash text). */
+  private[queries] def incrementalClusterKernel(oldLabels: DataFrame,
+      bucketComp: DataFrame, newIds: DataFrame, newMembers: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+    // the increment's membership rows feed the probe and the graph —
+    // land them once (batch-sized)
+    val m = materialize(newMembers)
+    // standing components touched by the batch: probe the bucket index
+    // with the (small, broadcast) increment buckets — the index is read
+    // at its own layout, never re-derived
+    val touched = bucketComp
+      .join(broadcast(m.select(col("bucket")).distinct()), Seq("bucket"), "left_semi")
+    // batch-sized bipartite graph: touched components join their shared
+    // buckets as pseudo-members, so doc↔bucket↔component connectivity is
+    // one CC over O(batch + touched) rows
+    val graph = m.unionByName(
+      touched.select(col("component").as("doc_id"), col("bucket")))
+    val comp = graft.operators.ConnectedComponents.bipartite(
+      graph, idCol = "doc_id", bucketCol = "bucket", materialize = materialize)
+    // label advance for merged standing components — broadcast-sized:
+    // only components the batch actually touched can move
+    val remap = touched.select(col("component").as("__oldc")).distinct()
+      .join(comp, col("doc_id") === col("__oldc"), "left")
+      .select(col("__oldc"), coalesce(col("component"), col("__oldc")).as("__newc"))
+    val oldAdvanced = oldLabels.join(broadcast(remap),
+        oldLabels("component") === remap("__oldc"), "left")
+      .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
+    val newLabels = newIds.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val labels = oldAdvanced.unionByName(newLabels)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pp04 — incremental cluster maintenance gate: same 80/20 split as
+    * pp02; the 80% derives the standing labels + bucket index (persisted
+    * tables in production), the 20% arrives as the batch, and the
+    * advanced labels must equal [[dupClusters]] over the FULL corpus —
+    * the oracle is dd06's, verbatim. */
+  private def pp04(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val old = docs.filter(!isNew)
+    val members = localMaterialize(sigBandsLocal(old)
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")))
+    val comp = graft.operators.ConnectedComponents.bipartite(
+      members, idCol = "doc_id", bucketCol = "bucket")
+    val oldLabels = old.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val bucketComp = members.join(oldLabels, "doc_id")
+      .select(col("bucket"), col("component")).distinct()
+    incrementalClusters(localMaterialize(oldLabels),
+      localMaterialize(bucketComp), docs.filter(isNew))
+  }
   private val dd06Sql =
     s"""WITH RECURSIVE $lshCandCte,
        |e AS (SELECT d1 AS a, d2 AS b FROM cand UNION ALL SELECT d2 AS a, d1 AS b FROM cand),
@@ -939,5 +1028,6 @@ object TextOps {
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),
+    Q("pp04_incremental_clusters", "incremental cluster maintenance: advanced labels equal full-corpus clustering", pp04, Some(dd06Sql)),
   )
 }
