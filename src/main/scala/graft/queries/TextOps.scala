@@ -477,12 +477,17 @@ object TextOps {
         .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")),
       materialize)
 
-  /** [[incrementalClusters]] on pre-derived increment membership rows —
-    * the testable kernel (IncrementalClustersSpec fabricates bucket
-    * collisions that are hard to force through real MinHash text). */
-  private[queries] def incrementalClusterKernel(oldLabels: DataFrame,
-      bucketComp: DataFrame, newIds: DataFrame, newMembers: DataFrame,
-      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+  /** The batch-local pieces of a cluster advance: labels for the batch's
+    * docs, the touched-component remap (identity rows included), and the
+    * materialized membership rows — everything the continuous maintainer
+    * ([[graft.streaming.Streams.maintainClusterState]]) appends/composes,
+    * with nothing corpus-sized computed. */
+  private[graft] final case class ClusterAdvance(
+      newLabels: DataFrame, remap: DataFrame, members: DataFrame)
+
+  private[graft] def clusterAdvance(bucketComp: DataFrame, newIds: DataFrame,
+      newMembers: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): ClusterAdvance = {
     // the increment's membership rows feed the probe and the graph —
     // land them once (batch-sized)
     val m = materialize(newMembers)
@@ -503,12 +508,22 @@ object TextOps {
     val remap = touched.select(col("component").as("__oldc")).distinct()
       .join(comp, col("doc_id") === col("__oldc"), "left")
       .select(col("__oldc"), coalesce(col("component"), col("__oldc")).as("__newc"))
-    val oldAdvanced = oldLabels.join(broadcast(remap),
-        oldLabels("component") === remap("__oldc"), "left")
-      .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
     val newLabels = newIds.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
-    val labels = oldAdvanced.unionByName(newLabels)
+    ClusterAdvance(newLabels, remap, m)
+  }
+
+  /** [[incrementalClusters]] on pre-derived increment membership rows —
+    * the testable kernel (IncrementalClustersSpec fabricates bucket
+    * collisions that are hard to force through real MinHash text). */
+  private[queries] def incrementalClusterKernel(oldLabels: DataFrame,
+      bucketComp: DataFrame, newIds: DataFrame, newMembers: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+    val adv = clusterAdvance(bucketComp, newIds, newMembers, materialize)
+    val oldAdvanced = oldLabels.join(broadcast(adv.remap),
+        oldLabels("component") === adv.remap("__oldc"), "left")
+      .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
+    val labels = oldAdvanced.unionByName(adv.newLabels)
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
       .select(col("doc_id"), col("component").as("cluster_id"), col("cluster_size"))

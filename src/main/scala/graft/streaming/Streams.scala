@@ -339,6 +339,119 @@ object Streams {
         StructField("h", LongType))))
   }
 
+  /** pp04's continuous twin: CLUSTER state maintained per micro-batch.
+    * Standing tables: `labelsTable` (doc_id, component — labels as
+    * assigned when each doc arrived), `bucketTable` (bucket, component —
+    * as assigned when the bucket first appeared), `remapTable`
+    * (__oldc, __newc — the CURRENT id of every component id that was ever
+    * merged away), plus the doc store as the redelivery guard. The read
+    * view is always one remap hop: current label of a doc =
+    * remap(written label), because the remap is COMPOSED (folded to a
+    * one-hop closure) on every advance — the pointer-compaction a
+    * transactional table format would run as a maintenance job.
+    *
+    * Per batch, work and write volume are O(batch + touched components):
+    * the batch's members run [[graft.queries.TextOps.clusterAdvance]]
+    * against the remap-resolved bucket index (broadcast probe, index read
+    * at its own layout), label/bucket/doc rows APPEND, and only the
+    * (merge-bounded, broadcast-sized) remap table is atomically
+    * rewritten. Merged standing components are never relabeled in place —
+    * their rows stay as written and resolve through the remap.
+    *
+    * Redelivery: a doc_id already stored is dropped before the advance
+    * (docs append LAST, so a crash mid-advance redelivers the whole
+    * batch; the same at-least-once seam as [[maintainBandIndex]] — the
+    * read view drops duplicate label rows, and a transactional format
+    * would close it with one multi-table commit). */
+  def maintainClusterState(batch: DataFrame, labelsTable: String,
+      bucketTable: String, remapTable: String, docTable: String): Unit = {
+    val spark = batch.sparkSession
+    def tryRead(p: String): Option[DataFrame] =
+      try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val arrived = batch.select(col("doc_id"), col("text"))
+    val fresh = tryRead(docTable)
+      .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .getOrElse(arrived)
+      .localCheckpoint(true)
+    val newMembers = graft.queries.TextOps.bandIndex(fresh)
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket"))
+    val standingRemap = tryRead(remapTable).getOrElse(emptyRemap(spark))
+    val rawBuckets = tryRead(bucketTable).getOrElse(emptyBucketComp(spark))
+    // resolve the bucket index through the one-hop remap at read time
+    val bucketComp = rawBuckets.join(broadcast(standingRemap),
+        rawBuckets("component") === standingRemap("__oldc"), "left")
+      .select(col("bucket"), coalesce(col("__newc"), col("component")).as("component"))
+    val adv = graft.queries.TextOps.clusterAdvance(
+      bucketComp, fresh.select(col("doc_id")), newMembers)
+    // two consumers each (append + a join below) — land once
+    val newLabels = adv.newLabels.localCheckpoint(true)
+    val merges = adv.remap.filter(col("__oldc") =!= col("__newc")).localCheckpoint(true)
+    // fold the standing remap through this batch's merges so reads stay
+    // one-hop: historical → current → (maybe) merged-now
+    val mr = merges.select(col("__oldc").as("__mOld"), col("__newc").as("__mNew"))
+    val composed = standingRemap
+      .join(mr, standingRemap("__newc") === mr("__mOld"), "left")
+      .select(standingRemap("__oldc"),
+        coalesce(col("__mNew"), standingRemap("__newc")).as("__newc"))
+    val foldedRemap = composed
+      .unionByName(merges.select(col("__oldc"), col("__newc")))
+      .filter(col("__oldc") =!= col("__newc")).distinct()
+    newLabels.write.mode("append").parquet(labelsTable)
+    // only buckets NEW to the index append (existing buckets' rows stay
+    // as written and resolve through the remap)
+    adv.members
+      .join(rawBuckets.select(col("bucket")).distinct(), Seq("bucket"), "left_anti")
+      .join(newLabels, Seq("doc_id"))
+      .select(col("bucket"), col("component")).distinct()
+      .write.mode("append").parquet(bucketTable)
+    graft.operators.MergeWriter.overwriteAtomic(foldedRemap, remapTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The current clustering under the maintained tables — (doc_id,
+    * cluster_id, cluster_size), dd06's exact shape: one remap hop over
+    * the written labels (duplicate label rows from redelivered batches
+    * collapse here). */
+  def clusterSnapshot(spark: SparkSession, labelsTable: String,
+      remapTable: String): DataFrame = {
+    def tryRead(p: String): Option[DataFrame] =
+      try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val written = tryRead(labelsTable).getOrElse(
+      emptyRemap(spark).select(col("__oldc").as("doc_id"), col("__newc").as("component")))
+    val remap = tryRead(remapTable).getOrElse(emptyRemap(spark))
+    val labels = written.dropDuplicates("doc_id")
+      .join(broadcast(remap), written("component") === remap("__oldc"), "left")
+      .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[maintainClusterState]] as a foreachBatch sink over a (doc_id,
+    * text) document stream. */
+  def clusterStateStream(docs: DataFrame, labelsTable: String,
+      bucketTable: String, remapTable: String, docTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainClusterState(b, labelsTable, bucketTable, remapTable, docTable))
+      .start()
+
+  private def emptyRemap(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("__oldc", LongType), StructField("__newc", LongType))))
+  }
+
+  private def emptyBucketComp(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("bucket", StringType), StructField("component", LongType))))
+  }
+
   /** [[maintainBandIndex]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def incrementalIndexStream(docs: DataFrame, indexTable: String,
