@@ -295,6 +295,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     noTextPayload(exchangePayloads(captured.head))
   }
 
+  test("pp04: advance exchanges carry ids/buckets only; bucket index probed via broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val isNew = QueryUtils.hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val old = docs.filter(!isNew)
+    val members = sigBandsLocalBuckets(old)
+    val comp = graft.operators.ConnectedComponents.bipartite(
+      members, idCol = "doc_id", bucketCol = "bucket")
+    val oldLabels = old.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val bucketComp = members.join(oldLabels, "doc_id")
+      .select(col("bucket"), col("component")).distinct().localCheckpoint(true)
+    // capture every advance-side materialized stage (increment members +
+    // each CC round) through the hook; none may shuffle or ship anything
+    // beyond ids/buckets/labels — the corpus body never rides the advance
+    val captured = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { f =>
+      captured += f; f.localCheckpoint(true)
+    }
+    val adv = TextOps.clusterAdvance(bucketComp,
+      docs.filter(isNew).select(col("doc_id")),
+      sigBandsLocalBuckets(docs.filter(isNew)), hook)
+    adv.newLabels.collect()
+    assert(captured.size >= 2) // members + ≥1 CC round
+    val allowed = Set("doc_id", "bucket", "component", "__i", "__b", "__isold")
+    captured.foreach { f =>
+      hashShuffleKeys(f).foreach(k => assert(k.subsetOf(allowed),
+        s"advance exchange keyed outside the id/bucket contract: $k"))
+      exchangePayloads(f).foreach(p => assert(!p.contains("text"),
+        s"advance exchange ships the body: $p"))
+    }
+    // the standing bucket index enters through a broadcast-probed join in
+    // the touched-components stage (captured members feed it) — the final
+    // advance plan must not shuffle the index to meet the batch
+    noTextPayload(exchangePayloads(adv.newLabels))
+  }
+
+  /** sigBandsLocal → (doc_id, bucket) — pp04's membership shape. */
+  private def sigBandsLocalBuckets(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    TextOps.sigBandsLocal(docs)
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket"))
+  }
+
   test("vs06: final top-k is a bounded aggregate, not a window; one per-query window remains") {
     val d = df("vs06_ivf_search")
     d.collect()
