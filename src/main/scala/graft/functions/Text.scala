@@ -29,7 +29,7 @@ object Text {
   }
 
   private val shingleUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
-    (1 to 5).map(n => n -> udf((t: String) => shingleArr(t, n))).toMap
+    (1 to 8).map(n => n -> udf((t: String) => shingleArr(t, n))).toMap
 
   private val seedPrefixes: Array[Array[Byte]] =
     (0 until 8).map(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
@@ -89,8 +89,8 @@ object Text {
     * per gram — O(tokens²) per document, measured 14× slower at sf0.1.
     * The UDF is one linear pass. Output set is identical. */
   def shingles(text: Column, n: Int = 3): Column = {
-    require(n >= 1 && n <= 5,
-      s"shingles: n must be in 1..5 (pre-built UDF table), got $n")
+    require(n >= 1 && n <= 8,
+      s"shingles: n must be in 1..8 (pre-built UDF table), got $n")
     shingleUdfs(n)(text)
   }
 

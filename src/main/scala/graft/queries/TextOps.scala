@@ -776,6 +776,51 @@ object TextOps {
   }
   private def dd08(s: SparkSession, d: String): DataFrame =
     contaminationBloom(documents(s, d))
+
+  /** dd09 — exact repeated-SPAN detection (the "exact substring dedup"
+    * family, complementing MinHash's whole-document similarity): flag
+    * every document containing a word-8-gram that appears verbatim in at
+    * least one OTHER document, with the count and fraction of such spans.
+    * Training pipelines run this after near-dup removal to catch shared
+    * boilerplate/quotes that document-level Jaccard misses.
+    *
+    * 100 TB shape: two shuffles, both keyed on an 8-byte span hash or the
+    * doc id, both map-side combinable; nothing pairwise, no document body
+    * past the first projection. Spans are equated by xxhash64 while the
+    * oracle compares exact strings — same astronomically-small collision
+    * acceptance as [[interCounts]], and the oracle gate would catch one. */
+  def spanDedup(docs: DataFrame, n: Int = 8): DataFrame = {
+    // per-doc distinct spans (shingleArr already dedups within a doc)
+    val grams = docs
+      .select(col("doc_id"), explode(Text.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // spans shared across ≥ 2 docs; grams are per-doc-distinct so the
+    // count IS the doc count
+    val shared = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dup = grams.join(shared, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dup, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+  private def dd09(s: SparkSession, d: String): DataFrame =
+    spanDedup(documents(s, d))
+  private val dd09Sql =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |g8 AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest([list_aggregate(t[i:i+7], 'string_agg', ' ') for i in range(1, len(t) - 6)]) AS s
+      |  FROM toks WHERE len(t) >= 8)),
+      |cnt AS (SELECT s, COUNT(*) AS nd FROM g8 GROUP BY s),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM g8 GROUP BY doc_id),
+      |dup AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM g8
+      |  JOIN cnt USING (s) WHERE nd >= 2 GROUP BY doc_id)
+      |SELECT doc_id, n_spans, n_dup_spans,
+      |  CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_frac
+      |FROM tot JOIN dup USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
   private val dd07Sql =
     s"""WITH $shinglesCte,
        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
@@ -1037,6 +1082,7 @@ object TextOps {
     Q("ta05_repetition", "top-token share + duplicate-2gram fraction", ta05, Some(ta05Sql)),
     Q("dd07_contamination", "benchmark n-gram contamination check", dd07, Some(dd07Sql)),
     Q("dd08_contamination_bloom", "Bloom-pruned decontamination, exact after verify (scale path)", dd08, Some(dd07Sql)),
+    Q("dd09_span_dedup", "exact repeated-span detection: cross-doc verbatim word-8-grams", dd09, Some(dd09Sql)),
     Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),

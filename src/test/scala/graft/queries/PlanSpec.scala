@@ -295,6 +295,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     noTextPayload(exchangePayloads(captured.head))
   }
 
+  test("dd09: span shuffles key on the 8-byte hash / doc id; body never ships") {
+    val d = df("dd09_span_dedup")
+    val keys = hashShuffleKeys(d)
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.subsetOf(Set("h", "doc_id"))), s"span exchange keyed on $keys")
+    noTextPayload(exchangePayloads(d))
+  }
+
   test("pp04: advance exchanges carry ids/buckets only; bucket index probed via broadcast") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
