@@ -29,10 +29,18 @@ object Bench {
     // text/UDF path, the vector path — so session-level one-time costs
     // (parquet footer caches, UDF/codegen classes, broadcast machinery)
     // land here instead of inflating whichever measured query runs first.
-    for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk");
-         fn <- SparkEntry.queries.get(w))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // NonFatal only, and a missing name is loud: a silently-skipped warmup
+    // would reintroduce the first-query inflation this exists to fix and
+    // misattribute it as a regression in whichever query runs first
+    for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk")) {
+      SparkEntry.queries.get(w) match {
+        case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
+        case Some(fn) =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
+      }
+    }
 
     // Steady-state timing: three runs per query. The first run of each
     // distinct plan shape pays one-time whole-stage-codegen compilation +

@@ -44,13 +44,19 @@ object ScaleProbe {
     if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
       val base = spark.read.parquet(s"$sf01/documents.parquet")
       (0 until 10).map { k =>
+        // suffix FILTERED tokens (Text.tokens semantics): suffixing raw
+        // split segments would turn empty segments from doubled spaces
+        // into real "_k" tokens, breaking the bijection claim for such
+        // docs; n_chars recomputed since the rewrite changes lengths
+        val text =
+          if (k == 0) col("text")
+          else array_join(transform(
+            filter(split(col("text"), " "), t => t =!= ""),
+            t => concat(t, lit(s"_$k"))), " ")
         base.select(
           (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-          (if (k == 0) col("text")
-           else array_join(
-             transform(split(col("text"), " "), t => concat(t, lit(s"_$k"))),
-             " ")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          text.as("text"),
+          col("lang"), col("source"), length(text).cast("long").as("n_chars"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(docsPath)

@@ -38,8 +38,20 @@ object GroupedTopK {
     override def zero: Buf = Buf(Array.empty, Array.empty, Array.empty)
 
     // before(i, x): does buffer slot i rank strictly ahead of x?
-    private def before(b: Buf, i: Int, v: Double, id: Long): Boolean =
-      b.vs(i) > v || (b.vs(i) == v && b.ids(i) < id)
+    // java.lang.Double.compare, not raw >: raw comparisons are all-false
+    // for NaN, which would corrupt the sorted-buffer invariant the O(k)
+    // insert relies on. compare() is a total order with NaN largest —
+    // matching Spark's own DESC sort order for NaN — so a NaN score ranks
+    // first, exactly as the replaced row_number().over(desc) did. (Null
+    // scores cannot reach here: the typed input encoder is primitive —
+    // filter nulls upstream, as every catalog caller's nrm > 0 does.
+    // Known deviation: compare() also orders +0.0 ahead of -0.0 where the
+    // window form tie-breaks them by id — no catalog score can produce
+    // -0.0, accepted for NaN totality.)
+    private def before(b: Buf, i: Int, v: Double, id: Long): Boolean = {
+      val c = java.lang.Double.compare(b.vs(i), v)
+      c > 0 || (c == 0 && b.ids(i) < id)
+    }
 
     // O(k) insert keeping the arrays sorted and bounded — k is small by
     // contract (a top-k over millions of groups, not a sort key)

@@ -181,6 +181,9 @@ object Streams {
   def lshCandidateStream(docs: DataFrame,
       watermarkDelayMinutes: Int = 120,
       maxBucketDocs: Int = 256): Dataset[CandPair] = {
+    // validated here, not at first arrival: cap 0 would evict the sole
+    // entry and crash the timeout computation inside the running stream
+    require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
     val spark = docs.sparkSession
     import spark.implicits._
     docBands(docs)
@@ -278,9 +281,12 @@ object Streams {
     *    pairs equals batch `lshDedup` over the full corpus regardless of
     *    how the stream was split (IncrementalIndexStreamSpec pins this);
     *  - redelivery is safe: a doc_id already in the store is dropped
-    *    before probing (at-least-once delivery emits no duplicate pairs
-    *    and the tables gain no duplicate rows). Only the doc store's ID
-    *    column is read for the guard — never bodies;
+    *    before probing, and the index/shingle appends are additionally
+    *    anti-joined against their OWN table's doc ids — a crash between
+    *    those appends and the doc-store advance redelivers the batch,
+    *    and without the per-table guard the re-appended rows would
+    *    permanently double-count `inter` in every later verification.
+    *    Only ID columns are read for the guards — never bodies;
     *  - pairs are written BEFORE any table advances — their plan reads
     *    the pre-batch file listings;
     *  - per-batch work and write volume are O(batch + candidates), not
@@ -301,14 +307,11 @@ object Streams {
   def maintainBandIndex(batch: DataFrame, indexTable: String, docTable: String,
       pairsTable: String, shingleTable: String): Unit = {
     val spark = batch.sparkSession
-    def tryRead(p: String): Option[DataFrame] =
-      try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val arrived = batch.select(col("doc_id"), col("text"))
     // the deduped increment feeds three derivations — materialize once,
     // eagerly (perf-lesson: a lazily persisted frame racing parallel
     // consumers can compute twice)
-    val fresh = tryRead(docTable)
+    val fresh = tryRead(spark, docTable)
       .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
       .localCheckpoint(true)
@@ -316,12 +319,22 @@ object Streams {
     // them once so the append re-writes bytes, not the signature UDF
     val freshBands = graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true)
     val freshShingles = graft.queries.TextOps.shingleStore(fresh).localCheckpoint(true)
-    val idx = tryRead(indexTable).getOrElse(emptyBandIndex(spark))
-    val store = tryRead(shingleTable).getOrElse(emptyShingleStore(spark))
+    val idx = tryRead(spark, indexTable).getOrElse(emptyBandIndex(spark))
+    val store = tryRead(spark, shingleTable).getOrElse(emptyShingleStore(spark))
     graft.queries.TextOps.incrementalPairs(idx, freshBands, freshShingles, store)
       .write.mode("append").parquet(pairsTable)
-    freshBands.write.mode("append").parquet(indexTable)
-    freshShingles.write.mode("append").parquet(shingleTable)
+    // per-table redelivery guard: a crash after these appends but before
+    // the doc-store advance redelivers the batch, and appending the same
+    // rows twice would permanently corrupt every later verification (the
+    // docTable guard alone can't see it). Anti-join against each target
+    // table's own doc ids — a column-pruned id scan, like the fresh guard
+    def appendNew(rows: DataFrame, table: String): Unit =
+      tryRead(spark, table)
+        .map(t => rows.join(t.select("doc_id"), Seq("doc_id"), "left_anti"))
+        .getOrElse(rows)
+        .write.mode("append").parquet(table)
+    appendNew(freshBands, indexTable)
+    appendNew(freshShingles, shingleTable)
     fresh.write.mode("append").parquet(docTable)
   }
 
@@ -366,18 +379,15 @@ object Streams {
   def maintainClusterState(batch: DataFrame, labelsTable: String,
       bucketTable: String, remapTable: String, docTable: String): Unit = {
     val spark = batch.sparkSession
-    def tryRead(p: String): Option[DataFrame] =
-      try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val arrived = batch.select(col("doc_id"), col("text"))
-    val fresh = tryRead(docTable)
+    val fresh = tryRead(spark, docTable)
       .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
       .localCheckpoint(true)
     val newMembers = graft.queries.TextOps.bandIndex(fresh)
       .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket"))
-    val standingRemap = tryRead(remapTable).getOrElse(emptyRemap(spark))
-    val rawBuckets = tryRead(bucketTable).getOrElse(emptyBucketComp(spark))
+    val standingRemap = tryRead(spark, remapTable).getOrElse(emptyRemap(spark))
+    val rawBuckets = tryRead(spark, bucketTable).getOrElse(emptyBucketComp(spark))
     // resolve the bucket index through the one-hop remap at read time
     val bucketComp = rawBuckets.join(broadcast(standingRemap),
         rawBuckets("component") === standingRemap("__oldc"), "left")
@@ -399,9 +409,16 @@ object Streams {
       .filter(col("__oldc") =!= col("__newc")).distinct()
     newLabels.write.mode("append").parquet(labelsTable)
     // only buckets NEW to the index append (existing buckets' rows stay
-    // as written and resolve through the remap)
+    // as written and resolve through the remap). The existing-bucket set
+    // is pruned to the batch's buckets FIRST (broadcast semi-probe —
+    // map-only scan of the index, no corpus-wide distinct/shuffle), so
+    // the anti-join's build side is batch-bounded like everything else
+    val existingTouched = rawBuckets
+      .join(broadcast(adv.members.select(col("bucket")).distinct()),
+        Seq("bucket"), "left_semi")
+      .select(col("bucket"))
     adv.members
-      .join(rawBuckets.select(col("bucket")).distinct(), Seq("bucket"), "left_anti")
+      .join(broadcast(existingTouched), Seq("bucket"), "left_anti")
       .join(newLabels, Seq("doc_id"))
       .select(col("bucket"), col("component")).distinct()
       .write.mode("append").parquet(bucketTable)
@@ -415,12 +432,9 @@ object Streams {
     * collapse here). */
   def clusterSnapshot(spark: SparkSession, labelsTable: String,
       remapTable: String): DataFrame = {
-    def tryRead(p: String): Option[DataFrame] =
-      try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val written = tryRead(labelsTable).getOrElse(
+    val written = tryRead(spark, labelsTable).getOrElse(
       emptyRemap(spark).select(col("__oldc").as("doc_id"), col("__newc").as("component")))
-    val remap = tryRead(remapTable).getOrElse(emptyRemap(spark))
+    val remap = tryRead(spark, remapTable).getOrElse(emptyRemap(spark))
     val labels = written.dropDuplicates("doc_id")
       .join(broadcast(remap), written("component") === remap("__oldc"), "left")
       .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
@@ -439,6 +453,13 @@ object Streams {
       .foreachBatch((b: DataFrame, _: Long) =>
         maintainClusterState(b, labelsTable, bucketTable, remapTable, docTable))
       .start()
+
+  /** Standing-table read that treats "not created yet" as None — shared
+    * by every maintenance loop so a future behavior change (e.g. also
+    * tolerating a FileNotFound race, or a catalog lookup) lands once. */
+  private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   private def emptyRemap(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

@@ -22,4 +22,21 @@ object SparkSpec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** (relative path → (length, mtime)) for every parquet data file under
+    * `dir` — the append-only pin shared by the incremental-maintenance
+    * specs: earlier batches' files must stay byte-identical in place. */
+  def dataFiles(dir: String): Map[String, (Long, Long)] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Path.of(dir)
+    if (!Files.exists(root)) return Map.empty
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (root.relativize(p).toString,
+        (Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+    finally walk.close()
+  }
 }

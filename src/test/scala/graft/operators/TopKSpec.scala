@@ -59,6 +59,32 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
       "grouped top-k must not fall back to a window")
   }
 
+  test("NaN scores: buffer order survives, NaN ranks first like the window's desc sort") {
+    // a NaN mid-stream must not corrupt the sorted-buffer invariant (raw
+    // double comparisons are all-false for NaN); Double.compare puts NaN
+    // largest, matching row_number().over(v.desc)
+    val rows = Seq(
+      (1L, Double.NaN, 2L), (1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 3.0, 12L),
+      (1L, 7.0, 13L))
+    // NaN != NaN under tuple equality — compare on (g, rank, id) and
+    // check the score slot NaN-safely
+    def keyed(s: Set[(Long, Int, Double, Long)]) = s.map(t => (t._1, t._2, t._4))
+    val got = aggTopK(rows, 3)
+    assert(keyed(got) == keyed(windowTopK(rows, 3)))
+    val ranked = got.toSeq.sortBy(_._2)
+    assert(ranked.head._4 == 2L && ranked.head._3.isNaN)
+    assert(ranked.map(_._4) == Seq(2L, 11L, 13L))
+  }
+
+  test("topKCarry: payload rides with its row, ordering unaffected") {
+    import spark.implicits._
+    val rows = Seq((1L, 5.0, 10L, 100L), (1L, 7.0, 11L, 111L), (1L, 6.0, 12L, 122L))
+      .toDF("g", "v", "id", "p").repartition(3)
+    val got = GroupedTopK.topKCarry(rows, "g", "v", "id", "p", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1, 11L, 111L), (2, 12L, 122L)))
+  }
+
   test("rejects non-positive k") {
     import spark.implicits._
     val df = Seq((1L, 1.0, 1L)).toDF("g", "v", "id")

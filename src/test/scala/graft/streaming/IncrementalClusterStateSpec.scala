@@ -14,18 +14,7 @@ import graft.queries.TextOps
   * remap table rewritten. */
 class IncrementalClusterStateSpec extends AnyFunSuite with SparkSpec {
 
-  private def dataFiles(dir: String): Map[String, (Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Path.of(dir)
-    if (!Files.exists(root)) return Map.empty
-    val walk = Files.walk(root)
-    try walk.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (root.relativize(p).toString,
-        (Files.size(p), Files.getLastModifiedTime(p).toMillis)))
-      .toMap
-    finally walk.close()
-  }
+  private def dataFiles(dir: String) = graft.SparkSpec.dataFiles(dir)
 
   test("arbitrary batch splits reproduce batch dupClusters at every step; append-only advance; redelivery is a no-op") {
     import spark.implicits._

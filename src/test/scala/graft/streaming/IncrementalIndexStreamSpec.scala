@@ -17,18 +17,7 @@ import graft.queries.TextOps
   * volume O(batch), never an O(corpus) rewrite). */
 class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
 
-  /** (relative path → (length, mtime)) for every data file under `dir`. */
-  private def dataFiles(dir: String): Map[String, (Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Path.of(dir)
-    val walk = Files.walk(root)
-    try walk.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (root.relativize(p).toString,
-        (Files.size(p), Files.getLastModifiedTime(p).toMillis)))
-      .toMap
-    finally walk.close()
-  }
+  private def dataFiles(dir: String) = graft.SparkSpec.dataFiles(dir)
 
   test("arbitrary batch splits reproduce batch lshDedup; advance is append-only; redelivery emits nothing") {
     import spark.implicits._
@@ -92,5 +81,26 @@ class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
       assert(spark.read.parquet(shT).count() == sh.size)
       assert(spark.read.parquet(docT).count() == all.length)
     } finally q.stop()
+  }
+
+  test("partial-crash redelivery: index/shingle rows never duplicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("inc-crash").toString
+    val (indexT, docT, pairsT, shT) =
+      (s"$root/index", s"$root/docs", s"$root/pairs", s"$root/shingles")
+    val batch = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(30)
+      .localCheckpoint(true)
+    // simulate a crash AFTER the index + shingle appends but BEFORE the
+    // doc-store advance: both tables already hold the batch's rows, the
+    // redelivery guard (docTable) does not — the whole batch replays
+    TextOps.bandIndex(batch).write.parquet(indexT)
+    TextOps.shingleStore(batch).write.parquet(shT)
+    Streams.maintainBandIndex(batch, indexT, docT, pairsT, shT)
+    // the per-table guards must keep both standing tables duplicate-free
+    // (duplicate shingle rows would permanently double-count `inter`)
+    assert(spark.read.parquet(indexT).count() == TextOps.bandIndex(batch).count())
+    assert(spark.read.parquet(shT).count() == TextOps.shingleStore(batch).count())
+    assert(spark.read.parquet(docT).count() == 30)
   }
 }
