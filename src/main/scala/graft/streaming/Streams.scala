@@ -306,18 +306,31 @@ object Streams {
     * reading pairs through a distinct(). */
   def maintainBandIndex(batch: DataFrame, indexTable: String, docTable: String,
       pairsTable: String, shingleTable: String): Unit = {
-    val spark = batch.sparkSession
+    val fresh = freshAgainst(batch, docTable)
+    advanceBandIndex(fresh,
+      graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true),
+      indexTable, pairsTable, shingleTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The batch minus already-stored doc ids, materialized once — the
+    * shared redelivery guard + fan-in point of every maintenance loop
+    * (the increment feeds several derivations; a lazily persisted frame
+    * racing parallel consumers can compute twice). */
+  private def freshAgainst(batch: DataFrame, docTable: String): DataFrame = {
     val arrived = batch.select(col("doc_id"), col("text"))
-    // the deduped increment feeds three derivations — materialize once,
-    // eagerly (perf-lesson: a lazily persisted frame racing parallel
-    // consumers can compute twice)
-    val fresh = tryRead(spark, docTable)
+    tryRead(batch.sparkSession, docTable)
       .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
       .localCheckpoint(true)
-    // bands and shingles each have two consumers (probe + append): land
-    // them once so the append re-writes bytes, not the signature UDF
-    val freshBands = graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true)
+  }
+
+  /** The band-index half of an advance: pairs append first, then the
+    * guarded index/shingle appends. `freshBands` is passed in (not
+    * derived) so a combined loop signatures the batch exactly once. */
+  private def advanceBandIndex(fresh: DataFrame, freshBands: DataFrame,
+      indexTable: String, pairsTable: String, shingleTable: String): Unit = {
+    val spark = fresh.sparkSession
     val freshShingles = graft.queries.TextOps.shingleStore(fresh).localCheckpoint(true)
     val idx = tryRead(spark, indexTable).getOrElse(emptyBandIndex(spark))
     val store = tryRead(spark, shingleTable).getOrElse(emptyShingleStore(spark))
@@ -335,7 +348,6 @@ object Streams {
         .write.mode("append").parquet(table)
     appendNew(freshBands, indexTable)
     appendNew(freshShingles, shingleTable)
-    fresh.write.mode("append").parquet(docTable)
   }
 
   private def emptyBandIndex(spark: SparkSession): DataFrame = {
@@ -378,13 +390,20 @@ object Streams {
     * would close it with one multi-table commit). */
   def maintainClusterState(batch: DataFrame, labelsTable: String,
       bucketTable: String, remapTable: String, docTable: String): Unit = {
-    val spark = batch.sparkSession
-    val arrived = batch.select(col("doc_id"), col("text"))
-    val fresh = tryRead(spark, docTable)
-      .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
-      .getOrElse(arrived)
-      .localCheckpoint(true)
-    val newMembers = graft.queries.TextOps.bandIndex(fresh)
+    val fresh = freshAgainst(batch, docTable)
+    advanceClusterState(fresh,
+      graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true),
+      labelsTable, bucketTable, remapTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The cluster half of an advance — labels/buckets append, remap folds.
+    * `freshBands` passed in for the same single-signature-pass reason as
+    * [[advanceBandIndex]]. */
+  private def advanceClusterState(fresh: DataFrame, freshBands: DataFrame,
+      labelsTable: String, bucketTable: String, remapTable: String): Unit = {
+    val spark = fresh.sparkSession
+    val newMembers = freshBands
       .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket"))
     val standingRemap = tryRead(spark, remapTable).getOrElse(emptyRemap(spark))
     val rawBuckets = tryRead(spark, bucketTable).getOrElse(emptyBucketComp(spark))
@@ -423,8 +442,39 @@ object Streams {
       .select(col("bucket"), col("component")).distinct()
       .write.mode("append").parquet(bucketTable)
     graft.operators.MergeWriter.overwriteAtomic(foldedRemap, remapTable)
+  }
+
+  /** The full dedup-state loop a deployment actually runs: ONE advance
+    * per micro-batch maintaining every standing table — duplicate PAIRS
+    * (pp02's flow: band index + shingle store) and cluster LABELS (pp04's
+    * flow: labels + bucket index + remap) — off a single redelivery guard
+    * and a single signature pass over the batch. Write order: pairs →
+    * index/shingles (guarded) → labels/buckets/remap → docs last (the
+    * guard commits the batch for BOTH flows atomically-enough: a crash
+    * anywhere earlier redelivers the whole batch, and every append is
+    * either per-table-guarded, duplicate-tolerated at read, or an
+    * idempotent re-fold). */
+  def maintainDedupState(batch: DataFrame, indexTable: String,
+      pairsTable: String, shingleTable: String, labelsTable: String,
+      bucketTable: String, remapTable: String, docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    val freshBands = graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true)
+    advanceBandIndex(fresh, freshBands, indexTable, pairsTable, shingleTable)
+    advanceClusterState(fresh, freshBands, labelsTable, bucketTable, remapTable)
     fresh.write.mode("append").parquet(docTable)
   }
+
+  /** [[maintainDedupState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def dedupStateStream(docs: DataFrame, indexTable: String,
+      pairsTable: String, shingleTable: String, labelsTable: String,
+      bucketTable: String, remapTable: String, docTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainDedupState(b, indexTable, pairsTable, shingleTable,
+          labelsTable, bucketTable, remapTable, docTable))
+      .start()
 
   /** The current clustering under the maintained tables — (doc_id,
     * cluster_id, cluster_size), dd06's exact shape: one remap hop over
