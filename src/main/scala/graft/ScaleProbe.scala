@@ -62,7 +62,8 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(docsPath)
     }
 
-    val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters", "pp02_incremental_index")
+    val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters",
+      "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)
