@@ -79,9 +79,11 @@ object Bench {
         }
       // relative stddev across the runs — the machine-flaggable noise
       // signal: an untouched query whose round-over-round delta is within
-      // its own rsd is drift, not regression
+      // its own rsd is drift, not regression. Fewer than 2 surviving runs
+      // (flaky or fully-failed query) → -1 sentinel, matching min/median:
+      // 0.0 would read as "perfectly stable" to a drift-flagging consumer
       val rsd =
-        if (times.size < 2) 0.0
+        if (times.size < 2) -1.0
         else {
           val m = times.sum / times.size
           math.sqrt(times.map(t => (t - m) * (t - m)).sum / times.size) / m

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * and at the 10× corpus and prints the observed scaling factor per
   * gate.
   *
-  * Usage: `runMain graft.ScaleProbe [workDir]` (default /tmp/graft-sf1).
+  * Usage: `runMain graft.ScaleProbe [workDir] [baseSfDir]` (defaults
+  * /tmp/graft-sf1 and /root/testdata/sf0.1).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -37,12 +38,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sf01 = "/root/testdata/sf0.1"
+    val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val docsPath = s"$work/documents.parquet"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
       val base = spark.read.parquet(s"$sf01/documents.parquet")
+      // the replica id shift must clear the base id space, or replicas
+      // collide and every bijection/constant-density invariant the probe's
+      // claims rest on silently breaks
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 10000000L,
+        s"replica stride 10M does not clear base doc_id space (max=$maxId)")
       (0 until 10).map { k =>
         // suffix FILTERED tokens (Text.tokens semantics): suffixing raw
         // split segments would turn empty segments from doubled spaces

@@ -286,7 +286,12 @@ object Streams {
     *    those appends and the doc-store advance redelivers the batch,
     *    and without the per-table guard the re-appended rows would
     *    permanently double-count `inter` in every later verification.
-    *    Only ID columns are read for the guards — never bodies;
+    *    The standing shingle store is likewise read MINUS the batch's own
+    *    ids when verifying (a crash in that window leaves the batch's
+    *    shingles in the store; unioned with the recomputed increment rows
+    *    they would inflate `inter` and append pairs that differ from the
+    *    already-landed originals). Only ID columns are read for the
+    *    guards — never bodies;
     *  - pairs are written BEFORE any table advances — their plan reads
     *    the pre-batch file listings;
     *  - per-batch work and write volume are O(batch + candidates), not
@@ -333,7 +338,19 @@ object Streams {
     val spark = fresh.sparkSession
     val freshShingles = graft.queries.TextOps.shingleStore(fresh).localCheckpoint(true)
     val idx = tryRead(spark, indexTable).getOrElse(emptyBandIndex(spark))
+    // redelivery guard on the VERIFY side: after a crash between the
+    // index/shingle appends below and the doc-store advance, the standing
+    // store already holds the batch's rows, and incrementalPairs unions
+    // store ∪ newShingles — without this exclusion a redelivered batch
+    // doc's shingles count twice, inflating `inter` 2× (new–old pairs) /
+    // 4× (new–new) while sz1/sz2 stay right, appending pairs that DIFFER
+    // from the originals (corruption distinct() can't repair). Excluded,
+    // the replay recomputes byte-identical pairs and the documented
+    // distinct() recovery holds. The band index needs no twin guard:
+    // duplicate index rows only duplicate candidate pairs, which collapse
+    // in incrementalPairs' distinct() before any counting.
     val store = tryRead(spark, shingleTable).getOrElse(emptyShingleStore(spark))
+      .join(broadcast(fresh.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     graft.queries.TextOps.incrementalPairs(idx, freshBands, freshShingles, store)
       .write.mode("append").parquet(pairsTable)
     // per-table redelivery guard: a crash after these appends but before

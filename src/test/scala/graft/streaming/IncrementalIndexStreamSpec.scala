@@ -83,17 +83,25 @@ class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("partial-crash redelivery: index/shingle rows never duplicate") {
+  test("partial-crash redelivery: index/shingle rows never duplicate and replayed pairs are byte-identical") {
     import spark.implicits._
     val root = Files.createTempDirectory("inc-crash").toString
     val (indexT, docT, pairsT, shT) =
       (s"$root/index", s"$root/docs", s"$root/pairs", s"$root/shingles")
-    val batch = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text").orderBy($"doc_id").limit(30)
-      .localCheckpoint(true)
-    // simulate a crash AFTER the index + shingle appends but BEFORE the
-    // doc-store advance: both tables already hold the batch's rows, the
-    // redelivery guard (docTable) does not — the whole batch replays
+    // guarantee the batch carries duplicate pairs (near-dup copies of two
+    // docs) so the pair assertions below can't pass vacuously
+    val copies = base.limit(2)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+    val batch = base.unionByName(copies).localCheckpoint(true)
+    // simulate a crash AFTER the pairs + index + shingle appends (the
+    // advance order) but BEFORE the doc-store advance: all three tables
+    // already hold the batch's rows, the redelivery guard (docTable) does
+    // not — the whole batch replays
+    val cleanPairs = TextOps.lshDedup(batch).localCheckpoint(true)
+    assert(cleanPairs.count() >= 1, "test corpus must contain dup pairs")
+    cleanPairs.write.parquet(pairsT)
     TextOps.bandIndex(batch).write.parquet(indexT)
     TextOps.shingleStore(batch).write.parquet(shT)
     Streams.maintainBandIndex(batch, indexT, docT, pairsT, shT)
@@ -101,6 +109,18 @@ class IncrementalIndexStreamSpec extends AnyFunSuite with SparkSpec {
     // (duplicate shingle rows would permanently double-count `inter`)
     assert(spark.read.parquet(indexT).count() == TextOps.bandIndex(batch).count())
     assert(spark.read.parquet(shT).count() == TextOps.shingleStore(batch).count())
-    assert(spark.read.parquet(docT).count() == 30)
+    assert(spark.read.parquet(docT).count() == batch.count())
+    // replayed pairs must be byte-identical to the originals — the store
+    // is read minus the batch's own ids, so `inter` is not double-counted
+    // and the documented distinct() recovery removes the duplicates. A
+    // corrupted replay appends DIFFERENT rows (inflated inter → wrong or
+    // negative jaccard) that distinct() can never repair.
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = triples(cleanPairs).toSet
+    val landed = triples(spark.read.parquet(pairsT))
+    assert(landed.toSet == expected,
+      "replayed pairs must carry the exact original values")
+    assert(triples(spark.read.parquet(pairsT).distinct()).toSet == expected)
   }
 }
