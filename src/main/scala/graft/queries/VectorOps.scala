@@ -189,37 +189,74 @@ object VectorOps {
     * an unprobed cluster is missed) — the oracle replays the same probe
     * decisions exactly, and AnnSpec pins recall vs the vs01 exact
     * answer. */
+  /** (vec_id, q, nrm) with zero vectors dropped — the normalized form
+    * every IVF stage consumes. */
+  private def normed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQ(col("q"), col("q")).cast("double")))
+      .filter(col("nrm") > 0.0)
+
+  /** The catalog's fixed coarse quantizer: the first 8 vectors as
+    * centroids — deterministic and SQL-expressible (a k-means fit would
+    * not oracle-check), and FIXED the way a production IVF quantizer is:
+    * trained once, held constant while the inverted lists grow
+    * (re-training is a rebuild, not maintenance). */
+  private[graft] def ivfCentroids(normedVecs: DataFrame): DataFrame =
+    normedVecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+
+  /** IVF cell assignment — the postings-row producer: every input vector
+    * to its nearest centroid by quantized cosine (ties to the lowest cid).
+    * Broadcast of the centroid table + a grouped argmax (max over a
+    * (ccos, −cid) struct — map-side partial agg), never a window over the
+    * corpus; per-row work is |cents| fused integer dot products. Input
+    * (vec_id, q, nrm); output (cid, vec_id, q, nrm) — rows of the
+    * inverted lists, keyed by the list they belong to. */
+  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+      .select((-col("m.ncid")).as("cid"), col("vec_id"), col("q"), col("nrm"))
+
+  /** IVF probe-and-score over a postings table: each query ranks the
+    * centroids (the one window left — Q×|cents| rows, per-query bounded),
+    * keeps its nProbe nearest cells, joins the postings ON THE CENTROID
+    * ID — the inverted list is the physical partition key, so a probe
+    * touches nProbe/nList of the data — and the scored candidates are
+    * map-side combined to ≤ k rows per query by the bounded-buffer
+    * [[graft.operators.GroupedTopK]] aggregator (carrying the neighbor's
+    * cell id; no WindowExec after the candidates join — PlanSpec pins
+    * that). `postings` may be a freshly-assigned frame (vs06) or a
+    * MAINTAINED standing table (pp05 / Streams.maintainIvfState) — the
+    * search is the same either way. */
+  private[graft] def ivfSearch(postings: DataFrame, queries: DataFrame,
+      cents: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qq"), col("qn"), col("cid"))
+    val scored = probed.join(postings, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") / (col("qn") * col("nrm")))
+    graft.operators.GroupedTopK.topKCarry(
+        scored.select(col("query_id"), col("cos"), col("vec_id"), col("cid")),
+        "query_id", "cos", "vec_id", "cid", k)
+      .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
+        col("rank"), col("v").as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def vs06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d)
-      .select($"vec_id", quantized($"embedding").as("q"))
-      .withColumn("nrm", sqrt(dotQ($"q", $"q").cast("double")))
-      .filter($"nrm" > 0.0)
-    val cents = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("cid"), $"q".as("cq"), $"nrm".as("cn"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotQ($"q", $"cq").cast("double") / ($"nrm" * $"cn"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("m"),
-        first($"q").as("q"), first($"nrm").as("nrm"))
-      .select($"vec_id", (-$"m.ncid").as("cid"), $"q", $"nrm")
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
     val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
-    val pw = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cid")
-    val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("pcos", dotQ($"qq", $"cq").cast("double") / ($"qn" * $"cn"))
-      .withColumn("prn", row_number().over(pw))
-      .filter($"prn" <= 2)
-      .select($"query_id", $"qq", $"qn", $"cid")
-    val scored = probed.join(assigned, Seq("cid"))
-      .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm"))
-    graft.operators.GroupedTopK.topKCarry(
-        scored.select($"query_id", $"cos", $"vec_id", $"cid"),
-        "query_id", "cos", "vec_id", "cid", 3)
-      .select($"query_id", $"carry".as("cid"), $"id".as("neighbor_id"),
-        $"rank", $"v".as("cos"))
-      .orderBy($"query_id", $"rank")
+    ivfSearch(assignCells(e, cents), queries, cents, nProbe = 2, k = 3)
   }
   private val vs06Sql = {
     def dot(a: String, b: String) =
@@ -245,6 +282,71 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** pp05 — INCREMENTAL IVF maintenance, vs06's incremental twin (the
+    * vector-side member of the pp02/pp04 standing-state family): the
+    * coarse quantizer is fixed, the inverted lists are a STANDING
+    * postings table, and a batch of new embeddings advances the index by
+    * one broadcast-assignment pass over the batch alone — |batch| × 8
+    * fused dot products, one append, nothing corpus-sized recomputed
+    * (re-assigning the corpus per increment would delete the index's
+    * reason to exist at 100 TB; assignment is a pure per-row function of
+    * the fixed centroids, so the postings of a corpus are the union of
+    * the postings of its batches). The gate replays production: the 80%
+    * split derives the standing table, the 20% batch advances it, and the
+    * search over the maintained lists must equal vs06 over the FULL
+    * corpus — the oracle is vs06's, verbatim.
+    * [[graft.streaming.Streams.maintainIvfState]] is the continuous loop. */
+  private def pp05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
+    val isNew = QueryUtils.hex8(concat(lit("ivf:"), $"vec_id".cast("string"))) % 5 === 0
+    // the standing postings table (persisted in production — pp04's
+    // pattern: derive in-gate, materialize as the stand-in)
+    val standing = assignCells(e.filter(!isNew), cents).localCheckpoint(true)
+    // the advance: assign ONLY the increment, append to the lists
+    val postings = standing.unionByName(assignCells(e.filter(isNew), cents))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    ivfSearch(postings, queries, cents, nProbe = 2, k = 3)
+  }
+
+  /** vs07 — one exact k-means (Lloyd) step: assign every vector to its
+    * nearest of the 8 fixed seed centroids, then the per-(cell, dim)
+    * exact integer sums + counts that ARE the new centroid numerators
+    * (sum/n is the update; the sum is the order-independent part, so
+    * that's what the gate pins — vs05's shape, keyed by the ASSIGNED cell
+    * instead of the stored label). The re-train/rebuild pass that pairs
+    * with pp05's maintenance: centroids stay fixed between rebuilds, and
+    * a rebuild is this step iterated. 100 TB shape: broadcast assignment
+    * (no window), then posexplode → one (cid, dim)-keyed shuffle with
+    * map-side partial sums. */
+  private def vs07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    assignCells(e, ivfCentroids(e))
+      .select($"cid", posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"cid", $"dim")
+      .agg(count(lit(1)).as("n_vectors"), sum($"qv").as("sum_q"))
+      .select($"cid", $"dim".cast("long").as("dim"), $"n_vectors", $"sum_q")
+      .orderBy($"cid", $"dim")
+  }
+  private val vs07Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, n.q, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, q, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |d AS (SELECT cid, unnest(range(1, len(q) + 1)) AS i, q FROM a)
+       |SELECT cid, i - 1 AS dim, COUNT(*) AS n_vectors,
+       |  CAST(SUM(q[i]) AS BIGINT) AS sum_q
+       |FROM d GROUP BY cid, i ORDER BY cid, dim""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -252,5 +354,7 @@ object VectorOps {
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
+    Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
+    Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
   )
 }
