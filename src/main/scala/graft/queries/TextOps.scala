@@ -790,10 +790,7 @@ object TextOps {
     * oracle compares exact strings — same astronomically-small collision
     * acceptance as [[interCounts]], and the oracle gate would catch one. */
   def spanDedup(docs: DataFrame, n: Int = 8): DataFrame = {
-    // per-doc distinct spans (shingleArr already dedups within a doc)
-    val grams = docs
-      .select(col("doc_id"), explode(Text.shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val grams = spanStore(docs, n)
     // spans shared across ≥ 2 docs; grams are per-doc-distinct so the
     // count IS the doc count
     val shared = grams.groupBy(col("h"))
@@ -805,6 +802,105 @@ object TextOps {
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The persistable SPAN STORE rows for `docs` — (doc_id, h) with
+    * h = xxhash64(word-n-gram), per-doc distinct (Text.shingles dedups
+    * within a doc): the standing intermediate the incremental span flow
+    * maintains. Span hashes are pure per-document functions, so the store
+    * of a corpus is the union of the stores of its batches — exactly the
+    * append-only property the shingle store (pp02) and postings table
+    * (pp05) rely on. */
+  def spanStore(docs: DataFrame, n: Int = 8): DataFrame =
+    docs.select(col("doc_id"), explode(Text.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+
+  /** dd09's incremental twin — the span-dedup report advanced by one
+    * batch, with every corpus-sized input in its MAINTAINED form:
+    * `oldGrams` the standing span store, `oldCounts` its per-span doc
+    * counts (h, nd), `oldReport` the standing per-doc report INCLUDING
+    * zero-dup rows (a batch can turn them dup'd). Per batch the work is
+    * O(batch + affected):
+    *
+    *  - the batch alone is tokenized into span hashes (one map pass);
+    *  - standing counts are read once, PRUNED to the batch's span hashes
+    *    (broadcast semi-join on the batch-bounded hash set) — a span the
+    *    batch doesn't touch can't change anyone's report;
+    *  - the only old docs whose report moves are holders of a span
+    *    CROSSING unique→shared (standing nd == 1, batch adds ≥ 1): the
+    *    store is read once, pruned to those (batch-bounded) hashes, and
+    *    each holder gains exactly the count of its crossing spans —
+    *    spans with standing nd ≥ 2 were already counted, spans new to
+    *    the corpus affect only batch docs;
+    *  - batch docs count spans whose TOTAL (standing + batch) holders
+    *    reach 2 — catching old–new and new–new duplication in one pass.
+    *
+    * Output is [[spanDedup]] over the full corpus, verbatim (pp06's
+    * oracle states it that way).
+    * [[graft.streaming.Streams.maintainSpanState]] is the continuous
+    * loop over persisted tables. */
+  def incrementalSpans(oldGrams: DataFrame, oldCounts: DataFrame,
+      oldReport: DataFrame, newDocs: DataFrame, n: Int = 8,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
+    val adv = spanAdvance(oldGrams, oldCounts, spanStore(newDocs, n), materialize)
+    val advancedOld = oldReport.join(broadcast(adv.oldDelta), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_dup_spans") + coalesce(col("delta"), lit(0L))).as("n_dup_spans"))
+    advancedOld.unionByName(adv.newRows)
+      .filter(col("n_dup_spans") > 0)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The batch-local pieces of a span advance: the batch's store rows,
+    * its per-span counts (h, bnd), per-old-doc report deltas, and the
+    * batch docs' full report rows — everything the continuous maintainer
+    * appends, nothing corpus-sized computed. */
+  private[graft] final case class SpanAdvance(
+      grams: DataFrame, counts: DataFrame, oldDelta: DataFrame, newRows: DataFrame)
+
+  private[graft] def spanAdvance(oldGrams: DataFrame, oldCounts: DataFrame,
+      batchGrams: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): SpanAdvance = {
+    val b = materialize(batchGrams)
+    val bCnt = materialize(b.groupBy(col("h")).agg(count(lit(1)).as("bnd")))
+    // standing counts for the batch's spans only — broadcast semi-probe,
+    // one pruned scan of the counts table at its own layout
+    val touched = oldCounts.join(broadcast(bCnt.select(col("h"))), Seq("h"), "left_semi")
+    val totals = materialize(bCnt.join(touched, Seq("h"), "left")
+      .select(col("h"), col("bnd"), coalesce(col("nd"), lit(0L)).as("old_nd")))
+    val crossing = totals.filter(col("old_nd") === 1).select(col("h"))
+    val oldDelta = oldGrams.join(broadcast(crossing), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("delta"))
+    val newRows = b.join(totals, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("old_nd") + col("bnd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    SpanAdvance(b, bCnt, oldDelta, newRows)
+  }
+
+  /** pp06 — incremental span-dedup maintenance gate: same 80/20 split
+    * pattern as pp02/pp04/pp05; the 80% derives the standing store,
+    * counts, and report (persisted tables in production), the 20%
+    * arrives as the batch, and the advanced report must equal
+    * [[spanDedup]] over the FULL corpus — the oracle is dd09's,
+    * verbatim. */
+  private def pp06(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("spn:"), col("doc_id").cast("string"))) % 5 === 0
+    val old = docs.filter(!isNew)
+    val oldGrams = localMaterialize(spanStore(old))
+    val oldCounts = localMaterialize(
+      oldGrams.groupBy(col("h")).agg(count(lit(1)).as("nd")))
+    // the standing report keeps zero-dup rows: a batch can dup them
+    val oldReport = localMaterialize(oldGrams
+      .join(oldCounts.filter(col("nd") >= 2).select(col("h"), lit(1).as("__dup")),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans")))
+    incrementalSpans(oldGrams, oldCounts, oldReport, docs.filter(isNew))
   }
   private def dd09(s: SparkSession, d: String): DataFrame =
     spanDedup(documents(s, d))
@@ -1090,5 +1186,6 @@ object TextOps {
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),
     Q("pp04_incremental_clusters", "incremental cluster maintenance: advanced labels equal full-corpus clustering", pp04, Some(dd06Sql)),
+    Q("pp06_incremental_spans", "incremental span-dedup maintenance: advanced report equals full-corpus spanDedup", pp06, Some(dd09Sql)),
   )
 }
