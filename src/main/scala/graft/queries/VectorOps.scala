@@ -190,8 +190,9 @@ object VectorOps {
     * decisions exactly, and AnnSpec pins recall vs the vs01 exact
     * answer. */
   /** (vec_id, q, nrm) with zero vectors dropped — the normalized form
-    * every IVF stage consumes. */
-  private def normed(e: DataFrame): DataFrame =
+    * every IVF stage consumes (package-visible: the continuous maintainer
+    * normalizes each arriving batch with the same kernel). */
+  private[graft] def normed(e: DataFrame): DataFrame =
     e.select(col("vec_id"), quantized(col("embedding")).as("q"))
       .withColumn("nrm", sqrt(dotQ(col("q"), col("q")).cast("double")))
       .filter(col("nrm") > 0.0)

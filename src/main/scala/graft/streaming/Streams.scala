@@ -358,27 +358,33 @@ object Streams {
     // rows twice would permanently corrupt every later verification (the
     // docTable guard alone can't see it). Anti-join against each target
     // table's own doc ids — a column-pruned id scan, like the fresh guard
-    def appendNew(rows: DataFrame, table: String): Unit =
-      tryRead(spark, table)
-        .map(t => rows.join(t.select("doc_id"), Seq("doc_id"), "left_anti"))
-        .getOrElse(rows)
-        .write.mode("append").parquet(table)
-    appendNew(freshBands, indexTable)
-    appendNew(freshShingles, shingleTable)
+    appendNewBy(freshBands, indexTable, "doc_id")
+    appendNewBy(freshShingles, shingleTable, "doc_id")
   }
+
+  /** Append `rows` minus those whose `idCol` the target table already
+    * holds — the per-table redelivery guard of every append-only advance
+    * (a column-pruned id scan of the target, never bodies). */
+  private def appendNewBy(rows: DataFrame, table: String, idCol: String): Unit =
+    tryRead(rows.sparkSession, table)
+      .map(t => rows.join(t.select(idCol), Seq(idCol), "left_anti"))
+      .getOrElse(rows)
+      .write.mode("append").parquet(table)
+
+  private def emptyDf(spark: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
 
   private def emptyBandIndex(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType), StructField("band", IntegerType),
-        StructField("bkey", StringType))))
+    emptyDf(spark, "doc_id" -> LongType, "band" -> IntegerType, "bkey" -> StringType)
   }
 
   private def emptyShingleStore(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType), StructField("sz", IntegerType),
-        StructField("h", LongType))))
+    emptyDf(spark, "doc_id" -> LongType, "sz" -> IntegerType, "h" -> LongType)
   }
 
   /** pp04's continuous twin: CLUSTER state maintained per micro-batch.
@@ -530,14 +536,12 @@ object Streams {
 
   private def emptyRemap(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("__oldc", LongType), StructField("__newc", LongType))))
+    emptyDf(spark, "__oldc" -> LongType, "__newc" -> LongType)
   }
 
   private def emptyBucketComp(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("bucket", StringType), StructField("component", LongType))))
+    emptyDf(spark, "bucket" -> StringType, "component" -> LongType)
   }
 
   /** [[maintainBandIndex]] as a foreachBatch sink over a (doc_id, text)
@@ -549,6 +553,201 @@ object Streams {
       .foreachBatch((b: DataFrame, _: Long) =>
         maintainBandIndex(b, indexTable, docTable, pairsTable, shingleTable))
       .start()
+
+  /** pp05's continuous twin: CONTINUOUS IVF maintenance. The coarse
+    * quantizer `cents` is FIXED (trained once; re-training is a rebuild —
+    * vs07 — not maintenance); per micro-batch of (vec_id, embedding) rows
+    * the standing state advances by:
+    *
+    *  - `postingsTable` (cid, vec_id, q, nrm) — the inverted lists:
+    *    the batch is normalized + assigned with the same kernels as vs06
+    *    (|batch| × |cents| fused dot products, broadcast argmax — no
+    *    corpus re-assignment, assignment is a pure per-row function of
+    *    the fixed centroids) and APPENDED. Appended LAST: the postings
+    *    table is also the redelivery guard (arrivals already in it are
+    *    dropped before assigning).
+    *  - `sumsTable` (batch_key, cid, dim, n_vectors, sum_q) — per-cell
+    *    centroid-sum DELTAS, the additive state that decides when a cell
+    *    has drifted enough to warrant a rebuild. Additive state is NOT
+    *    idempotent under at-least-once redelivery, so each batch's rows
+    *    carry a `batch_key` (the batch's min vec_id — deterministic, and
+    *    unique across batches because the postings guard keeps fresh
+    *    sets disjoint): a crash between the sums append and the postings
+    *    append replays the batch, the replay recomputes BYTE-IDENTICAL
+    *    delta rows under the same key, and [[ivfSumsSnapshot]] drops the
+    *    duplicates by (batch_key, cid, dim) before summing. The same
+    *    trick a transactional format's idempotent-writer option uses.
+    *
+    * Per-batch work and write volume are O(batch): nothing reads the
+    * corpus — the guard probe is a column-pruned id scan of the postings
+    * at their own layout. [[graft.operators.MergeWriter.overwriteAtomic]]
+    * compaction of the delta table is [[compactIvfSums]]. */
+  def maintainIvfState(batch: DataFrame, cents: DataFrame,
+      postingsTable: String, sumsTable: String): Unit = {
+    val spark = batch.sparkSession
+    val arrived = graft.queries.VectorOps.normed(batch)
+    val fresh = tryRead(spark, postingsTable)
+      .map(p => arrived.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .getOrElse(arrived)
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("vec_id"))).head().getLong(0)
+    val assigned = graft.queries.VectorOps.assignCells(fresh, cents)
+      .localCheckpoint(true)
+    assigned.select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
+      .select(lit(batchKey).as("batch_key"), col("cid"),
+        col("dim").cast("long").as("dim"), col("n_vectors"), col("sum_q"))
+      .write.mode("append").parquet(sumsTable)
+    assigned.write.mode("append").parquet(postingsTable)
+  }
+
+  /** [[maintainIvfState]] as a foreachBatch sink over a (vec_id,
+    * embedding) stream. */
+  def ivfStateStream(vecs: DataFrame, cents: DataFrame,
+      postingsTable: String, sumsTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainIvfState(b, cents, postingsTable, sumsTable))
+      .start()
+
+  /** The current per-(cell, dim) exact centroid sums under the maintained
+    * delta table — vs07's output shape over every vector that has
+    * arrived. Duplicate delta rows from redelivered batches collapse on
+    * (batch_key, cid, dim) before the sum. */
+  def ivfSumsSnapshot(spark: SparkSession, sumsTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, sumsTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "cid" -> LongType, "dim" -> LongType,
+        "n_vectors" -> LongType, "sum_q" -> LongType))
+      .dropDuplicates("batch_key", "cid", "dim")
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("n_vectors")).as("n_vectors"), sum(col("sum_q")).as("sum_q"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  /** IVF search over the maintained postings — vs06's query side against
+    * the standing table ([[graft.queries.VectorOps.ivfSearch]], same
+    * kernel as the batch gate). */
+  def ivfSearchSnapshot(spark: SparkSession, postingsTable: String,
+      queries: DataFrame, cents: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val postings = tryRead(spark, postingsTable).getOrElse(emptyDf(spark,
+      "cid" -> LongType, "vec_id" -> LongType,
+      "q" -> ArrayType(LongType), "nrm" -> DoubleType))
+    graft.queries.VectorOps.ivfSearch(postings, queries, cents, nProbe, k)
+  }
+
+  /** Fold a `batch_key`-tagged delta table to one row per key group under
+    * the reserved key — the pointer-compaction maintenance job for
+    * additive state (bounds table growth at O(live keys) instead of
+    * O(batches × keys)). Snapshots are unchanged: redelivery of any
+    * pre-compaction batch is impossible (its rows are behind the guard
+    * table), so the reserved key can never collide with a live one. */
+  private def compactDeltas(spark: SparkSession, table: String,
+      keys: Seq[String], sums: Seq[String]): Unit =
+    tryRead(spark, table).foreach { t =>
+      val aggs = sums.map(c => sum(col(c)).as(c))
+      val folded = t.dropDuplicates("batch_key" +: keys)
+        .groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(lit(Long.MinValue).as("batch_key") +: (keys ++ sums).map(col): _*)
+      graft.operators.MergeWriter.overwriteAtomic(folded, table)
+    }
+
+  /** Compact the IVF centroid-sum deltas to one row per (cid, dim). */
+  def compactIvfSums(spark: SparkSession, sumsTable: String): Unit =
+    compactDeltas(spark, sumsTable, Seq("cid", "dim"), Seq("n_vectors", "sum_q"))
+
+  /** pp06's continuous twin: CONTINUOUS span-dedup maintenance. Standing
+    * tables: `gramsTable` (doc_id, h — the span store, append-only),
+    * `countsTable` (batch_key, h, nd — per-span doc-count DELTAS),
+    * `reportTable` (batch_key, doc_id, n_spans, n_dup_spans — per-doc
+    * report DELTAS: a batch row carries the doc's full totals, an
+    * old-doc crossing row carries (0, +delta)), plus the doc store as
+    * the redelivery guard (appended LAST — a crash anywhere earlier
+    * redelivers the whole batch).
+    *
+    * Per batch the advance is [[graft.queries.TextOps.spanAdvance]] —
+    * O(batch + affected docs), with both corpus-sized reads at their own
+    * layout and pruned by broadcast batch-bounded sets (counts to the
+    * batch's span hashes, the store to the crossing hashes). Additive
+    * tables use the same `batch_key` idempotence trick as
+    * [[maintainIvfState]], and BOTH reads are guarded against the
+    * batch's own partial writes from a crashed attempt: the counts view
+    * excludes rows under this batch's key (they would inflate standing
+    * counts and mis-detect crossings), and the store is read minus the
+    * fresh doc ids (the same guard [[maintainBandIndex]] applies to the
+    * shingle store) — so a replay recomputes byte-identical delta rows
+    * and the snapshot dedup removes them. */
+  def maintainSpanState(batch: DataFrame, gramsTable: String,
+      countsTable: String, reportTable: String, docTable: String): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    val oldCounts = tryRead(spark, countsTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "h" -> LongType, "nd" -> LongType))
+      .filter(col("batch_key") =!= batchKey)
+      .dropDuplicates("batch_key", "h")
+      .groupBy(col("h")).agg(sum(col("nd")).as("nd"))
+    val oldGrams = tryRead(spark, gramsTable)
+      .getOrElse(emptyDf(spark, "doc_id" -> LongType, "h" -> LongType))
+      .join(broadcast(fresh.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val adv = graft.queries.TextOps.spanAdvance(oldGrams, oldCounts,
+      graft.queries.TextOps.spanStore(fresh))
+    adv.counts.select(lit(batchKey).as("batch_key"), col("h"), col("bnd").as("nd"))
+      .write.mode("append").parquet(countsTable)
+    adv.oldDelta.select(lit(batchKey).as("batch_key"), col("doc_id"),
+        lit(0L).as("n_spans"), col("delta").as("n_dup_spans"))
+      .unionByName(adv.newRows.select(lit(batchKey).as("batch_key"),
+        col("doc_id"), col("n_spans"), col("n_dup_spans")))
+      .write.mode("append").parquet(reportTable)
+    appendNewBy(adv.grams, gramsTable, "doc_id")
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** [[maintainSpanState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def spanStateStream(docs: DataFrame, gramsTable: String,
+      countsTable: String, reportTable: String, docTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainSpanState(b, gramsTable, countsTable, reportTable, docTable))
+      .start()
+
+  /** The current span-dedup report under the maintained delta table —
+    * dd09's exact shape over every doc that has arrived: per-doc sums of
+    * the delta rows (a doc's arrival row carries its totals, later
+    * crossing rows add dup counts), zero-dup docs filtered at read.
+    * Duplicate delta rows from redelivered batches collapse on
+    * (batch_key, doc_id) before the sum. */
+  def spanSnapshot(spark: SparkSession, reportTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, reportTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "doc_id" -> LongType,
+        "n_spans" -> LongType, "n_dup_spans" -> LongType))
+      .dropDuplicates("batch_key", "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_spans")).as("n_spans"),
+        sum(col("n_dup_spans")).as("n_dup_spans"))
+      .filter(col("n_dup_spans") > 0)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compact the span count deltas to one row per span hash. */
+  def compactSpanCounts(spark: SparkSession, countsTable: String): Unit =
+    compactDeltas(spark, countsTable, Seq("h"), Seq("nd"))
+
+  /** Compact the span report deltas to one row per doc. */
+  def compactSpanReport(spark: SparkSession, reportTable: String): Unit =
+    compactDeltas(spark, reportTable, Seq("doc_id"), Seq("n_spans", "n_dup_spans"))
 
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
