@@ -376,6 +376,80 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vs07: assignment is a grouped argmax — partial agg, zero windows") {
+    val d = df("vs07_kmeans_step")
+    d.collect()
+    val ns = nodes(d)
+    // one Lloyd step over 100 TB must never rank per-vector rows: the
+    // nearest-centroid choice is a max-struct aggregate with a map-side
+    // partial pass, and the (cid, dim) sums combine before their exchange
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    noTextPayload(exchangePayloads(d))
+  }
+
+  test("pp05: search over maintained postings keeps vs06's plan contract") {
+    val d = df("pp05_incremental_ivf")
+    d.collect()
+    val ns = nodes(d)
+    // the probe joins the standing lists ON the centroid id (the IVF
+    // physical partition key), and the final top-k stays the bounded
+    // aggregator — swapping a maintained table in for the freshly-assigned
+    // frame must not reintroduce a candidate-rank window
+    assert(equiJoinKeys(d).exists(_.contains("cid")))
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts == Set("query_id"), s"window partitioned over $parts")
+    }
+  }
+
+  test("pp06: span advance prunes standing reads via broadcast; body never ships") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val isNew = QueryUtils.hex8(concat(lit("spn:"), col("doc_id").cast("string"))) % 5 === 0
+    val old = docs.filter(!isNew)
+    val oldGrams = TextOps.spanStore(old).localCheckpoint(true)
+    val oldCounts = oldGrams.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint(true)
+    val captured = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val hook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { f =>
+      captured += f; f.localCheckpoint(true)
+    }
+    val adv = TextOps.spanAdvance(oldGrams, oldCounts,
+      TextOps.spanStore(docs.filter(isNew)), hook)
+    // the standing counts are PROBED by the (small, broadcast) batch hash
+    // set — the totals stage must plan the prune as a broadcast semi join
+    // on h, never shuffle the counts table to meet the batch
+    assert(captured.size == 3) // batch grams, batch counts, totals
+    assert(nodes(captured(2)).exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftSemi &&
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet.contains("h")
+      case _ => false
+    })
+    // the old-doc delta reads the store pruned to crossing hashes the
+    // same way, and nothing in the advance ships text or keys outside
+    // the (h, doc_id) contract
+    Seq(adv.oldDelta, adv.newRows).foreach { f =>
+      f.collect()
+      assert(nodes(f).exists {
+        case j: BroadcastHashJoinExec =>
+          (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet.contains("h")
+        case _ => false
+      })
+      hashShuffleKeys(f).foreach(k => assert(k.subsetOf(Set("h", "doc_id")),
+        s"span advance exchange keyed on $k"))
+      noTextPayload(exchangePayloads(f))
+    }
+  }
+
   test("q43: hash exchanges key on the group and carry buffers, not detail rows") {
     val d = df("q43_grouped_topk")
     d.collect()
