@@ -69,8 +69,11 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(docsPath)
     }
 
+    // the documents-shaped gates (pp05 is embeddings-shaped — the probe
+    // scales the documents corpus, so it would measure a constant)
     val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters",
-      "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup")
+      "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
+      "pp06_incremental_spans")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)

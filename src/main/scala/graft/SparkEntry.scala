@@ -31,7 +31,13 @@ import graft.queries.Catalog
   *    LSH index maintenance (new-batch dup pairs only, verified against
   *    the standing shingle store), pp04 incremental cluster maintenance
   *    (standing labels + bucket index advanced per batch, merges via a
-  *    component-collapsed batch-sized graph — dd06's oracle verbatim);
+  *    component-collapsed batch-sized graph — dd06's oracle verbatim),
+  *    pp05 incremental IVF maintenance (batch-assigned postings appended
+  *    to standing lists under a fixed coarse quantizer — vs06's oracle
+  *    verbatim), pp06 incremental span-dedup maintenance (standing
+  *    store/counts/report advanced O(batch + affected) — dd09's oracle
+  *    verbatim), dd09 exact repeated-span detection, vs07 one exact
+  *    k-means step (assign → per-cell sums);
   *    ta01–ta06
   *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
   *    redaction); sa01/sa02 deterministic hash sampling (native
