@@ -643,6 +643,32 @@ object TextOps {
       |  md5(substr(text, 1, 64)) AS prefix_digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ta07 — corpus vocabulary: document frequency + collection frequency
+    * per token, top-100 — ta03's per-doc counting lifted to corpus level
+    * (the "which tokens exist, how common" pass a BPE/vocab build or IDF
+    * table starts from). 100 TB shape: per-(token, doc) counts first —
+    * one map-side-combinable shuffle that also makes df a plain count
+    * (never a count-distinct over the raw token stream) — then the
+    * per-token rollup, also combinable; the global top-100 plans as
+    * TakeOrderedAndProject, not a full sort. Ties break on the token so
+    * both engines agree. */
+  private def ta07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = documents(s, d)
+      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("n"))
+    perDoc.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"n").as("cf"))
+      .orderBy($"df".desc, $"cf".desc, $"tok")
+      .limit(100)
+  }
+  private val ta07Sql =
+    """WITH a AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |p AS (SELECT tok, doc_id, COUNT(*) AS n FROM a GROUP BY tok, doc_id)
+      |SELECT tok, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS cf
+      |FROM p GROUP BY tok
+      |ORDER BY df DESC, cf DESC, tok LIMIT 100""".stripMargin
+
   /** ta05 — repetition / boilerplate metrics (the Gopher-class quality
     * signals a 100 TB corpus filter runs): most-frequent token and its
     * character share, plus the duplicate word-2gram fraction. One token
@@ -1180,6 +1206,7 @@ object TextOps {
     Q("dd08_contamination_bloom", "Bloom-pruned decontamination, exact after verify (scale path)", dd08, Some(dd07Sql)),
     Q("dd09_span_dedup", "exact repeated-span detection: cross-doc verbatim word-8-grams", dd09, Some(dd09Sql)),
     Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
+    Q("ta07_vocab", "corpus vocabulary: per-token document + collection frequency, top-100", ta07, Some(ta07Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),

@@ -450,6 +450,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ta07: vocab rollup combines map-side; global top-100 is TakeOrderedAndProject") {
+    val d = df("ta07_vocab")
+    val ns = nodes(d)
+    // df is a plain count over per-(token, doc) rows — never a
+    // count-distinct over the raw token stream — so both shuffles carry
+    // partial aggregates, and the top-100 never globally sorts the vocab
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 4)
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    assert(!ns.exists(_.isInstanceOf[SortExec]))
+    noTextPayload(exchangePayloads(d))
+  }
+
   test("q43: hash exchanges key on the group and carry buffers, not detail rows") {
     val d = df("q43_grouped_topk")
     d.collect()
