@@ -321,9 +321,13 @@ object Streams {
   /** The batch minus already-stored doc ids, materialized once — the
     * shared redelivery guard + fan-in point of every maintenance loop
     * (the increment feeds several derivations; a lazily persisted frame
-    * racing parallel consumers can compute twice). */
+    * racing parallel consumers can compute twice). Also dedups WITHIN the
+    * batch: an at-least-once upstream can deliver the same doc twice in
+    * one micro-batch, and duplicated rows would double every per-doc
+    * derivation downstream (span counts, band rows, report totals) —
+    * the doc-table guard only sees across batches. */
   private def freshAgainst(batch: DataFrame, docTable: String): DataFrame = {
-    val arrived = batch.select(col("doc_id"), col("text"))
+    val arrived = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
     tryRead(batch.sparkSession, docTable)
       .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)

@@ -45,7 +45,10 @@ class IncrementalSpanStateSpec extends AnyFunSuite with SparkSpec {
     var seen = Set.empty[Long]
     var afterPrev = Map.empty[String, (Long, Long)]
     for (b <- batches) {
-      Streams.maintainSpanState(b.toSeq.toDF("doc_id", "text"),
+      // an at-least-once upstream can repeat a doc WITHIN one micro-batch;
+      // the advance must not double its span counts (freshAgainst dedups)
+      val delivered = b ++ b.take(1)
+      Streams.maintainSpanState(delivered.toSeq.toDF("doc_id", "text"),
         gramsT, countsT, reportT, docT)
       seen ++= b.map(_._1)
       assert(snapshot() == direct(seen))
