@@ -167,28 +167,6 @@ object VectorOps {
        |  CAST(SUM(q[i]) AS BIGINT) AS sum_q
        |FROM d GROUP BY label, i ORDER BY label, dim""".stripMargin
 
-  /** vs06 — IVF ANN search, end to end: the inverted-file flow vs01's
-    * brute force and vs04's LSH sit either side of. Coarse quantizer =
-    * the first 8 vectors as fixed centroids (deterministic and
-    * SQL-expressible, where a k-means fit would not oracle-check); every
-    * vector is assigned to its nearest centroid; a query probes its
-    * nProbe=2 nearest centroids and scores ONLY those clusters' members.
-    *
-    * Every stage has the 100 TB shape: assignment is a broadcast of the
-    * centroid table + a grouped argmax (max over a (cos, -cid) struct —
-    * map-side partial agg, ties to the lowest centroid id), never a
-    * window over the corpus; the search joins queries to candidates ON
-    * THE CENTROID ID — the IVF list is the physical partition key, so a
-    * probe touches nProbe/nList of the data. Top-k per query is the
-    * bounded-buffer [[graft.operators.GroupedTopK]] aggregator over the
-    * probed candidates (carrying the neighbor's cell id), so even the
-    * probed stream is map-side combined to ≤ k rows per query — no
-    * WindowExec after the candidates join (PlanSpec pins that). The one
-    * remaining window ranks each query's 8 centroid distances (Q×C rows,
-    * per-query bounded). Approximate by construction (a true neighbor in
-    * an unprobed cluster is missed) — the oracle replays the same probe
-    * decisions exactly, and AnnSpec pins recall vs the vs01 exact
-    * answer. */
   /** (vec_id, q, nrm) with zero vectors dropped — the normalized form
     * every IVF stage consumes (package-visible: the continuous maintainer
     * normalizes each arriving batch with the same kernel). */
@@ -251,6 +229,19 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** vs06 — IVF ANN search, end to end: the inverted-file flow vs01's
+    * brute force and vs04's LSH sit either side of. Coarse quantizer =
+    * [[ivfCentroids]] (fixed, deterministic, SQL-expressible); every
+    * vector is assigned to its nearest centroid ([[assignCells]] — a
+    * broadcast grouped argmax, never a window over the corpus); a query
+    * probes its nProbe=2 nearest centroids and scores ONLY those
+    * clusters' members ([[ivfSearch]] — candidates joined ON the
+    * centroid id, top-k via the bounded-buffer aggregator; the one
+    * remaining window ranks each query's 8 centroid distances, Q×C rows,
+    * per-query bounded; PlanSpec pins all of it). Approximate by
+    * construction (a true neighbor in an unprobed cluster is missed) —
+    * the oracle replays the same probe decisions exactly, and AnnSpec
+    * pins recall vs the vs01 exact answer. */
   private def vs06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))

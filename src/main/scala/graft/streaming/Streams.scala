@@ -589,23 +589,32 @@ object Streams {
   def maintainIvfState(batch: DataFrame, cents: DataFrame,
       postingsTable: String, sumsTable: String): Unit = {
     val spark = batch.sparkSession
-    val arrived = graft.queries.VectorOps.normed(batch)
-    val fresh = tryRead(spark, postingsTable)
-      .map(p => arrived.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
-      .getOrElse(arrived)
-      .localCheckpoint(true)
+    // guard FIRST, on raw ids: normalizing already-stored arrivals would
+    // spend the O(dim) per-row quantize/dot/sqrt work just to drop them
+    // at the anti-join (the text flows' freshAgainst order, same reason)
+    val freshRaw = tryRead(spark, postingsTable)
+      .map(p => batch.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .getOrElse(batch)
+      .dropDuplicates("vec_id")
+    val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
     if (fresh.isEmpty) return
     val batchKey = fresh.agg(min(col("vec_id"))).head().getLong(0)
     val assigned = graft.queries.VectorOps.assignCells(fresh, cents)
       .localCheckpoint(true)
+    ivfSumsDelta(assigned, batchKey).write.mode("append").parquet(sumsTable)
+    assigned.write.mode("append").parquet(postingsTable)
+  }
+
+  /** The per-cell centroid-sum delta rows of one assigned batch — the
+    * exact rows [[maintainIvfState]] appends, shared with the
+    * crash-simulation spec so a simulated partial write can never drift
+    * from what the real advance writes. */
+  private[graft] def ivfSumsDelta(assigned: DataFrame, batchKey: Long): DataFrame =
     assigned.select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy(col("cid"), col("dim"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
       .select(lit(batchKey).as("batch_key"), col("cid"),
         col("dim").cast("long").as("dim"), col("n_vectors"), col("sum_q"))
-      .write.mode("append").parquet(sumsTable)
-    assigned.write.mode("append").parquet(postingsTable)
-  }
 
   /** [[maintainIvfState]] as a foreachBatch sink over a (vec_id,
     * embedding) stream. */
@@ -647,23 +656,60 @@ object Streams {
   /** Fold a `batch_key`-tagged delta table to one row per key group under
     * the reserved key — the pointer-compaction maintenance job for
     * additive state (bounds table growth at O(live keys) instead of
-    * O(batches × keys)). Snapshots are unchanged: redelivery of any
-    * pre-compaction batch is impossible (its rows are behind the guard
-    * table), so the reserved key can never collide with a live one. */
+    * O(batches × keys)).
+    *
+    * Only COMMITTED batches fold: a batch's delta rows are committed once
+    * its key id reached the guard table (the guard append is the LAST
+    * step of every advance), so a batch that crashed mid-advance — delta
+    * rows in the table, guard never advanced — keeps its rows under its
+    * own key. Folding them would break the replay twice over: the
+    * redelivered batch re-appends under its key while the folded copy
+    * hides under the reserved key (double count the snapshot dedup can't
+    * see), and the span flow's own-key exclusion would no longer exclude
+    * them (standing counts inflated by the batch's own bnd → crossings
+    * missed). The reserved key itself is committed by construction (it
+    * only ever holds previously-folded committed rows).
+    *
+    * Concurrency contract: call BETWEEN advances from the same
+    * single-threaded maintenance loop (the remap-fold precedent) — the
+    * fold is a read-then-overwrite, so delta rows appended between its
+    * snapshot and the directory swap would be dropped. The snapshot is
+    * pinned once (localCheckpoint) so the committed/pending split and the
+    * fold read one consistent listing. */
   private def compactDeltas(spark: SparkSession, table: String,
-      keys: Seq[String], sums: Seq[String]): Unit =
-    tryRead(spark, table).foreach { t =>
+      keys: Seq[String], sums: Seq[String],
+      guardTable: String, guardIdCol: String): Unit =
+    tryRead(spark, table).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val guard = tryRead(spark, guardTable)
+        .map(_.select(col(guardIdCol).as("__gid")))
+        .getOrElse(emptyDf(spark, "__gid" -> org.apache.spark.sql.types.LongType))
+      // distinct keys in the table are O(batches) — probe the guard with
+      // them (one pruned id scan), never the other way around
+      val tKeys = t.select(col("batch_key")).distinct()
+      val committedKeys = tKeys
+        .join(guard, tKeys("batch_key") === col("__gid"), "left_semi")
+        .localCheckpoint(true)
+      val reserved = col("batch_key") === Long.MinValue
+      val committed = t.filter(reserved).unionByName(
+        t.join(broadcast(committedKeys), Seq("batch_key"), "left_semi"))
+      val pending = t.filter(!reserved)
+        .join(broadcast(committedKeys), Seq("batch_key"), "left_anti")
       val aggs = sums.map(c => sum(col(c)).as(c))
-      val folded = t.dropDuplicates("batch_key" +: keys)
+      val folded = committed.dropDuplicates("batch_key" +: keys)
         .groupBy(keys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .select(lit(Long.MinValue).as("batch_key") +: (keys ++ sums).map(col): _*)
-      graft.operators.MergeWriter.overwriteAtomic(folded, table)
+      graft.operators.MergeWriter.overwriteAtomic(
+        folded.unionByName(pending), table)
     }
 
-  /** Compact the IVF centroid-sum deltas to one row per (cid, dim). */
-  def compactIvfSums(spark: SparkSession, sumsTable: String): Unit =
-    compactDeltas(spark, sumsTable, Seq("cid", "dim"), Seq("n_vectors", "sum_q"))
+  /** Compact the IVF centroid-sum deltas to one row per (cid, dim);
+    * `postingsTable` is the flow's guard. */
+  def compactIvfSums(spark: SparkSession, sumsTable: String,
+      postingsTable: String): Unit =
+    compactDeltas(spark, sumsTable, Seq("cid", "dim"), Seq("n_vectors", "sum_q"),
+      postingsTable, "vec_id")
 
   /** pp06's continuous twin: CONTINUOUS span-dedup maintenance. Standing
     * tables: `gramsTable` (doc_id, h — the span store, append-only),
@@ -703,16 +749,25 @@ object Streams {
       .join(broadcast(fresh.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     val adv = graft.queries.TextOps.spanAdvance(oldGrams, oldCounts,
       graft.queries.TextOps.spanStore(fresh))
+    spanCountsDelta(adv, batchKey).write.mode("append").parquet(countsTable)
+    spanReportDelta(adv, batchKey).write.mode("append").parquet(reportTable)
+    appendNewBy(adv.grams, gramsTable, "doc_id")
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The count / report delta rows of one span advance — the exact rows
+    * [[maintainSpanState]] appends, shared with the crash-simulation
+    * spec (same drift-pinning reason as [[ivfSumsDelta]]). */
+  private[graft] def spanCountsDelta(adv: graft.queries.TextOps.SpanAdvance,
+      batchKey: Long): DataFrame =
     adv.counts.select(lit(batchKey).as("batch_key"), col("h"), col("bnd").as("nd"))
-      .write.mode("append").parquet(countsTable)
+
+  private[graft] def spanReportDelta(adv: graft.queries.TextOps.SpanAdvance,
+      batchKey: Long): DataFrame =
     adv.oldDelta.select(lit(batchKey).as("batch_key"), col("doc_id"),
         lit(0L).as("n_spans"), col("delta").as("n_dup_spans"))
       .unionByName(adv.newRows.select(lit(batchKey).as("batch_key"),
         col("doc_id"), col("n_spans"), col("n_dup_spans")))
-      .write.mode("append").parquet(reportTable)
-    appendNewBy(adv.grams, gramsTable, "doc_id")
-    fresh.write.mode("append").parquet(docTable)
-  }
 
   /** [[maintainSpanState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
@@ -745,13 +800,18 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
-  /** Compact the span count deltas to one row per span hash. */
-  def compactSpanCounts(spark: SparkSession, countsTable: String): Unit =
-    compactDeltas(spark, countsTable, Seq("h"), Seq("nd"))
+  /** Compact the span count deltas to one row per span hash; `docTable`
+    * is the flow's guard. */
+  def compactSpanCounts(spark: SparkSession, countsTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, countsTable, Seq("h"), Seq("nd"), docTable, "doc_id")
 
-  /** Compact the span report deltas to one row per doc. */
-  def compactSpanReport(spark: SparkSession, reportTable: String): Unit =
-    compactDeltas(spark, reportTable, Seq("doc_id"), Seq("n_spans", "n_dup_spans"))
+  /** Compact the span report deltas to one row per doc; `docTable` is
+    * the flow's guard. */
+  def compactSpanReport(spark: SparkSession, reportTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, reportTable, Seq("doc_id"), Seq("n_spans", "n_dup_spans"),
+      docTable, "doc_id")
 
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's

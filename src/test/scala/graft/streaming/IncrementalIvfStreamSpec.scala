@@ -87,31 +87,31 @@ class IncrementalIvfStreamSpec extends AnyFunSuite with SparkSpec {
 
     // compaction folds the delta table without moving any snapshot, and
     // a post-compaction advance stays exact
-    Streams.compactIvfSums(spark, sumsT)
+    Streams.compactIvfSums(spark, sumsT, postT)
     assert(sums() == s0)
     assert(spark.read.parquet(sumsT).select("batch_key").distinct().count() == 1)
 
     // partial-crash replay on a fresh root: the sums delta landed but the
     // postings advance didn't — the replay must recompute byte-identical
     // delta rows (same batch_key) that the snapshot dedup collapses,
-    // never double-counting the additive state
+    // never double-counting the additive state. The simulated partial
+    // write uses the SAME delta builder as the advance, so it can't
+    // drift from what the product writes.
     val root2 = Files.createTempDirectory("inc-ivf-crash").toString
     val (postT2, sumsT2) = (s"$root2/postings", s"$root2/sums")
     val b1 = batches(0).toSeq.toDF("vec_id", "embedding")
     Streams.maintainIvfState(b1, cents, postT2, sumsT2)
     val b2 = batches(1).toSeq.toDF("vec_id", "embedding")
-    // simulate the crashed attempt: append batch2's sums delta only
-    val fresh2 = VectorOps.normed(b2)
     val key2 = batches(1).map(_._1).min
-    VectorOps.assignCells(fresh2, cents)
-      .select($"cid", org.apache.spark.sql.functions.posexplode($"q").as(Seq("dim", "qv")))
-      .groupBy($"cid", $"dim")
-      .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n_vectors"),
-        org.apache.spark.sql.functions.sum($"qv").as("sum_q"))
-      .select(org.apache.spark.sql.functions.lit(key2).as("batch_key"), $"cid",
-        $"dim".cast("long").as("dim"), $"n_vectors", $"sum_q")
+    Streams.ivfSumsDelta(VectorOps.assignCells(VectorOps.normed(b2), cents), key2)
       .write.mode("append").parquet(sumsT2)
+    // a maintenance compaction runs while the crashed batch is pending —
+    // its uncommitted rows (key not behind the postings guard) must stay
+    // under their own key, NOT fold into the reserved one, or the replay
+    // below double-counts the batch forever
+    Streams.compactIvfSums(spark, sumsT2, postT2)
+    assert(spark.read.parquet(sumsT2).filter($"batch_key" === key2).count() > 0,
+      "compaction folded a pending batch's delta rows")
     // the replay (redelivered batch)
     Streams.maintainIvfState(b2, cents, postT2, sumsT2)
     val seen12 = (batches(0) ++ batches(1)).map(_._1).toSet
@@ -120,5 +120,11 @@ class IncrementalIvfStreamSpec extends AnyFunSuite with SparkSpec {
       == directSums(seen12))
     assert(spark.read.parquet(postT2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == directPostings(seen12))
+    // post-replay compaction now folds everything (all batches committed)
+    Streams.compactIvfSums(spark, sumsT2, postT2)
+    assert(spark.read.parquet(sumsT2).select("batch_key").distinct().count() == 1)
+    assert(Streams.ivfSumsSnapshot(spark, sumsT2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == directSums(seen12))
   }
 }

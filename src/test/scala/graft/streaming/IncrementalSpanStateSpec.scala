@@ -76,8 +76,8 @@ class IncrementalSpanStateSpec extends AnyFunSuite with SparkSpec {
 
     // compaction folds both delta tables without moving the snapshot, and
     // a post-compaction advance stays exact
-    Streams.compactSpanCounts(spark, countsT)
-    Streams.compactSpanReport(spark, reportT)
+    Streams.compactSpanCounts(spark, countsT, docT)
+    Streams.compactSpanReport(spark, reportT, docT)
     assert(snapshot() == finalSnap)
 
     // partial-crash replay on a fresh root: counts + report + grams
@@ -95,23 +95,25 @@ class IncrementalSpanStateSpec extends AnyFunSuite with SparkSpec {
       gramsT2, countsT2, reportT2, docT2)
     val b2 = batches(2).toSeq.toDF("doc_id", "text") // the copies: real dups
     // simulate the crashed attempt by running the FULL advance except the
-    // doc-store append, then replaying the whole batch
+    // doc-store append — via the SAME delta builders the advance uses, so
+    // the simulated crash state can't drift from what the product writes
     val key2 = batches(2).map(_._1).min
     val oldCounts2 = spark.read.parquet(countsT2)
       .groupBy($"h").agg(org.apache.spark.sql.functions.sum($"nd").as("nd"))
     val oldGrams2 = spark.read.parquet(gramsT2)
     val adv2 = TextOps.spanAdvance(oldGrams2, oldCounts2, TextOps.spanStore(b2))
-    adv2.counts.select(org.apache.spark.sql.functions.lit(key2).as("batch_key"),
-        $"h", $"bnd".as("nd"))
-      .write.mode("append").parquet(countsT2)
-    adv2.oldDelta.select(org.apache.spark.sql.functions.lit(key2).as("batch_key"),
-        $"doc_id", org.apache.spark.sql.functions.lit(0L).as("n_spans"),
-        $"delta".as("n_dup_spans"))
-      .unionByName(adv2.newRows.select(
-        org.apache.spark.sql.functions.lit(key2).as("batch_key"),
-        $"doc_id", $"n_spans", $"n_dup_spans"))
-      .write.mode("append").parquet(reportT2)
+    Streams.spanCountsDelta(adv2, key2).write.mode("append").parquet(countsT2)
+    Streams.spanReportDelta(adv2, key2).write.mode("append").parquet(reportT2)
     adv2.grams.write.mode("append").parquet(gramsT2)
+    // a maintenance compaction while the crashed batch is pending must
+    // leave its uncommitted rows under their own key: folded into the
+    // reserved key they would escape the replay's own-key exclusion —
+    // the batch's own bnd would read as standing counts, crossings would
+    // be missed, and the report would diverge permanently
+    Streams.compactSpanCounts(spark, countsT2, docT2)
+    Streams.compactSpanReport(spark, reportT2, docT2)
+    assert(spark.read.parquet(countsT2).filter($"batch_key" === key2).count() > 0,
+      "compaction folded a pending batch's count rows")
     // the replay
     Streams.maintainSpanState(b2, gramsT2, countsT2, reportT2, docT2)
     val seen02 = (batches(0) ++ batches(2)).map(_._1).toSet
