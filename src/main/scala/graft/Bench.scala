@@ -63,6 +63,13 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
+        } finally {
+          // the incremental gates localCheckpoint corpus-sized standing
+          // state per run; blocks linger until the context cleaner's GC
+          // and were measured skewing LATER runs (bimodal medians, rsd
+          // ~0.5 on pp02/pp04). The run is over — drop its blocks so each
+          // run sees the same storage-memory headroom
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
       }
       // a failed query must not score its (near-zero) failure duration as

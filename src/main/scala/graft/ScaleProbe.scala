@@ -78,7 +78,10 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop the run's localCheckpoint blocks (same reason as Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
     // warm both scales once so codegen/JIT lands outside the measurement
     gates.foreach { g => run(g, sf01); run(g, work) }
