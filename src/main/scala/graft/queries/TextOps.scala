@@ -669,6 +669,40 @@ object TextOps {
       |FROM p GROUP BY tok
       |ORDER BY df DESC, cf DESC, tok LIMIT 100""".stripMargin
 
+  /** ta08 — BPE merge-step pair counts: the first iteration of byte-pair
+    * encoding training, the way production tokenizer trainers actually run
+    * it — roll the corpus up to per-word frequencies FIRST (ta07's shuffle:
+    * one map-side-combinable pass whose output is vocab-sized, not
+    * corpus-sized), then count adjacent CHARACTER pairs per distinct word
+    * with within-word multiplicity ("aaa" contributes "aa" twice) weighted
+    * by the word's corpus frequency. At 100 TB the corpus appears in
+    * exactly one shuffle; every subsequent merge iteration is work over
+    * the vocabulary (thousands of rows), which is why BPE training is
+    * feasible at all — a design this gate pins by construction. Top-50
+    * pairs by weighted count plans as TakeOrderedAndProject (no full
+    * sort); ties break on the pair string so both engines agree. */
+  private def ta08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = documents(s, d)
+      .select(explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("wf"))
+    vocab.filter(length($"tok") >= 2)
+      .select($"wf", explode(transform(
+        sequence(lit(1), length($"tok") - 1),
+        i => $"tok".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"wf").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(50)
+  }
+  private val ta08Sql =
+    """WITH a AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |v AS (SELECT tok, COUNT(*) AS wf FROM a GROUP BY tok),
+      |p AS (SELECT wf, unnest([substr(tok, i, 2) for i in range(1, len(tok))]) AS pair
+      |      FROM v WHERE len(tok) >= 2)
+      |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
   /** ta05 — repetition / boilerplate metrics (the Gopher-class quality
     * signals a 100 TB corpus filter runs): most-frequent token and its
     * character share, plus the duplicate word-2gram fraction. One token
@@ -1207,6 +1241,7 @@ object TextOps {
     Q("dd09_span_dedup", "exact repeated-span detection: cross-doc verbatim word-8-grams", dd09, Some(dd09Sql)),
     Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
     Q("ta07_vocab", "corpus vocabulary: per-token document + collection frequency, top-100", ta07, Some(ta07Sql)),
+    Q("ta08_bpe_pairs", "BPE merge step: adjacent char-pair counts over the vocab, word-frequency weighted", ta08, Some(ta08Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),

@@ -303,6 +303,70 @@ object VectorOps {
     ivfSearch(postings, queries, cents, nProbe = 2, k = 3)
   }
 
+  /** SemDedup drop-list kernel: within each IVF cell, a vector is DROPPED
+    * when some smaller-id vector in the same cell has quantized cosine
+    * ≥ tau with it (the standard keep-lowest-id tie-break — deterministic,
+    * no FP-dependent representative choice). The pair space is per-cell
+    * (Σ|cell|², never N²) and the join key is the centroid id — the same
+    * inverted-list partitioning the IVF search uses, so at 100 TB the
+    * pairs stage co-locates with the postings layout and a cell's work is
+    * one partition-local self-join. Emits one row per dropped vector:
+    * its cell, the smallest witness id, how many witnesses, and the max
+    * witness cosine (each cos is a single exact-BIGINT-dot division —
+    * order-independent under max). */
+  private[graft] def semanticDrops(cells: DataFrame, tau: Double): DataFrame = {
+    val a = cells.select(col("cid"), col("vec_id").as("id1"),
+      col("q").as("q1"), col("nrm").as("n1"))
+    val b = cells.select(col("cid"), col("vec_id").as("id2"),
+      col("q").as("q2"), col("nrm").as("n2"))
+    a.join(b, Seq("cid")).filter(col("id2") < col("id1"))
+      .withColumn("cos", dotQ(col("q1"), col("q2")).cast("double") / (col("n1") * col("n2")))
+      .filter(col("cos") >= lit(tau))
+      .groupBy(col("cid"), col("id1"))
+      .agg(min(col("id2")).as("witness_id"),
+        count(lit(1)).as("n_witnesses"),
+        max(col("cos")).as("max_cos"))
+      .select(col("id1").as("vec_id"), col("cid"), col("witness_id"),
+        col("n_witnesses"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** dd10 — semantic dedup (SemDedup): embedding-cosine near-dup pruning
+    * at scale — vs02's brute-force-within-label diagnostic re-expressed
+    * the way a 100 TB corpus actually runs it: cluster by the fixed IVF
+    * quantizer ([[assignCells]] — broadcast grouped argmax), then compare
+    * ONLY within a cell and drop every vector that has a smaller-id
+    * near-neighbor there ([[semanticDrops]]). Approximate by construction
+    * (a cross-cell near-dup pair survives — the SemDedup trade), and the
+    * oracle replays the same cell decisions exactly. τ = 0.30 here: this
+    * corpus's synthetic embeddings are near-isotropic (max pairwise cos
+    * ≈ 0.47), so the gate exercises the diversity-pruning regime; a
+    * production near-dup pass sets τ ≈ 0.95+ — the kernel is
+    * τ-independent. */
+  private def dd10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    semanticDrops(assignCells(e, ivfCentroids(e)), tau = 0.30)
+  }
+  private val dd10Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, n.q, n.nrm, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, q, nrm, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |p AS (SELECT x.cid, x.vec_id AS id1, y.vec_id AS id2,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id)
+       |SELECT id1 AS vec_id, cid, MIN(id2) AS witness_id,
+       |  COUNT(*) AS n_witnesses, MAX(cos) AS max_cos
+       |FROM p WHERE cos >= 0.30
+       |GROUP BY cid, id1 ORDER BY vec_id""".stripMargin
+  }
+
   /** vs07 — one exact k-means (Lloyd) step: assign every vector to its
     * nearest of the 8 fixed seed centroids, then the per-(cell, dim)
     * exact integer sums + counts that ARE the new centroid numerators
@@ -348,5 +412,6 @@ object VectorOps {
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
+    Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
   )
 }

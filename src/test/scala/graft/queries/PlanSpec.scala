@@ -411,6 +411,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dd10: pair space is cell-blocked — pairs join ON cid, no cartesian, no window") {
+    val d = df("dd10_semantic_dedup")
+    d.collect()
+    val ns = nodes(d)
+    // the within-cell self-join must key on the centroid id (the IVF
+    // inverted-list partition key) — an unkeyed pair join would be the N²
+    // cartesian the cell blocking exists to avoid
+    assert(equiJoinKeys(d).exists(_.contains("cid")))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    // assignment stays the grouped argmax (vs07's contract): partial agg,
+    // zero windows anywhere in the drop-list plan
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    // exchanges carry the quantized q, never the raw float embedding
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("embedding"), s"exchange ships raw embeddings: $p"))
+  }
+
+  test("ta08: corpus appears in one vocab shuffle; pair counting is vocab-sized; top-50 is TakeOrderedAndProject") {
+    val d = df("ta08_bpe_pairs")
+    val ns = nodes(d)
+    // word-frequency rollup and pair rollup both combine map-side
+    // (partial+final ⇒ ≥4 hash aggregates), and the ONLY file scan is the
+    // one corpus pass that feeds the vocab rollup — every later stage
+    // reads vocab-sized data, which is the whole reason BPE training
+    // scales
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 4)
+    assert(fileScans(d).size == 1)
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    assert(!ns.exists(_.isInstanceOf[SortExec]))
+    noTextPayload(exchangePayloads(d))
+  }
+
   test("pp06: span advance prunes standing reads via broadcast; body never ships") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)

@@ -59,6 +59,25 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("semanticDrops: keep-lowest-id within a cell, hand-computed") {
+    import spark.implicits._
+    // cell 0: v1 ∥ v2 ∥ v6 (mutual near-dups), v3 orthogonal to all;
+    // cell 1: v4 ∥ v5. Expected drops at any τ ∈ (0, 1): v2 (witness 1),
+    // v6 (witnesses {1, 2} → min 1, count 2), v5 (witness 4); v1/v3/v4
+    // survive as their groups' lowest ids.
+    val cells = Seq(
+      (0L, 1L, Seq(10000L, 0L)), (0L, 2L, Seq(20000L, 0L)),
+      (0L, 6L, Seq(10000L, 0L)), (0L, 3L, Seq(0L, 10000L)),
+      (1L, 4L, Seq(0L, 30000L)), (1L, 5L, Seq(0L, 10000L))
+    ).toDF("cid", "vec_id", "q")
+      .withColumn("nrm", sqrt(aggregate(transform(col("q"), x => x * x),
+        lit(0L), (a, x) => a + x).cast("double")))
+    val got = rows(VectorOps.semanticDrops(cells, tau = 0.9))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("witness_id"),
+        r.getAs[Long]("n_witnesses")))
+    assert(got == Seq((2L, 1L, 1L), (5L, 4L, 1L), (6L, 1L, 2L)))
+  }
+
   test("vs06 IVF search: recall vs exact brute force on real embeddings") {
     val out = Catalog.byName("vs06_ivf_search").fn(spark, sfDir)
     val approx = rows(out)
