@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-order-of-magnitude scaling probe for the dedup/clustering gates —
-  * the empirical leg under the 100 TB plan-shape arguments (COVERAGE.md
-  * records the result table).
+/** One-order-of-magnitude scaling probe for the dedup/clustering and
+  * vector gates — the empirical leg under the 100 TB plan-shape arguments
+  * (COVERAGE.md records the result table).
   *
   * Generates a deterministic 10× `documents` corpus from sf0.1: ten
   * replicas with shifted doc_ids, replica k ≥ 1 suffixing every token
@@ -69,11 +69,42 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(docsPath)
     }
 
-    // the documents-shaped gates (pp05 is embeddings-shaped — the probe
-    // scales the documents corpus, so it would measure a constant)
+    val embPath = s"$work/embeddings.parquet"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(embPath))) {
+      val base = spark.read.parquet(s"$sf01/embeddings.parquet")
+      val maxVid = base.agg(max(col("vec_id"))).head().getLong(0)
+      require(maxVid < 10000000L,
+        s"replica stride 10M does not clear base vec_id space (max=$maxVid)")
+      // replica k's vectors are the base CYCLICALLY ROTATED by k
+      // dimensions: a common coordinate permutation preserves every norm
+      // and every within-replica cosine exactly (each replica's internal
+      // neighbor/near-dup structure IS sf0.1's) while decorrelating
+      // replicas from each other and from the fixed centroids — constant
+      // dup density for dd10, 10× longer inverted lists for the search
+      // gates. The centroid (< 8) and query ([10, 20)) id ranges keep
+      // selecting only base-replica rows, so the probe measures corpus
+      // growth under a FIXED quantizer and query set — the production
+      // regime.
+      (0 until 10).map { k =>
+        val emb =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k),
+            slice(col("embedding"), 1, k))
+        base.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          emb.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath)
+    }
+
+    // the documents-shaped gates, then the embeddings-shaped gates (both
+    // tables are replicated above, so every listed gate sees real 10×
+    // input in the work dir)
     val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters",
       "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
-      "pp06_incremental_spans")
+      "pp06_incremental_spans",
+      "vs04_ann_lsh", "vs06_ivf_search", "vs07_kmeans_step",
+      "pp05_incremental_ivf", "dd10_semantic_dedup")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)
@@ -85,7 +116,7 @@ object ScaleProbe {
     }
     // warm both scales once so codegen/JIT lands outside the measurement
     gates.foreach { g => run(g, sf01); run(g, work) }
-    println("| gate | sf0.1 s | sf1 (10x docs) s | ratio | exponent |")
+    println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
     println("|---|---|---|---|---|")
     for (g <- gates) {
       val a = (1 to 3).map(_ => run(g, sf01)).min

@@ -652,15 +652,47 @@ object TextOps {
     * per-token rollup, also combinable; the global top-100 plans as
     * TakeOrderedAndProject, not a full sort. Ties break on the token so
     * both engines agree. */
-  private def ta07(s: SparkSession, d: String): DataFrame = {
+  private def ta07(s: SparkSession, d: String): DataFrame =
+    vocabTop(vocabCounts(documents(s, d)))
+
+  /** Per-token (df, cf) over a document set — ta07's kernel, shared with
+    * the incremental flow (pp07 / Streams.maintainVocabState): both counts
+    * are ADDITIVE across doc-disjoint splits (df is a count of docs, cf a
+    * sum of occurrences — no count-distinct anywhere), which is the whole
+    * reason vocabulary state can advance per batch without corpus rescans.
+    * Per-(token, doc) counts first so df is a plain count; both shuffles
+    * map-side-combinable. */
+  private[graft] def vocabCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("n")).as("cf"))
+
+  /** The top-n view over (tok, df, cf) rows — TakeOrderedAndProject,
+    * ties on the token so every engine agrees (the order is total:
+    * (df, cf, tok) is unique per row). */
+  private[graft] def vocabTop(counts: DataFrame, n: Int = 100): DataFrame =
+    counts.orderBy(col("df").desc, col("cf").desc, col("tok")).limit(n)
+
+  /** pp07 — INCREMENTAL vocabulary maintenance, ta07's incremental twin
+    * (the counts-shaped member of the pp02/pp04/pp05/pp06 standing-state
+    * family, and the simplest: vocabulary state is PURELY ADDITIVE — df
+    * and cf both sum across doc-disjoint batches, so the advance is one
+    * batch-sized [[vocabCounts]] pass appended as a delta, no standing
+    * read at all, not even a probe). The gate replays production: the 80%
+    * split derives the standing per-token counts, the 20% batch's counts
+    * are summed in, and the top-100 must equal ta07 over the FULL corpus —
+    * the oracle is ta07's, verbatim.
+    * [[graft.streaming.Streams.maintainVocabState]] is the continuous
+    * loop (with batch_key idempotence for at-least-once redelivery). */
+  private def pp07(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val perDoc = documents(s, d)
-      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
-      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("n"))
-    perDoc.groupBy($"tok")
-      .agg(count(lit(1)).as("df"), sum($"n").as("cf"))
-      .orderBy($"df".desc, $"cf".desc, $"tok")
-      .limit(100)
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("voc:"), $"doc_id".cast("string"))) % 5 === 0
+    val standing = vocabCounts(docs.filter(!isNew)).localCheckpoint(true)
+    vocabTop(standing.unionByName(vocabCounts(docs.filter(isNew)))
+      .groupBy($"tok")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf")))
   }
   private val ta07Sql =
     """WITH a AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
@@ -1249,5 +1281,6 @@ object TextOps {
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),
     Q("pp04_incremental_clusters", "incremental cluster maintenance: advanced labels equal full-corpus clustering", pp04, Some(dd06Sql)),
     Q("pp06_incremental_spans", "incremental span-dedup maintenance: advanced report equals full-corpus spanDedup", pp06, Some(dd09Sql)),
+    Q("pp07_incremental_vocab", "incremental vocabulary maintenance: summed standing + batch counts equal full-corpus ta07", pp07, Some(ta07Sql)),
   )
 }

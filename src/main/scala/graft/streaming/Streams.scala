@@ -813,6 +813,72 @@ object Streams {
     compactDeltas(spark, reportTable, Seq("doc_id"), Seq("n_spans", "n_dup_spans"),
       docTable, "doc_id")
 
+  /** pp07's continuous twin: CONTINUOUS vocabulary maintenance — the
+    * counts-shaped member of the standing-state family, and the simplest
+    * advance in it: per-token (df, cf) are PURELY ADDITIVE across
+    * doc-disjoint batches ([[graft.queries.TextOps.vocabCounts]] — df a
+    * doc count, cf an occurrence sum, no count-distinct anywhere), so a
+    * batch advances the state with ONE batch-sized counting pass appended
+    * as a delta. No standing read at all — not even a pruned probe; the
+    * only corpus-sized object anywhere is the delta table itself, which
+    * [[compactVocab]] folds to O(vocab) rows as a maintenance job.
+    *
+    * At-least-once safety is the [[maintainIvfState]] contract verbatim:
+    * the doc store is the guard (appended LAST), delta rows carry the
+    * batch's deterministic `batch_key` (min doc_id — unique across
+    * batches because the guard keeps fresh sets disjoint), a crash-replay
+    * recomputes byte-identical rows under the same key, and
+    * [[vocabSnapshot]] drops duplicates by (batch_key, tok) before
+    * summing. */
+  def maintainVocabState(batch: DataFrame, vocabTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    vocabDelta(fresh, batchKey).write.mode("append").parquet(vocabTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The per-token delta rows of one batch — the exact rows
+    * [[maintainVocabState]] appends, shared with the crash-simulation
+    * spec (same drift-pinning reason as [[ivfSumsDelta]]). */
+  private[graft] def vocabDelta(fresh: DataFrame, batchKey: Long): DataFrame =
+    graft.queries.TextOps.vocabCounts(fresh)
+      .select(lit(batchKey).as("batch_key"), col("tok"), col("df"), col("cf"))
+
+  /** [[maintainVocabState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def vocabStateStream(docs: DataFrame, vocabTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainVocabState(b, vocabTable, docTable))
+      .start()
+
+  /** The current top-100 vocabulary under the maintained delta table —
+    * ta07's exact shape over every doc that has arrived. Duplicate delta
+    * rows from redelivered batches collapse on (batch_key, tok) before
+    * the sum. */
+  def vocabSnapshot(spark: SparkSession, vocabTable: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.queries.TextOps.vocabTop(
+      tryRead(spark, vocabTable).getOrElse(emptyDf(spark,
+          "batch_key" -> LongType, "tok" -> StringType,
+          "df" -> LongType, "cf" -> LongType))
+        .dropDuplicates("batch_key", "tok")
+        .groupBy(col("tok"))
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf")),
+      topN)
+  }
+
+  /** Compact the vocabulary deltas to one row per token; `docTable` is
+    * the flow's guard. */
+  def compactVocab(spark: SparkSession, vocabTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, vocabTable, Seq("tok"), Seq("df", "cf"),
+      docTable, "doc_id")
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */
