@@ -735,6 +735,80 @@ object TextOps {
       |FROM p GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  /** ta09 — bigram language-model counts with Kneser–Ney continuation
+    * counts: the count tables an n-gram LM (the classic perplexity-filter
+    * scorer for corpus quality) is estimated from. Top-100 bigrams by
+    * occurrence count, each carrying N1+(·w2) — the number of DISTINCT
+    * left contexts its right word appears after, the KN lower-order
+    * weight. The corpus appears in exactly ONE scan and ONE shuffle (the
+    * positional bigram rollup, map-side-combinable); the continuation
+    * count is a window count over the ALREADY-AGGREGATED bigram table —
+    * one row per distinct pair, so it is never a count-distinct over the
+    * raw stream (ta07's de-dup-first shape), and a single pipeline rather
+    * than a self-join, which would re-derive the rollup branch twice
+    * (Catalyst compiles a dual-consumed subplan as two corpus scans). The
+    * w2 window exchange is vocab-bounded, its per-key groups are one
+    * word's continuation set, and the top-100 plans as
+    * TakeOrderedAndProject. Ties break on the bigram string. */
+  private def ta09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bi = documents(s, d)
+      .select(explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+    // tokens contain no spaces (they come from splitting on it), so the
+    // bigram splits back into exactly two words on both engines
+    bi.withColumn("w2", element_at(split($"bigram", " "), 2))
+      .withColumn("cont", count(lit(1)).over(Window.partitionBy($"w2")))
+      .select($"bigram", $"n", $"cont")
+      .orderBy($"n".desc, $"bigram").limit(100)
+  }
+  private val ta09Sql =
+    """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+      |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
+      |c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram),
+      |d AS (SELECT bigram, n, string_split(bigram, ' ')[2] AS w2 FROM c),
+      |e AS (SELECT w2, COUNT(*) AS cont FROM d GROUP BY w2)
+      |SELECT d.bigram, d.n, e.cont FROM d JOIN e USING (w2)
+      |ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+
+  /** ta10 — per-document top-1k vocabulary coverage (OOV rate): the
+    * tokenizer-fit / quality signal a corpus filter computes before
+    * committing to a vocabulary — what fraction of each document's tokens
+    * a 1k-term vocab would cover. Reuses [[vocabCounts]]/[[vocabTop]] for
+    * the vocabulary (corpus → vocab in one combinable shuffle, top-1k as
+    * TakeOrderedAndProject), then ONE corpus scan left-joins tokens
+    * against the BROADCAST 1k-term set and rolls up per doc
+    * (map-side-combinable) — no corpus-sized join shuffle anywhere; the
+    * only corpus-keyed exchange carries (doc_id, two longs). The rate is
+    * a single double division of two exact longs, IEEE-identical on both
+    * engines. Docs with zero tokens have no rows upstream and are absent
+    * on both sides. */
+  private def ta10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val top1k = vocabTop(vocabCounts(docs), 1000)
+      .select($"tok", lit(1L).as("hit"))
+    docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .join(broadcast(top1k), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce($"hit", lit(0L))).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        lit(1.0) - $"n_in_vocab".cast("double") / $"n_tokens")
+      .orderBy($"doc_id")
+  }
+  private val ta10Sql =
+    """WITH a AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |p AS (SELECT tok, doc_id, COUNT(*) AS n FROM a GROUP BY tok, doc_id),
+      |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df, SUM(n) AS cf FROM p GROUP BY tok
+      |       ORDER BY df DESC, cf DESC, tok LIMIT 1000)),
+      |c AS (SELECT a.doc_id, COUNT(*) AS n_tokens,
+      |             CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+      |      FROM a LEFT JOIN v ON a.tok = v.tok GROUP BY a.doc_id)
+      |SELECT doc_id, n_tokens, n_in_vocab,
+      |       1 - CAST(n_in_vocab AS DOUBLE) / n_tokens AS oov_rate
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** ta05 — repetition / boilerplate metrics (the Gopher-class quality
     * signals a 100 TB corpus filter runs): most-frequent token and its
     * character share, plus the duplicate word-2gram fraction. One token
@@ -1274,6 +1348,8 @@ object TextOps {
     Q("ta06_pii_redact", "PII counts + redacted-text digest", ta06, Some(ta06Sql)),
     Q("ta07_vocab", "corpus vocabulary: per-token document + collection frequency, top-100", ta07, Some(ta07Sql)),
     Q("ta08_bpe_pairs", "BPE merge step: adjacent char-pair counts over the vocab, word-frequency weighted", ta08, Some(ta08Sql)),
+    Q("ta09_bigram_lm", "bigram LM counts: top-100 bigrams with Kneser-Ney continuation counts", ta09, Some(ta09Sql)),
+    Q("ta10_vocab_coverage", "per-doc top-1k vocabulary coverage / OOV rate", ta10, Some(ta10Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),

@@ -448,6 +448,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     noTextPayload(exchangePayloads(d))
   }
 
+  test("ta09: one corpus scan; bigram rollup combines map-side; top-100 is TakeOrderedAndProject") {
+    val d = df("ta09_bigram_lm")
+    val ns = nodes(d)
+    // the corpus appears in exactly one file scan and one (combinable)
+    // shuffle — the continuation window runs over the already-aggregated
+    // vocab-bounded bigram table, not the corpus
+    assert(fileScans(d).size == 1)
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    noTextPayload(exchangePayloads(d))
+  }
+
+  test("ta10: coverage pass joins the broadcast 1k vocab — no corpus-sized join shuffle; doc rollup combines map-side") {
+    val d = df("ta10_vocab_coverage")
+    val ns = nodes(d)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    // per-doc rollup has a partial pass, so the doc-keyed exchange
+    // carries (doc_id, two longs), never token rows
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    noTextPayload(exchangePayloads(d))
+  }
+
   test("pp06: span advance prunes standing reads via broadcast; body never ships") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
