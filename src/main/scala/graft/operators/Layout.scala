@@ -24,6 +24,24 @@ object Layout {
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Deterministic training-shard write — the physical half of the pp08
+    * gate: one directory per shard (readers address shards by partition
+    * pruning), rows inside each shard's files sorted by the order-hash
+    * column. `repartition(shardCol)` is ONE hash exchange keyed on the
+    * shard and `sortWithinPartitions` sorts each shard locally in
+    * parallel — there is no global sort anywhere (a naive
+    * `orderBy(shard, ord).write` would range-exchange and totally order
+    * 100 TB to produce the same files). `ordCols` should end in a unique
+    * key (the doc id) so the within-shard order is total — a hash-only
+    * sort leaves collision ties physical-layout-dependent. LayoutSpec
+    * pins the plan shape and that re-running over a reshuffled input
+    * produces byte-identical shard contents. */
+  def writeShards(df: DataFrame, path: String, shardCol: String,
+      ordCols: Seq[String]): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions((shardCol +: ordCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
   /** The scan's partition-pruning evidence: every FileSourceScan's
     * partition filters rendered to one string (empty if none) — derived
     * from the typed scan nodes, not the plan's printed form. */

@@ -418,6 +418,38 @@ object TextOps {
        |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |ORDER BY d1, d2""".stripMargin
 
+  /** dd11 — containment near-dup: dd05's candidate pairs scored by
+    * |A∩B| / min(|A|, |B|) instead of Jaccard. Containment is the
+    * asymmetric member of the dedup family: a short document quoted
+    * whole inside a long one (boilerplate wrappers, licence headers,
+    * nested crawls) scores near 1.0 here while its Jaccard — diluted by
+    * the long doc's size — can sit far below any dedup threshold. Same
+    * plan as dd05 end to end (band bucket join for candidates, each pair
+    * verified against only its own two shingle sets); only the final
+    * scoring expression differs, so the scale story is dd05's verbatim.
+    * Honest recall caveat: the candidate generator is MinHash-LSH, whose
+    * collision probability tracks JACCARD — a tiny doc buried in a huge
+    * one may never band-collide. That is the standard production
+    * trade-off (score containment on the Jaccard-LSH candidates); the
+    * recall upgrade is a dedicated containment index (bottom-k sketches
+    * probed by the smaller side), which this operator's scoring would
+    * consume unchanged. */
+  private def dd11(s: SparkSession, d: String): DataFrame = {
+    val sized = shingleRows(documents(s, d))
+    interCounts(sized, lshCandidates(sigBands(sized)))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("sz1"), col("sz2")))
+          .as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+  private val dd11Sql =
+    s"""WITH $lshCandCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |${interCteOver("sh", "")}
+       |SELECT d1, d2, CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+       |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
   /** dd06 — dedup groups: connected components over the LSH graph, so
     * every doc gets the smallest doc_id of its near-dup cluster — the step
     * that turns candidate generation into "keep one per group". Runs
@@ -1283,6 +1315,34 @@ object TextOps {
       |    > ((running - n_tokens) // 512) AS crosses_boundary
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** pp08 — deterministic training-shard assignment + within-shard
+    * order: the corpus "shuffle" every training run performs before
+    * writing shards, with no RNG anywhere — shard and position both
+    * derive from salted md5 folds of the doc id (sa01's determinism
+    * policy), so any re-run, any engine, any parallelism produces the
+    * byte-identical permutation, and the two salts make shard membership
+    * and within-shard order independent (ordering by the shard hash
+    * itself would sort each shard's docs into hash-contiguous runs of
+    * the SAME assignment function — correlated, not shuffled). The gate
+    * emits the full assignment row-level so the oracle verifies the
+    * exact permutation, with a final total order for the compare; the
+    * production writer is [[graft.operators.Layout.writeShards]] —
+    * repartition on the shard column + sortWithinPartitions, a
+    * shard-keyed exchange and per-partition sorts, never a global sort
+    * (LayoutSpec pins both halves). */
+  private def pp08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select($"doc_id",
+        (hex8(concat(lit("shard:"), $"doc_id".cast("string"))) % 8).as("shard"),
+        hex8(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord"))
+      .orderBy($"shard", $"ord", $"doc_id")
+  }
+  private val pp08Sql =
+    s"""SELECT doc_id,
+       |  ${hex8Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |  ${hex8Sql("'ord:' || CAST(doc_id AS VARCHAR)")} AS ord
+       |FROM documents ORDER BY shard, ord, doc_id""".stripMargin
+
   /** mm01 — multimodal binary plumbing: opaque binary column + typed
     * metadata + deterministic fake "decode" (real decode is the pluggable
     * stub in graft.operators.Multimodal — the container has no codec libs). */
@@ -1358,5 +1418,7 @@ object TextOps {
     Q("pp04_incremental_clusters", "incremental cluster maintenance: advanced labels equal full-corpus clustering", pp04, Some(dd06Sql)),
     Q("pp06_incremental_spans", "incremental span-dedup maintenance: advanced report equals full-corpus spanDedup", pp06, Some(dd09Sql)),
     Q("pp07_incremental_vocab", "incremental vocabulary maintenance: summed standing + batch counts equal full-corpus ta07", pp07, Some(ta07Sql)),
+    Q("dd11_containment", "asymmetric containment near-dup: LSH candidates scored by inter/min(|A|,|B|)", dd11, Some(dd11Sql)),
+    Q("pp08_shard_shuffle", "deterministic training-shard assignment + within-shard hash order (RNG-free corpus shuffle)", pp08, Some(pp08Sql)),
   )
 }

@@ -42,4 +42,41 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
     assert(overlaps == 0, s"bands overlap: ${stats.mkString(", ")}")
   }
+
+  test("shard write: one dir+file per shard, in-file ord order, deterministic under input reshuffle, no global sort") {
+    val assign = graft.queries.Catalog.byName("pp08_shard_shuffle")
+      .fn(spark, "/root/testdata/sf0.001")
+    val base = Files.createTempDirectory("layout").toString
+    Layout.writeShards(assign, s"$base/a", "shard", Seq("ord", "doc_id"))
+    // same rows arriving in a different physical layout must produce
+    // byte-identical shard contents — the whole point of an RNG-free
+    // deterministic shuffle
+    Layout.writeShards(assign.repartition(7), s"$base/b", "shard", Seq("ord", "doc_id"))
+    val back = spark.read.parquet(s"$base/a")
+    assert(back.count() == assign.count())
+    assert(back.select("shard").distinct().count() == 8)
+    def fileOf(p: String, k: Int): String = {
+      val fs = new java.io.File(s"$p/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // all of a shard's rows hash to ONE task, so each dir holds the
+      // one file that task wrote
+      assert(fs.length == 1, s"expected one file for shard $k, got ${fs.length}")
+      fs.head.getPath
+    }
+    for (k <- 0 until 8) {
+      val a = spark.read.parquet(fileOf(s"$base/a", k)).select("ord", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val b = spark.read.parquet(fileOf(s"$base/b", k)).select("ord", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a.nonEmpty && a == b, s"shard $k differs across input layouts")
+      assert(a == a.sorted, s"shard $k rows not in (ord, doc_id) order")
+    }
+    // plan shape: the writer's input is one shard-keyed hash exchange +
+    // per-partition sorts — no global (range-exchange) sort anywhere
+    val planned = assign.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col("doc_id"))
+    val sorts = PlanInspect.nodes(planned)
+      .collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.nonEmpty && sorts.forall(!_.global), "found a global sort")
+  }
 }
