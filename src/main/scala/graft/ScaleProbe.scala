@@ -125,6 +125,33 @@ object ScaleProbe {
       val expn = math.log10(ratio) // growth 10× ⇒ exponent = log10(ratio)
       println(f"| $g | $a%.2f | $b%.2f | $ratio%.2f | $expn%.2f |")
     }
+
+    // dd10's kernel under the production sizing rule the fixed-quantizer
+    // row motivates: constant target CELL SIZE (nlist ∝ N — 8 cells at
+    // sf0.1 → 80 at 10×), which keeps Σ|cell|² = N²/nlist ∝ N. (The
+    // search-side √N heuristic is not enough for the pairwise stage:
+    // N²/√N = N^1.5.) A different nlist is a different — equally valid —
+    // drop list, so this row times the kernel; the GATE pins
+    // fixed-quantizer semantics.
+    {
+      import graft.queries.VectorOps.{assignCells, normed, semanticDrops}
+      def dd10At(dir: String, nlist: Int): Double = {
+        val t0 = System.nanoTime()
+        val e = normed(graft.Tables.embeddings(spark, dir))
+        val cents = e.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+        semanticDrops(assignCells(e, cents), tau = 0.30)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      dd10At(sf01, 8); dd10At(work, 80) // warm
+      val a = (1 to 3).map(_ => dd10At(sf01, 8)).min
+      val b = (1 to 3).map(_ => dd10At(work, 80)).min
+      // ASCII only: the sbt console's default encoding mangles ∝/→
+      println(f"| dd10 kernel @ nlist prop. N (8->80 cells) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+    }
     spark.stop()
   }
 }

@@ -36,11 +36,19 @@ import graft.queries.Catalog
   *    to standing lists under a fixed coarse quantizer — vs06's oracle
   *    verbatim), pp06 incremental span-dedup maintenance (standing
   *    store/counts/report advanced O(batch + affected) — dd09's oracle
-  *    verbatim), dd09 exact repeated-span detection, vs07 one exact
-  *    k-means step (assign → per-cell sums);
-  *    ta01–ta06
+  *    verbatim), pp07 incremental vocabulary maintenance (additive
+  *    (df, cf) deltas — ta07's oracle verbatim), dd09 exact
+  *    repeated-span detection, dd10 SemDedup (IVF-cell-partitioned
+  *    cosine drop list), dd11 containment near-dup (asymmetric
+  *    inter/min scoring on dd05's candidates), vs07 one exact
+  *    k-means step (assign → per-cell sums); pp03 sequence packing
+  *    (distributed prefix sum), pp08 deterministic shard shuffle
+  *    (+ graft.operators.Layout.writeShards);
+  *    ta01–ta10
   *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
-  *    redaction); sa01/sa02 deterministic hash sampling (native
+  *    redaction, corpus vocabulary, BPE pair counts, bigram LM +
+  *    continuation counts, top-1k vocab coverage); sa01–sa03
+  *    deterministic hash sampling + domain mix (native
   *    md5_fold32 expression); q39 band join (graft.operators.BandJoin);
   *    q43 grouped top-k (graft.operators.GroupedTopK bounded-buffer
   *    aggregator — no window sort); mm01/mm02 +

@@ -310,12 +310,14 @@ object VectorOps {
     * (Σ|cell|², never N²) and the join key is the centroid id — the same
     * inverted-list partitioning the IVF search uses, so at 100 TB the
     * pairs stage co-locates with the postings layout and a cell's work is
-    * one partition-local self-join. Σ|cell|² grows as (N/nlist)²·nlist,
-    * so under a FIXED quantizer it is quadratic in corpus size — the
-    * ScaleProbe row for dd10 measures exactly that regime on purpose; a
-    * production deployment grows nlist with the corpus (nlist ∝ √N keeps
-    * Σ|cell|² ∝ N, the standard IVF sizing), with the periodic retrain
-    * being vs07's Lloyd-step job. Emits one row per dropped vector:
+    * one partition-local self-join. Σ|cell|² = N²/nlist under balanced
+    * cells, so a FIXED quantizer is quadratic in corpus size — the
+    * ScaleProbe row for dd10 measures exactly that regime on purpose —
+    * and the search-side √N heuristic is NOT enough here (N²/√N =
+    * N^1.5): a production deployment holds the target CELL SIZE constant
+    * (nlist ∝ N), which keeps Σ|cell|² ∝ N; the probe's companion row
+    * measures dd10's kernel under that rule, and the periodic quantizer
+    * rebuild is vs07's Lloyd-step job. Emits one row per dropped vector:
     * its cell, the smallest witness id, how many witnesses, and the max
     * witness cosine (each cos is a single exact-BIGINT-dot division —
     * order-independent under max). */
