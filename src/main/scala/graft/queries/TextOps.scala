@@ -320,6 +320,14 @@ object TextOps {
           .as("jaccard"))
       .orderBy(col("d1"), col("d2"))
 
+  /** (inter, sz1, sz2) → sorted (d1, d2, containment) — the asymmetric
+    * scorer (|A∩B| / min(|A|,|B|)) over the same verification rows. */
+  private def containmentOf(inter: DataFrame): DataFrame =
+    inter.select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("sz1"), col("sz2")))
+          .as("containment"))
+      .orderBy(col("d1"), col("d2"))
+
   /** Exact-Jaccard verification of externally-supplied candidate pairs
     * (`d1`, `d2` doc-id columns; duplicates tolerated) against the corpus —
     * the batch half of the streaming near-dup flow: the stream emits LSH
@@ -394,6 +402,18 @@ object TextOps {
     * (pp02's oracle states it that way). */
   def incrementalPairs(indexBands: DataFrame, newBands: DataFrame,
       newShingles: DataFrame, store: DataFrame,
+      materialize: DataFrame => DataFrame = localMaterialize): DataFrame =
+    jaccardOf(incrementalInter(indexBands, newBands, newShingles, store,
+      materialize))
+
+  /** [[incrementalPairs]]' advance WITHOUT the scoring expression — the
+    * shared (inter, sz1, sz2) verification over the maintained state, so
+    * every scorer of the dedup family (Jaccard for pp02, containment for
+    * pp09) consumes one advance: the standing tables, the probe, the
+    * pruned verification are identical, only the final row-local
+    * expression differs. */
+  private[queries] def incrementalInter(indexBands: DataFrame,
+      newBands: DataFrame, newShingles: DataFrame, store: DataFrame,
       materialize: DataFrame => DataFrame = localMaterialize): DataFrame = {
     val allBands = indexBands.unionByName(newBands)
     val cand = materialize(broadcast(newBands).as("x").join(allBands.as("y"),
@@ -406,7 +426,7 @@ object TextOps {
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val pruned = store.unionByName(newShingles)
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    jaccardOf(interCountsHashed(pruned, cand))
+    interCountsHashed(pruned, cand)
   }
   private def dd05(s: SparkSession, d: String): DataFrame =
     lshDedup(documents(s, d))
@@ -436,11 +456,7 @@ object TextOps {
     * consume unchanged. */
   private def dd11(s: SparkSession, d: String): DataFrame = {
     val sized = shingleRows(documents(s, d))
-    interCounts(sized, lshCandidates(sigBands(sized)))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / least(col("sz1"), col("sz2")))
-          .as("containment"))
-      .orderBy(col("d1"), col("d2"))
+    containmentOf(interCounts(sized, lshCandidates(sigBands(sized))))
   }
   private val dd11Sql =
     s"""WITH $lshCandCte,
@@ -1278,6 +1294,37 @@ object TextOps {
        |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
        |ORDER BY i.d1, i.d2""".stripMargin
 
+  /** pp09 — incremental CONTAINMENT maintenance: dd11's asymmetric
+    * scoring over pp02's maintained state, and the point of the
+    * [[incrementalInter]] split — the standing band index and shingle
+    * store, the broadcast probe and the id-pruned verification are
+    * pp02's advance VERBATIM (same batch split, same tables a production
+    * deployment would maintain once for the whole dedup family); only
+    * the final row-local scoring expression differs. The oracle is
+    * pp02's with the scoring swapped, exactly mirroring how dd11's
+    * oracle relates to dd05's. */
+  private def pp09(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val old = docs.filter(!isNew)
+    val newDocs = docs.filter(isNew)
+    containmentOf(incrementalInter(sigBandsLocal(old), sigBandsLocal(newDocs),
+      shingleStore(newDocs), localMaterialize(shingleStore(old))))
+  }
+  private val pp09Sql =
+    s"""WITH $lshCandCte,
+       |newids AS (SELECT doc_id FROM documents
+       |  WHERE ${hex8Sql("'inc:' || CAST(doc_id AS VARCHAR)")} % 5 = 0),
+       |candn AS (SELECT d1, d2 FROM cand
+       |  WHERE d1 IN (SELECT doc_id FROM newids) OR d2 IN (SELECT doc_id FROM newids)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |i AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM candn JOIN sh a ON d1 = a.doc_id JOIN sh b ON d2 = b.doc_id AND a.s = b.s
+       |  GROUP BY d1, d2)
+       |SELECT i.d1, i.d2, CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+       |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+       |ORDER BY i.d1, i.d2""".stripMargin
+
   /** pp03 — sequence packing (concat-then-chunk): where each document
     * lands when the corpus is concatenated in doc_id order and split into
     * fixed 512-token training sequences — start offset, first/last chunk,
@@ -1420,5 +1467,6 @@ object TextOps {
     Q("pp07_incremental_vocab", "incremental vocabulary maintenance: summed standing + batch counts equal full-corpus ta07", pp07, Some(ta07Sql)),
     Q("dd11_containment", "asymmetric containment near-dup: LSH candidates scored by inter/min(|A|,|B|)", dd11, Some(dd11Sql)),
     Q("pp08_shard_shuffle", "deterministic training-shard assignment + within-shard hash order (RNG-free corpus shuffle)", pp08, Some(pp08Sql)),
+    Q("pp09_incremental_containment", "incremental containment maintenance: dd11's scoring over pp02's maintained state", pp09, Some(pp09Sql)),
   )
 }
