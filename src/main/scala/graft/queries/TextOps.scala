@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -972,13 +972,23 @@ object TextOps {
     // 0.94-1.18 s for the count+build-over-distinct form. `bench` stays
     // distinct for the exact join below, where a duplicate would
     // double-count hits.
-    val expected = math.max(benchRows.count(), 1L)
-    val bloom = benchRows.stat.bloomFilter("sh", expected, fpp)
-    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val benchCount = benchRows.count()
+    // Zero benchmark shingles (an empty or bench-free corpus): nothing
+    // can overlap, and stat.bloomFilter over zero rows yields a filter
+    // whose probe NPEs (null bit buffer — caught by
+    // DegenerateCorpusSpec), so prune everything with a literal instead
+    // of building one.
+    val prune: Column =
+      if (benchCount == 0) lit(false)
+      else {
+        val bloom = benchRows.stat.bloomFilter("sh", benchCount, fpp)
+        val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+        mightContain(col("sh"))
+      }
     sized.filter(col("doc_id") >= 20)
-      .filter(mightContain(col("sh")))
+      .filter(prune)
       .join(bench.withColumn("__hit", lit(1)), Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(first(col("sz")).as("sz"),

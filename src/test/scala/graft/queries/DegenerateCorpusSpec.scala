@@ -1,0 +1,56 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Degenerate-corpus robustness: EVERY catalog gate must execute — to an
+  * empty or tiny result, never an exception — on (a) a 12-row corpus and
+  * (b) a fully EMPTY corpus (schema-only parquet for all ten tables).
+  *
+  * At 100 TB these are not edge cases: a partition filter, a dead
+  * tenant, or a fresh onboarding produces exactly these inputs, and a
+  * pipeline stage that throws on them takes the whole DAG down. The
+  * 12-row size is the smallest that still exercises the vector gates'
+  * pinned id ranges (centroids < 8, queries in [10, 20)); the empty dir
+  * additionally proves no gate hides a `.head()`/`.first()` on data it
+  * assumes non-empty.
+  *
+  * events.parquet is rebuilt from its raw nanos form (read as long under
+  * nanosAsLong, written as plain INT64) so `Tables.events`' µs
+  * conversion applies unchanged to the shrunk copy. */
+class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def shrink(n: Int): String = {
+    val dst = Files.createTempDirectory(s"degen$n").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- tables)
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(n).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    dst
+  }
+
+  private def failures(dir: String): Seq[String] =
+    Catalog.all.flatMap { q =>
+      try { q.fn(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"${q.name}: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+
+  test("every gate runs on a 12-row corpus") {
+    val bad = failures(shrink(12))
+    assert(bad.isEmpty, s"${bad.size} gates fail on 12 rows:\n${bad.mkString("\n")}")
+  }
+
+  test("every gate runs on an empty corpus") {
+    val bad = failures(shrink(0))
+    assert(bad.isEmpty, s"${bad.size} gates fail on empty:\n${bad.mkString("\n")}")
+  }
+}
