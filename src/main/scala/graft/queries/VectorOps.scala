@@ -321,10 +321,21 @@ object VectorOps {
     * its cell, the smallest witness id, how many witnesses, and the max
     * witness cosine (each cos is a single exact-BIGINT-dot division —
     * order-independent under max). */
-  private[graft] def semanticDrops(cells: DataFrame, tau: Double): DataFrame = {
-    val a = cells.select(col("cid"), col("vec_id").as("id1"),
+  private[graft] def semanticDrops(cells: DataFrame, tau: Double): DataFrame =
+    semanticDropsOver(cells, cells, tau)
+
+  /** [[semanticDrops]] with the drop-candidate side and the witness side
+    * as separate frames — the incremental advance (pp10) prunes the
+    * candidate side to the batch-touched ids and the witness side to the
+    * touched CELLS, so the pair space is the touched cells' postings,
+    * never the corpus's. Aggregates are over whatever witness rows are
+    * present in `against`: callers must pass the FULL maintained lists of
+    * every touched cell or the witness counts under-report. */
+  private[graft] def semanticDropsOver(dropCand: DataFrame, against: DataFrame,
+      tau: Double): DataFrame = {
+    val a = dropCand.select(col("cid"), col("vec_id").as("id1"),
       col("q").as("q1"), col("nrm").as("n1"))
-    val b = cells.select(col("cid"), col("vec_id").as("id2"),
+    val b = against.select(col("cid"), col("vec_id").as("id2"),
       col("q").as("q2"), col("nrm").as("n2"))
     a.join(b, Seq("cid")).filter(col("id2") < col("id1"))
       .withColumn("cos", dotQ(col("q1"), col("q2")).cast("double") / (col("n1") * col("n2")))
@@ -374,6 +385,69 @@ object VectorOps {
        |GROUP BY cid, id1 ORDER BY vec_id""".stripMargin
   }
 
+  /** pp10 — INCREMENTAL SemDedup maintenance, dd10's incremental twin
+    * over pp05's maintained state: the standing cell-assigned postings
+    * are the ONLY standing table (the same one the IVF search maintains —
+    * one state, two consumers), and a batch advances the drop list
+    * without touching untouched cells. A batch changes exactly two kinds
+    * of rows: (a) batch vectors, dropped if a smaller-id witness exists
+    * anywhere in their cell, and (b) STANDING vectors that gain a batch
+    * witness with a smaller id — their (witness_id, n_witnesses,
+    * max_cos) must be re-aggregated over their FULL witness set, the
+    * pp06 "affected rows" pattern. The advance therefore: (1) detects
+    * affected standing ids by probing the standing lists with the
+    * BROADCAST batch (per-cell, co-located with the centroid-id
+    * partitioning — touched cells only); (2) prunes the drop-candidate
+    * side to touched ids (broadcast semi-join) and the witness side to
+    * touched CELLS, and re-runs the per-cell kernel there
+    * ([[semanticDropsOver]]). With nlist ∝ N (constant cell size,
+    * COVERAGE.md), touched cells ≈ the batch's cells, so per-batch work
+    * is the batch's cells' postings — never the corpus pair space. The
+    * oracle is dd10's full-corpus drop list restricted to exactly those
+    * touched rows. */
+  private def pp10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
+    val isNew = QueryUtils.hex8(concat(lit("sem:"), $"vec_id".cast("string"))) % 5 === 0
+    // the standing postings (persisted in production — pp05's pattern)
+    val standing = assignCells(e.filter(!isNew), cents).localCheckpoint(true)
+    val newCells = assignCells(e.filter(isNew), cents).localCheckpoint(true)
+    val affected = standing.as("x").join(broadcast(newCells).as("y"),
+        $"x.cid" === $"y.cid" && $"y.vec_id" < $"x.vec_id")
+      .filter((dotQ($"x.q", $"y.q").cast("double") / ($"x.nrm" * $"y.nrm")) >= 0.30)
+      .select($"x.vec_id".as("vec_id"))
+    val touched = affected.unionByName(newCells.select($"vec_id")).distinct()
+    val all = standing.unionByName(newCells)
+    val aSide = all.join(broadcast(touched), Seq("vec_id"), "left_semi")
+    val bSide = all.join(broadcast(aSide.select($"cid").distinct()),
+      Seq("cid"), "left_semi")
+    semanticDropsOver(aSide, bSide, tau = 0.30)
+  }
+  private val pp10Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |newids AS (SELECT vec_id FROM embeddings
+       |  WHERE ${QueryUtils.hex8Sql("'sem:' || CAST(vec_id AS VARCHAR)")} % 5 = 0),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, n.q, n.nrm, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, q, nrm, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |p AS (SELECT x.cid, x.vec_id AS id1, y.vec_id AS id2,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id)
+       |SELECT id1 AS vec_id, cid, MIN(id2) AS witness_id,
+       |  COUNT(*) AS n_witnesses, MAX(cos) AS max_cos
+       |FROM p WHERE cos >= 0.30
+       |GROUP BY cid, id1
+       |HAVING MAX(CASE WHEN id1 IN (SELECT vec_id FROM newids)
+       |             OR id2 IN (SELECT vec_id FROM newids) THEN 1 ELSE 0 END) = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** vs07 — one exact k-means (Lloyd) step: assign every vector to its
     * nearest of the 8 fixed seed centroids, then the per-(cell, dim)
     * exact integer sums + counts that ARE the new centroid numerators
@@ -420,5 +494,6 @@ object VectorOps {
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
+    Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),
   )
 }

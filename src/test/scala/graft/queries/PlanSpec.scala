@@ -433,6 +433,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("embedding"), s"exchange ships raw embeddings: $p"))
   }
 
+  test("pp10: advance probes via broadcast; pair join keys on cid; no cartesian/window; no raw embeddings shipped") {
+    val d = df("pp10_incremental_semdedup")
+    d.collect()
+    val ns = nodes(d)
+    // affected-detection, touched-id prune and touched-cell prune are all
+    // broadcast probes of batch-bounded sets — never a corpus shuffle
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3)
+    assert(equiJoinKeys(d).exists(_.contains("cid")))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("embedding"), s"exchange ships raw embeddings: $p"))
+  }
+
   test("ta08: corpus appears in one vocab shuffle; pair counting is vocab-sized; top-50 is TakeOrderedAndProject") {
     val d = df("ta08_bpe_pairs")
     val ns = nodes(d)
