@@ -413,16 +413,30 @@ object VectorOps {
     // the standing postings (persisted in production — pp05's pattern)
     val standing = assignCells(e.filter(!isNew), cents).localCheckpoint(true)
     val newCells = assignCells(e.filter(isNew), cents).localCheckpoint(true)
+    semDedupAdvance(standing, newCells, tau = 0.30)
+  }
+
+  /** The pp10 advance kernel over already-assigned frames: every drop
+    * row a batch changes — its own dropped vectors plus the standing
+    * vectors it gives a new smaller-id witness — re-aggregated over
+    * their FULL witness sets. Pure function of (standing, batch)
+    * postings: [[graft.streaming.Streams.maintainIvfState]] upserts its
+    * output into the continuous drop table, and the crash-replay
+    * contract rests on that purity (same fresh batch ⇒ byte-identical
+    * changed rows ⇒ idempotent upsert). */
+  private[graft] def semDedupAdvance(standing: DataFrame,
+      newCells: DataFrame, tau: Double): DataFrame = {
     val affected = standing.as("x").join(broadcast(newCells).as("y"),
-        $"x.cid" === $"y.cid" && $"y.vec_id" < $"x.vec_id")
-      .filter((dotQ($"x.q", $"y.q").cast("double") / ($"x.nrm" * $"y.nrm")) >= 0.30)
-      .select($"x.vec_id".as("vec_id"))
-    val touched = affected.unionByName(newCells.select($"vec_id")).distinct()
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .filter((dotQ(col("x.q"), col("y.q")).cast("double") /
+        (col("x.nrm") * col("y.nrm"))) >= tau)
+      .select(col("x.vec_id").as("vec_id"))
+    val touched = affected.unionByName(newCells.select(col("vec_id"))).distinct()
     val all = standing.unionByName(newCells)
     val aSide = all.join(broadcast(touched), Seq("vec_id"), "left_semi")
-    val bSide = all.join(broadcast(aSide.select($"cid").distinct()),
+    val bSide = all.join(broadcast(aSide.select(col("cid")).distinct()),
       Seq("cid"), "left_semi")
-    semanticDropsOver(aSide, bSide, tau = 0.30)
+    semanticDropsOver(aSide, bSide, tau)
   }
   private val pp10Sql = {
     def dot(a: String, b: String) =

@@ -581,13 +581,30 @@ object Streams {
     *    delta rows under the same key, and [[ivfSumsSnapshot]] drops the
     *    duplicates by (batch_key, cid, dim) before summing. The same
     *    trick a transactional format's idempotent-writer option uses.
+    *  - `dropTable` (optional — pp10's continuous twin, one standing
+    *    postings table serving both the IVF search and SemDedup): the
+    *    batch's CHANGED drop rows
+    *    ([[graft.queries.VectorOps.semDedupAdvance]] against the
+    *    pre-advance postings — batch vectors gaining a witness, standing
+    *    vectors gaining a batch witness, each re-aggregated over its
+    *    full witness set in the touched cells only) are merged by keyed
+    *    upsert (full-row overwrite per vec_id,
+    *    [[graft.operators.MergeWriter.upsert]] + atomic swap). Upsert,
+    *    not append: these rows are non-additive REPLACEMENTS, and the
+    *    full-row overwrite is what keeps the advance idempotent under
+    *    replay. Witnesses only accumulate, so rows are never retracted.
     *
-    * Per-batch work and write volume are O(batch): nothing reads the
-    * corpus — the guard probe is a column-pruned id scan of the postings
-    * at their own layout. [[graft.operators.MergeWriter.overwriteAtomic]]
-    * compaction of the delta table is [[compactIvfSums]]. */
+    * Per-batch work and write volume are O(batch) for postings and sums
+    * (nothing reads the corpus — the guard probe is a column-pruned id
+    * scan of the postings at their own layout) plus, when the drop table
+    * is maintained, the touched cells' postings for the SemDedup
+    * re-aggregation and an O(drop-table) rewrite for the upsert swap (a
+    * transactional format's MERGE would make that rewrite partition-
+    * local). [[graft.operators.MergeWriter.overwriteAtomic]] compaction
+    * of the delta table is [[compactIvfSums]]. */
   def maintainIvfState(batch: DataFrame, cents: DataFrame,
-      postingsTable: String, sumsTable: String): Unit = {
+      postingsTable: String, sumsTable: String,
+      dropTable: Option[String] = None, tau: Double = 0.30): Unit = {
     val spark = batch.sparkSession
     // guard FIRST, on raw ids: normalizing already-stored arrivals would
     // spend the O(dim) per-row quantize/dot/sqrt work just to drop them
@@ -601,6 +618,21 @@ object Streams {
     val batchKey = fresh.agg(min(col("vec_id"))).head().getLong(0)
     val assigned = graft.queries.VectorOps.assignCells(fresh, cents)
       .localCheckpoint(true)
+    // Continuous SemDedup (pp10's loop), maintained FIRST, against the
+    // PRE-advance postings: semDedupAdvance is a pure function of
+    // (standing, fresh batch), and the guard doesn't move until the
+    // postings append below, so a crash anywhere in this advance replays
+    // the same fresh set, recomputes byte-identical changed rows, and
+    // the keyed upsert (full-row overwrite per vec_id) lands the same
+    // table — idempotent where an append of these non-additive rows
+    // would not be. Witnesses only accumulate, so a changed row's
+    // aggregates over its full witness set stay correct batch over
+    // batch; rows are never retracted.
+    dropTable.foreach { dt =>
+      val standing = tryRead(spark, postingsTable).getOrElse(assigned.limit(0))
+      semDedupUpsert(spark, dt,
+        graft.queries.VectorOps.semDedupAdvance(standing, assigned, tau))
+    }
     ivfSumsDelta(assigned, batchKey).write.mode("append").parquet(sumsTable)
     assigned.write.mode("append").parquet(postingsTable)
   }
@@ -651,6 +683,31 @@ object Streams {
       "cid" -> LongType, "vec_id" -> LongType,
       "q" -> ArrayType(LongType), "nrm" -> DoubleType))
     graft.queries.VectorOps.ivfSearch(postings, queries, cents, nProbe, k)
+  }
+
+  /** Merge a batch's changed drop rows into the standing drop table —
+    * keyed full-row overwrite per vec_id + atomic swap, the exact write
+    * [[maintainIvfState]] performs (shared with the crash-simulation
+    * spec so a simulated partial advance can't drift from the product's). */
+  private[graft] def semDedupUpsert(spark: SparkSession, dropTable: String,
+      changed: DataFrame): Unit = {
+    val merged = tryRead(spark, dropTable)
+      .map(ex => graft.operators.MergeWriter.upsert(ex, changed,
+        Seq("vec_id"), Seq(col("vec_id"))))
+      .getOrElse(changed)
+    graft.operators.MergeWriter.overwriteAtomic(merged, dropTable)
+  }
+
+  /** The current SemDedup drop list under the maintained table — dd10's
+    * output shape over every vector that has arrived (the upsert keeps
+    * exactly one current row per dropped vector, so this is a plain
+    * ordered read). */
+  def semDedupSnapshot(spark: SparkSession, dropTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, dropTable).getOrElse(emptyDf(spark,
+        "vec_id" -> LongType, "cid" -> LongType, "witness_id" -> LongType,
+        "n_witnesses" -> LongType, "max_cos" -> DoubleType))
+      .orderBy(col("vec_id"))
   }
 
   /** Fold a `batch_key`-tagged delta table to one row per key group under
