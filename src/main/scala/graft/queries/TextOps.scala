@@ -430,7 +430,7 @@ object TextOps {
   }
   private def dd05(s: SparkSession, d: String): DataFrame =
     lshDedup(documents(s, d))
-  private val dd05Sql =
+  private[queries] val dd05Sql =
     s"""WITH $lshCandCte,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |${interCteOver("sh", "")}

@@ -462,6 +462,41 @@ object VectorOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** dd12 — cross-modal dedup validation: dd05's text near-dup pairs
+    * annotated with their members' embedding cosine, the standard check
+    * a multimodal pipeline runs before committing a drop list (a text
+    * near-dup whose embeddings disagree is a template collision — shared
+    * boilerplate, different payload — not a true duplicate; text and
+    * embedding evidence should agree before a doc is destroyed). The
+    * candidate pair set is dd05's verbatim; each pair then fetches its
+    * two quantized embeddings by id — two id-keyed joins whose left side
+    * is the (small) verified pair list, so at scale they broadcast the
+    * pairs against the embeddings table at its own layout; the cosine is
+    * one exact-BIGINT dot per pair. The doc_id ↔ vec_id join is the
+    * testdata's 1:1 alignment (TESTDATA.md); zero-norm vectors drop on
+    * both engines (inner join against the normed view). */
+  private def dd12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextOps.lshDedup(documents(s, d))
+    val e = normed(embeddings(s, d))
+    pairs
+      .join(e.select($"vec_id".as("d1"), $"q".as("q1"), $"nrm".as("n1")), Seq("d1"))
+      .join(e.select($"vec_id".as("d2"), $"q".as("q2"), $"nrm".as("n2")), Seq("d2"))
+      .select($"d1", $"d2", $"jaccard",
+        (dotQ($"q1", $"q2").cast("double") / ($"n1" * $"n2")).as("cos"))
+      .orderBy($"d1", $"d2")
+  }
+  private val dd12Sql = {
+    s"""WITH pairs AS (${TextOps.dd05Sql}),
+       |q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0)
+       |SELECT p.d1, p.d2, p.jaccard,
+       |  CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q) + 1)]) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+       |FROM pairs p JOIN n a ON p.d1 = a.vec_id JOIN n b ON p.d2 = b.vec_id
+       |ORDER BY p.d1, p.d2""".stripMargin
+  }
+
   /** vs07 — one exact k-means (Lloyd) step: assign every vector to its
     * nearest of the 8 fixed seed centroids, then the per-(cell, dim)
     * exact integer sums + counts that ARE the new centroid numerators
@@ -509,5 +544,6 @@ object VectorOps {
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
     Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),
+    Q("dd12_crossmodal_check", "text near-dup pairs annotated with embedding cosine (cross-modal dedup validation)", dd12, Some(dd12Sql)),
   )
 }
