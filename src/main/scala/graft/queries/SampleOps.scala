@@ -97,9 +97,33 @@ object SampleOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** sa04 — deterministic train/val/test split: one salted hash fold
+    * partitions the corpus 98/1/1 with disjointness and full coverage BY
+    * CONSTRUCTION (every doc lands in exactly one bucket range of the
+    * same fold — there is no second hash to disagree with the first, the
+    * classic split-leak bug). Row-local, pushes to the scan, stable
+    * forever for a given doc_id; the salt is the split's version handle
+    * (re-salting is a new split, never a partial reshuffle). */
+  private def sa04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = fold(concat(lit("split:"), $"doc_id".cast("string")), 10000)
+    graft.Tables.documents(s, d).select($"doc_id",
+        when(b < 9800, "train").when(b < 9900, "val").otherwise("test")
+          .as("split"))
+      .orderBy($"doc_id")
+  }
+  private val sa04Sql = {
+    val b = hex8Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+       |  CASE WHEN $b % 10000 < 9800 THEN 'train'
+       |       WHEN $b % 10000 < 9900 THEN 'val' ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
     Q("sa03_domain_mix", "per-source basis-point mix sampling (data mixing)", sa03, Some(sa03Sql)),
+    Q("sa04_split", "deterministic 98/1/1 train/val/test split, one fold (disjoint + covering by construction)", sa04, Some(sa04Sql)),
   )
 }

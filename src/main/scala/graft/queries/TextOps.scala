@@ -857,6 +857,38 @@ object TextOps {
       |       1 - CAST(n_in_vocab AS DOUBLE) / n_tokens AS oov_rate
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** ta11 — per-document sliding-window chunking (128-token windows,
+    * stride 64): the long-document shape — every token covered, adjacent
+    * chunks sharing a 64-token overlap so no boundary context is lost —
+    * used for RAG indexing and long-doc training alike. The complement
+    * of pp03 (which packs the CONCATENATED corpus into fixed sequences;
+    * ta11 windows each doc independently). Purely row-local: count,
+    * sequence, explode — no shuffle anywhere but the output ordering,
+    * so it trivially scales and pushes the n > 0 filter to the scan.
+    * Chunk starts at k·64 while start < n_tokens, so tail windows may be
+    * short (the standard convention). */
+  private def ta11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", size(Text.tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0L)
+      .select($"doc_id", $"n_tokens",
+        explode(sequence(lit(0L), expr("(n_tokens - 1L) DIV 64L"))).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        ($"chunk_id" * 64L).as("start_tok"),
+        least($"chunk_id" * 64L + 128L, $"n_tokens").as("end_tok"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  private val ta11Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n, unnest(range(0, (n - 1) // 64 + 1)) AS chunk_id
+      |  FROM t WHERE n > 0)
+      |SELECT doc_id, chunk_id, chunk_id * 64 AS start_tok,
+      |  least(chunk_id * 64 + 128, n) AS end_tok
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** ta05 — repetition / boilerplate metrics (the Gopher-class quality
     * signals a 100 TB corpus filter runs): most-frequent token and its
     * character share, plus the duplicate word-2gram fraction. One token
@@ -1467,6 +1499,7 @@ object TextOps {
     Q("ta08_bpe_pairs", "BPE merge step: adjacent char-pair counts over the vocab, word-frequency weighted", ta08, Some(ta08Sql)),
     Q("ta09_bigram_lm", "bigram LM counts: top-100 bigrams with Kneser-Ney continuation counts", ta09, Some(ta09Sql)),
     Q("ta10_vocab_coverage", "per-doc top-1k vocabulary coverage / OOV rate", ta10, Some(ta10Sql)),
+    Q("ta11_chunk_windows", "per-doc sliding-window chunking: 128-token windows, stride 64 (RAG/long-doc shape)", ta11, Some(ta11Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
