@@ -40,16 +40,21 @@ import graft.queries.Catalog
   *    (df, cf) deltas — ta07's oracle verbatim), dd09 exact
   *    repeated-span detection, dd10 SemDedup (IVF-cell-partitioned
   *    cosine drop list), dd11 containment near-dup (asymmetric
-  *    inter/min scoring on dd05's candidates), vs07 one exact
+  *    inter/min scoring on dd05's candidates), pp09 incremental
+  *    containment (dd11's scoring over pp02's maintained state), pp10
+  *    incremental SemDedup (batch + affected rows over touched cells,
+  *    dd10's oracle restricted), dd12 cross-modal dedup validation
+  *    (text pairs × embedding cosine), vs07 one exact
   *    k-means step (assign → per-cell sums); pp03 sequence packing
   *    (distributed prefix sum), pp08 deterministic shard shuffle
   *    (+ graft.operators.Layout.writeShards);
-  *    ta01–ta10
+  *    ta01–ta11
   *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
   *    redaction, corpus vocabulary, BPE pair counts, bigram LM +
-  *    continuation counts, top-1k vocab coverage); sa01–sa03
-  *    deterministic hash sampling + domain mix (native
-  *    md5_fold32 expression); q39 band join (graft.operators.BandJoin);
+  *    continuation counts, top-1k vocab coverage, sliding-window
+  *    chunking); sa01–sa04
+  *    deterministic hash sampling + domain mix + train/val/test split
+  *    (native md5_fold32 expression); q39 band join (graft.operators.BandJoin);
   *    q43 grouped top-k (graft.operators.GroupedTopK bounded-buffer
   *    aggregator — no window sort); mm01/mm02 +
   *    graft.operators.Multimodal (binary columns, batched codec seam,

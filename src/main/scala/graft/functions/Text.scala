@@ -94,10 +94,12 @@ object Text {
     shingleUdfs(n)(text)
   }
 
-  /** Stopword ratio for the language-ID heuristic. */
+  /** Stopword ratio for the language-ID heuristic. NULL for a zero-token
+    * doc (ANSI division would throw; DuckDB's x/0 is NULL — aligned). */
   def stopwordRatio(toks: Column, stops: Seq[String]): Column = {
     val stopArr = array(stops.map(lit): _*)
-    size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks)
+    size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+      nullif(size(toks), lit(0))
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

@@ -641,9 +641,12 @@ object TextOps {
       .select($"doc_id",
         length($"text").as("n_chars_calc"),
         size($"t").as("n_tokens"),
-        (aggregate($"t", lit(0), (acc, x) => acc + length(x)).cast("double") / size($"t")).as("avg_token_len"),
-        ((length($"text") - length(regexp_replace($"text", " ", ""))).cast("double") / length($"text")).as("ws_ratio"),
-        (size(array_distinct($"t")).cast("double") / size($"t")).as("distinct_ratio"))
+        // nullif denominators: ANSI division throws on a zero-token or
+        // zero-char doc; DuckDB's x/0 is NULL, so NULL is the aligned
+        // answer (DegenerateCorpusSpec drives the '' / NULL text rows)
+        (aggregate($"t", lit(0), (acc, x) => acc + length(x)).cast("double") / nullif(size($"t"), lit(0))).as("avg_token_len"),
+        ((length($"text") - length(regexp_replace($"text", " ", ""))).cast("double") / nullif(length($"text"), lit(0))).as("ws_ratio"),
+        (size(array_distinct($"t")).cast("double") / nullif(size($"t"), lit(0))).as("distinct_ratio"))
       .orderBy($"doc_id")
   }
   private val ta02Sql =

@@ -53,4 +53,31 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
     val bad = failures(shrink(0))
     assert(bad.isEmpty, s"${bad.size} gates fail on empty:\n${bad.mkString("\n")}")
   }
+
+  test("every gate runs with NULL and empty-string document text") {
+    import org.apache.spark.sql.functions._
+    val dir = shrink(12)
+    // doc 0's text → NULL, doc 1's → '' (the driver's data never contains
+    // either, but a real ingest does — extraction failures land as NULL,
+    // blank pages as ''; no gate may throw on them)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") === 0, lit(null: String))
+          .when(col("doc_id") === 1, lit(""))
+          .otherwise(col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents2.parquet")
+    // parquet dir swap (overwrite-in-place of a table being read is
+    // undefined): rebuild the dir name the gates read
+    val fs = java.nio.file.Paths.get(dir)
+    val bad = {
+      val d2 = java.nio.file.Files.createTempDirectory("degen-null").toString
+      for (t <- tables)
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$d2/$t.parquet"),
+          java.nio.file.Paths.get(
+            if (t == "documents") s"$dir/documents2.parquet" else s"$dir/$t.parquet"))
+      failures(d2)
+    }
+    assert(bad.isEmpty, s"${bad.size} gates fail on null/empty text:\n${bad.mkString("\n")}")
+  }
 }
