@@ -510,13 +510,20 @@ object VectorOps {
   private def vs07(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))
-    assignCells(e, ivfCentroids(e))
-      .select($"cid", posexplode($"q").as(Seq("dim", "qv")))
-      .groupBy($"cid", $"dim")
-      .agg(count(lit(1)).as("n_vectors"), sum($"qv").as("sum_q"))
-      .select($"cid", $"dim".cast("long").as("dim"), $"n_vectors", $"sum_q")
-      .orderBy($"cid", $"dim")
+    cellDimSums(assignCells(e, ivfCentroids(e))).orderBy($"cid", $"dim")
   }
+
+  /** Per-(cell, dim) exact counts + integer sums over assigned postings —
+    * vs07's rollup, extracted as the ONE kernel the batch gate, the
+    * streaming sums delta ([[graft.streaming.Streams.ivfSumsDelta]]) and
+    * the crash-simulation spec all consume, so a semantics change here
+    * propagates everywhere (the shared-delta-builder precedent). */
+  private[graft] def cellDimSums(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
+      .select(col("cid"), col("dim").cast("long").as("dim"),
+        col("n_vectors"), col("sum_q"))
   private val vs07Sql = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"

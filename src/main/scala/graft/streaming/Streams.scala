@@ -597,19 +597,26 @@ object Streams {
     * Per-batch work and write volume are O(batch) for postings and sums
     * (nothing reads the corpus — the guard probe is a column-pruned id
     * scan of the postings at their own layout) plus, when the drop table
-    * is maintained, the touched cells' postings for the SemDedup
-    * re-aggregation and an O(drop-table) rewrite for the upsert swap (a
-    * transactional format's MERGE would make that rewrite partition-
-    * local). [[graft.operators.MergeWriter.overwriteAtomic]] compaction
-    * of the delta table is [[compactIvfSums]]. */
+    * is maintained: one standing-postings scan (shared with the guard's
+    * read; the touched-cell restriction prunes the JOIN work — pair
+    * space — per the pp10 analysis, and becomes a physical scan prune
+    * only under a cid-partitioned postings layout,
+    * [[graft.operators.Layout.writePartitioned]]), the touched cells'
+    * pair re-aggregation, and an O(drop-table) rewrite for the upsert
+    * swap (a transactional format's MERGE would make that rewrite
+    * partition-local). [[graft.operators.MergeWriter.overwriteAtomic]]
+    * compaction of the delta table is [[compactIvfSums]]. */
   def maintainIvfState(batch: DataFrame, cents: DataFrame,
       postingsTable: String, sumsTable: String,
       dropTable: Option[String] = None, tau: Double = 0.30): Unit = {
     val spark = batch.sparkSession
+    // ONE logical read of the standing postings serves both the id guard
+    // (column-pruned projection) and, below, the SemDedup standing frame
+    val postings = tryRead(spark, postingsTable)
     // guard FIRST, on raw ids: normalizing already-stored arrivals would
     // spend the O(dim) per-row quantize/dot/sqrt work just to drop them
     // at the anti-join (the text flows' freshAgainst order, same reason)
-    val freshRaw = tryRead(spark, postingsTable)
+    val freshRaw = postings
       .map(p => batch.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
       .getOrElse(batch)
       .dropDuplicates("vec_id")
@@ -629,7 +636,7 @@ object Streams {
     // aggregates over its full witness set stay correct batch over
     // batch; rows are never retracted.
     dropTable.foreach { dt =>
-      val standing = tryRead(spark, postingsTable).getOrElse(assigned.limit(0))
+      val standing = postings.getOrElse(assigned.limit(0))
       semDedupUpsert(spark, dt,
         graft.queries.VectorOps.semDedupAdvance(standing, assigned, tau))
     }
@@ -642,20 +649,20 @@ object Streams {
     * crash-simulation spec so a simulated partial write can never drift
     * from what the real advance writes. */
   private[graft] def ivfSumsDelta(assigned: DataFrame, batchKey: Long): DataFrame =
-    assigned.select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
-      .groupBy(col("cid"), col("dim"))
-      .agg(count(lit(1)).as("n_vectors"), sum(col("qv")).as("sum_q"))
-      .select(lit(batchKey).as("batch_key"), col("cid"),
-        col("dim").cast("long").as("dim"), col("n_vectors"), col("sum_q"))
+    graft.queries.VectorOps.cellDimSums(assigned)
+      .select(lit(batchKey).as("batch_key"), col("cid"), col("dim"),
+        col("n_vectors"), col("sum_q"))
 
   /** [[maintainIvfState]] as a foreachBatch sink over a (vec_id,
-    * embedding) stream. */
+    * embedding) stream; pass `dropTable` to get the continuous SemDedup
+    * leg through the same wrapper. */
   def ivfStateStream(vecs: DataFrame, cents: DataFrame,
-      postingsTable: String, sumsTable: String)
+      postingsTable: String, sumsTable: String,
+      dropTable: Option[String] = None, tau: Double = 0.30)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch((b: DataFrame, _: Long) =>
-        maintainIvfState(b, cents, postingsTable, sumsTable))
+        maintainIvfState(b, cents, postingsTable, sumsTable, dropTable, tau))
       .start()
 
   /** The current per-(cell, dim) exact centroid sums under the maintained

@@ -28,6 +28,9 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
 
   private def shrink(n: Int): String = {
     val dst = Files.createTempDirectory(s"degen$n").toString
+    // session-wide by the engine's own contract (Tables.events documents
+    // why a save-and-restore would be WRONG: the flag is re-read executor-
+    // side at action time, and every nanos input goes through that helper)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (t <- tables)
       spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
@@ -65,10 +68,15 @@ class DegenerateCorpusSpec extends AnyFunSuite with SparkSpec {
         when(col("doc_id") === 0, lit(null: String))
           .when(col("doc_id") === 1, lit(""))
           .otherwise(col("text")))
+    // vacuity guard: the substitution keys on doc_ids 0 and 1 — if the
+    // shrunk corpus ever stops containing them (limit() makes no order
+    // promise), fail loudly instead of testing nothing
+    assert(docs.filter(col("text").isNull).count() == 1
+      && docs.filter(col("text") === "").count() == 1,
+      "shrunk corpus lacks doc_ids 0/1 — NULL/'' rows were not injected")
     docs.write.mode("overwrite").parquet(s"$dir/documents2.parquet")
     // parquet dir swap (overwrite-in-place of a table being read is
     // undefined): rebuild the dir name the gates read
-    val fs = java.nio.file.Paths.get(dir)
     val bad = {
       val d2 = java.nio.file.Files.createTempDirectory("degen-null").toString
       for (t <- tables)

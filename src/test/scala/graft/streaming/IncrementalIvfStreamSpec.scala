@@ -39,14 +39,11 @@ class IncrementalIvfStreamSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def sums() = Streams.ivfSumsSnapshot(spark, sumsT)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the SAME rollup kernel the product uses (cellDimSums) — the spec's
+    // expected value cannot drift from what the advance writes
     def directSums(ids: Set[Long]) =
-      VectorOps.assignCells(VectorOps.normed(arrived(ids)), cents)
-        .select($"cid", org.apache.spark.sql.functions.posexplode($"q").as(Seq("dim", "qv")))
-        .groupBy($"cid", $"dim")
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_vectors"),
-          org.apache.spark.sql.functions.sum($"qv").as("sum_q"))
-        .select($"cid", $"dim".cast("long"), $"n_vectors", $"sum_q")
+      VectorOps.cellDimSums(
+          VectorOps.assignCells(VectorOps.normed(arrived(ids)), cents))
         .orderBy($"cid", $"dim")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val queries = VectorOps.normed(e).filter($"vec_id" >= 10 && $"vec_id" < 20)
