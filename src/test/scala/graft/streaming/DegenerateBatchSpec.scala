@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.queries.VectorOps
+
+/** The continuous maintainers' analog of DegenerateCorpusSpec: every
+  * standing-state flow must survive (a) a batch containing NULL-text,
+  * empty-text and normal rows, (b) a fully EMPTY batch, and (c) an
+  * all-degenerate batch (every row NULL/''), advancing whatever real
+  * content exists and throwing on none of them — a poison document in a
+  * stream must never wedge the maintenance loop. The vector flow gets
+  * the same treatment with a zero vector (dropped by the norm filter)
+  * and an empty batch. */
+class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
+
+  test("text-flow maintainers survive NULL/empty/absent text and empty batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("degen-batch").toString
+    val degenerate = Seq((0L, null: String), (1L, ""), (2L, "real words here"))
+      .toDF("doc_id", "text")
+    val empty = degenerate.limit(0)
+    val allBad = Seq((3L, null: String), (4L, "")).toDF("doc_id", "text")
+
+    for (b <- Seq(degenerate, empty, allBad)) {
+      Streams.maintainBandIndex(b, s"$root/idx", s"$root/docs1",
+        s"$root/pairs", s"$root/shingles")
+      Streams.maintainClusterState(b, s"$root/labels", s"$root/buckets",
+        s"$root/remap", s"$root/docs2")
+      Streams.maintainSpanState(b, s"$root/grams", s"$root/counts",
+        s"$root/report", s"$root/docs3")
+      Streams.maintainVocabState(b, s"$root/vocab", s"$root/docs4")
+    }
+    // the real row's content advanced; the degenerate rows contributed
+    // nothing but also broke nothing
+    val vocab = Streams.vocabSnapshot(spark, s"$root/vocab")
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("real", "words", "here"))
+    // the 3-word doc has no word-8-grams, so an empty report is correct —
+    // the pin is that the snapshot remains readable after the advances
+    assert(Streams.spanSnapshot(spark, s"$root/report").count() == 0)
+  }
+
+  test("vector-flow maintainer survives zero vectors and empty batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("degen-vec").toString
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val cents = VectorOps.ivfCentroids(VectorOps.normed(e)).localCheckpoint(true)
+    val zero = Seq((9000L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val real = e.filter($"vec_id" >= 20 && $"vec_id" < 40)
+    for (b <- Seq(zero, real.limit(0), zero.unionByName(real)))
+      Streams.maintainIvfState(b, cents, s"$root/post", s"$root/sums",
+        Some(s"$root/drops"))
+    // the zero vector is dropped by the norm filter on every delivery;
+    // the real rows advanced exactly once
+    assert(spark.read.parquet(s"$root/post").count() == 20)
+    assert(Streams.semDedupSnapshot(spark, s"$root/drops").count() >= 0)
+  }
+}
