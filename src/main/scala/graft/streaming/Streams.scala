@@ -740,6 +740,26 @@ object Streams {
     * snapshot and the directory swap would be dropped. The snapshot is
     * pinned once (localCheckpoint) so the committed/pending split and the
     * fold read one consistent listing. */
+  /** Rewrite an APPEND-ONLY standing table (postings, doc store, band
+    * index, shingle store, pairs) into `partitions` files — the
+    * small-files maintenance job: every advance appends one file set per
+    * micro-batch, so a long-running flow accretes O(batches) files and
+    * scan planning degrades long before the data does. Rows are pure
+    * facts in these tables, so the rewrite is content-preserving by
+    * construction (read → repartition → atomic swap; nothing folds,
+    * nothing dedups — [[compactDeltas]] is the different job for
+    * batch_key ADDITIVE tables). Same single-maintenance-loop
+    * concurrency contract as every compactor here: call BETWEEN advances
+    * — the read-then-overwrite would drop rows appended concurrently.
+    * The snapshot is pinned (localCheckpoint) before the directory swap
+    * so the rewrite never reads its own output. */
+  def compactAppends(spark: SparkSession, table: String,
+      partitions: Int): Unit =
+    tryRead(spark, table).foreach { t =>
+      graft.operators.MergeWriter.overwriteAtomic(
+        t.localCheckpoint(true).repartition(partitions), table)
+    }
+
   private def compactDeltas(spark: SparkSession, table: String,
       keys: Seq[String], sums: Seq[String],
       guardTable: String, guardIdCol: String): Unit =
