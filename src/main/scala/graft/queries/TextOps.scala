@@ -1305,6 +1305,35 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** pp11 — the export pipeline carried to its training-ready end: pp01's
+    * surviving set (quality → exact-dup → near-dup → decontaminate →
+    * sample) continued through the round's delivery stages — train-split
+    * membership (sa04's fold) and shard + within-shard order (pp08's two
+    * independent salts) — the exact rows and order
+    * [[graft.operators.Layout.writeShards]] would lay on disk for the
+    * trainer. Every stage is the reused kernel of its standalone gate,
+    * and the three tail stages are row-local hash expressions: the
+    * composition adds ZERO shuffles beyond pp01's own (the final
+    * order-by exists for the oracle compare; the production writer
+    * sorts within shards instead). */
+  private def pp11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    exportPipeline(documents(s, d))
+      .filter(hex8(concat(lit("split:"), $"doc_id".cast("string"))) % 10000 < 9800)
+      .select($"doc_id", $"n_chars",
+        (hex8(concat(lit("shard:"), $"doc_id".cast("string"))) % 8).as("shard"),
+        hex8(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord"))
+      .orderBy($"shard", $"ord", $"doc_id")
+  }
+  private val pp11Sql =
+    s"""WITH p AS ($pp01Sql)
+       |SELECT doc_id, n_chars,
+       |  ${hex8Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |  ${hex8Sql("'ord:' || CAST(doc_id AS VARCHAR)")} AS ord
+       |FROM p
+       |WHERE ${hex8Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 < 9800
+       |ORDER BY shard, ord, doc_id""".stripMargin
+
   /** pp02 — incremental index maintenance gate: a deterministic 20% of
     * the corpus (md5-keyed on the doc id, salt "inc:" so it does not
     * correlate with pp01's export sample) arrives as "today's batch"; the
@@ -1514,5 +1543,6 @@ object TextOps {
     Q("dd11_containment", "asymmetric containment near-dup: LSH candidates scored by inter/min(|A|,|B|)", dd11, Some(dd11Sql)),
     Q("pp08_shard_shuffle", "deterministic training-shard assignment + within-shard hash order (RNG-free corpus shuffle)", pp08, Some(pp08Sql)),
     Q("pp09_incremental_containment", "incremental containment maintenance: dd11's scoring over pp02's maintained state", pp09, Some(pp09Sql)),
+    Q("pp11_export_sharded", "pp01's export carried to training-ready delivery: train split + shard + within-shard order", pp11, Some(pp11Sql)),
   )
 }
