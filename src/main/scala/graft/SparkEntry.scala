@@ -47,7 +47,8 @@ import graft.queries.Catalog
   *    (text pairs × embedding cosine), vs07 one exact
   *    k-means step (assign → per-cell sums); pp03 sequence packing
   *    (distributed prefix sum), pp08 deterministic shard shuffle
-  *    (+ graft.operators.Layout.writeShards);
+  *    (+ graft.operators.Layout.writeShards), pp11 export carried to
+  *    training-ready delivery (pp01 + split + shard + order);
   *    ta01–ta11
   *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
   *    redaction, corpus vocabulary, BPE pair counts, bigram LM +
