@@ -31,6 +31,22 @@ final case class QuantizedDotProduct(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "quantized_dot"
 
+  /** Whether a null ELEMENT can occur in either input array. Folded into
+    * [[nullable]]: the expression returns null on a null element even when
+    * both array columns are non-null, so deriving nullability from the
+    * children alone (the BinaryExpression default) would both license the
+    * optimizer to mis-fold IsNull on this expression AND make
+    * nullSafeCodeGen bind `ev.isNull` to the literal `false` — the
+    * generated `false = true;` in the loop's null branch then fails Janino
+    * compilation (seen as whole-stage fallback in BroadcastHashJoin
+    * conditions) and the hot loop silently runs interpreted. */
+  private def elementsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   // null semantics match the composed aggregate∘zip_with form exactly: a
   // null ELEMENT in either array nulls the whole product (ArrayData.getLong
   // on a null slot would otherwise read garbage and rank ANN results wrong)
@@ -53,11 +69,22 @@ final case class QuantizedDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // The element-null branch exists only when an element CAN be null
+      // (containsNull on either input). For containsNull=false inputs it is
+      // dead code — and emitting it would assign ev.isNull, which for a
+      // non-nullable expression is the literal `false` and fails Janino
+      // ("not an rvalue"); that compile failure is invisible to correctness
+      // (Spark falls back to interpreted) but forfeits codegen in exactly
+      // the BHJ-condition hot path this expression exists for.
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;

@@ -50,6 +50,51 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getLong(0) == 10L)
   }
 
+  test("non-nullable arrays: BHJ-condition shape compiles with fallback disabled") {
+    import org.apache.spark.sql.types.ArrayType
+    // Round-7 regression: with containsNull=false inputs the expression is
+    // non-nullable, nullSafeCodeGen binds ev.isNull to the literal `false`,
+    // and an unconditional `${ev.isNull} = true;` in the loop fails Janino
+    // ("not an rvalue") — Spark then silently runs the whole
+    // BroadcastHashJoin stage interpreted. fallback=false turns that silent
+    // fallback into a test failure; the plan-string assertions alone cannot
+    // see a runtime compile failure.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // Only +/* arithmetic in the elements: Remainder/Pmod are nullable
+      // (x % 0 → null) and would flip containsNull to true, dodging the
+      // regime under test. shiftright keeps cid non-nullable too.
+      val cells = spark.range(40).select(
+        shiftright(col("id"), 3).as("cid"), col("id").as("vec_id"),
+        array(col("id") + 1, col("id") * 2 + 2, lit(3L)).as("q"))
+        .withColumn("nrm",
+          sqrt(VectorExpressions.quantizedDot(col("q"), col("q")).cast("double")))
+      val qField = cells.schema("q")
+      assert(!qField.dataType.asInstanceOf[ArrayType].containsNull && !qField.nullable,
+        "test must exercise the containsNull=false regime")
+      val drops = graft.queries.VectorOps.semanticDropsOver(cells, cells, 0.5)
+      assert(drops.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "shape must push quantized_dot into a BroadcastHashJoin condition")
+      assert(drops.count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("nullable derives from element nullability, not just child nullability") {
+    import spark.implicits._
+    // containsNull=false + non-null children → non-nullable (codegen emits
+    // the branch-free loop); containsNull=true → nullable even with
+    // non-null array columns (a null ELEMENT nulls the product, so
+    // advertising non-nullable would license IsNull mis-folding).
+    val tight = spark.range(1)
+      .select(array($"id", $"id").as("a"), array($"id" + 1, $"id").as("b"))
+      .select(VectorExpressions.quantizedDot($"a", $"b").as("d"))
+    assert(!tight.schema("d").nullable)
+    val loose = Seq((Seq(Option(1L)), Seq(Option(2L)))).toDF("a", "b")
+      .select(VectorExpressions.quantizedDot($"a", $"b").as("d"))
+    assert(loose.schema("d").nullable)
+  }
+
   test("null element nulls the product, matching aggregate-zip_with") {
     import spark.implicits._
     val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(4L), Some(5L), Some(6L))))
