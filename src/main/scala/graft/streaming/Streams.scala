@@ -587,12 +587,20 @@ object Streams {
     *    ([[graft.queries.VectorOps.semDedupAdvance]] against the
     *    pre-advance postings — batch vectors gaining a witness, standing
     *    vectors gaining a batch witness, each re-aggregated over its
-    *    full witness set in the touched cells only) are merged by keyed
-    *    upsert (full-row overwrite per vec_id,
-    *    [[graft.operators.MergeWriter.upsert]] + atomic swap). Upsert,
-    *    not append: these rows are non-additive REPLACEMENTS, and the
-    *    full-row overwrite is what keeps the advance idempotent under
-    *    replay. Witnesses only accumulate, so rows are never retracted.
+    *    full witness set in the touched cells only) are APPENDED under
+    *    the batch's `batch_key`. These rows are non-additive
+    *    REPLACEMENTS, so the append relies on an ordering invariant
+    *    instead of a sum: a vec_id re-enters the changed set only when
+    *    it GAINS a witness (witnesses only accumulate, rows are never
+    *    retracted), so per vec_id `n_witnesses` strictly increases
+    *    across batches and [[semDedupSnapshot]] resolves latest-wins by
+    *    max (n_witnesses, batch_key). Replay idempotence is the usual
+    *    batch_key trick: the guard hasn't moved, so a crash replay
+    *    appends byte-identical rows under the same key, invisible to a
+    *    max. Earlier batches' files are never rewritten — per-batch
+    *    write volume is O(changed rows), where the previous keyed-upsert
+    *    design rewrote the whole drop table every batch.
+    *    [[compactSemDedupDrops]] is the matching latest-wins compactor.
     *
     * Per-batch work and write volume are O(batch) for postings and sums
     * (nothing reads the corpus — the guard probe is a column-pruned id
@@ -602,10 +610,9 @@ object Streams {
     * space — per the pp10 analysis, and becomes a physical scan prune
     * only under a cid-partitioned postings layout,
     * [[graft.operators.Layout.writePartitioned]]), the touched cells'
-    * pair re-aggregation, and an O(drop-table) rewrite for the upsert
-    * swap (a transactional format's MERGE would make that rewrite
-    * partition-local). [[graft.operators.MergeWriter.overwriteAtomic]]
-    * compaction of the delta table is [[compactIvfSums]]. */
+    * pair re-aggregation, and an O(changed rows) drop-delta append.
+    * Compaction of the sums delta table is [[compactIvfSums]]; of the
+    * drop delta table, [[compactSemDedupDrops]]. */
   def maintainIvfState(batch: DataFrame, cents: DataFrame,
       postingsTable: String, sumsTable: String,
       dropTable: Option[String] = None, tau: Double = 0.30): Unit = {
@@ -629,16 +636,17 @@ object Streams {
     // PRE-advance postings: semDedupAdvance is a pure function of
     // (standing, fresh batch), and the guard doesn't move until the
     // postings append below, so a crash anywhere in this advance replays
-    // the same fresh set, recomputes byte-identical changed rows, and
-    // the keyed upsert (full-row overwrite per vec_id) lands the same
-    // table — idempotent where an append of these non-additive rows
-    // would not be. Witnesses only accumulate, so a changed row's
-    // aggregates over its full witness set stay correct batch over
-    // batch; rows are never retracted.
+    // the same fresh set and appends byte-identical changed rows under
+    // the same batch_key — duplicates a latest-wins max cannot see.
+    // Witnesses only accumulate, so a changed row's aggregates over its
+    // full witness set stay correct batch over batch; rows are never
+    // retracted, and n_witnesses strictly increasing per vec_id is what
+    // makes the snapshot's (n_witnesses, batch_key) max well-ordered.
     dropTable.foreach { dt =>
       val standing = postings.getOrElse(assigned.limit(0))
-      semDedupUpsert(spark, dt,
-        graft.queries.VectorOps.semDedupAdvance(standing, assigned, tau))
+      semDedupDeltaAppend(dt,
+        graft.queries.VectorOps.semDedupAdvance(standing, assigned, tau),
+        batchKey)
     }
     ivfSumsDelta(assigned, batchKey).write.mode("append").parquet(sumsTable)
     assigned.write.mode("append").parquet(postingsTable)
@@ -692,28 +700,40 @@ object Streams {
     graft.queries.VectorOps.ivfSearch(postings, queries, cents, nProbe, k)
   }
 
-  /** Merge a batch's changed drop rows into the standing drop table —
-    * keyed full-row overwrite per vec_id + atomic swap, the exact write
-    * [[maintainIvfState]] performs (shared with the crash-simulation
-    * spec so a simulated partial advance can't drift from the product's). */
-  private[graft] def semDedupUpsert(spark: SparkSession, dropTable: String,
-      changed: DataFrame): Unit = {
-    val merged = tryRead(spark, dropTable)
-      .map(ex => graft.operators.MergeWriter.upsert(ex, changed,
-        Seq("vec_id"), Seq(col("vec_id"))))
-      .getOrElse(changed)
-    graft.operators.MergeWriter.overwriteAtomic(merged, dropTable)
-  }
+  /** Append a batch's changed drop rows to the standing drop-delta table
+    * under its `batch_key` — the exact write [[maintainIvfState]]
+    * performs (shared with the crash-simulation spec so a simulated
+    * partial advance can't drift from the product's). Append-only:
+    * earlier batches' files are never touched, and the write volume is
+    * O(changed rows) — the old keyed-upsert design rewrote the whole
+    * table per batch, the one per-batch cost here that was O(standing)
+    * rather than O(batch). */
+  private[graft] def semDedupDeltaAppend(dropTable: String,
+      changed: DataFrame, batchKey: Long): Unit =
+    changed.select(lit(batchKey).as("batch_key"), col("vec_id"), col("cid"),
+        col("witness_id"), col("n_witnesses"), col("max_cos"))
+      .write.mode("append").parquet(dropTable)
 
-  /** The current SemDedup drop list under the maintained table — dd10's
-    * output shape over every vector that has arrived (the upsert keeps
-    * exactly one current row per dropped vector, so this is a plain
-    * ordered read). */
+  /** The current SemDedup drop list under the maintained delta table —
+    * dd10's output shape over every vector that has arrived. Resolution
+    * is latest-wins per vec_id by max (n_witnesses, batch_key): a vec_id
+    * re-enters the changed set only when it gains a witness, so
+    * n_witnesses strictly increases across its delta rows and the max is
+    * the newest full-row replacement; the batch_key tiebreak only ever
+    * separates byte-identical replay duplicates (and ranks the
+    * compactor's reserved-key fold below any live row with equal
+    * count — which cannot occur between distinct real batches). */
   def semDedupSnapshot(spark: SparkSession, dropTable: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val payload = Seq("cid", "witness_id", "n_witnesses", "max_cos")
     tryRead(spark, dropTable).getOrElse(emptyDf(spark,
-        "vec_id" -> LongType, "cid" -> LongType, "witness_id" -> LongType,
-        "n_witnesses" -> LongType, "max_cos" -> DoubleType))
+        "batch_key" -> LongType, "vec_id" -> LongType, "cid" -> LongType,
+        "witness_id" -> LongType, "n_witnesses" -> LongType,
+        "max_cos" -> DoubleType))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("n_witnesses"), col("batch_key"))).as("__r"))
+      .select(col("vec_id") +: payload.map(p => col(s"__r.$p").as(p)): _*)
       .orderBy(col("vec_id"))
   }
 
@@ -793,6 +813,56 @@ object Streams {
   def compactIvfSums(spark: SparkSession, sumsTable: String,
       postingsTable: String): Unit =
     compactDeltas(spark, sumsTable, Seq("cid", "dim"), Seq("n_vectors", "sum_q"),
+      postingsTable, "vec_id")
+
+  /** [[compactDeltas]]'s NON-ADDITIVE sibling: fold a batch_key-tagged
+    * delta table of full-row REPLACEMENTS to one row per key under the
+    * reserved key, resolving latest-wins by max (`ord`, batch_key) —
+    * the same resolution the table's snapshot applies, so compaction is
+    * snapshot-invariant by construction. Shares the additive fold's
+    * committed/pending split (only batches whose key reached the guard
+    * fold; a crashed batch keeps its rows under its own key so its
+    * replay stays a byte-identical no-op) and its single-maintenance-
+    * loop concurrency contract (read-then-overwrite — rows appended
+    * between snapshot and swap would be dropped). The reserved-key row
+    * can never shadow a live one: `ord` strictly increases across a
+    * key's real delta rows, and the fold's batch_key (Long.MinValue)
+    * loses every tie. */
+  private def compactLatestDeltas(spark: SparkSession, table: String,
+      key: String, ord: String, payload: Seq[String],
+      guardTable: String, guardIdCol: String): Unit =
+    tryRead(spark, table).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val guard = tryRead(spark, guardTable)
+        .map(_.select(col(guardIdCol).as("__gid")))
+        .getOrElse(emptyDf(spark, "__gid" -> org.apache.spark.sql.types.LongType))
+      val tKeys = t.select(col("batch_key")).distinct()
+      val committedKeys = tKeys
+        .join(guard, tKeys("batch_key") === col("__gid"), "left_semi")
+        .localCheckpoint(true)
+      val reserved = col("batch_key") === Long.MinValue
+      val committed = t.filter(reserved).unionByName(
+        t.join(broadcast(committedKeys), Seq("batch_key"), "left_semi"))
+      val pending = t.filter(!reserved)
+        .join(broadcast(committedKeys), Seq("batch_key"), "left_anti")
+      val folded = committed
+        .groupBy(col(key))
+        .agg(max_by(struct(payload.map(col): _*),
+          struct(col(ord), col("batch_key"))).as("__r"))
+        .select(lit(Long.MinValue).as("batch_key") +: col(key) +:
+          payload.map(p => col(s"__r.$p").as(p)): _*)
+      graft.operators.MergeWriter.overwriteAtomic(
+        folded.unionByName(pending), table)
+    }
+
+  /** Compact the SemDedup drop deltas to one (latest) row per vec_id;
+    * `postingsTable` is the flow's guard ([[maintainIvfState]] appends
+    * postings LAST, so a batch's key in the postings id column marks its
+    * whole advance committed). */
+  def compactSemDedupDrops(spark: SparkSession, dropTable: String,
+      postingsTable: String): Unit =
+    compactLatestDeltas(spark, dropTable, "vec_id", "n_witnesses",
+      Seq("cid", "witness_id", "n_witnesses", "max_cos"),
       postingsTable, "vec_id")
 
   /** pp06's continuous twin: CONTINUOUS span-dedup maintenance. Standing
