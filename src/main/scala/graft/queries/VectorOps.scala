@@ -186,18 +186,32 @@ object VectorOps {
 
   /** IVF cell assignment — the postings-row producer: every input vector
     * to its nearest centroid by quantized cosine (ties to the lowest cid).
-    * Broadcast of the centroid table + a grouped argmax (max over a
-    * (ccos, −cid) struct — map-side partial agg), never a window over the
-    * corpus; per-row work is |cents| fused integer dot products. Input
+    * Assignment is a pure per-row function of the FIXED quantizer, so it
+    * is computed ROW-LOCALLY: the centroid table (tiny by construction —
+    * a trained coarse quantizer is driver-sized, nlist ≈ √N rows) is
+    * collected once and inlined as literals, and the argmax is a
+    * `greatest` over per-centroid (ccos, −cid) structs — |cents| fused
+    * integer dot products per row inside one codegen'd project, ZERO
+    * exchanges (PlanSpec pins that). The previous shape (crossJoin +
+    * grouped argmax) re-shuffled the corpus — q payload and all — on
+    * every assignment, a cost that scales with the DATA rather than the
+    * quantizer; this one contributes nothing to the exchange plan, so
+    * the first shuffle an IVF gate sees is the cid layout itself. Input
     * (vec_id, q, nrm); output (cid, vec_id, q, nrm) — rows of the
     * inverted lists, keyed by the list they belong to. */
-  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", dotQ(col("q"), col("cq")).cast("double") / (col("nrm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"),
-        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
-      .select((-col("m.ncid")).as("cid"), col("vec_id"), col("q"), col("nrm"))
+  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = cents.select(col("cid"), col("cq"), col("cn")).collect()
+    require(cs.nonEmpty, "assignCells: empty centroid table")
+    val scored = cs.map { r =>
+      val (cid, cq, cn) = (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2))
+      struct(
+        (dotQ(col("q"), lit(cq)).cast("double") / (col("nrm") * lit(cn))).as("ccos"),
+        lit(-cid).as("ncid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    vecs.withColumn("__m", best)
+      .select((-col("__m.ncid")).as("cid"), col("vec_id"), col("q"), col("nrm"))
+  }
 
   /** IVF probe-and-score over a postings table: each query ranks the
     * centroids (the one window left — Q×|cents| rows, per-query bounded),
@@ -233,7 +247,8 @@ object VectorOps {
     * brute force and vs04's LSH sit either side of. Coarse quantizer =
     * [[ivfCentroids]] (fixed, deterministic, SQL-expressible); every
     * vector is assigned to its nearest centroid ([[assignCells]] — a
-    * broadcast grouped argmax, never a window over the corpus); a query
+    * row-local literal-centroid argmax, zero exchanges, never a window
+    * over the corpus); a query
     * probes its nProbe=2 nearest centroids and scores ONLY those
     * clusters' members ([[ivfSearch]] — candidates joined ON the
     * centroid id, top-k via the bounded-buffer aggregator; the one
@@ -352,7 +367,8 @@ object VectorOps {
   /** dd10 — semantic dedup (SemDedup): embedding-cosine near-dup pruning
     * at scale — vs02's brute-force-within-label diagnostic re-expressed
     * the way a 100 TB corpus actually runs it: cluster by the fixed IVF
-    * quantizer ([[assignCells]] — broadcast grouped argmax), then compare
+    * quantizer ([[assignCells]] — row-local argmax, zero exchanges), then
+    * compare
     * ONLY within a cell and drop every vector that has a smaller-id
     * near-neighbor there ([[semanticDrops]]). Approximate by construction
     * (a cross-cell near-dup pair survives — the SemDedup trade), and the

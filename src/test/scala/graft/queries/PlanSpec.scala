@@ -351,12 +351,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val d = df("vs06_ivf_search")
     d.collect()
     val ns = nodes(d)
-    // the corpus→centroid assignment is a grouped argmax with a map-side
-    // partial pass — a row_number window over the corpus would be an
-    // unbounded per-vector sort the aggregate exists to avoid. (The struct
-    // buffer keeps it off the fast HashAggregate path — SortAggregate —
-    // but partial aggregation and the bounded exchange are what the scale
-    // claim needs.)
+    // the corpus→centroid assignment is row-local (a literal-centroid
+    // argmax in the scan's project — assignCells contributes no
+    // exchange), so the corpus is never shuffled per-vector; the top-k
+    // aggregator below still runs a map-side partial pass
+    assert(!hashShuffleKeys(d).contains(Set("vec_id")),
+      "assignment reintroduced its per-vector shuffle")
     assert(ns.exists {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
@@ -376,18 +376,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("vs07: assignment is a grouped argmax — partial agg, zero windows") {
+  test("vs07: assignment is row-local — no vector ever shipped; sums combine map-side; zero windows") {
     val d = df("vs07_kmeans_step")
     d.collect()
     val ns = nodes(d)
-    // one Lloyd step over 100 TB must never rank per-vector rows: the
-    // nearest-centroid choice is a max-struct aggregate with a map-side
-    // partial pass, and the (cid, dim) sums combine before their exchange
+    // one Lloyd step over 100 TB must never rank OR shuffle per-vector
+    // rows: the nearest-centroid choice is a literal-centroid argmax
+    // inside the scan's project (assignCells — zero exchanges of its
+    // own), so the only shuffle left is the (cid, dim) sums rollup,
+    // which combines map-side and carries partial sums — the quantized
+    // vector q never enters an exchange
     assert(ns.exists {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
       case _ => false
     })
+    assert(!hashShuffleKeys(d).contains(Set("vec_id")),
+      "assignment reintroduced its per-vector shuffle")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("q") && !p.contains("embedding"),
+        s"exchange ships per-vector payload: $p"))
     assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
     noTextPayload(exchangePayloads(d))
   }
@@ -420,8 +428,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // cartesian the cell blocking exists to avoid
     assert(equiJoinKeys(d).exists(_.contains("cid")))
     assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
-    // assignment stays the grouped argmax (vs07's contract): partial agg,
+    // assignment is row-local (vs07's contract): the FIRST exchange a
+    // vector sees is the cid pair layout itself — no per-vector argmax
+    // shuffle upstream; the drop rollup still combines map-side, and
     // zero windows anywhere in the drop-list plan
+    assert(!hashShuffleKeys(d).contains(Set("vec_id")),
+      "assignment reintroduced its per-vector shuffle")
     assert(ns.exists {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
