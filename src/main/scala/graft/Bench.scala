@@ -56,6 +56,11 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).flatMap { _ =>
+        // unpersist (in finally) ONLY blocks this run created: a blanket
+        // session-wide sweep would also drop localCheckpointed RDDs whose
+        // lineage is truncated — anything still referenced across runs
+        // would then fail with missing-checkpoint-block errors
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -69,7 +74,9 @@ object Bench {
           // and were measured skewing LATER runs (bimodal medians, rsd
           // ~0.5 on pp02/pp04). The run is over — drop its blocks so each
           // run sees the same storage-memory headroom
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => preexisting(id) }
+            .values.foreach(_.unpersist(false))
         }
       }
       // a failed query must not score its (near-zero) failure duration as

@@ -75,6 +75,12 @@ object ScaleProbe {
       val maxVid = base.agg(max(col("vec_id"))).head().getLong(0)
       require(maxVid < 10000000L,
         s"replica stride 10M does not clear base vec_id space (max=$maxVid)")
+      // the rotation below slices on the MEASURED dimension: a hardcoded
+      // one would silently clamp on a different-width table and the
+      // truncated replicas would void the norm/cosine-preservation claim
+      val dim = base.agg(max(size(col("embedding")))).head().getInt(0)
+      require(base.agg(min(size(col("embedding")))).head().getInt(0) == dim,
+        s"ragged embedding widths void the rotation's isometry claim")
       // replica k's vectors are the base CYCLICALLY ROTATED by k
       // dimensions: a common coordinate permutation preserves every norm
       // and every within-replica cosine exactly (each replica's internal
@@ -88,7 +94,7 @@ object ScaleProbe {
       (0 until 10).map { k =>
         val emb =
           if (k == 0) col("embedding")
-          else concat(slice(col("embedding"), k + 1, 64 - k),
+          else concat(slice(col("embedding"), k + 1, dim - k),
             slice(col("embedding"), 1, k))
         base.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
           emb.as("embedding"), col("label"))

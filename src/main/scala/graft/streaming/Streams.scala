@@ -325,9 +325,15 @@ object Streams {
     * batch: an at-least-once upstream can deliver the same doc twice in
     * one micro-batch, and duplicated rows would double every per-doc
     * derivation downstream (span counts, band rows, report totals) —
-    * the doc-table guard only sees across batches. */
+    * the doc-table guard only sees across batches. The in-batch pick is
+    * DETERMINISTIC (max text per doc_id), so even an upstream that
+    * redelivers the same id with divergent payloads — outside the
+    * at-least-once contract, whose replays are byte-identical — yields
+    * the same fresh set on every replay, keeping the batch_key delta
+    * trick's byte-identical-recompute premise intact. */
   private def freshAgainst(batch: DataFrame, docTable: String): DataFrame = {
-    val arrived = batch.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+    val arrived = batch.select(col("doc_id"), col("text"))
+      .groupBy(col("doc_id")).agg(max(col("text")).as("text"))
     tryRead(batch.sparkSession, docTable)
       .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
@@ -569,7 +575,9 @@ object Streams {
     *    corpus re-assignment, assignment is a pure per-row function of
     *    the fixed centroids) and APPENDED. Appended LAST: the postings
     *    table is also the redelivery guard (arrivals already in it are
-    *    dropped before assigning).
+    *    dropped before assigning). Zero-norm arrivals append under the
+    *    sentinel cid −1 so their redelivery is a no-op like every other
+    *    row's; consumers key on real cell ids and never see them.
     *  - `sumsTable` (batch_key, cid, dim, n_vectors, sum_q) — per-cell
     *    centroid-sum DELTAS, the additive state that decides when a cell
     *    has drifted enough to warrant a rebuild. Additive state is NOT
@@ -622,13 +630,31 @@ object Streams {
     val postings = tryRead(spark, postingsTable)
     // guard FIRST, on raw ids: normalizing already-stored arrivals would
     // spend the O(dim) per-row quantize/dot/sqrt work just to drop them
-    // at the anti-join (the text flows' freshAgainst order, same reason)
+    // at the anti-join (the text flows' freshAgainst order, same reason).
+    // In-batch dedup picks deterministically (max embedding per id — the
+    // freshAgainst contract), so replays recompute identical fresh sets
+    // even under divergent-payload duplicates.
     val freshRaw = postings
       .map(p => batch.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
       .getOrElse(batch)
-      .dropDuplicates("vec_id")
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
     val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
-    if (fresh.isEmpty) return
+    // zero-norm arrivals are unindexable (normed drops them) but must
+    // still be marked processed, or an at-least-once source redelivering
+    // them re-pays the normalization forever and an all-degenerate batch
+    // is never acknowledged: they enter the postings under the sentinel
+    // cid −1 (empty q, zero nrm). Every postings consumer keys on REAL
+    // cell ids — probe joins, pair joins and cell sums all match cid ≥ 0
+    // — so sentinel rows are dead weight to every query and live only
+    // for the guard's id probe.
+    val rejects = freshRaw
+      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(lit(-1L).as("cid"), col("vec_id"),
+        lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
+    if (fresh.isEmpty) {
+      if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
+      return
+    }
     val batchKey = fresh.agg(min(col("vec_id"))).head().getLong(0)
     val assigned = graft.queries.VectorOps.assignCells(fresh, cents)
       .localCheckpoint(true)
@@ -649,7 +675,7 @@ object Streams {
         batchKey)
     }
     ivfSumsDelta(assigned, batchKey).write.mode("append").parquet(sumsTable)
-    assigned.write.mode("append").parquet(postingsTable)
+    assigned.unionByName(rejects).write.mode("append").parquet(postingsTable)
   }
 
   /** The per-cell centroid-sum delta rows of one assigned batch — the

@@ -56,9 +56,19 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
     for (b <- Seq(zero, real.limit(0), zero.unionByName(real)))
       Streams.maintainIvfState(b, cents, s"$root/post", s"$root/sums",
         Some(s"$root/drops"))
-    // the zero vector is dropped by the norm filter on every delivery;
-    // the real rows advanced exactly once
-    assert(spark.read.parquet(s"$root/post").count() == 20)
+    // the zero vector is unindexable but still acknowledged: ONE sentinel
+    // posting (cid −1) from its first delivery makes every redelivery a
+    // guarded no-op — three deliveries, one sentinel row, and the real
+    // rows advanced exactly once
+    val post = spark.read.parquet(s"$root/post")
+    assert(post.filter($"cid" === -1L).count() == 1)
+    assert(post.filter($"cid" >= 0L).count() == 20)
+    // sentinel rows are invisible to the search: they sit in no real cell
+    assert(Streams.ivfSearchSnapshot(spark, s"$root/post",
+      VectorOps.normed(e.filter($"vec_id" >= 10 && $"vec_id" < 12))
+        .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn")),
+      cents, nProbe = 2, k = 3)
+      .filter($"neighbor_id" === 9000L).isEmpty)
     assert(Streams.semDedupSnapshot(spark, s"$root/drops").count() >= 0)
   }
 }
