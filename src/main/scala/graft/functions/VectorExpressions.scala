@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector kernels (SURVEY.md §2.9's
   * promotion path: built-in > custom Expression > UDF).
@@ -96,6 +96,142 @@ final case class QuantizedDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local IVF cell assignment: argmax over a FIXED centroid set baked
+  * into the expression (quantized centroid vectors, their norms, their
+  * ids), by quantized cosine, ties to the lowest cid — one fused
+  * codegen'd nlist × dim loop per row, zero exchanges, zero per-row
+  * allocation.
+  *
+  * Why an expression and not composed built-ins: the compositional
+  * row-local form (`greatest` over one (cos, −cid) struct per centroid,
+  * each with its own literal-array dot) generates an expression tree —
+  * and generated-code size — LINEAR in nlist; measured at nlist = 80 it
+  * blows past Janino's inlining budget and the whole stage silently runs
+  * interpreted, 10× slower than the grouped-argmax shuffle it replaced.
+  * This expression is the same machine loop at any nlist (the centroid
+  * matrix is a code-external reference object), so the production sizing
+  * rule nlist ∝ N never degrades the plan. Children are (q, nrm); the
+  * centroid arrays are constructor state, which is what FIXED-quantizer
+  * semantics mean (a re-trained quantizer is a new plan — vs07's rebuild,
+  * not maintenance).
+  *
+  * Null contract: null q / null nrm → null (null-intolerant children);
+  * when the array type admits null ELEMENTS, any null element → null —
+  * matching [[QuantizedDotProduct]]'s contract, and gated out of the
+  * generated code entirely for containsNull=false inputs (the
+  * `ev.isNull`-assignment Janino trap, see [[QuantizedDotProduct]]).
+  *
+  * Note: the centroid arrays participate in case-class equality by
+  * REFERENCE, so two semantically-equal assignments built from separate
+  * collect()s won't common-subexpression-merge — harmless (each
+  * assignment is built once per plan), and the alternative (deep array
+  * equality on every semanticEquals probe) taxes the optimizer. */
+final case class NearestCentroid(left: Expression, right: Expression,
+    cids: Array[Long], cqs: Array[Array[Long]], cns: Array[Double])
+    extends BinaryExpression {
+  require(cids.nonEmpty && cids.length == cqs.length && cids.length == cns.length,
+    "NearestCentroid: empty or ragged centroid arrays")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, double) inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def elementsNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val qn = q.numElements()
+    if (elementsNullable) {
+      var i = 0
+      while (i < qn) { if (q.isNullAt(i)) return null; i += 1 }
+    }
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cqs.length) {
+      val cc = cqs(c)
+      val n = math.min(qn, cc.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += q.getLong(i) * cc(i); i += 1 }
+      val cos = s.toDouble / (nrm * cns(c))
+      if (cos > best || (cos == best && cids(c) < bestCid)) {
+        best = cos; bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, nrm) => {
+      val cqRef = ctx.addReferenceObj("cqs", cqs, "long[][]")
+      val cidRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val cnRef = ctx.addReferenceObj("cns", cns, "double[]")
+      val qn = ctx.freshName("qn")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc")
+      val n = ctx.freshName("n")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val body =
+        s"""
+           |double $best = java.lang.Double.NEGATIVE_INFINITY;
+           |long $bestCid = java.lang.Long.MAX_VALUE;
+           |for (int $c = 0; $c < $cqRef.length; $c++) {
+           |  final long[] $cc = $cqRef[$c];
+           |  final int $n = java.lang.Math.min($qn, $cc.length);
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $n; $i++) { $s += $q.getLong($i) * $cc[$i]; }
+           |  final double $cos = ((double) $s) / ($nrm * $cnRef[$c]);
+           |  if ($cos > $best || ($cos == $best && $cidRef[$c] < $bestCid)) {
+           |    $best = $cos; $bestCid = $cidRef[$c];
+           |  }
+           |}
+           |${ev.value} = $bestCid;
+         """.stripMargin
+      // the element-null pre-scan exists only when an element CAN be null
+      // (same Janino `ev.isNull`-assignment trap as QuantizedDotProduct)
+      if (elementsNullable) {
+        val j = ctx.freshName("j")
+        s"""
+           |final int $qn = $q.numElements();
+           |for (int $j = 0; $j < $qn; $j++) {
+           |  if ($q.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |}
+           |if (!${ev.isNull}) {
+           |  $body
+           |}
+         """.stripMargin
+      } else {
+        s"""
+           |final int $qn = $q.numElements();
+           |$body
+         """.stripMargin
+      }
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -103,4 +239,10 @@ object VectorExpressions {
   def quantizedDot(a: Column, b: Column): Column =
     Bridge.column(
       QuantizedDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for the row-local fixed-quantizer cell assignment. */
+  def nearestCentroid(q: Column, nrm: Column, cids: Array[Long],
+      cqs: Array[Array[Long]], cns: Array[Double]): Column =
+    Bridge.column(NearestCentroid(
+      Bridge.expression(q), Bridge.expression(nrm), cids, cqs, cns))
 }

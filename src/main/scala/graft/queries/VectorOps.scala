@@ -180,8 +180,8 @@ object VectorOps {
     * not oracle-check), and FIXED the way a production IVF quantizer is:
     * trained once, held constant while the inverted lists grow
     * (re-training is a rebuild, not maintenance). */
-  private[graft] def ivfCentroids(normedVecs: DataFrame): DataFrame =
-    normedVecs.filter(col("vec_id") < 8)
+  private[graft] def ivfCentroids(normedVecs: DataFrame, nlist: Int = 8): DataFrame =
+    normedVecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
 
   /** IVF cell assignment — the postings-row producer: every input vector
@@ -189,28 +189,27 @@ object VectorOps {
     * Assignment is a pure per-row function of the FIXED quantizer, so it
     * is computed ROW-LOCALLY: the centroid table (tiny by construction —
     * a trained coarse quantizer is driver-sized, nlist ≈ √N rows) is
-    * collected once and inlined as literals, and the argmax is a
-    * `greatest` over per-centroid (ccos, −cid) structs — |cents| fused
+    * collected once and baked into a single native
+    * [[graft.functions.NearestCentroid]] expression — |cents| fused
     * integer dot products per row inside one codegen'd project, ZERO
-    * exchanges (PlanSpec pins that). The previous shape (crossJoin +
-    * grouped argmax) re-shuffled the corpus — q payload and all — on
-    * every assignment, a cost that scales with the DATA rather than the
-    * quantizer; this one contributes nothing to the exchange plan, so
-    * the first shuffle an IVF gate sees is the cid layout itself. Input
-    * (vec_id, q, nrm); output (cid, vec_id, q, nrm) — rows of the
-    * inverted lists, keyed by the list they belong to. */
+    * exchanges (PlanSpec pins that), and generated-code size CONSTANT in
+    * nlist (a `greatest`-of-structs composition was tried first and blew
+    * Janino's budget at nlist = 80 — see the expression's Scaladoc). The
+    * earlier shape (crossJoin + grouped argmax) re-shuffled the corpus —
+    * q payload and all — on every assignment, a cost that scales with
+    * the DATA rather than the quantizer; this one contributes nothing to
+    * the exchange plan, so the first shuffle an IVF gate sees is the cid
+    * layout itself. Input (vec_id, q, nrm); output (cid, vec_id, q, nrm)
+    * — rows of the inverted lists, keyed by the list they belong to. */
   private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val cs = cents.select(col("cid"), col("cq"), col("cn")).collect()
     require(cs.nonEmpty, "assignCells: empty centroid table")
-    val scored = cs.map { r =>
-      val (cid, cq, cn) = (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2))
-      struct(
-        (dotQ(col("q"), lit(cq)).cast("double") / (col("nrm") * lit(cn))).as("ccos"),
-        lit(-cid).as("ncid"))
-    }
-    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-    vecs.withColumn("__m", best)
-      .select((-col("__m.ncid")).as("cid"), col("vec_id"), col("q"), col("nrm"))
+    val assign = graft.functions.VectorExpressions.nearestCentroid(
+      col("q"), col("nrm"),
+      cs.map(_.getLong(0)),
+      cs.map(_.getSeq[Long](1).toArray),
+      cs.map(_.getDouble(2)))
+    vecs.select(assign.as("cid"), col("vec_id"), col("q"), col("nrm"))
   }
 
   /** IVF probe-and-score over a postings table: each query ranks the

@@ -105,4 +105,63 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0)
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
+
+  test("nearestCentroid matches the brute-force argmax, ties to lowest cid") {
+    import spark.implicits._
+    // 3 centroids; vec 2 ties centroids 5 and 9 exactly (identical
+    // direction) — the lower cid must win
+    val cids = Array(9L, 5L, 3L)
+    val cqs = Array(Array(10L, 0L), Array(10L, 0L), Array(0L, 7L))
+    val cns = Array(10.0, 10.0, 7.0)
+    val vecs = Seq(
+      (1L, Array(3L, 1L)),   // nearest: x-axis (tie 9/5 -> 5)
+      (2L, Array(5L, 0L)),   // exact tie between 9 and 5 -> 5
+      (3L, Array(1L, 50L))). // nearest: y-axis -> 3
+      toDF("vec_id", "q")
+      .withColumn("nrm", sqrt(VectorExpressions.quantizedDot($"q", $"q").cast("double")))
+    val out = vecs.select($"vec_id",
+        VectorExpressions.nearestCentroid($"q", $"nrm", cids, cqs, cns).as("cid"))
+      .orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 5L), (2L, 5L), (3L, 3L)))
+  }
+
+  test("nearestCentroid: 80-centroid assignment compiles with fallback disabled") {
+    // The regression this expression exists for: the greatest-of-structs
+    // composition generated code linear in nlist and blew Janino's budget
+    // at nlist = 80 (measured: whole stage silently interpreted, 10x the
+    // grouped-argmax cost it was meant to beat). The native loop's code
+    // size is constant in nlist — pin that an 80-cell assignment still
+    // whole-stage-compiles.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cids = (0L until 80L).toArray
+      val cqs = cids.map(c => Array.tabulate(64)(i => (c * 31 + i) % 97 + 1L))
+      val cns = cqs.map(q => math.sqrt(q.map(x => (x * x).toDouble).sum))
+      val vecs = spark.range(500).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (0 until 64).map(i => col("id") * (i + 1) % 101 + 1): _*).as("q"))
+        .withColumn("nrm",
+          sqrt(VectorExpressions.quantizedDot(col("q"), col("q")).cast("double")))
+      val out = vecs.select(
+        VectorExpressions.nearestCentroid(col("q"), col("nrm"), cids, cqs, cns).as("cid"))
+      assert(out.groupBy("cid").count().count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("nearestCentroid null contract: null array/nrm and null element all yield null") {
+    import spark.implicits._
+    val cids = Array(1L); val cqs = Array(Array(1L, 1L)); val cns = Array(math.sqrt(2.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(1L), Some(2L))), Some(2.0)),
+      (2L, None, Some(2.0)),
+      (3L, Some(Seq(Some(1L), None)), Some(2.0)),
+      (4L, Some(Seq(Some(1L), Some(2L))), None)
+    ).toDF("vec_id", "q", "nrm")
+    val out = df.select($"vec_id",
+        VectorExpressions.nearestCentroid($"q", $"nrm", cids, cqs, cns).as("cid"))
+      .orderBy($"vec_id").collect()
+    assert(out(0).getLong(1) == 1L)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
 }
