@@ -49,9 +49,12 @@ object MaintainerProbe {
     // (ScaleProbe's companion-row rule; 8 cells at sf0.1 → 80 at 10×).
     // Centroid ids select base-replica rows only, like the probe's gates.
     val nlist = math.max(8, (n / 250).toInt)
+    // NOT localCheckpointed: the per-batch block cleanup below must stay
+    // a blanket sweep (each advance's own checkpoints), and a
+    // checkpointed frame reused across batches would be destroyed by it;
+    // assignCells collects the centroid rows per call anyway
     val cents = graft.queries.VectorOps.ivfCentroids(
-        graft.queries.VectorOps.normed(e), nlist)
-      .localCheckpoint(true)
+      graft.queries.VectorOps.normed(e), nlist)
     // disjoint, same-sized, replica-interleaved batches (vec_id mod k):
     // every batch touches every cell, the worst case for the drop leg's
     // touched-cell restriction
