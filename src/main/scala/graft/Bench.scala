@@ -32,7 +32,13 @@ object Bench {
     // NonFatal only, and a missing name is loud: a silently-skipped warmup
     // would reintroduce the first-query inflation this exists to fix and
     // misattribute it as a regression in whichever query runs first
-    for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk")) {
+    // pp04 additionally derives its standing state on FIRST call per
+    // session (held as parquet tables thereafter — the production shape);
+    // warming it keeps that one-time derivation out of the measured runs,
+    // which then time only the advance (was the bench's noisiest gate:
+    // rsd ~0.5 with the derivation re-paid inside every run)
+    for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk",
+        "pp04_incremental_clusters")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>
