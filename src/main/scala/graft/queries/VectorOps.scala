@@ -203,7 +203,11 @@ object VectorOps {
     * — rows of the inverted lists, keyed by the list they belong to. */
   private[graft] def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val cs = cents.select(col("cid"), col("cq"), col("cn")).collect()
-    require(cs.nonEmpty, "assignCells: empty centroid table")
+    // empty quantizer (empty corpus) assigns nothing — the crossJoin
+    // form's semantics, which the degenerate-corpus sweep pins
+    if (cs.isEmpty)
+      return vecs.select(lit(0L).as("cid"), col("vec_id"), col("q"), col("nrm"))
+        .limit(0)
     val assign = graft.functions.VectorExpressions.nearestCentroid(
       col("q"), col("nrm"),
       cs.map(_.getLong(0)),
