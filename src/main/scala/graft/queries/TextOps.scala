@@ -497,24 +497,71 @@ object TextOps {
     * uncapped semantics. Selection and equality both use the md5 fold
     * ([[hex8]]) so the oracle replays the identical bottom-k sets and
     * intersection counts bit-for-bit. */
-  private def dd13(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleRows(documents(s, d))
+  /** The dd13 kernel with its production knobs exposed: `maxDf` is the
+    * hot-shingle cap — shingles whose document frequency exceeds it are
+    * excluded from CANDIDACY (both probe and index side; verification
+    * stays exact over the full shingle sets). A boilerplate shingle with
+    * a small hash sits in MANY documents' bottom-k, and its posting list
+    * is long — candidate volume through it is df²-shaped, which is
+    * exactly the measured super-linear term in the uncapped 10× probe
+    * (COVERAGE.md). The capped candidate set is DIFFERENT, not a subset:
+    * evicting boilerplate from a doc's bottom-k frees those probe slots
+    * for informative shingles (recall through distinctive content can
+    * improve while boilerplate fan-out disappears); scoring stays exact
+    * either way (ScalePathsSpec pins both). A doc composed ENTIRELY of
+    * df>cap shingles carries no dedup signal a frequency-capped index
+    * could use — the standard stop-shingle trade. */
+  private[graft] def containmentIndex(docs: DataFrame, probeK: Int,
+      maxDf: Option[Int], minHits: Int = 1): DataFrame = {
+    require(minHits >= 1 && minHits <= probeK,
+      s"minHits must be in [1, probeK], got $minHits")
+    val hashed = shingleRows(docs)
       .select(col("doc_id"), col("sz"), hex8(col("sh")).as("h"))
       .localCheckpoint(true) // one shingle pass feeds probes, index, verify
-    val distinctH = hashed.select(col("doc_id"), col("h")).distinct()
+    val distinctAll = hashed.select(col("doc_id"), col("h")).distinct()
+    // candidacy universe: df-capped when maxDf is set (df over distinct
+    // docs — one combinable count, the vocabulary-rollup shape)
+    val distinctH = maxDf match {
+      case None => distinctAll
+      case Some(cap) =>
+        distinctAll.join(
+          distinctAll.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select(col("h")),
+          Seq("h"), "left_semi")
+    }
     val probes = graft.operators.GroupedTopK.topK(
         distinctH.select(col("doc_id"), (-col("h")).cast("double").as("v"),
           col("h").as("id")),
-        "doc_id", "v", "id", PROBE_K)
+        "doc_id", "v", "id", probeK)
       .select(col("doc_id"), col("id").as("h"))
-    val cand = probes.as("p")
+    val hits = probes.as("p")
       .join(distinctH.as("x"), col("p.h") === col("x.h") &&
         col("p.doc_id") =!= col("x.doc_id"))
-      .select(least(col("p.doc_id"), col("x.doc_id")).as("d1"),
-        greatest(col("p.doc_id"), col("x.doc_id")).as("d2"))
+      .select(col("p.doc_id").as("pd"), col("x.doc_id").as("xd"))
+    // minHits is the candidate-VOLUME knob that keeps the recall
+    // guarantee: a contained doc's EVERY probe hash hits its container,
+    // so requiring m hits (per probing direction, m clipped to the doc's
+    // own probe count so short docs keep their guarantee) drops
+    // coincidence pairs sharing < m shingles without losing any true
+    // containment pair. At minHits = 1 the aggregate is a plain distinct.
+    val qualified =
+      if (minHits == 1) hits.distinct()
+      else {
+        val np = probes.groupBy(col("doc_id")).agg(count(lit(1)).as("__np"))
+        hits.groupBy(col("pd"), col("xd")).agg(count(lit(1)).as("__hits"))
+          .join(np.withColumnRenamed("doc_id", "pd"), Seq("pd"))
+          .filter(col("__hits") >= least(lit(minHits), col("__np")))
+          .select(col("pd"), col("xd"))
+      }
+    val cand = qualified
+      .select(least(col("pd"), col("xd")).as("d1"),
+        greatest(col("pd"), col("xd")).as("d2"))
       .distinct()
     containmentOf(interCountsHashed(hashed, cand))
   }
+
+  private def dd13(s: SparkSession, d: String): DataFrame =
+    containmentIndex(documents(s, d), PROBE_K, maxDf = None)
   private val dd13Sql =
     s"""WITH $shinglesCte,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

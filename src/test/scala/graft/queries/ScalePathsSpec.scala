@@ -27,6 +27,65 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
       rows(TextOps.contamination(docs)))
   }
 
+  test("containmentIndex df-cap: capped pairs are a subset; non-boilerplate containment survives; a loose cap changes nothing") {
+    import spark.implicits._
+    val all = TextOps.containmentIndex(docs, probeK = 8, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap far above any real df must be a no-op (the mitigation only
+    // changes the plan when skew exists)
+    val loose = TextOps.containmentIndex(docs, probeK = 8, maxDf = Some(1000000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == all)
+    // a tight cap yields a DIFFERENT candidate set, not a subset: hot
+    // fan-out disappears, but evicting boilerplate from a doc's bottom-k
+    // frees those probe slots for informative shingles, which can find
+    // pairs the uncapped probes never tried. What is invariant is the
+    // scoring: pairs in both sets carry identical exact containment
+    val cappedDf = TextOps.containmentIndex(docs, probeK = 8, maxDf = Some(3))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val allScores = TextOps.containmentIndex(docs, probeK = 8, maxDf = None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val shared = cappedDf.keySet intersect allScores.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(cappedDf(k) == allScores(k),
+      s"verification must be cap-independent for pair $k"))
+    // hand-built skew: one boilerplate shingle shared by every doc, one
+    // real containment pair — the cap kills the boilerplate fan-out but
+    // the contained doc's own distinctive shingles still find its
+    // container
+    val hot = (1L to 8L).map(i =>
+      (i, s"common boiler plate alpha_$i beta_$i gamma_$i delta_$i epsilon_$i"))
+    val pair = Seq(
+      (100L, "unique signal shingle trio here padding tokens tail"),
+      (101L, "unique signal shingle trio here padding tokens tail plus a much longer wrapper around the quoted body end"))
+    val corpus = (hot ++ pair).toDF("doc_id", "text")
+    val cappedPairs = TextOps.containmentIndex(corpus, probeK = 8, maxDf = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((100L, 101L)),
+      "df cap must not lose the real containment pair")
+    assert(!cappedPairs.exists { case (a, b) => a <= 8 && b <= 8 },
+      "boilerplate-only pairs must be gone under the cap")
+
+    // minHits: the volume knob with the recall guarantee — a contained
+    // doc's EVERY probe hash hits its container, so the real pair
+    // survives minHits=2 while pairs sharing a single shingle (the
+    // boilerplate-only pairs here share exactly one) vanish; on the real
+    // corpus the qualified set only ever shrinks as m grows
+    val m2 = TextOps.containmentIndex(corpus, probeK = 8, maxDf = None,
+        minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m2.contains((100L, 101L)),
+      "minHits must not lose the real containment pair")
+    assert(!m2.exists { case (a, b) => a <= 8 && b <= 8 },
+      "single-shared-shingle pairs must be gone under minHits=2")
+    val m1Corpus = TextOps.containmentIndex(docs, probeK = 8, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m3Corpus = TextOps.containmentIndex(docs, probeK = 8, maxDf = None,
+        minHits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m3Corpus.subsetOf(m1Corpus) && m3Corpus.size < m1Corpus.size)
+  }
+
   test("incrementalDupPairs == lshDedup restricted to pairs touching the batch") {
     val isNew = QueryUtils.hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
     val newIds = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
