@@ -560,8 +560,15 @@ object TextOps {
     containmentOf(interCountsHashed(hashed, cand))
   }
 
+  /** The gate pins minHits = 2 — the production configuration: the
+    * recall guarantee is construction-identical to minHits = 1 (every
+    * probe hash of a contained doc hits its container), and candidate
+    * volume drops ~5× (COVERAGE scaling table); the minHits = 1
+    * maximal-candidacy variant stays exercised by ScalePathsSpec. */
+  private val MIN_HITS = 2
   private def dd13(s: SparkSession, d: String): DataFrame =
-    containmentIndex(documents(s, d), PROBE_K, maxDf = None)
+    containmentIndex(documents(s, d), PROBE_K, maxDf = None,
+      minHits = MIN_HITS)
   private val dd13Sql =
     s"""WITH $shinglesCte,
        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -570,9 +577,13 @@ object TextOps {
        |p AS (SELECT doc_id, h FROM (
        |  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM dh)
        |  WHERE rn <= $PROBE_K),
-       |cand AS (SELECT DISTINCT least(p.doc_id, x.doc_id) AS d1,
-       |    greatest(p.doc_id, x.doc_id) AS d2
-       |  FROM p JOIN dh x ON p.h = x.h AND p.doc_id <> x.doc_id),
+       |np AS (SELECT doc_id, COUNT(*) AS np FROM p GROUP BY doc_id),
+       |hits AS (SELECT p.doc_id AS pd, x.doc_id AS xd, COUNT(*) AS nh
+       |  FROM p JOIN dh x ON p.h = x.h AND p.doc_id <> x.doc_id
+       |  GROUP BY p.doc_id, x.doc_id),
+       |cand AS (SELECT DISTINCT least(pd, xd) AS d1, greatest(pd, xd) AS d2
+       |  FROM hits JOIN np ON np.doc_id = hits.pd
+       |  WHERE nh >= least($MIN_HITS, np)),
        |i AS (SELECT d1, d2, COUNT(*) AS inter
        |  FROM cand JOIN hh a ON d1 = a.doc_id JOIN hh b ON d2 = b.doc_id AND a.h = b.h
        |  GROUP BY d1, d2)
