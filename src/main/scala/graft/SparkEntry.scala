@@ -44,7 +44,10 @@ import graft.queries.Catalog
   *    containment (dd11's scoring over pp02's maintained state), pp10
   *    incremental SemDedup (batch + affected rows over touched cells,
   *    dd10's oracle restricted), dd12 cross-modal dedup validation
-  *    (text pairs × embedding cosine), vs07 one exact
+  *    (text pairs × embedding cosine), dd13 containment-recall
+  *    candidate index (bottom-k sketch probes vs the shingle store,
+  *    minHits volume knob), pp12 its incremental twin (the pairs a
+  *    batch adds over the standing store + probe tables), vs07 one exact
   *    k-means step (assign → per-cell sums); pp03 sequence packing
   *    (distributed prefix sum), pp08 deterministic shard shuffle
   *    (+ graft.operators.Layout.writeShards), pp11 export carried to

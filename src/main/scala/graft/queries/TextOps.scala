@@ -511,12 +511,64 @@ object TextOps {
     * either way (ScalePathsSpec pins both). A doc composed ENTIRELY of
     * df>cap shingles carries no dedup signal a frequency-capped index
     * could use — the standard stop-shingle trade. */
+  /** The containment family's persisted shingle table: (doc_id, sz, h)
+    * with the md5 fold for BOTH bottom-k selection order and
+    * intersection equality, so the oracle replays selection and
+    * verification bit-for-bit ([[shingleStore]] is the LSH family's
+    * xxhash64 twin — different flows, different standing hash). */
+  private[graft] def containmentStore(docs: DataFrame): DataFrame =
+    shingleRows(docs).select(col("doc_id"), col("sz"), hex8(col("sh")).as("h"))
+
+  /** Each doc's `probeK` smallest DISTINCT shingle folds — the bottom-k
+    * sketch, bounded-buffer aggregated (never a corpus window). Input is
+    * a (doc_id, h)-distinct frame, so ties cannot occur and the set is
+    * fully deterministic. */
+  private[graft] def bottomKProbes(dh: DataFrame, probeK: Int): DataFrame =
+    graft.operators.GroupedTopK.topK(
+        dh.select(col("doc_id"), (-col("h")).cast("double").as("v"),
+          col("h").as("id")),
+        "doc_id", "v", "id", probeK)
+      .select(col("doc_id"), col("id").as("h"))
+
+  /** Directed candidate qualification: (pd, xd) rows where probing doc
+    * `pd` lands ≥ min(minHits, its own probe count) of its probe hashes
+    * in `xd`'s distinct-shingle set. minHits is the candidate-VOLUME
+    * knob that keeps the recall guarantee: a contained doc's EVERY probe
+    * hash hits its container, so the threshold (clipped per doc so short
+    * docs keep their guarantee) drops coincidence pairs sharing < m
+    * shingles without losing any true containment pair. `npSource`
+    * exists for the incremental advance: when `probes` is a PRUNED slice
+    * of a standing probe table, the clip must still count the FULL probe
+    * set (a pruned count would lower the threshold and qualify pairs the
+    * full computation rejects). */
+  private def qualifiedPairs(probes: DataFrame, index: DataFrame,
+      minHits: Int, npSource: Option[DataFrame] = None): DataFrame = {
+    val hits = probes.as("p")
+      .join(index.as("x"), col("p.h") === col("x.h") &&
+        col("p.doc_id") =!= col("x.doc_id"))
+      .select(col("p.doc_id").as("pd"), col("x.doc_id").as("xd"))
+    if (minHits == 1) hits.distinct()
+    else {
+      val np = npSource.getOrElse(probes)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("__np"))
+      hits.groupBy(col("pd"), col("xd")).agg(count(lit(1)).as("__hits"))
+        .join(np.withColumnRenamed("doc_id", "pd"), Seq("pd"))
+        .filter(col("__hits") >= least(lit(minHits), col("__np")))
+        .select(col("pd"), col("xd"))
+    }
+  }
+
+  private def undirected(qualified: DataFrame): DataFrame =
+    qualified
+      .select(least(col("pd"), col("xd")).as("d1"),
+        greatest(col("pd"), col("xd")).as("d2"))
+      .distinct()
+
   private[graft] def containmentIndex(docs: DataFrame, probeK: Int,
       maxDf: Option[Int], minHits: Int = 1): DataFrame = {
     require(minHits >= 1 && minHits <= probeK,
       s"minHits must be in [1, probeK], got $minHits")
-    val hashed = shingleRows(docs)
-      .select(col("doc_id"), col("sz"), hex8(col("sh")).as("h"))
+    val hashed = containmentStore(docs)
       .localCheckpoint(true) // one shingle pass feeds probes, index, verify
     val distinctAll = hashed.select(col("doc_id"), col("h")).distinct()
     // candidacy universe: df-capped when maxDf is set (df over distinct
@@ -529,35 +581,55 @@ object TextOps {
             .filter(col("__df") <= cap).select(col("h")),
           Seq("h"), "left_semi")
     }
-    val probes = graft.operators.GroupedTopK.topK(
-        distinctH.select(col("doc_id"), (-col("h")).cast("double").as("v"),
-          col("h").as("id")),
-        "doc_id", "v", "id", probeK)
-      .select(col("doc_id"), col("id").as("h"))
-    val hits = probes.as("p")
-      .join(distinctH.as("x"), col("p.h") === col("x.h") &&
-        col("p.doc_id") =!= col("x.doc_id"))
-      .select(col("p.doc_id").as("pd"), col("x.doc_id").as("xd"))
-    // minHits is the candidate-VOLUME knob that keeps the recall
-    // guarantee: a contained doc's EVERY probe hash hits its container,
-    // so requiring m hits (per probing direction, m clipped to the doc's
-    // own probe count so short docs keep their guarantee) drops
-    // coincidence pairs sharing < m shingles without losing any true
-    // containment pair. At minHits = 1 the aggregate is a plain distinct.
-    val qualified =
-      if (minHits == 1) hits.distinct()
-      else {
-        val np = probes.groupBy(col("doc_id")).agg(count(lit(1)).as("__np"))
-        hits.groupBy(col("pd"), col("xd")).agg(count(lit(1)).as("__hits"))
-          .join(np.withColumnRenamed("doc_id", "pd"), Seq("pd"))
-          .filter(col("__hits") >= least(lit(minHits), col("__np")))
-          .select(col("pd"), col("xd"))
-      }
-    val cand = qualified
-      .select(least(col("pd"), col("xd")).as("d1"),
-        greatest(col("pd"), col("xd")).as("d2"))
-      .distinct()
+    val cand = undirected(
+      qualifiedPairs(bottomKProbes(distinctH, probeK), distinctH, minHits))
     containmentOf(interCountsHashed(hashed, cand))
+  }
+
+  /** One containment-index advance, everything a maintenance loop
+    * appends: the batch's scored new pairs, its store rows, its probe
+    * rows (the [[graft.queries.TextOps.containmentStore]] /
+    * [[bottomKProbes]] shapes the standing tables hold). */
+  private[graft] final case class ContainmentAdvance(
+      pairs: DataFrame, store: DataFrame, probes: DataFrame)
+
+  /** pp12's advance kernel: the containment pairs a batch ADDS, against
+    * the standing containment store — dd13 over the full corpus
+    * restricted to pairs touching the batch (a pair's score never
+    * changes once both docs exist, so the standing pair set only grows;
+    * ScalePathsSpec pins the equality). Candidates come from both
+    * probing directions: (1) the batch's bottom-k probes against the
+    * union index — O(batch × k) probe rows; (2) the STANDING probe
+    * table, pruned by broadcast semi-join to hashes the batch actually
+    * contains, against the batch's index — the only standing-sized read,
+    * and it is an id-pruned scan of a table that is k rows per doc to
+    * begin with (np clipping still counts each standing doc's FULL probe
+    * set via `npSource`, see [[qualifiedPairs]]). Verification touches
+    * only the candidate pairs' own shingle sets, read from standing
+    * store + batch rows. */
+  private[graft] def containmentIndexAdvance(standingStore: DataFrame,
+      standingProbes: DataFrame, batchDocs: DataFrame,
+      probeK: Int, minHits: Int): ContainmentAdvance = {
+    val batchStore = containmentStore(batchDocs).localCheckpoint(true)
+    val batchDH = batchStore.select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint(true)
+    val standingDH = standingStore.select(col("doc_id"), col("h")).distinct()
+    val batchProbes = bottomKProbes(batchDH, probeK).localCheckpoint(true)
+    // direction 1: the batch probes the whole (standing ∪ batch) index
+    val q1 = qualifiedPairs(batchProbes, standingDH.unionByName(batchDH),
+      minHits)
+    // direction 2: standing docs probe the batch — the standing probe
+    // table pruned to the batch's hash set first (hits through hashes
+    // the batch lacks cannot exist, and np clipping is exempted from the
+    // prune via npSource)
+    val prunedStanding = standingProbes.join(
+      broadcast(batchDH.select(col("h")).distinct()), Seq("h"), "left_semi")
+    val q2 = qualifiedPairs(prunedStanding, batchDH, minHits,
+      npSource = Some(standingProbes))
+    val cand = undirected(q1.unionByName(q2))
+    val pairs = containmentOf(
+      interCountsHashed(standingStore.unionByName(batchStore), cand))
+    ContainmentAdvance(pairs, batchStore, batchProbes)
   }
 
   /** The gate pins minHits = 2 — the production configuration: the
@@ -1540,6 +1612,51 @@ object TextOps {
        |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
        |ORDER BY i.d1, i.d2""".stripMargin
 
+  /** pp12 — incremental CONTAINMENT-INDEX maintenance: dd13's bottom-k
+    * sketch flow given the standing-state treatment the rest of the
+    * dedup family has (pp02 index, pp04 clusters, pp09 containment
+    * scoring, pp10 SemDedup). Same 80/20 split: the 80% derives the
+    * standing containment store + probe table (persisted, append-only —
+    * a doc's store and probe rows never change once written), the 20%
+    * arrives as the batch, and the advance emits exactly the pairs the
+    * batch ADDS — dd13 over the full corpus restricted to pairs
+    * touching the batch, which is the full delta because a pair's exact
+    * containment score is immutable once both docs exist. */
+  private def pp12(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val standingStore = localMaterialize(containmentStore(docs.filter(!isNew)))
+    val standingProbes = localMaterialize(bottomKProbes(
+      standingStore.select(col("doc_id"), col("h")).distinct(), PROBE_K))
+    containmentIndexAdvance(standingStore, standingProbes,
+      docs.filter(isNew), PROBE_K, MIN_HITS).pairs
+  }
+  private val pp12Sql =
+    s"""WITH $shinglesCte,
+       |newids AS (SELECT doc_id FROM documents
+       |  WHERE ${hex8Sql("'inc:' || CAST(doc_id AS VARCHAR)")} % 5 = 0),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |hh AS (SELECT doc_id, ${hex8Sql("s")} AS h FROM sh),
+       |dh AS (SELECT DISTINCT doc_id, h FROM hh),
+       |p AS (SELECT doc_id, h FROM (
+       |  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM dh)
+       |  WHERE rn <= $PROBE_K),
+       |np AS (SELECT doc_id, COUNT(*) AS np FROM p GROUP BY doc_id),
+       |hits AS (SELECT p.doc_id AS pd, x.doc_id AS xd, COUNT(*) AS nh
+       |  FROM p JOIN dh x ON p.h = x.h AND p.doc_id <> x.doc_id
+       |  GROUP BY p.doc_id, x.doc_id),
+       |cand AS (SELECT DISTINCT least(pd, xd) AS d1, greatest(pd, xd) AS d2
+       |  FROM hits JOIN np ON np.doc_id = hits.pd
+       |  WHERE nh >= least($MIN_HITS, np)),
+       |candn AS (SELECT d1, d2 FROM cand
+       |  WHERE d1 IN (SELECT doc_id FROM newids) OR d2 IN (SELECT doc_id FROM newids)),
+       |i AS (SELECT d1, d2, COUNT(*) AS inter
+       |  FROM candn JOIN hh a ON d1 = a.doc_id JOIN hh b ON d2 = b.doc_id AND a.h = b.h
+       |  GROUP BY d1, d2)
+       |SELECT d1, d2, CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+       |FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
   /** pp03 — sequence packing (concat-then-chunk): where each document
     * lands when the corpus is concatenated in doc_id order and split into
     * fixed 512-token training sequences — start offset, first/last chunk,
@@ -1685,6 +1802,7 @@ object TextOps {
     Q("dd13_containment_index", "containment-recall candidates: bottom-k sketch probes vs the shingle index, exact-scored", dd13, Some(dd13Sql)),
     Q("pp08_shard_shuffle", "deterministic training-shard assignment + within-shard hash order (RNG-free corpus shuffle)", pp08, Some(pp08Sql)),
     Q("pp09_incremental_containment", "incremental containment maintenance: dd11's scoring over pp02's maintained state", pp09, Some(pp09Sql)),
+    Q("pp12_incremental_containment_index", "incremental bottom-k containment index: the pairs a batch adds over the standing store", pp12, Some(pp12Sql)),
     Q("pp11_export_sharded", "pp01's export carried to training-ready delivery: train split + shard + within-shard order", pp11, Some(pp11Sql)),
   )
 }

@@ -397,6 +397,61 @@ object Streams {
     emptyDf(spark, "doc_id" -> LongType, "sz" -> IntegerType, "h" -> LongType)
   }
 
+  /** dd13's continuous twin: CONTINUOUS containment-index maintenance.
+    * Standing tables, all append-only: `storeTable` (doc_id, sz, h — the
+    * md5-fold containment store), `probeTable` (doc_id, h — each doc's
+    * bottom-k sketch; a doc's probes never change once written),
+    * `pairsTable` (the scored pair log: a pair's exact containment is
+    * immutable once both docs exist, and every pair is emitted by
+    * exactly the batch that completes it — [[containmentPairsSnapshot]]
+    * == the batch dd13 over everything arrived), `docTable` (the shared
+    * redelivery guard, advanced LAST). Crash anywhere → the replay
+    * recomputes byte-identical pairs: the advance is a pure function of
+    * (standing tables, fresh), the standing reads are guarded against
+    * the batch's own partial writes (store and probe reads minus fresh
+    * ids — the [[advanceBandIndex]] exclusion: un-excluded, a
+    * redelivered doc's store rows would double `inter`, and its probe
+    * rows would double hit counts past the minHits threshold), and the
+    * store/probe appends carry their own per-table id guard. Consumers
+    * read pairs through distinct(), the documented recovery of every
+    * pair log here. Per-batch work: batch shingling, k probe rows per
+    * batch doc, the broadcast-pruned standing-probe slice, and
+    * candidate-pair verification — O(batch + hits), nothing
+    * corpus-shaped. */
+  def maintainContainmentIndex(batch: DataFrame, storeTable: String,
+      probeTable: String, pairsTable: String, docTable: String,
+      probeK: Int = 8, minHits: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val fresh = freshAgainst(batch, docTable)
+    val freshIds = fresh.select(col("doc_id"))
+    val store = tryRead(spark, storeTable).getOrElse(emptyShingleStore(spark))
+      .join(broadcast(freshIds), Seq("doc_id"), "left_anti")
+    val probes = tryRead(spark, probeTable).getOrElse(emptyProbes(spark))
+      .join(broadcast(freshIds), Seq("doc_id"), "left_anti")
+    val adv = graft.queries.TextOps.containmentIndexAdvance(
+      store, probes, fresh, probeK, minHits)
+    adv.pairs.write.mode("append").parquet(pairsTable)
+    appendNewBy(adv.store, storeTable, "doc_id")
+    appendNewBy(adv.probes, probeTable, "doc_id")
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  private def emptyProbes(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    emptyDf(spark, "doc_id" -> LongType, "h" -> LongType)
+  }
+
+  /** The current containment pair list under the maintained log —
+    * dd13's shape over every doc arrived (pairs are immutable facts;
+    * distinct() is the at-least-once recovery). */
+  def containmentPairsSnapshot(spark: SparkSession,
+      pairsTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, pairsTable).getOrElse(emptyDf(spark,
+        "d1" -> LongType, "d2" -> LongType, "containment" -> DoubleType))
+      .distinct().orderBy(col("d1"), col("d2"))
+  }
+
   /** pp04's continuous twin: CLUSTER state maintained per micro-batch.
     * Standing tables: `labelsTable` (doc_id, component — labels as
     * assigned when each doc arrived), `bucketTable` (bucket, component —

@@ -86,6 +86,26 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     assert(m3Corpus.subsetOf(m1Corpus) && m3Corpus.size < m1Corpus.size)
   }
 
+  test("containmentIndexAdvance == containmentIndex restricted to pairs touching the batch") {
+    import spark.implicits._
+    // arbitrary split (not the gate's fold) — the advance must hold for
+    // any partition of the corpus into standing + batch
+    val isNew = $"doc_id" % 7 === 0
+    val old = docs.filter(!isNew)
+    val standingStore = TextOps.containmentStore(old).localCheckpoint(true)
+    val standingProbes = TextOps.bottomKProbes(
+      standingStore.select($"doc_id", $"h").distinct(), 8)
+    val inc = TextOps.containmentIndexAdvance(standingStore, standingProbes,
+        docs.filter(isNew), probeK = 8, minHits = 2).pairs
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val newIds = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = TextOps.containmentIndex(docs, probeK = 8, maxDf = None, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => newIds(t._1) || newIds(t._2)).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("incrementalDupPairs == lshDedup restricted to pairs touching the batch") {
     val isNew = QueryUtils.hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
     val newIds = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet

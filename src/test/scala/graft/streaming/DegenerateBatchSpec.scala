@@ -34,6 +34,8 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
       Streams.maintainSpanState(b, s"$root/grams", s"$root/counts",
         s"$root/report", s"$root/docs3")
       Streams.maintainVocabState(b, s"$root/vocab", s"$root/docs4")
+      Streams.maintainContainmentIndex(b, s"$root/cstore", s"$root/cprobes",
+        s"$root/cpairs", s"$root/docs5")
     }
     // the real row's content advanced; the degenerate rows contributed
     // nothing but also broke nothing
@@ -43,6 +45,9 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
     // the 3-word doc has no word-8-grams, so an empty report is correct —
     // the pin is that the snapshot remains readable after the advances
     assert(Streams.spanSnapshot(spark, s"$root/report").count() == 0)
+    // a lone 3-word doc has one shingle and no partner — empty pair log,
+    // snapshot still readable
+    assert(Streams.containmentPairsSnapshot(spark, s"$root/cpairs").count() == 0)
   }
 
   test("vector-flow maintainer survives zero vectors and empty batches") {
