@@ -110,7 +110,7 @@ object ScaleProbe {
       "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
       "pp06_incremental_spans", "pp07_incremental_vocab",
       "pp09_incremental_containment", "dd11_containment",
-      "dd13_containment_index",
+      "dd13_containment_index", "pp12_incremental_containment_index",
       "vs04_ann_lsh", "vs06_ivf_search", "vs07_kmeans_step",
       "pp05_incremental_ivf", "dd10_semantic_dedup", "pp10_incremental_semdedup")
     def run(name: String, dir: String): Double = {

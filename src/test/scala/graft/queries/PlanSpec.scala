@@ -570,4 +570,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"agg exchange ships detail rows: $payload")
     }
   }
+
+  test("dd13: no exchange ships text or raw shingles; probes are a bounded aggregate; no cartesian") {
+    val d = df("dd13_containment_index")
+    d.collect()
+    val ns = nodes(d)
+    // the shingle strings fold to 8-byte h in the scan's projection — no
+    // exchange anywhere in the plan may carry the body or a shingle
+    // string (the index, probe, candidate and verify stages all move
+    // (doc_id, h)-shaped rows)
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text") && !p.contains("sh"),
+        s"exchange ships text/shingles: $p"))
+    // the bottom-k probe set is the bounded-buffer aggregator, never a
+    // per-doc window sort over the corpus-sized shingle table
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    // candidate generation and verification join on the 8-byte fold
+    assert(equiJoinKeys(d).exists(_.contains("h")))
+  }
+
+  test("pp12: advance keeps dd13's contracts; standing-probe prune is a broadcast") {
+    val d = df("pp12_incremental_containment_index")
+    d.collect()
+    val ns = nodes(d)
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text") && !p.contains("sh"),
+        s"exchange ships text/shingles: $p"))
+    // the standing probe table meets the batch's hash set via a
+    // broadcast (the batch side is small by contract) — shuffling the
+    // standing probes to meet a batch would be a corpus-sized exchange
+    // per advance
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
