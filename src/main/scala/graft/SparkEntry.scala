@@ -52,11 +52,13 @@ import graft.queries.Catalog
   *    (distributed prefix sum), pp08 deterministic shard shuffle
   *    (+ graft.operators.Layout.writeShards), pp11 export carried to
   *    training-ready delivery (pp01 + split + shard + order);
-  *    ta01–ta11
+  *    pp13 incremental bigram-LM maintenance (additive counts, KN
+  *    continuation recomputed vocab-bounded — ta09's oracle verbatim);
+  *    ta01–ta12
   *    (lang-ID, quality, tokens, fingerprint, repetition metrics, PII
   *    redaction, corpus vocabulary, BPE pair counts, bigram LM +
   *    continuation counts, top-1k vocab coverage, sliding-window
-  *    chunking); sa01–sa04
+  *    chunking, rare-bigram LM quality filter); sa01–sa04
   *    deterministic hash sampling + domain mix + train/val/test split
   *    (native md5_fold32 expression); q39 band join (graft.operators.BandJoin);
   *    q43 grouped top-k (graft.operators.GroupedTopK bounded-buffer
@@ -65,7 +67,10 @@ import graft.queries.Catalog
   *    frame sampling); vs01 brute-force ANN, vs02 embedding near-dup,
   *    vs03 cluster stats, vs04 LSH ANN (graft.operators.Ann, native
   *    quantized_dot codegen expression, md5-derived integer hyperplanes),
-  *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids)
+  *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids),
+  *    vs08 product-quantization ANN (8×8 codebook encode +
+  *    asymmetric-distance table lookups — the vector-compression scale
+  *    path beside vs04/vs06's candidate pruning)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

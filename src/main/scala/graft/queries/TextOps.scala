@@ -1014,18 +1014,111 @@ object TextOps {
     * w2 window exchange is vocab-bounded, its per-key groups are one
     * word's continuation set, and the top-100 plans as
     * TakeOrderedAndProject. Ties break on the bigram string. */
-  private def ta09(s: SparkSession, d: String): DataFrame = {
+  private def ta09(s: SparkSession, d: String): DataFrame =
+    lmTop(bigramCounts(documents(s, d)))
+
+  /** Per-bigram occurrence counts over a document set — ta09's kernel,
+    * shared with the incremental flow (pp13 /
+    * [[graft.streaming.Streams.maintainLmState]]): the count is PURELY
+    * ADDITIVE across doc-disjoint splits (an occurrence sum, nothing
+    * distinct-counted), which is what lets bigram-LM state advance per
+    * batch without corpus rescans. One map-side-combinable shuffle; the
+    * output is vocab²-bounded, not corpus-sized. */
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(Text.wordNGrams(Text.tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+
+  /** ta09's final assembly over an aggregated (bigram, n) table: the KN
+    * continuation count (distinct left contexts per right word — a window
+    * count over the ALREADY-AGGREGATED table, one row per distinct pair,
+    * never a count-distinct on the raw stream) and the top-100 as
+    * TakeOrderedAndProject. Tokens contain no spaces (they come from
+    * splitting on it), so the bigram splits back into exactly two words
+    * on both engines. */
+  private[graft] def lmTop(bi: DataFrame, n: Int = 100): DataFrame =
+    bi.withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .withColumn("cont", count(lit(1)).over(Window.partitionBy(col("w2"))))
+      .select(col("bigram"), col("n"), col("cont"))
+      .orderBy(col("n").desc, col("bigram")).limit(n)
+
+  /** pp13 — INCREMENTAL bigram-LM maintenance, ta09's incremental twin
+    * (the second counts-shaped member of the standing-state family,
+    * beside pp07): the standing state is the per-bigram count table,
+    * purely additive across doc-disjoint batches, so the advance is one
+    * batch-sized [[bigramCounts]] pass summed in — no standing read, not
+    * even a probe. The NON-additive part of ta09 — the KN continuation
+    * count — is deliberately NOT maintained: it is a window over the
+    * already-aggregated vocab²-bounded table, so the snapshot recomputes
+    * it from the merged counts in vocab-bounded work (maintaining it
+    * incrementally would need per-w2 distinct-context state for zero
+    * asymptotic win). The gate replays production: the 80% split derives
+    * the standing counts, the 20% batch advances them, and the top-100
+    * must equal ta09 over the FULL corpus — the oracle is ta09's,
+    * verbatim. [[graft.streaming.Streams.maintainLmState]] is the
+    * continuous loop (batch_key idempotence for at-least-once
+    * redelivery). */
+  private def pp13(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bi = documents(s, d)
-      .select(explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("bigram"))
-      .groupBy($"bigram").agg(count(lit(1)).as("n"))
-    // tokens contain no spaces (they come from splitting on it), so the
-    // bigram splits back into exactly two words on both engines
-    bi.withColumn("w2", element_at(split($"bigram", " "), 2))
-      .withColumn("cont", count(lit(1)).over(Window.partitionBy($"w2")))
-      .select($"bigram", $"n", $"cont")
-      .orderBy($"n".desc, $"bigram").limit(100)
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("lm:"), $"doc_id".cast("string"))) % 5 === 0
+    val standing = bigramCounts(docs.filter(!isNew)).localCheckpoint(true)
+    lmTop(standing.unionByName(bigramCounts(docs.filter(isNew)))
+      .groupBy($"bigram").agg(sum($"n").as("n")))
   }
+
+  /** ta12 — LM-count quality filter: per-document rare-bigram rate, the
+    * exactly-verifiable core of perplexity filtering (a CCNet-style
+    * filter scores each doc under a corpus LM and drops outliers; the
+    * score's count-table part — how often does the corpus support each of
+    * the doc's transitions — is integer-exact, while the log-space sum a
+    * literal perplexity takes over those counts is engine-divergent FP,
+    * so the gate pins the former and the latter is a trivial per-row map
+    * on top in production). Per doc: total bigram occurrences, occurrences
+    * whose corpus-wide count is ≤ 2 (rare transitions — high share means
+    * unusual/garbled text), their ratio (ONE double division of two exact
+    * longs, IEEE-identical on both engines), and the keep verdict at the
+    * 0.5 threshold. 100 TB shape: the corpus appears in exactly ONE
+    * scan and ONE shuffle — the per-(doc, bigram) rollup with map-side
+    * combine, MATERIALIZED once (eager checkpoint here; a persisted
+    * table in production) and fanned out to both consumers: the LM table
+    * is a second-order rollup OF it (bigram-keyed, vocab²-bounded) and
+    * the join back is bigram-keyed (vocab²-vs-docs, NOT broadcast: a
+    * corpus-wide bigram table outgrows a broadcast at scale, unlike
+    * ta10's fixed top-1k). The explicit materialization is load-bearing,
+    * not a convenience: Catalyst compiles a dual-consumed subplan as two
+    * corpus scans, and exchange reuse cannot dedupe them because column
+    * pruning diverges the two consumers' rollup outputs (measured —
+    * PlanSpec pins the materialize-once shape instead). Docs with < 2
+    * tokens have no bigrams and are absent on both sides (ta10's
+    * convention). */
+  private def ta12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = documents(s, d)
+      .select($"doc_id", explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val lm = m.groupBy($"bigram").agg(sum($"m").as("n"))
+    m.join(lm, Seq("bigram"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        sum(when($"n" <= 2L, $"m").otherwise(0L)).as("n_rare"))
+      .withColumn("rare_rate",
+        $"n_rare".cast("double") / $"n_bigrams".cast("double"))
+      .withColumn("keep", $"rare_rate" <= 0.5)
+      .orderBy($"doc_id")
+  }
+  private val ta12Sql =
+    """WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+      |b AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
+      |m AS (SELECT doc_id, bigram, COUNT(*) AS m FROM b GROUP BY doc_id, bigram),
+      |lm AS (SELECT bigram, CAST(SUM(m) AS BIGINT) AS n FROM m GROUP BY bigram),
+      |d AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS n_bigrams,
+      |        CAST(SUM(CASE WHEN lm.n <= 2 THEN m.m ELSE 0 END) AS BIGINT) AS n_rare
+      |      FROM m JOIN lm USING (bigram) GROUP BY m.doc_id)
+      |SELECT doc_id, n_bigrams, n_rare,
+      |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_rate,
+      |  (CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) <= 0.5 AS keep
+      |FROM d ORDER BY doc_id""".stripMargin
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -1804,5 +1897,7 @@ object TextOps {
     Q("pp09_incremental_containment", "incremental containment maintenance: dd11's scoring over pp02's maintained state", pp09, Some(pp09Sql)),
     Q("pp12_incremental_containment_index", "incremental bottom-k containment index: the pairs a batch adds over the standing store", pp12, Some(pp12Sql)),
     Q("pp11_export_sharded", "pp01's export carried to training-ready delivery: train split + shard + within-shard order", pp11, Some(pp11Sql)),
+    Q("pp13_incremental_lm", "incremental bigram-LM maintenance: summed standing + batch counts equal full-corpus ta09", pp13, Some(ta09Sql)),
+    Q("ta12_lm_quality_filter", "per-doc rare-bigram rate under the corpus LM + keep verdict (perplexity-filter core)", ta12, Some(ta12Sql)),
   )
 }

@@ -559,6 +559,95 @@ object VectorOps {
        |FROM d GROUP BY cid, i ORDER BY cid, dim""".stripMargin
   }
 
+  /** vs08 — product-quantization ANN (ADC search): the memory-side scale
+    * path that completes the ANN family (vs01 brute force, vs04 LSH, vs06
+    * IVF prune the CANDIDATE set; PQ compresses the VECTORS themselves).
+    * The 64-dim quantized vector is cut into M=8 subspaces of 8 dims;
+    * each subspace has a codebook (the 8 fixed [[ivfCentroids]]
+    * subvectors — deterministic and SQL-expressible, fixed the way a
+    * trained PQ codebook is) and every vector is ENCODED as its 8 nearest
+    * codeword ids: 512 bytes of longs become 8 small codes, the
+    * compression that lets a 100 TB corpus's index live in RAM. A query
+    * precomputes one 64-entry distance table (exact integer L2² to every
+    * codeword — asymmetric distance: the query stays uncompressed), and a
+    * candidate's distance is 8 TABLE LOOKUPS (one per subspace) instead
+    * of 64 multiply-adds — Σₛ dtab[s][code_s], an exact BIGINT, so the
+    * whole gate is integer arithmetic with NO floating point anywhere.
+    * Plan shape: encoding and scoring are ROW-LOCAL against the literal
+    * codebook (assignCells' convention — the codebook is driver-sized by
+    * construction; loop bounds live in data, not in the expression tree,
+    * so generated code stays CONSTANT-size in the codebook — the Janino
+    * lesson from NearestCentroid's Scaladoc); the 10 queries broadcast
+    * with their tables; top-5 per query via the bounded-buffer
+    * [[graft.operators.GroupedTopK]] (value = −adist, so (v DESC, id)
+    * replays the oracle's (adist ASC, neighbor_id) exactly — integer
+    * distances are exact in double). Approximate by construction
+    * (distances are to the candidate's RECONSTRUCTION); the oracle
+    * replays the same encode/lookup decisions bit-for-bit. */
+  private def vs08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e).orderBy(col("cid")).collect()
+    if (cents.isEmpty)
+      return e.select($"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
+        lit(1).as("rank"), lit(0L).as("adist")).limit(0)
+    val subDims = 8
+    val m = 64 / subDims // subspaces
+    val nCodes = cents.length
+    // codebook(s)(c) = centroid c's dims [s·8, s·8+8) — codes ordered by
+    // cid, so "first minimum" ties break to the lowest code on both sides
+    val codebook: IndexedSeq[Seq[Seq[Long]]] = (0 until m).map { sp =>
+      cents.toSeq.map(_.getSeq[Long](1).slice(sp * subDims, sp * subDims + subDims))
+    }
+    // exact integer L2² of a subvector against each codeword of one
+    // subspace: array of nCodes BIGINTs, row-local, constant codegen size
+    def dists(sp: Int, vec: Column): Column =
+      transform(typedLit(codebook(sp)), w =>
+        aggregate(zip_with(slice(vec, sp * subDims + 1, subDims), w,
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    val codeCols = (0 until m).map(sp =>
+      array_position(dists(sp, $"q"), array_min(dists(sp, $"q"))) - 1L)
+    val enc = e.select($"vec_id", array(codeCols: _*).as("codes"))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"),
+        flatten(array((0 until m).map(sp => dists(sp, $"q")): _*)).as("dtab"))
+    val adist = (0 until m).map(sp =>
+      element_at($"dtab",
+        (lit(sp * nCodes) + element_at($"codes", sp + 1) + 1L).cast("int")))
+      .reduce(_ + _)
+    val scored = broadcast(queries).join(enc, $"query_id" =!= $"vec_id")
+      .select($"query_id", (-adist).cast("double").as("nd"), $"vec_id")
+    graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", 5)
+      .select($"query_id", $"id".as("neighbor_id"), $"rank",
+        (-$"v").cast("long").as("adist"))
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs08Sql =
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq FROM n WHERE vec_id < 8),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |e0 AS (SELECT n.vec_id, sub.s, c.cid,
+       |    CAST(list_sum([(n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
+       |                   * (n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS d
+       |  FROM n CROSS JOIN sub CROSS JOIN c),
+       |enc AS (SELECT vec_id, s, cid AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |    FROM e0) WHERE rn = 1),
+       |qt AS (SELECT vec_id AS query_id, s, cid, d FROM e0
+       |       WHERE vec_id >= 10 AND vec_id < 20),
+       |s2 AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+       |         CAST(SUM(qt.d) AS BIGINT) AS adist
+       |       FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.cid
+       |                       AND enc.vec_id <> qt.query_id
+       |       GROUP BY qt.query_id, enc.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -567,6 +656,7 @@ object VectorOps {
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
+    Q("vs08_pq_search", "product-quantization ANN: 8x8 codebook encode + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
     Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),

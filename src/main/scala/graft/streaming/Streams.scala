@@ -1114,6 +1114,67 @@ object Streams {
     compactDeltas(spark, vocabTable, Seq("tok"), Seq("df", "cf"),
       docTable, "doc_id")
 
+  /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
+    * second counts-shaped member of the standing-state family, with
+    * [[maintainVocabState]]'s contract verbatim: per-bigram occurrence
+    * counts are PURELY ADDITIVE across doc-disjoint batches
+    * ([[graft.queries.TextOps.bigramCounts]] — a sum, no count-distinct),
+    * so a batch advances the state with ONE batch-sized counting pass
+    * appended as a delta, no standing read at all. The KN continuation
+    * count is deliberately NOT maintained (it is a window over the
+    * already-aggregated vocab²-bounded table — [[lmSnapshot]] recomputes
+    * it from the merged counts; see pp13's Scaladoc). At-least-once
+    * safety: doc store as guard (appended LAST), deterministic batch_key
+    * (min doc_id), byte-identical replay rows, snapshot dedup on
+    * (batch_key, bigram); [[compactLm]] folds the delta table to O(vocab²)
+    * rows on the maintenance cadence. */
+  def maintainLmState(batch: DataFrame, lmTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    lmDelta(fresh, batchKey).write.mode("append").parquet(lmTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The per-bigram delta rows of one batch — the exact rows
+    * [[maintainLmState]] appends, shared with the crash-simulation spec
+    * (same drift-pinning reason as [[vocabDelta]]). */
+  private[graft] def lmDelta(fresh: DataFrame, batchKey: Long): DataFrame =
+    graft.queries.TextOps.bigramCounts(fresh)
+      .select(lit(batchKey).as("batch_key"), col("bigram"), col("n"))
+
+  /** [[maintainLmState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def lmStateStream(docs: DataFrame, lmTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainLmState(b, lmTable, docTable))
+      .start()
+
+  /** The current top-100 bigram LM (with KN continuation counts) under
+    * the maintained delta table — ta09's exact shape over every doc that
+    * has arrived. Duplicate delta rows from redelivered batches collapse
+    * on (batch_key, bigram) before the sum. */
+  def lmSnapshot(spark: SparkSession, lmTable: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.queries.TextOps.lmTop(
+      tryRead(spark, lmTable).getOrElse(emptyDf(spark,
+          "batch_key" -> LongType, "bigram" -> StringType, "n" -> LongType))
+        .dropDuplicates("batch_key", "bigram")
+        .groupBy(col("bigram")).agg(sum(col("n")).as("n")),
+      topN)
+  }
+
+  /** Compact the LM deltas to one row per bigram; `docTable` is the
+    * flow's guard. */
+  def compactLm(spark: SparkSession, lmTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, lmTable, Seq("bigram"), Seq("n"),
+      docTable, "doc_id")
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */

@@ -400,6 +400,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     noTextPayload(exchangePayloads(d))
   }
 
+  test("vs08: encode and ADC lookups are row-local — no vector ever shuffled, no window; top-k is the bounded aggregator") {
+    val d = df("vs08_pq_search")
+    d.collect()
+    val ns = nodes(d)
+    // the 10 queries broadcast WITH their 64-entry distance tables (that
+    // payload is the point of ADC); the candidates meet them in a
+    // broadcast nested-loop on the <> condition — never a cartesian —
+    // and every SHUFFLE carries only GroupedTopK's bounded buffers: the
+    // quantized vector, the code array and the distance table must not
+    // cross a shuffle wire
+    assert(ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!hashShuffleKeys(d).contains(Set("vec_id")),
+      "encoding reintroduced a per-vector shuffle")
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("embedding")
+        && !p.contains("codes") && !p.contains("dtab"),
+        s"shuffle ships per-vector payload: $p"))
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
   test("pp05: search over maintained postings keeps vs06's plan contract") {
     val d = df("pp05_incremental_ivf")
     d.collect()
@@ -487,6 +510,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       case _ => false
     })
     assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    noTextPayload(exchangePayloads(d))
+  }
+
+  test("pp13: LM advance keeps ta09's shape over the merged counts; text never ships") {
+    val d = df("pp13_incremental_lm")
+    d.collect()
+    val ns = nodes(d)
+    // the batch branch re-counts ONLY the batch; the standing counts are
+    // a checkpointed table (no second corpus scan), the merge + the
+    // continuation window run over the already-aggregated vocab²-bounded
+    // table, and the top-100 never globally sorts
+    assert(fileScans(d).size == 1)
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    noTextPayload(exchangePayloads(d))
+  }
+
+  test("ta12: corpus rolled up and materialized once — both consumers read the checkpoint; LM join bigram-keyed; text never ships") {
+    val d = df("ta12_lm_quality_filter")
+    d.collect()
+    val ns = nodes(d)
+    // the per-(doc, bigram) rollup feeds BOTH the join's left side and
+    // the LM derivation; the gate materializes it once (Catalyst would
+    // otherwise compile the dual-consumed subplan as TWO corpus scans —
+    // column pruning diverges the consumers' outputs, so exchange reuse
+    // cannot dedupe them; measured when this pin asserted reuse). The
+    // final plan must read the checkpoint twice and the corpus not at all
+    assert(fileScans(d).isEmpty,
+      s"corpus re-scanned ${fileScans(d).size} times past the materialized rollup")
+    assert(ns.count(_.isInstanceOf[RDDScanExec]) == 2)
+    assert(ns.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
+      case _ => false
+    })
+    assert(equiJoinKeys(d).exists(_.contains("bigram")))
     noTextPayload(exchangePayloads(d))
   }
 
