@@ -108,11 +108,13 @@ object ScaleProbe {
     // input in the work dir)
     val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters",
       "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
-      "pp06_incremental_spans", "pp07_incremental_vocab",
+      "pp06_incremental_spans", "pp07_incremental_vocab", "pp13_incremental_lm",
+      "ta12_lm_quality_filter",
       "pp09_incremental_containment", "dd11_containment",
       "dd13_containment_index", "pp12_incremental_containment_index",
       "vs04_ann_lsh", "vs06_ivf_search", "vs07_kmeans_step",
-      "pp05_incremental_ivf", "dd10_semantic_dedup", "pp10_incremental_semdedup")
+      "pp05_incremental_ivf", "dd10_semantic_dedup", "pp10_incremental_semdedup",
+      "vs08_pq_search", "vs09_ivfpq_search")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)

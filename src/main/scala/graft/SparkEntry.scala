@@ -70,7 +70,9 @@ import graft.queries.Catalog
   *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids),
   *    vs08 product-quantization ANN (8×8 codebook encode +
   *    asymmetric-distance table lookups — the vector-compression scale
-  *    path beside vs04/vs06's candidate pruning)
+  *    path beside vs04/vs06's candidate pruning), vs09 IVF-PQ ANN (the
+  *    100 TB composition: probe-pruned cells scored by ADC lookups over
+  *    a codes-only postings table)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

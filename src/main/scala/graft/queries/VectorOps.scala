@@ -584,6 +584,50 @@ object VectorOps {
     * distances are exact in double). Approximate by construction
     * (distances are to the candidate's RECONSTRUCTION); the oracle
     * replays the same encode/lookup decisions bit-for-bit. */
+  /** The PQ kernel shared by vs08 and vs09: per-subspace codebooks cut
+    * from the fixed centroids, with encode / query-table / ADC-lookup
+    * columns that are all ROW-LOCAL against the LITERAL codebook. Loop
+    * bounds live in the data arrays, not the expression tree, so
+    * generated code stays constant-size in `nCodes` (the
+    * NearestCentroid/Janino lesson); `codes` ties break to the lowest
+    * code id on both engines (first minimum, books ordered by cid). */
+  private final case class Pq(subDims: Int, nCodes: Int,
+      books: IndexedSeq[Seq[Seq[Long]]]) {
+    def m: Int = books.length
+    /** Exact integer L2² of vec's sp-th subvector against each codeword:
+      * array of nCodes BIGINTs. */
+    def dists(sp: Int, vec: Column): Column =
+      transform(typedLit(books(sp)), w =>
+        aggregate(zip_with(slice(vec, sp * subDims + 1, subDims), w,
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    /** The m codeword ids a vector compresses to. */
+    def codes(vec: Column): Column =
+      array((0 until m).map(sp =>
+        array_position(dists(sp, vec), array_min(dists(sp, vec))) - 1L): _*)
+    /** A query's flat m × nCodes distance table (s-major). */
+    def dtab(vec: Column): Column =
+      flatten(array((0 until m).map(sp => dists(sp, vec)): _*))
+    /** Asymmetric distance: m table lookups, exact BIGINT. */
+    def adist(dtabCol: Column, codesCol: Column): Column =
+      (0 until m).map(sp =>
+        element_at(dtabCol,
+          (lit(sp * nCodes) + element_at(codesCol, sp + 1) + 1L).cast("int")))
+        .reduce(_ + _)
+  }
+
+  /** Codebooks from collected (cid, cq, cn) centroid rows: subspace sp's
+    * book is every centroid's dims [sp·subDims, (sp+1)·subDims). The
+    * dimension is MEASURED from the rows (a hardcoded one would silently
+    * truncate on a different-width table). */
+  private def pqOf(cents: Seq[org.apache.spark.sql.Row], subDims: Int = 8): Pq = {
+    val dim = cents.head.getSeq[Long](1).length
+    require(dim % subDims == 0, s"dim $dim not divisible into $subDims-wide subspaces")
+    Pq(subDims, cents.length, (0 until dim / subDims).map { sp =>
+      cents.map(_.getSeq[Long](1).slice(sp * subDims, sp * subDims + subDims))
+        .toIndexedSeq
+    })
+  }
+
   private def vs08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))
@@ -591,32 +635,13 @@ object VectorOps {
     if (cents.isEmpty)
       return e.select($"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
         lit(1).as("rank"), lit(0L).as("adist")).limit(0)
-    val subDims = 8
-    val m = 64 / subDims // subspaces
-    val nCodes = cents.length
-    // codebook(s)(c) = centroid c's dims [s·8, s·8+8) — codes ordered by
-    // cid, so "first minimum" ties break to the lowest code on both sides
-    val codebook: IndexedSeq[Seq[Seq[Long]]] = (0 until m).map { sp =>
-      cents.toSeq.map(_.getSeq[Long](1).slice(sp * subDims, sp * subDims + subDims))
-    }
-    // exact integer L2² of a subvector against each codeword of one
-    // subspace: array of nCodes BIGINTs, row-local, constant codegen size
-    def dists(sp: Int, vec: Column): Column =
-      transform(typedLit(codebook(sp)), w =>
-        aggregate(zip_with(slice(vec, sp * subDims + 1, subDims), w,
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-    val codeCols = (0 until m).map(sp =>
-      array_position(dists(sp, $"q"), array_min(dists(sp, $"q"))) - 1L)
-    val enc = e.select($"vec_id", array(codeCols: _*).as("codes"))
+    val pq = pqOf(cents.toIndexedSeq)
+    val enc = e.select($"vec_id", pq.codes($"q").as("codes"))
     val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
-      .select($"vec_id".as("query_id"),
-        flatten(array((0 until m).map(sp => dists(sp, $"q")): _*)).as("dtab"))
-    val adist = (0 until m).map(sp =>
-      element_at($"dtab",
-        (lit(sp * nCodes) + element_at($"codes", sp + 1) + 1L).cast("int")))
-      .reduce(_ + _)
+      .select($"vec_id".as("query_id"), pq.dtab($"q").as("dtab"))
     val scored = broadcast(queries).join(enc, $"query_id" =!= $"vec_id")
-      .select($"query_id", (-adist).cast("double").as("nd"), $"vec_id")
+      .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
+        $"vec_id")
     graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", 5)
       .select($"query_id", $"id".as("neighbor_id"), $"rank",
         (-$"v").cast("long").as("adist"))
@@ -648,6 +673,90 @@ object VectorOps {
        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** vs09 — IVF-PQ ANN search: the production composition at 100 TB
+    * (FAISS's IVFPQ shape) — vs06's inverted-file pruning decides WHICH
+    * vectors to score, vs08's product quantization decides HOW: the
+    * postings table holds (cid, vec_id, codes) — 8 small codes instead
+    * of the 512-byte vector, so the whole index fits in memory at corpus
+    * scales where raw vectors cannot — and a query probes its nProbe=2
+    * nearest cells then scores ONLY those cells' codes by ADC table
+    * lookups (8 integer lookups per candidate, zero FP). Every stage
+    * reuses the pinned kernels: [[assignCells]] (row-local native
+    * assignment, zero exchanges), [[Pq]] (row-local encode/lookup
+    * against the literal codebook, constant codegen size), the Q×C probe
+    * window (per-query bounded), the cid-keyed candidates join (the
+    * inverted list IS the partition key), and the bounded-buffer
+    * [[graft.operators.GroupedTopK]] (value = −adist). Approximation
+    * composes both sources (unprobed cell + reconstruction distance);
+    * the oracle replays every decision exactly. */
+  private def vs09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val centRows = ivfCentroids(e).orderBy(col("cid")).collect()
+    if (centRows.isEmpty)
+      return e.select($"vec_id".as("query_id"), $"vec_id".as("cid"),
+        $"vec_id".as("neighbor_id"), lit(1).as("rank"), lit(0L).as("adist"))
+        .limit(0)
+    val pq = pqOf(centRows.toIndexedSeq)
+    val cents = ivfCentroids(e)
+    val postings = assignCells(e, cents)
+      .select($"cid", $"vec_id", pq.codes($"q").as("codes"))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"),
+        pq.dtab($"q").as("dtab"))
+    val pw = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cid")
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", dotQ($"qq", $"cq").cast("double") / ($"qn" * $"cn"))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= 2)
+      .select($"query_id", $"dtab", $"cid")
+    val scored = probed.join(postings, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
+        $"vec_id", $"cid")
+    graft.operators.GroupedTopK.topKCarry(scored, "query_id", "nd", "vec_id", "cid", 3)
+      .select($"query_id", $"carry".as("cid"), $"id".as("neighbor_id"),
+        $"rank", (-$"v").cast("long").as("adist"))
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs09Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |e0 AS (SELECT n.vec_id, sub.s, c.cid,
+       |    CAST(list_sum([(n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
+       |                   * (n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS d
+       |  FROM n CROSS JOIN sub CROSS JOIN c),
+       |enc AS (SELECT vec_id, s, cid AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |    FROM e0) WHERE rn = 1),
+       |qt AS (SELECT vec_id AS query_id, s, cid, d FROM e0
+       |       WHERE vec_id >= 10 AND vec_id < 20),
+       |p0 AS (SELECT n.vec_id AS query_id, c.cid, ${dot("n", "c")} AS pcos
+       |  FROM n CROSS JOIN c WHERE n.vec_id >= 10 AND n.vec_id < 20),
+       |p AS (SELECT query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, cid) AS rn FROM p0) WHERE rn <= 2),
+       |s2 AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id,
+       |         CAST(SUM(qt.d) AS BIGINT) AS adist
+       |       FROM p JOIN a ON p.cid = a.cid AND a.vec_id <> p.query_id
+       |            JOIN enc ON enc.vec_id = a.vec_id
+       |            JOIN qt ON qt.query_id = p.query_id AND qt.s = enc.s
+       |                   AND qt.cid = enc.code
+       |       GROUP BY p.query_id, p.cid, a.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |SELECT query_id, cid, neighbor_id, rank, adist FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -657,6 +766,7 @@ object VectorOps {
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x8 codebook encode + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
+    Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
     Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),

@@ -423,6 +423,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
   }
 
+  test("vs09: IVF-PQ keeps vs06's probe/join contract with PQ payloads — the raw vector never reaches the candidates join") {
+    val d = df("vs09_ivfpq_search")
+    d.collect()
+    val ns = nodes(d)
+    // candidates join ON the centroid id (the inverted-list partition
+    // key); the only window ranks each query's C centroid distances;
+    // the final top-k is the bounded aggregator; and no shuffle carries
+    // the quantized vector — the postings side ships (cid, vec_id,
+    // codes), which is the entire point of PQ compression
+    assert(equiJoinKeys(d).exists(_.contains("cid")))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts == Set("query_id"), s"window partitioned over $parts")
+    }
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("embedding"),
+        s"shuffle ships the raw vector: $p"))
+  }
+
   test("pp05: search over maintained postings keeps vs06's plan contract") {
     val d = df("pp05_incremental_ivf")
     d.collect()
