@@ -563,16 +563,16 @@ object VectorOps {
     * path that completes the ANN family (vs01 brute force, vs04 LSH, vs06
     * IVF prune the CANDIDATE set; PQ compresses the VECTORS themselves).
     * The 64-dim quantized vector is cut into M=8 subspaces of 8 dims;
-    * each subspace has a codebook (the 8 fixed [[ivfCentroids]]
-    * subvectors — deterministic and SQL-expressible, fixed the way a
-    * trained PQ codebook is) and every vector is ENCODED as its 8 nearest
-    * codeword ids: 512 bytes of longs become 8 small codes, the
-    * compression that lets a 100 TB corpus's index live in RAM. A query
-    * precomputes one 64-entry distance table (exact integer L2² to every
-    * codeword — asymmetric distance: the query stays uncompressed), and a
-    * candidate's distance is 8 TABLE LOOKUPS (one per subspace) instead
-    * of 64 multiply-adds — Σₛ dtab[s][code_s], an exact BIGINT, so the
-    * whole gate is integer arithmetic with NO floating point anywhere.
+    * each subspace has a 64-codeword codebook ([[pqBookRows]] — fixed
+    * the way a trained PQ codebook is) and every vector is ENCODED as
+    * its 8 nearest codeword ids: 512 bytes of longs become 8 six-bit
+    * codes (48 bits), the compression that lets a 100 TB corpus's index
+    * live in RAM. A query precomputes one 8×64-entry distance table
+    * (exact integer L2² to every codeword — asymmetric distance: the
+    * query stays uncompressed), and a candidate's distance is 8 TABLE
+    * LOOKUPS (one per subspace) instead of 64 multiply-adds —
+    * Σₛ dtab[s][code_s], an exact BIGINT, so the whole gate is integer
+    * arithmetic with NO floating point anywhere.
     * Plan shape: encoding and scoring are ROW-LOCAL against the literal
     * codebook (assignCells' convention — the codebook is driver-sized by
     * construction; loop bounds live in data, not in the expression tree,
@@ -615,27 +615,43 @@ object VectorOps {
         .reduce(_ + _)
   }
 
-  /** Codebooks from collected (cid, cq, cn) centroid rows: subspace sp's
-    * book is every centroid's dims [sp·subDims, (sp+1)·subDims). The
-    * dimension is MEASURED from the rows (a hardcoded one would silently
-    * truncate on a different-width table). */
-  private def pqOf(cents: Seq[org.apache.spark.sql.Row], subDims: Int = 8): Pq = {
-    val dim = cents.head.getSeq[Long](1).length
+  /** Codebooks from collected rows whose column 1 is the quantized
+    * vector: subspace sp's book is every row's dims
+    * [sp·subDims, (sp+1)·subDims). The dimension is MEASURED from the
+    * rows (a hardcoded one would silently truncate on a different-width
+    * table). Code ids are POSITIONS in the given row order on the Spark
+    * side and source ids on the oracle side — the labels never reach the
+    * output, only the (identical, lowest-first tie-broken) codeword
+    * CHOICE does, so the two labelings cannot diverge a result. */
+  private def pqOf(rows: Seq[org.apache.spark.sql.Row], subDims: Int = 8): Pq = {
+    val dim = rows.head.getSeq[Long](1).length
     require(dim % subDims == 0, s"dim $dim not divisible into $subDims-wide subspaces")
-    Pq(subDims, cents.length, (0 until dim / subDims).map { sp =>
-      cents.map(_.getSeq[Long](1).slice(sp * subDims, sp * subDims + subDims))
+    Pq(subDims, rows.length, (0 until dim / subDims).map { sp =>
+      rows.map(_.getSeq[Long](1).slice(sp * subDims, sp * subDims + subDims))
         .toIndexedSeq
     })
   }
 
+  /** The catalog's fixed PQ codebook source: the first 64 normed vectors
+    * (ordered by id) — deterministic and SQL-expressible the same way
+    * [[ivfCentroids]] is, and a REAL PQ configuration: 64 codewords per
+    * subspace = 6-bit codes, 8 subspaces = 48 bits per vector in place
+    * of 512 bytes. A production deployment k-means-trains each
+    * subspace's book (vs07 iterated per subspace) and swaps it in as
+    * data; nothing in the encode/lookup kernel changes — the codebook is
+    * a parameter, not a design decision. */
+  private def pqBookRows(normedVecs: DataFrame): Seq[org.apache.spark.sql.Row] =
+    normedVecs.filter(col("vec_id") < 64).orderBy(col("vec_id")).collect().toIndexedSeq
+  private val pqBookSql = "SELECT vec_id AS code, q AS cq FROM n WHERE vec_id < 64"
+
   private def vs08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))
-    val cents = ivfCentroids(e).orderBy(col("cid")).collect()
-    if (cents.isEmpty)
+    val book = pqBookRows(e)
+    if (book.isEmpty)
       return e.select($"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
         lit(1).as("rank"), lit(0L).as("adist")).limit(0)
-    val pq = pqOf(cents.toIndexedSeq)
+    val pq = pqOf(book)
     val enc = e.select($"vec_id", pq.codes($"q").as("codes"))
     val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select($"vec_id".as("query_id"), pq.dtab($"q").as("dtab"))
@@ -651,21 +667,21 @@ object VectorOps {
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
-       |c AS (SELECT vec_id AS cid, q AS cq FROM n WHERE vec_id < 8),
+       |cb AS ($pqBookSql),
        |sub AS (SELECT unnest(range(0, 8)) AS s),
-       |e0 AS (SELECT n.vec_id, sub.s, c.cid,
-       |    CAST(list_sum([(n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
-       |                   * (n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
+       |e0 AS (SELECT n.vec_id, sub.s, cb.code,
+       |    CAST(list_sum([(n.q[sub.s * 8 + i] - cb.cq[sub.s * 8 + i])
+       |                   * (n.q[sub.s * 8 + i] - cb.cq[sub.s * 8 + i])
        |                   for i in range(1, 9)]) AS BIGINT) AS d
-       |  FROM n CROSS JOIN sub CROSS JOIN c),
-       |enc AS (SELECT vec_id, s, cid AS code FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |  FROM n CROSS JOIN sub CROSS JOIN cb),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
        |    FROM e0) WHERE rn = 1),
-       |qt AS (SELECT vec_id AS query_id, s, cid, d FROM e0
+       |qt AS (SELECT vec_id AS query_id, s, code, d FROM e0
        |       WHERE vec_id >= 10 AND vec_id < 20),
        |s2 AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
        |         CAST(SUM(qt.d) AS BIGINT) AS adist
-       |       FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.cid
+       |       FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
        |                       AND enc.vec_id <> qt.query_id
        |       GROUP BY qt.query_id, enc.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (
@@ -692,12 +708,12 @@ object VectorOps {
   private def vs09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))
-    val centRows = ivfCentroids(e).orderBy(col("cid")).collect()
-    if (centRows.isEmpty)
+    val book = pqBookRows(e)
+    if (book.isEmpty)
       return e.select($"vec_id".as("query_id"), $"vec_id".as("cid"),
         $"vec_id".as("neighbor_id"), lit(1).as("rank"), lit(0L).as("adist"))
         .limit(0)
-    val pq = pqOf(centRows.toIndexedSeq)
+    val pq = pqOf(book)
     val cents = ivfCentroids(e)
     val postings = assignCells(e, cents)
       .select($"cid", $"vec_id", pq.codes($"q").as("codes"))
@@ -729,16 +745,17 @@ object VectorOps {
        |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
        |a AS (SELECT vec_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |cb AS ($pqBookSql),
        |sub AS (SELECT unnest(range(0, 8)) AS s),
-       |e0 AS (SELECT n.vec_id, sub.s, c.cid,
-       |    CAST(list_sum([(n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
-       |                   * (n.q[sub.s * 8 + i] - c.cq[sub.s * 8 + i])
+       |e0 AS (SELECT n.vec_id, sub.s, cb.code,
+       |    CAST(list_sum([(n.q[sub.s * 8 + i] - cb.cq[sub.s * 8 + i])
+       |                   * (n.q[sub.s * 8 + i] - cb.cq[sub.s * 8 + i])
        |                   for i in range(1, 9)]) AS BIGINT) AS d
-       |  FROM n CROSS JOIN sub CROSS JOIN c),
-       |enc AS (SELECT vec_id, s, cid AS code FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |  FROM n CROSS JOIN sub CROSS JOIN cb),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
        |    FROM e0) WHERE rn = 1),
-       |qt AS (SELECT vec_id AS query_id, s, cid, d FROM e0
+       |qt AS (SELECT vec_id AS query_id, s, code, d FROM e0
        |       WHERE vec_id >= 10 AND vec_id < 20),
        |p0 AS (SELECT n.vec_id AS query_id, c.cid, ${dot("n", "c")} AS pcos
        |  FROM n CROSS JOIN c WHERE n.vec_id >= 10 AND n.vec_id < 20),
@@ -749,7 +766,7 @@ object VectorOps {
        |       FROM p JOIN a ON p.cid = a.cid AND a.vec_id <> p.query_id
        |            JOIN enc ON enc.vec_id = a.vec_id
        |            JOIN qt ON qt.query_id = p.query_id AND qt.s = enc.s
-       |                   AND qt.cid = enc.code
+       |                   AND qt.code = enc.code
        |       GROUP BY p.query_id, p.cid, a.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
@@ -765,7 +782,7 @@ object VectorOps {
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
-    Q("vs08_pq_search", "product-quantization ANN: 8x8 codebook encode + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
+    Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
     Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),

@@ -172,4 +172,69 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     // the probed cells on this corpus — pin a conservative floor
     assert(recall >= 0.4, s"recall $recall too low")
   }
+
+  test("vs08/vs09 PQ search: recall vs exact quantized-L2 truth; IVF-PQ results stay within probed cells") {
+    // ADC distances are to RECONSTRUCTIONS under the quantized-L2
+    // metric, so the recall baseline is the exact quantized-L2 top-5
+    // (computed driver-side over the tiny sf0.001 table) — NOT the
+    // cosine brute force, which ranks by a different metric. The pin is
+    // a conservative floor; what it guards is the encode/lookup pipeline
+    // degrading to noise (a broken code or table index sends recall
+    // toward the ~1% random draw). Both gates are deterministic, so the
+    // measured recall is stable round to round.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val qv = emb.select(col("vec_id"), graft.operators.Ann.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .filter { case (_, v) => v.exists(_ != 0L) } // normed() drops zero vectors
+      .toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val truth5 = (10L until 20L).filter(qv.contains).flatMap { qid =>
+      qv.keys.filter(_ != qid).toSeq
+        .map(c => (c, l2(qv(qid), qv(c)))).sortBy { case (c, d) => (d, c) }
+        .take(5).map { case (c, _) => (qid, c) }
+    }.toSet
+    // THE load-bearing pin — the ADC identity: every reported adist must
+    // equal the exact L2² between the query and the candidate's
+    // RECONSTRUCTION from its codes, recomputed independently here from
+    // the same codebook rule (first 64 vectors, per-subspace argmin with
+    // lowest-id ties). A wrong code, a transposed table index or an
+    // off-by-one lookup breaks this for essentially every row.
+    val books = qv.toSeq.filter(_._1 < 64).sortBy(_._1).map(_._2)
+    def subL2(a: Array[Long], b: Array[Long], sp: Int): Long =
+      (0 until 8).map { i =>
+        val d = a(sp * 8 + i) - b(sp * 8 + i); d * d
+      }.sum
+    def adistExpected(qid: Long, cid: Long): Long =
+      (0 until 8).map { sp =>
+        val code = books.indices.minBy(b => (subL2(qv(cid), books(b), sp), b))
+        subL2(qv(qid), books(code), sp)
+      }.sum
+    val out8 = rows(Catalog.byName("vs08_pq_search").fn(spark, sfDir))
+    assert(out8.size == 50) // 10 queries x top-5
+    out8.foreach { r =>
+      val (qid, nid) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Long]("adist") == adistExpected(qid, nid),
+        s"ADC identity broken for ($qid, $nid)")
+    }
+    // Quality floor, deliberately loose: on THIS corpus (near-random
+    // synthetic embeddings — pairwise distances concentrate) with
+    // data-point codebooks (not k-means-trained), top-5 recall vs the
+    // exact metric measures 0.16; random draw is ~0.01. The floor
+    // catches order-of-magnitude degradation, not codebook quality —
+    // which is training data, not kernel design (see pqBookRows doc).
+    val pq = out8.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth5 intersect pq).size.toDouble / truth5.size
+    assert(recall >= 0.08, s"vs08 recall $recall below floor")
+    // vs09 = vs08's scorer restricted to the probed cells: the IVF leg
+    // prunes candidates, the PQ leg only re-ranks them — so no query's
+    // results may span more than its nProbe = 2 cells
+    val ivfpq = rows(Catalog.byName("vs09_ivfpq_search").fn(spark, sfDir))
+    assert(ivfpq.size == 30) // 10 queries x top-3
+    val cells = ivfpq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cid"))).toSet
+    assert(cells.size <= 20, "more distinct (query, cell) pairs than probes allow")
+    cells.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.size <= 2, s"a query drew results from ${cs.size} > nProbe cells")
+    }
+  }
 }
