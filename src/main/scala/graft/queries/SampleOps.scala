@@ -120,10 +120,50 @@ object SampleOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** sa05 — temperature resampling: sa03 with the rates computed FROM
+    * the data instead of pinned — the standard training-mix move of
+    * flattening a skewed domain distribution toward uniform (big crawl
+    * sources downsampled hardest, small curated sources kept whole).
+    * Per-source rates interpolate halfway between the natural mix
+    * (everything kept) and the fully-flat mix (every source kept at the
+    * smallest source's count): `bps = (50·10000 + 50·flat) div 100`
+    * where `flat = (10000·n_min) div n` — ALL integer arithmetic (`div`,
+    * never `/`: exact on both engines at any count magnitude, where a
+    * double quotient could round a boundary doc in or out at 100 TB
+    * counts; a production α-temperature `pow(n, α−1)` rule swaps in as
+    * data the way sa03's map would). Plan: one tiny per-source count agg
+    * broadcast back onto the scan — membership stays the row-local
+    * salted fold, so the corpus is read ONCE and never shuffled, and
+    * the emitted `bps` lets the oracle verify the rate computation
+    * itself, not just realized membership. */
+  private def sa05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min($"n").as("n_min"))))
+      .withColumn("flat", expr("(10000 * n_min) div n"))
+      .withColumn("bps", expr("(50 * 10000 + 50 * flat) div 100"))
+      .select($"source", $"bps")
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(hex8(concat_ws(":", lit("temp"), $"doc_id".cast("string"))) % 10000 < $"bps")
+      .select($"doc_id", $"source", $"bps")
+      .orderBy($"doc_id")
+  }
+  private val sa05Sql =
+    s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       |r AS (SELECT source,
+       |    (50 * 10000 + 50 * ((10000 * (SELECT MIN(n) FROM cnt)) // n)) // 100 AS bps
+       |  FROM cnt)
+       |SELECT d.doc_id, d.source, r.bps
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${hex8Sql("'temp:' || CAST(d.doc_id AS VARCHAR)")} % 10000 < r.bps
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
     Q("sa03_domain_mix", "per-source basis-point mix sampling (data mixing)", sa03, Some(sa03Sql)),
     Q("sa04_split", "deterministic 98/1/1 train/val/test split, one fold (disjoint + covering by construction)", sa04, Some(sa04Sql)),
+    Q("sa05_temperature_resample", "temperature resampling: per-source rates computed from counts, integer-exact natural/uniform interpolation", sa05, Some(sa05Sql)),
   )
 }

@@ -705,7 +705,7 @@ object VectorOps {
     * [[graft.operators.GroupedTopK]] (value = −adist). Approximation
     * composes both sources (unprobed cell + reconstruction distance);
     * the oracle replays every decision exactly. */
-  private def vs09(s: SparkSession, d: String): DataFrame = {
+  private def ivfPqShortlist(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))
     val book = pqBookRows(e)
@@ -730,12 +730,46 @@ object VectorOps {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
         $"vec_id", $"cid")
-    graft.operators.GroupedTopK.topKCarry(scored, "query_id", "nd", "vec_id", "cid", 3)
+    graft.operators.GroupedTopK.topKCarry(scored, "query_id", "nd", "vec_id", "cid", k)
       .select($"query_id", $"carry".as("cid"), $"id".as("neighbor_id"),
         $"rank", (-$"v").cast("long").as("adist"))
       .orderBy($"query_id", $"rank")
   }
-  private val vs09Sql = {
+  private def vs09(s: SparkSession, d: String): DataFrame =
+    ivfPqShortlist(s, d, 3)
+
+  /** vs10 — two-stage retrieval: the ADC shortlist re-ranked EXACTLY
+    * (FAISS's IndexRefineFlat shape, the production serving pattern at
+    * 100 TB): the IVF-PQ leg scans only codes (vs09, k widened to 10)
+    * and the full vectors are touched for the ~k·|queries| SHORTLISTED
+    * ids alone — a broadcast of the tiny shortlist into one selective
+    * semi-join-shaped pass over the vector store (at scale: point reads
+    * against the vec_id layout; never a corpus-wide join the other way
+    * round, which would shuffle every vector to rerank a hundred rows).
+    * The exact stage rescores with the true quantized cosine — integer
+    * dot, exact in double — so PQ's reconstruction error affects only
+    * CANDIDACY (a true neighbor absent from the shortlist), never the
+    * final ORDER of what the shortlist contains. */
+  private def vs10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val short = ivfPqShortlist(s, d, 10).select($"query_id", $"neighbor_id")
+    val cand = e.join(broadcast(short), $"vec_id" === $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"q", $"nrm")
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    val rw = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cand.join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(rw))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+  /** The shared IVF-PQ CTE chain, up to the ranked shortlist `r` —
+    * vs09 selects its top-3 directly; vs10 keeps top-10 and re-ranks
+    * exactly. */
+  private val ivfPqCtes = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
@@ -769,10 +803,24 @@ object VectorOps {
        |                   AND qt.code = enc.code
        |       GROUP BY p.query_id, p.cid, a.vec_id),
        |r AS (SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)""".stripMargin
+  }
+  private val vs09Sql =
+    s"""$ivfPqCtes
        |SELECT query_id, cid, neighbor_id, rank, adist FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
-  }
+  private val vs10Sql =
+    s"""$ivfPqCtes,
+       |sl AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE)
+       |      / (x.nrm * y.nrm) AS cos
+       |  FROM sl JOIN n x ON x.vec_id = sl.query_id
+       |          JOIN n y ON y.vec_id = sl.neighbor_id),
+       |rr AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, rank, cos FROM rr WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
@@ -784,6 +832,7 @@ object VectorOps {
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
     Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
+    Q("vs10_ivf_rerank", "two-stage retrieval: ADC shortlist (k=10) re-ranked by exact cosine over shortlisted vectors only", vs10, Some(vs10Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
     Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),
