@@ -591,7 +591,7 @@ object VectorOps {
     * generated code stays constant-size in `nCodes` (the
     * NearestCentroid/Janino lesson); `codes` ties break to the lowest
     * code id on both engines (first minimum, books ordered by cid). */
-  private final case class Pq(subDims: Int, nCodes: Int,
+  private[graft] final case class Pq(subDims: Int, nCodes: Int,
       books: IndexedSeq[Seq[Seq[Long]]]) {
     def m: Int = books.length
     /** Exact integer L2² of vec's sp-th subvector against each codeword:
@@ -623,7 +623,7 @@ object VectorOps {
     * side and source ids on the oracle side — the labels never reach the
     * output, only the (identical, lowest-first tie-broken) codeword
     * CHOICE does, so the two labelings cannot diverge a result. */
-  private def pqOf(rows: Seq[org.apache.spark.sql.Row], subDims: Int = 8): Pq = {
+  private[graft] def pqOf(rows: Seq[org.apache.spark.sql.Row], subDims: Int = 8): Pq = {
     val dim = rows.head.getSeq[Long](1).length
     require(dim % subDims == 0, s"dim $dim not divisible into $subDims-wide subspaces")
     Pq(subDims, rows.length, (0 until dim / subDims).map { sp =>
@@ -640,7 +640,7 @@ object VectorOps {
     * subspace's book (vs07 iterated per subspace) and swaps it in as
     * data; nothing in the encode/lookup kernel changes — the codebook is
     * a parameter, not a design decision. */
-  private def pqBookRows(normedVecs: DataFrame): Seq[org.apache.spark.sql.Row] =
+  private[graft] def pqBookRows(normedVecs: DataFrame): Seq[org.apache.spark.sql.Row] =
     normedVecs.filter(col("vec_id") < 64).orderBy(col("vec_id")).collect().toIndexedSeq
   private val pqBookSql = "SELECT vec_id AS code, q AS cq FROM n WHERE vec_id < 64"
 
@@ -705,6 +705,48 @@ object VectorOps {
     * [[graft.operators.GroupedTopK]] (value = −adist). Approximation
     * composes both sources (unprobed cell + reconstruction distance);
     * the oracle replays every decision exactly. */
+  /** The IVF-PQ scorer over an EXISTING codes-postings table — vs09
+    * derives the postings in-gate; pp14 / the continuous maintainer feed
+    * a maintained standing table through the same kernel (pp05's
+    * derive-once-search-identically contract, PQ edition). `queries` is
+    * (query_id, qq, qn, dtab); output (query_id, cid, neighbor_id, rank,
+    * adist). Sentinel cid −1 rows in a maintained table are inert here:
+    * probed cids come from the centroid table, so the join never matches
+    * them. */
+  private[graft] def ivfPqScore(postings: DataFrame, queries: DataFrame,
+      cents: DataFrame, pq: Pq, k: Int): DataFrame = {
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 2)
+      .select(col("query_id"), col("dtab"), col("cid"))
+    val scored = probed.join(postings, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (-pq.adist(col("dtab"), col("codes"))).cast("double").as("nd"),
+        col("vec_id"), col("cid"))
+    graft.operators.GroupedTopK.topKCarry(scored, "query_id", "nd", "vec_id", "cid", k)
+      .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
+        col("rank"), (-col("v")).cast("long").as("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** (query_id, qq, qn, dtab) for the catalog's fixed query ids — the
+    * query-side frame every IVF-PQ consumer builds the same way. */
+  private[graft] def pqQueries(e: DataFrame, pq: Pq): DataFrame =
+    e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"),
+        pq.dtab(col("q")).as("dtab"))
+
+  /** The (cid, vec_id, codes) rows of a normed frame — assignment +
+    * row-local PQ encode, the exact rows vs09 scores and the maintainer
+    * appends. */
+  private[graft] def pqCodesPostings(vecs: DataFrame, cents: DataFrame,
+      pq: Pq): DataFrame =
+    assignCells(vecs, cents)
+      .select(col("cid"), col("vec_id"), pq.codes(col("q")).as("codes"))
+
   private def ivfPqShortlist(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d))
@@ -715,28 +757,41 @@ object VectorOps {
         .limit(0)
     val pq = pqOf(book)
     val cents = ivfCentroids(e)
-    val postings = assignCells(e, cents)
-      .select($"cid", $"vec_id", pq.codes($"q").as("codes"))
-    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
-      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"),
-        pq.dtab($"q").as("dtab"))
-    val pw = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cid")
-    val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("pcos", dotQ($"qq", $"cq").cast("double") / ($"qn" * $"cn"))
-      .withColumn("prn", row_number().over(pw))
-      .filter($"prn" <= 2)
-      .select($"query_id", $"dtab", $"cid")
-    val scored = probed.join(postings, Seq("cid"))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
-        $"vec_id", $"cid")
-    graft.operators.GroupedTopK.topKCarry(scored, "query_id", "nd", "vec_id", "cid", k)
-      .select($"query_id", $"carry".as("cid"), $"id".as("neighbor_id"),
-        $"rank", (-$"v").cast("long").as("adist"))
-      .orderBy($"query_id", $"rank")
+    ivfPqScore(pqCodesPostings(e, cents, pq), pqQueries(e, pq), cents, pq, k)
   }
   private def vs09(s: SparkSession, d: String): DataFrame =
     ivfPqShortlist(s, d, 3)
+
+  /** pp14 — INCREMENTAL PQ-codes maintenance, vs09's incremental twin
+    * (the codes-table member of the pp05/pp10 standing-state family):
+    * codebook and coarse quantizer are fixed between rebuilds, the codes
+    * postings are a STANDING table, and a batch advances the index by
+    * encoding ONLY its own rows — assignment and PQ encode are pure
+    * per-row functions of the fixed (centroids, codebook) parameters, so
+    * the codes of a corpus are the union of the codes of its batches and
+    * the advance is |batch| row-local encodes + one append (re-encoding
+    * the corpus per increment is exactly what PQ's in-RAM-index promise
+    * forbids at 100 TB). Search over the maintained table must equal
+    * vs09 over the full corpus — the oracle is vs09's, verbatim.
+    * [[graft.streaming.Streams.maintainPqCodes]] is the continuous
+    * loop. */
+  private def pp14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val book = pqBookRows(e)
+    if (book.isEmpty)
+      return e.select($"vec_id".as("query_id"), $"vec_id".as("cid"),
+        $"vec_id".as("neighbor_id"), lit(1).as("rank"), lit(0L).as("adist"))
+        .limit(0)
+    val pq = pqOf(book)
+    val cents = ivfCentroids(e)
+    val isNew = QueryUtils.hex8(concat(lit("pqc:"), $"vec_id".cast("string"))) % 5 === 0
+    // the standing codes table (persisted in production — pp05's pattern)
+    val standing = pqCodesPostings(e.filter(!isNew), cents, pq).localCheckpoint(true)
+    // the advance: encode ONLY the increment, append to the lists
+    val postings = standing.unionByName(pqCodesPostings(e.filter(isNew), cents, pq))
+    ivfPqScore(postings, pqQueries(e, pq), cents, pq, 3)
+  }
 
   /** vs10 — two-stage retrieval: the ADC shortlist re-ranked EXACTLY
     * (FAISS's IndexRefineFlat shape, the production serving pattern at
@@ -834,6 +889,7 @@ object VectorOps {
     Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
     Q("vs10_ivf_rerank", "two-stage retrieval: ADC shortlist (k=10) re-ranked by exact cosine over shortlisted vectors only", vs10, Some(vs10Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
+    Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
     Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),
     Q("dd12_crossmodal_check", "text near-dup pairs annotated with embedding cosine (cross-modal dedup validation)", dd12, Some(dd12Sql)),

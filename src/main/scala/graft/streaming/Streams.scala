@@ -781,6 +781,65 @@ object Streams {
     graft.queries.VectorOps.ivfSearch(postings, queries, cents, nProbe, k)
   }
 
+  /** Continuous PQ-codes maintenance — pp14's loop, the codes-table
+    * sibling of [[maintainIvfState]]: ONE standing table `codesTable`
+    * (cid, vec_id, codes) holding every arrived vector's cell and PQ
+    * codes against the FIXED (centroids, codebook) parameters. The
+    * contract is the family's weakest, deliberately: assignment and
+    * encode are pure per-row functions of fixed parameters, and the
+    * only write is the guard-moving append itself — no additive state,
+    * no delta table, no partial-crash window (a crashed append commits
+    * nothing, the replay recomputes byte-identical rows from the
+    * unchanged guard). Guard on raw vec_ids BEFORE normalization (the
+    * maintainIvfState order, same O(dim)-work reason); in-batch
+    * duplicates collapse deterministically (max embedding); zero-norm
+    * arrivals enter under sentinel cid −1 with empty codes so
+    * redelivering degenerate rows is a no-op — every search consumer
+    * keys on real cell ids, so sentinel rows are invisible to queries.
+    * Per-batch work and write volume O(batch). */
+  def maintainPqCodes(batch: DataFrame, cents: DataFrame,
+      book: Seq[org.apache.spark.sql.Row], codesTable: String): Unit = {
+    require(book.nonEmpty, "empty PQ codebook")
+    val spark = batch.sparkSession
+    val pq = graft.queries.VectorOps.pqOf(book)
+    val freshRaw = tryRead(spark, codesTable)
+      .map(p => batch.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .getOrElse(batch)
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
+    val rejects = freshRaw
+      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(lit(-1L).as("cid"), col("vec_id"),
+        lit(Array.empty[Long]).as("codes"))
+    val out = graft.queries.VectorOps.pqCodesPostings(fresh, cents, pq)
+      .unionByName(rejects)
+    if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
+  }
+
+  /** [[maintainPqCodes]] as a foreachBatch sink over a (vec_id,
+    * embedding) stream. */
+  def pqCodesStream(vecs: DataFrame, cents: DataFrame,
+      book: Seq[org.apache.spark.sql.Row], codesTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainPqCodes(b, cents, book, codesTable))
+      .start()
+
+  /** The IVF-PQ search (vs09's scorer) over the maintained codes table —
+    * pp14's read path. `queriesNormed` is a normed (vec_id, q, nrm)
+    * frame; the catalog's fixed query window applies. */
+  def pqSearchSnapshot(spark: SparkSession, codesTable: String,
+      queriesNormed: DataFrame, cents: DataFrame,
+      book: Seq[org.apache.spark.sql.Row], k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pq = graft.queries.VectorOps.pqOf(book)
+    val postings = tryRead(spark, codesTable).getOrElse(emptyDf(spark,
+      "cid" -> LongType, "vec_id" -> LongType, "codes" -> ArrayType(LongType)))
+    graft.queries.VectorOps.ivfPqScore(postings,
+      graft.queries.VectorOps.pqQueries(queriesNormed, pq), cents, pq, k)
+  }
+
   /** Append a batch's changed drop rows to the standing drop-delta table
     * under its `batch_key` — the exact write [[maintainIvfState]]
     * performs (shared with the crash-simulation spec so a simulated
