@@ -466,6 +466,64 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pp14: search over the maintained codes table keeps vs09's plan contract") {
+    val d = df("pp14_incremental_pq")
+    d.collect()
+    val ns = nodes(d)
+    // swapping the standing codes table in for the freshly-encoded frame
+    // must not change the scorer's shape: candidates join ON cid, the
+    // bounded aggregator stays, one probe window, and no shuffle ever
+    // ships the quantized vector — the postings side is codes-only
+    assert(equiJoinKeys(d).exists(_.contains("cid")))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("embedding"),
+        s"shuffle ships the raw vector: $p"))
+  }
+
+  test("vs10: rerank joins are broadcast — the corpus is never shuffled to rerank a shortlist") {
+    val d = df("vs10_ivf_rerank")
+    d.collect()
+    val ns = nodes(d)
+    // the exact leg touches full vectors only through broadcast joins of
+    // the tiny shortlist/query frames against the vector store at its own
+    // layout; shuffling the store to meet a ~100-row shortlist is the
+    // scale bug this pin guards. The shortlist side arrives pre-shuffled
+    // from the ADC leg (whose contract vs09's pin owns); no NEW exchange
+    // may carry a vector payload.
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "shortlist and query frames must broadcast into the vector store")
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("qq") && !p.contains("embedding"),
+        s"shuffle ships a vector payload: $p"))
+    // two per-query windows: probe selection (ADC leg) + the rerank
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 2, s"expected probe + rerank windows, got ${windows.size}")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts == Set("query_id"), s"window partitioned over $parts")
+    }
+  }
+
+  test("sa05: rates broadcast onto the scan; no exchange ships document text") {
+    val d = df("sa05_temperature_resample")
+    d.collect()
+    val ns = nodes(d)
+    // the per-source rate table is agg-derived and tiny — it must come
+    // back to the corpus as a broadcast (a source-keyed shuffle of the
+    // corpus to meet a handful of rate rows is the scale bug), and the
+    // document body must never ride an exchange: the counts pass reads
+    // (source), the membership pass reads (doc_id, source)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text"), s"exchange ships the document body: $p"))
+  }
+
   test("dd10: pair space is cell-blocked — pairs join ON cid, no cartesian, no window") {
     val d = df("dd10_semantic_dedup")
     d.collect()
