@@ -559,6 +559,104 @@ object VectorOps {
        |FROM d GROUP BY cid, i ORDER BY cid, dim""".stripMargin
   }
 
+  /** vs11 — the quantizer REBUILD vs07 is one step of: three exact Lloyd
+    * iterations on the quantized integer lattice, run to completion. The
+    * whole loop is INTEGER arithmetic — assignment is argmin of exact
+    * BIGINT L2² against the literal centroids (L2 is the objective
+    * Lloyd's update step actually minimizes; vs06/vs07 assign by cosine
+    * because that is the SEARCH metric — the rebuild gate pins the
+    * training metric), ties to the lowest cid; the update is the
+    * TRUNCATED integer mean per (cell, dim) (sign-safe `div`, exact on
+    * both engines at any magnitude — a double mean would diverge in the
+    * last ulp and flip argmin ties); a cell that loses every member
+    * keeps its previous centroid (the standard Lloyd convention). So the
+    * fixed point is bit-exact and the oracle replays all three
+    * iterations verbatim.
+    * 100 TB shape per iteration: one row-local broadcast-literal
+    * assignment pass (constant codegen size in k — the [[Pq]] kernel at
+    * m = 1) + [[cellDimSums]]' one combinable (cid, dim) rollup; the
+    * k×d sums (512 longs) collect to the driver BETWEEN iterations —
+    * driver-sized by construction, the same convention as the literal
+    * centroid/codebook frames (this is how any distributed k-means
+    * iterates, and it is a rebuild: run rarely, never in a serving
+    * path). Output: final centroids in long form + final cell sizes. */
+  private def vs11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    val init = e.filter($"vec_id" < 8).orderBy($"vec_id")
+      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    if (init.isEmpty)
+      return e.select($"vec_id".as("cid"), $"vec_id".as("dim"),
+        $"vec_id".as("c"), $"vec_id".as("n_members")).limit(0)
+    val (k, dim) = (init.length, init.head.length)
+    var cents = init
+    def assigned(): DataFrame = {
+      val lat = Pq(dim, k, IndexedSeq(cents.map(_.toSeq)))
+      e.select($"vec_id", element_at(lat.codes($"q"), 1).as("cid"), $"q")
+    }
+    for (_ <- 1 to 3) {
+      val sums = cellDimSums(assigned())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byCid = sums.groupBy(_._1)
+      cents = (0 until k).map { cid =>
+        byCid.get(cid.toLong).map { rows =>
+          val m = rows.map(r => r._2 -> (r._3, r._4)).toMap
+          // Long `/` truncates toward zero — the semantics the oracle's
+          // sign-safe `//` form replicates
+          (0 until dim).map { i => val (n, s0) = m(i.toLong); s0 / n }.toIndexedSeq
+        }.getOrElse(cents(cid))
+      }
+    }
+    val sizes = assigned().groupBy($"cid").agg(count(lit(1)).as("n_members"))
+    cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (v, i) => (cid.toLong, i.toLong, v) }
+    }.toDF("cid", "dim", "c")
+      .join(broadcast(sizes), Seq("cid"), "left")
+      .na.fill(0L, Seq("n_members"))
+      .select($"cid", $"dim", $"c", $"n_members")
+      .orderBy($"cid", $"dim")
+  }
+  private val vs11Sql = {
+    def iter(j: Int, prevList: String, prevLong: String) = {
+      val l2 = s"CAST(list_sum([(n.q[i] - c.cq[i]) * (n.q[i] - c.cq[i]) " +
+        s"for i in range(1, len(n.q) + 1)]) AS BIGINT)"
+      s"""t$j AS (SELECT n.vec_id, n.q, c.cid, $l2 AS dist FROM n CROSS JOIN $prevList c),
+         |a$j AS (SELECT vec_id, q, cid FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM t$j) WHERE rn = 1),
+         |d$j AS (SELECT cid, unnest(range(1, len(q) + 1)) AS i, q FROM a$j),
+         |s$j AS (SELECT cid, i, COUNT(*) AS n, CAST(SUM(q[i]) AS BIGINT) AS s
+         |  FROM d$j GROUP BY cid, i),
+         |u$j AS (SELECT p.cid, p.i,
+         |    COALESCE(CASE WHEN s.s >= 0 THEN s.s // s.n ELSE -((-s.s) // s.n) END,
+         |             p.c) AS c
+         |  FROM $prevLong p LEFT JOIN s$j s ON s.cid = p.cid AND s.i = p.i),
+         |c$j AS (SELECT cid, list(c ORDER BY i) AS cq FROM u$j GROUP BY cid),
+         |e$j AS (SELECT cid, i, c FROM u$j)""".stripMargin
+    }
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM n WHERE vec_id < 8),
+       |e0 AS (SELECT cid, i, cq[i] AS c FROM (
+       |  SELECT cid, unnest(range(1, len(cq) + 1)) AS i, cq FROM c0)),
+       |${iter(1, "c0", "e0")},
+       |${iter(2, "c1", "e1")},
+       |${iter(3, "c2", "e2")},
+       |t4 AS (SELECT n.vec_id, c.cid,
+       |    CAST(list_sum([(n.q[i] - c.cq[i]) * (n.q[i] - c.cq[i])
+       |                   for i in range(1, len(n.q) + 1)]) AS BIGINT) AS dist
+       |  FROM n CROSS JOIN c3 c),
+       |a4 AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM t4) WHERE rn = 1),
+       |sz AS (SELECT cid, COUNT(*) AS n_members FROM a4 GROUP BY cid)
+       |SELECT u3.cid, u3.i - 1 AS dim, u3.c,
+       |  CAST(COALESCE(sz.n_members, 0) AS BIGINT) AS n_members
+       |FROM u3 LEFT JOIN sz ON sz.cid = u3.cid
+       |ORDER BY u3.cid, dim""".stripMargin
+  }
+
   /** vs08 — product-quantization ANN (ADC search): the memory-side scale
     * path that completes the ANN family (vs01 brute force, vs04 LSH, vs06
     * IVF prune the CANDIDATE set; PQ compresses the VECTORS themselves).
@@ -885,6 +983,7 @@ object VectorOps {
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
+    Q("vs11_kmeans_rebuild", "quantizer rebuild: 3 exact integer Lloyd iterations (L2 lattice assignment, truncated-mean update, empty-cell carryover)", vs11, Some(vs11Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
     Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
     Q("vs10_ivf_rerank", "two-stage retrieval: ADC shortlist (k=10) re-ranked by exact cosine over shortlisted vectors only", vs10, Some(vs10Sql)),

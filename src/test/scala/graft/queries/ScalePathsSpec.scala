@@ -238,6 +238,43 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vs11: the three-iteration integer Lloyd trace recomputed independently, row for row") {
+    import spark.implicits._
+    // the whole rebuild is integer arithmetic, so a from-scratch scalar
+    // reimplementation must reproduce the gate EXACTLY — centroid values
+    // and cell sizes both. Any drift in assignment ties, truncation
+    // semantics or empty-cell carryover breaks this for some row.
+    val e = VectorOps.normed(graft.Tables.embeddings(spark, sfDir))
+    val qv = e.select($"vec_id", $"q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    var cents = qv.filter(_._1 < 8).map(_._2.clone)
+    val dim = cents.head.length
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(v: Array[Long]): Int =
+      cents.indices.minBy(c => (l2(v, cents(c)), c))
+    for (_ <- 1 to 3) {
+      val members = qv.groupBy { case (_, v) => assign(v) }
+      cents = cents.indices.map { c =>
+        members.get(c).map { ms =>
+          Array.tabulate(dim)(i => ms.map(_._2(i)).sum / ms.length)
+        }.getOrElse(cents(c))
+      }.toArray
+    }
+    val sizes = qv.groupBy { case (_, v) => assign(v) }.view.mapValues(_.length).toMap
+    val expected = cents.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (v, i) =>
+        (cid.toLong, i.toLong, v, sizes.getOrElse(cid, 0).toLong) }
+    }.toSeq
+    val got = rows(Catalog.byName("vs11_kmeans_rebuild").fn(spark, sfDir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+    // and the rebuild MOVED the quantizer — a no-op loop (e.g. assignment
+    // never re-run against updated centroids) would leave the seeds
+    val seeds = qv.filter(_._1 < 8).map(_._2)
+    assert(cents.zip(seeds).exists { case (a, b) => !a.sameElements(b) })
+  }
+
   test("vs10 rerank: results drawn from the ADC shortlist, ordered by the EXACT cosine recomputed independently") {
     import spark.implicits._
     val e = VectorOps.normed(graft.Tables.embeddings(spark, sfDir))
