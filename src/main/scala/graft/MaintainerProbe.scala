@@ -42,6 +42,7 @@ object MaintainerProbe {
 
     val work = java.nio.file.Files.createTempDirectory("maintainer-probe").toString
     val (postT, sumsT, dropT) = (s"$work/postings", s"$work/sums", s"$work/drops")
+    val codesT = s"$work/codes"
     val e = spark.read.parquet(s"$src/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val n = e.count()
@@ -65,12 +66,18 @@ object MaintainerProbe {
     }
     // one throwaway advance on a scratch root so codegen/JIT land outside
     // the measured loop (its tables are then abandoned)
+    // the PQ codes maintainer (pp14's twin) rides the same batch stream
+    // against its own standing table — fixed codebook, like production
+    val book = graft.queries.VectorOps.pqBookRows(
+      graft.queries.VectorOps.normed(e))
     val warm = java.nio.file.Files.createTempDirectory("maintainer-warm").toString
     graft.streaming.Streams.maintainIvfState(batch(0), cents,
       s"$warm/postings", s"$warm/sums", Some(s"$warm/drops"))
+    graft.streaming.Streams.maintainPqCodes(batch(0), cents, book,
+      s"$warm/codes")
 
-    println("| batch | rows | standing rows | advance s | compact s |")
-    println("|---|---|---|---|---|")
+    println("| batch | rows | standing rows | advance s | pq-codes s | compact s |")
+    println("|---|---|---|---|---|---|")
     var standing = 0L
     for (k <- 0 until nBatches) {
       val b = batch(k)
@@ -79,15 +86,19 @@ object MaintainerProbe {
         graft.streaming.Streams.maintainIvfState(b, cents, postT, sumsT,
           Some(dropT))
       }
+      val pt = time {
+        graft.streaming.Streams.maintainPqCodes(b, cents, book, codesT)
+      }
       val ct =
         if ((k + 1) % compactEvery == 0) time {
           graft.streaming.Streams.compactIvfSums(spark, sumsT, postT)
           graft.streaming.Streams.compactSemDedupDrops(spark, dropT, postT)
           graft.streaming.Streams.compactAppends(spark, postT, cpus.toInt)
+          graft.streaming.Streams.compactAppends(spark, codesT, cpus.toInt)
         } else -1.0
       standing += rows
       val cs = if (ct < 0) "" else f"$ct%.2f"
-      println(f"| ${k + 1} | $rows | $standing | $dt%.2f | $cs |")
+      println(f"| ${k + 1} | $rows | $standing | $dt%.2f | $pt%.2f | $cs |")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()

@@ -816,6 +816,57 @@ object Streams {
     if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
   }
 
+  /** The REBUILD→SWAP that closes the index lifecycle: the maintainers
+    * grow the standing state O(batch) between rebuilds; when the sums
+    * deltas say the quantizer has drifted, a retrain (vs11's integer
+    * Lloyd loop) produces NEW centroids and this pass redeploys them.
+    * ONE corpus-sized pass — re-assign the standing postings' vectors
+    * row-locally against the new literal centroids (the same kernel as
+    * every assignment) and atomically swap the table; then swap the
+    * codes table (pp14's) re-encoded against the new `book` when
+    * supplied; then REWRITE the sums delta table as the new drift
+    * baseline under the reserved key (drift is measured against the
+    * rebuild's own assignment from now on). Sentinel rows (cid −1)
+    * carry through unchanged — their ids must stay behind the guard or
+    * redelivered degenerate rows re-enter the flow. The codes rebuild
+    * re-derives from the POSTINGS table's vectors (codes tables are
+    * codes-only by design); precondition: one ingest stream feeds both
+    * tables, the MaintainerProbe deployment.
+    * Crash contract: three swaps, no cross-table transaction — but the
+    * whole pass is a pure, id-stable function of (postings content, new
+    * parameters), so a crash between swaps is repaired by RE-RUNNING the
+    * rebuild (each completed swap is re-produced byte-identically, each
+    * missing one lands); search correctness never depends on the sums
+    * table. Deliberately corpus-sized: this is the run-rarely rebuild
+    * the O(batch) maintainers amortize — one full scan + swap, the same
+    * cost class as any reindex. Single-maintenance-loop contract: call
+    * BETWEEN advances (read-then-swap drops a concurrent append). */
+  def rebuildIvfState(spark: SparkSession, newCents: DataFrame,
+      postingsTable: String, sumsTable: String,
+      codesRebuild: Option[(String, Seq[org.apache.spark.sql.Row])] = None)
+      : Unit =
+    tryRead(spark, postingsTable).foreach { p0 =>
+      val p = p0.localCheckpoint(true)
+      val real = p.filter(col("cid") >= 0)
+        .select(col("vec_id"), col("q"), col("nrm"))
+      val sentinels = p.filter(col("cid") < 0)
+      val reassigned = graft.queries.VectorOps.assignCells(real, newCents)
+        .localCheckpoint(true)
+      graft.operators.MergeWriter.overwriteAtomic(
+        reassigned.unionByName(sentinels), postingsTable)
+      codesRebuild.foreach { case (codesTable, book) =>
+        val pq = graft.queries.VectorOps.pqOf(book)
+        val codes = reassigned
+          .select(col("cid"), col("vec_id"), pq.codes(col("q")).as("codes"))
+        val codeSentinels = sentinels.select(col("cid"), col("vec_id"),
+          lit(Array.empty[Long]).as("codes"))
+        graft.operators.MergeWriter.overwriteAtomic(
+          codes.unionByName(codeSentinels), codesTable)
+      }
+      graft.operators.MergeWriter.overwriteAtomic(
+        ivfSumsDelta(reassigned, Long.MinValue), sumsTable)
+    }
+
   /** [[maintainPqCodes]] as a foreachBatch sink over a (vec_id,
     * embedding) stream. */
   def pqCodesStream(vecs: DataFrame, cents: DataFrame,
