@@ -822,6 +822,52 @@ object TextOps {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lbl ORDER BY doc_id""".stripMargin
 
+  /** dd14 — canonicalization: the selection step between clustering and
+    * export — keep each duplicate cluster's MOST INFORMATIVE member, not
+    * the arbitrary lowest id (dd06's label). Score = distinct-token
+    * count: an INTEGER (no FP tie hazards anywhere in the verdict), with
+    * null/empty docs coalesced to −1 so they can never beat a real doc;
+    * ties to the lowest doc_id. Plan: dd06's labels join the per-doc
+    * score id-keyed; the canonical is a per-cluster max(struct(score,
+    * −doc_id)) — a COMBINABLE aggregate with map-side partials, not a
+    * corpus window — joined back cluster-keyed for the per-doc verdicts.
+    * Output is row-level (doc_id, cluster_id, canonical_id, keep) so the
+    * oracle verifies every verdict, not just the survivor count. */
+  private def dd14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val labels = dupClusters(docs).select($"doc_id", $"cluster_id")
+    val scores = docs.select($"doc_id",
+      coalesce(size(array_distinct(Text.tokens($"text"))), lit(-1)).as("n_distinct"))
+    val j = labels.join(scores, Seq("doc_id"))
+    val canon = j.groupBy($"cluster_id")
+      .agg(max(struct($"n_distinct".as("sc"), (-$"doc_id").as("nid"))).as("m"))
+      .select($"cluster_id", (-$"m.nid").as("canonical_id"))
+    j.join(canon, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val dd14Sql =
+    s"""WITH RECURSIVE $lshCandCte,
+       |e AS (SELECT d1 AS a, d2 AS b FROM cand UNION ALL SELECT d2 AS a, d1 AS b FROM cand),
+       |r AS (SELECT doc_id AS node, doc_id AS reach FROM documents
+       |      UNION
+       |      SELECT e.a AS node, r.reach FROM e JOIN r ON e.b = r.node),
+       |lbl AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+       |sc AS (SELECT doc_id,
+       |    COALESCE(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), -1) AS n_distinct
+       |  FROM documents),
+       |j AS (SELECT lbl.doc_id, lbl.cluster_id, sc.n_distinct
+       |      FROM lbl JOIN sc ON sc.doc_id = lbl.doc_id),
+       |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_distinct DESC, doc_id) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, cn.canonical_id,
+       |  j.doc_id = cn.canonical_id AS keep
+       |FROM j JOIN cn ON cn.cluster_id = j.cluster_id
+       |ORDER BY j.doc_id""".stripMargin
+
   /** ta01 — language-ID heuristic: stopword-ratio bands (SURVEY's
     * "n-gram heuristic" class; thresholds shared with the oracle). */
   private def ta01(s: SparkSession, d: String): DataFrame = {
@@ -1862,6 +1908,29 @@ object TextOps {
       |SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
       |FROM b ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** mm03 — exact MULTIMODAL dedup: dd01's content-hash groupBy on the
+    * BINARY payload — identical blobs collapse to the lowest id. The
+    * digest is computed row-locally at the scan; the shuffle carries
+    * (16-byte digest, id, length) and the blob itself never ships —
+    * which is the entire point when the payloads are 100 TB of images.
+    * (The synthetic blob is encode(text); the oracle's md5(text) hashes
+    * the same UTF-8 bytes — mm01's convention, since DuckDB 1.0 has no
+    * md5(BLOB).) */
+  private def mm03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("blob", encode($"text", "UTF-8"))
+      .select($"doc_id", md5($"blob").as("checksum"), length($"blob").as("byte_len"))
+      .groupBy($"checksum")
+      .agg(count(lit(1)).as("dup_count"), min($"doc_id").as("keeper_id"),
+        min($"byte_len").as("byte_len"))
+      .orderBy($"keeper_id")
+  }
+  private val mm03Sql =
+    """SELECT md5(text) AS checksum, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id,
+      |  MIN(CAST(octet_length(encode(text)) AS INT)) AS byte_len
+      |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
     Q("dd02_ngram_jaccard", "word-3gram Jaccard top-20 pairs", dd02, Some(dd02Sql)),
@@ -1869,6 +1938,7 @@ object TextOps {
     Q("dd04_simhash", "32-bit SimHash per document", dd04, Some(dd04Sql)),
     Q("dd05_lsh_dedup", "LSH band candidates + exact Jaccard verify", dd05, Some(dd05Sql)),
     Q("dd06_dup_clusters", "connected-component dedup groups over LSH pairs", dd06, Some(dd06Sql)),
+    Q("dd14_canonical_keep", "canonicalization: keep each cluster's most informative member (integer score, verdict per doc)", dd14, Some(dd14Sql)),
     Q("ta01_langid", "stopword-ratio language-ID heuristic", ta01, Some(ta01Sql)),
     Q("ta02_quality", "document quality metrics", ta02, Some(ta02Sql)),
     Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),
@@ -1885,6 +1955,7 @@ object TextOps {
     Q("ta11_chunk_windows", "per-doc sliding-window chunking: 128-token windows, stride 64 (RAG/long-doc shape)", ta11, Some(ta11Sql)),
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
+    Q("mm03_binary_dedup", "exact multimodal dedup: content-digest groupBy on the binary payload, blob never shuffled", mm03, Some(mm03Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),

@@ -524,6 +524,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("text"), s"exchange ships the document body: $p"))
   }
 
+  test("dd14: canonical selection is a combinable aggregate — no corpus window, text never ships") {
+    val d = df("dd14_canonical_keep")
+    d.collect()
+    val ns = nodes(d)
+    // the per-cluster argmax must stay an aggregate (map-side partials
+    // collapse each partition to one candidate per cluster before the
+    // exchange) — a row_number window over the corpus is the shape this
+    // pin forbids; and the verdict pipeline moves ids + integer scores
+    // only, never the document body
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "canonical selection compiled as a window")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text"), s"exchange ships the document body: $p"))
+  }
+
+  test("mm03: digest-keyed dedup — the binary payload never rides an exchange") {
+    val d = df("mm03_binary_dedup")
+    d.collect()
+    val ns = nodes(d)
+    assert(ns.exists { n =>
+      n.isInstanceOf[HashAggregateExec] &&
+        n.expressions.exists(_.exists {
+          case ae: AggregateExpression => ae.mode == Partial
+          case _ => false
+        })
+    }, "no map-side partial aggregation before the digest exchange")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("blob") && !p.contains("text"),
+        s"exchange ships the payload: $p"))
+  }
+
   test("dd10: pair space is cell-blocked — pairs join ON cid, no cartesian, no window") {
     val d = df("dd10_semantic_dedup")
     d.collect()
