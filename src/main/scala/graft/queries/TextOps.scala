@@ -837,8 +837,7 @@ object TextOps {
     import s.implicits._
     val docs = documents(s, d)
     val labels = dupClusters(docs).select($"doc_id", $"cluster_id")
-    val scores = docs.select($"doc_id",
-      coalesce(size(array_distinct(Text.tokens($"text"))), lit(-1)).as("n_distinct"))
+    val scores = docs.select($"doc_id", canonicalScore($"text").as("n_distinct"))
     val j = labels.join(scores, Seq("doc_id"))
     val canon = j.groupBy($"cluster_id")
       .agg(max(struct($"n_distinct".as("sc"), (-$"doc_id").as("nid"))).as("m"))
@@ -867,6 +866,86 @@ object TextOps {
        |  j.doc_id = cn.canonical_id AS keep
        |FROM j JOIN cn ON cn.cluster_id = j.cluster_id
        |ORDER BY j.doc_id""".stripMargin
+
+  /** The per-doc canonical-selection score shared by dd14 and pp15 — one
+    * definition so the incremental twin can never drift from the batch
+    * gate's. */
+  private def canonicalScore(text: org.apache.spark.sql.Column) =
+    coalesce(size(array_distinct(Text.tokens(text))), lit(-1))
+
+  /** pp15 — INCREMENTAL canonicalization, dd14's incremental twin over
+    * pp04's maintained clustering: standing state is pp04's two tables
+    * (per-doc labels, bucket→component index) plus a per-doc SCORE table
+    * (row-local at ingest — never recomputed) and a per-cluster
+    * canonical summary. A batch advances it O(batch + affected): labels
+    * move by pp04's exact advance (shared `clusterAdvance` kernel —
+    * touched components only), and the canonical is re-aggregated ONLY
+    * for components the batch touched or created, over their full member
+    * sets (members looked up in the standing labels at their own layout;
+    * canonical choice is an aggregate over a cluster, so a cluster
+    * nothing merged into cannot change its canonical — those rows CARRY
+    * from the standing summary untouched). A standing component merged
+    * away leaves a dead summary row; the final labels join inner-drops
+    * it. Oracle = dd14's full-corpus SQL verbatim, the pp04 contract. */
+  private val pp15Standing = new scala.collection.concurrent.TrieMap[String, String]()
+  private def pp15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val stand = pp15Standing.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val dir = java.nio.file.Files.createTempDirectory("pp15-standing").toString
+      val old = docs.filter(!isNew)
+      val members = localMaterialize(sigBandsLocal(old)
+        .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")))
+      val comp = graft.operators.ConnectedComponents.bipartite(
+        members, idCol = "doc_id", bucketCol = "bucket")
+      val oldLabels = old.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      oldLabels.write.parquet(s"$dir/labels")
+      members.join(s.read.parquet(s"$dir/labels"), "doc_id")
+        .select(col("bucket"), col("component")).distinct()
+        .write.parquet(s"$dir/buckets")
+      old.select($"doc_id", canonicalScore($"text").as("sc"))
+        .write.parquet(s"$dir/scores")
+      s.read.parquet(s"$dir/labels")
+        .join(s.read.parquet(s"$dir/scores"), Seq("doc_id"))
+        .groupBy($"component")
+        .agg(max(struct($"sc", (-$"doc_id").as("nid"))).as("m"))
+        .select($"component".as("cluster_id"), (-$"m.nid").as("canonical_id"))
+        .write.parquet(s"$dir/canonical")
+      dir
+    })
+    val oldLabels = s.read.parquet(s"$stand/labels")
+    val batch = docs.filter(isNew)
+    val adv = clusterAdvance(s.read.parquet(s"$stand/buckets"),
+      batch.select(col("doc_id")),
+      sigBandsLocal(batch)
+        .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")))
+    val oldAdvanced = oldLabels.join(broadcast(adv.remap),
+        oldLabels("component") === adv.remap("__oldc"), "left")
+      .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
+    val labels = oldAdvanced.unionByName(adv.newLabels)
+    // scores: standing rows + the batch's own (row-local, batch-sized)
+    val scores = s.read.parquet(s"$stand/scores")
+      .unionByName(batch.select($"doc_id", canonicalScore($"text").as("sc")))
+    // components whose member set changed: every remap target + every
+    // batch component — broadcast-sized by construction
+    val touched = adv.remap.select($"__newc".as("component"))
+      .unionByName(adv.newLabels.select($"component")).distinct()
+    val recomputed = labels.join(broadcast(touched), Seq("component"), "left_semi")
+      .join(scores, Seq("doc_id"))
+      .groupBy($"component")
+      .agg(max(struct($"sc", (-$"doc_id").as("nid"))).as("m"))
+      .select($"component", (-$"m.nid").as("canonical_id"))
+    val carried = s.read.parquet(s"$stand/canonical")
+      .join(broadcast(touched),
+        col("cluster_id") === touched("component"), "left_anti")
+      .select($"cluster_id".as("component"), $"canonical_id")
+    labels.join(recomputed.unionByName(carried), Seq("component"))
+      .select($"doc_id", $"component".as("cluster_id"), $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("keep"))
+      .orderBy($"doc_id")
+  }
 
   /** ta01 — language-ID heuristic: stopword-ratio bands (SURVEY's
     * "n-gram heuristic" class; thresholds shared with the oracle). */
@@ -1960,6 +2039,7 @@ object TextOps {
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),
     Q("pp04_incremental_clusters", "incremental cluster maintenance: advanced labels equal full-corpus clustering", pp04, Some(dd06Sql)),
+    Q("pp15_incremental_canonical", "incremental canonicalization: canonical re-aggregated for touched components only, rest carried", pp15, Some(dd14Sql)),
     Q("pp06_incremental_spans", "incremental span-dedup maintenance: advanced report equals full-corpus spanDedup", pp06, Some(dd09Sql)),
     Q("pp07_incremental_vocab", "incremental vocabulary maintenance: summed standing + batch counts equal full-corpus ta07", pp07, Some(ta07Sql)),
     Q("dd11_containment", "asymmetric containment near-dup: LSH candidates scored by inter/min(|A|,|B|)", dd11, Some(dd11Sql)),

@@ -41,6 +41,32 @@ class IncrementalClustersSpec extends AnyFunSuite with SparkSpec {
       Row(9L, 9L, 1L)))
   }
 
+  test("pp15 gate == dd14 full-corpus canonicalization; the split exercises BOTH the recompute and the carry branch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val inc = Catalog.byName("pp15_incremental_canonical").fn(spark, sf).collect().toSeq
+    val full = Catalog.byName("dd14_canonical_keep").fn(spark, sf).collect().toSeq
+    assert(inc.nonEmpty && inc == full)
+    // the equality above is vacuous for the carry path if every standing
+    // component happened to be touched (then pp15 is just dd14 rerun) —
+    // recompute the touched set independently from the gate's own split
+    // salt and pin that both branches are populated on this corpus
+    val docs = graft.Tables.documents(spark, sf)
+    val isNew = graft.queries.QueryUtils.hex8(
+      concat(lit("inc:"), $"doc_id".cast("string"))) % 5 === 0
+    def members(d: org.apache.spark.sql.DataFrame) =
+      TextOps.bandIndex(d).select($"doc_id",
+        concat_ws(":", $"band", $"bkey").as("bucket"))
+    val oldMembers = members(docs.filter(!isNew))
+    val batchBuckets = members(docs.filter(isNew)).select($"bucket").distinct()
+    val touchedOld = oldMembers.join(batchBuckets, Seq("bucket"), "left_semi")
+      .select($"doc_id").distinct().count()
+    val untouchedOld = docs.filter(!isNew).count() - touchedOld
+    assert(touchedOld > 0, "no standing doc touched — recompute branch unexercised")
+    assert(untouchedOld > 0, "every standing doc touched — carry branch unexercised")
+  }
+
   test("kernel: a batch touching nothing leaves every standing label unchanged") {
     import spark.implicits._
     val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "component")
