@@ -136,18 +136,27 @@ object SampleOps {
     * salted fold, so the corpus is read ONCE and never shuffled, and
     * the emitted `bps` lets the oracle verify the rate computation
     * itself, not just realized membership. */
+  /** The rate computation and the membership pass, extracted as the TWO
+    * kernels sa05, pp16 and the continuous maintainer
+    * ([[graft.streaming.Streams.mixRatesSnapshot]]) all share — one
+    * definition, so the incremental paths can never drift from the batch
+    * gate's arithmetic. */
+  private[graft] def mixRates(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
+      .withColumn("flat", expr("(10000 * n_min) div n"))
+      .withColumn("bps", expr("(50 * 10000 + 50 * flat) div 100"))
+      .select(col("source"), col("bps"))
+  private[graft] def mixMembership(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(hex8(concat_ws(":", lit("temp"), col("doc_id").cast("string"))) % 10000 < col("bps"))
+      .select(col("doc_id"), col("source"), col("bps"))
+      .orderBy(col("doc_id"))
+
   private def sa05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
-    val rates = counts.crossJoin(broadcast(counts.agg(min($"n").as("n_min"))))
-      .withColumn("flat", expr("(10000 * n_min) div n"))
-      .withColumn("bps", expr("(50 * 10000 + 50 * flat) div 100"))
-      .select($"source", $"bps")
-    docs.join(broadcast(rates), Seq("source"))
-      .filter(hex8(concat_ws(":", lit("temp"), $"doc_id".cast("string"))) % 10000 < $"bps")
-      .select($"doc_id", $"source", $"bps")
-      .orderBy($"doc_id")
+    mixMembership(docs,
+      mixRates(docs.groupBy($"source").agg(count(lit(1)).as("n"))))
   }
   private val sa05Sql =
     s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
@@ -159,11 +168,97 @@ object SampleOps {
        |WHERE ${hex8Sql("'temp:' || CAST(d.doc_id AS VARCHAR)")} % 10000 < r.bps
        |ORDER BY d.doc_id""".stripMargin
 
+  /** pp16 — INCREMENTAL mix maintenance, sa05's incremental twin (the
+    * sampling-side member of the pp07/pp13 additive-counts family): the
+    * per-source counts the rates derive from are a STANDING table, and a
+    * batch advances it with one batch-sized count pass merged additively
+    * (counts of a corpus = sum of counts of its doc-disjoint batches —
+    * recounting the corpus per increment is the anti-pattern; the rates
+    * must track a GROWING corpus, which is why they are maintained state
+    * and not a constant). Membership over the full corpus under the
+    * maintained rates must equal sa05 — the oracle is sa05's verbatim.
+    * [[graft.streaming.Streams.maintainMixState]] is the continuous
+    * loop. */
+  private def pp16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = fold(concat_ws(":", lit("mixinc"), $"doc_id".cast("string")), 5) === 0
+    // the standing counts table (persisted in production — pp04's pattern)
+    val standing = docs.filter(!isNew)
+      .groupBy($"source").agg(count(lit(1)).as("n")).localCheckpoint(true)
+    // the advance: count ONLY the increment, merge additively
+    val merged = standing
+      .unionByName(docs.filter(isNew).groupBy($"source").agg(count(lit(1)).as("n")))
+      .groupBy($"source").agg(sum($"n").as("n"))
+    mixMembership(docs, mixRates(merged))
+  }
+
+  /** Mix recipe WITH epochs — the general form of [[domainMix]] where a
+    * source's rate may exceed 1.0: `bps` is basis points of 10000 per
+    * EPOCH, so 32500 means "3 whole copies + a 25% chance of a 4th"
+    * (training-data recipes are written exactly this way: books 2.5
+    * epochs, crawl 0.5). Whole epochs are unconditional repeats; the
+    * fractional remainder reuses the salted row-local fold, so the
+    * SAME docs carry the extra epoch on every run/engine/retry. The
+    * repeat is `explode(sequence(1, n_rep))` — row-local, no shuffle,
+    * bounded by the recipe's max epoch count; emitting an explicit
+    * `epoch` ordinal (not n_rep copies of an identical row) is what
+    * lets a downstream shard shuffle (pp08) place the copies
+    * independently, and the oracle verify the exact repeat count per
+    * doc. Rows with n_rep = 0 are filtered BEFORE the sequence —
+    * Spark's `sequence(1, 0)` defaults to step −1 and would emit
+    * [1, 0], not empty. */
+  def epochMix(docs: DataFrame, bpsBySource: Map[String, Int],
+      defaultBps: Int, salt: String): DataFrame = {
+    val bps = coalesce(element_at(typedLit(bpsBySource), col("source")),
+      lit(defaultBps))
+    docs.withColumn("bps", bps.cast("long"))
+      .withColumn("f",
+        hex8(concat_ws(":", lit(salt), col("doc_id").cast("string"))) % 10000)
+      .withColumn("n_rep", expr("bps div 10000") +
+        when(col("f") < col("bps") % 10000, 1L).otherwise(0L))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("source"), col("bps"),
+        explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
+  }
+
+  private val sa06Bps = Map(
+    "src0" -> 32500, "src1" -> 25000, "src2" -> 17500, "src3" -> 12500,
+    "src4" -> 10000)
+
+  /** sa06 — the epoch-upsampling gate: five pinned sources spanning the
+    * three regimes (multi-epoch repeat, exactly-once, fractional-only via
+    * the 5000-bps default), row-level (doc_id, epoch) output so the
+    * oracle verifies every repeat decision, not realized counts. */
+  private def sa06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    epochMix(documents(s, d), sa06Bps, defaultBps = 5000, salt = "epoch")
+      .orderBy($"doc_id", $"epoch")
+  }
+  private val sa06Sql = {
+    val rateCase = sa06Bps.toSeq.sortBy(_._1)
+      .map { case (src, bps) => s"WHEN '$src' THEN $bps" }
+      .mkString("CASE source ", " ", " ELSE 5000 END")
+    s"""WITH b AS (SELECT doc_id, source, $rateCase AS bps,
+       |    ${hex8Sql("'epoch:' || CAST(doc_id AS VARCHAR)")} % 10000 AS f
+       |  FROM documents),
+       |x AS (SELECT doc_id, source, CAST(bps AS BIGINT) AS bps,
+       |    bps // 10000 + CASE WHEN f < bps % 10000 THEN 1 ELSE 0 END AS n_rep
+       |  FROM b)
+       |SELECT * FROM (
+       |  SELECT doc_id, source, bps,
+       |    UNNEST(generate_series(1, CAST(n_rep AS BIGINT))) AS epoch
+       |  FROM x WHERE n_rep > 0)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
     Q("sa03_domain_mix", "per-source basis-point mix sampling (data mixing)", sa03, Some(sa03Sql)),
     Q("sa04_split", "deterministic 98/1/1 train/val/test split, one fold (disjoint + covering by construction)", sa04, Some(sa04Sql)),
     Q("sa05_temperature_resample", "temperature resampling: per-source rates computed from counts, integer-exact natural/uniform interpolation", sa05, Some(sa05Sql)),
+    Q("pp16_incremental_mix", "incremental mix maintenance: standing per-source counts advanced additively per batch, membership == sa05", pp16, Some(sa05Sql)),
+    Q("sa06_epoch_upsample", "mix recipe with epochs: whole-epoch repeats + salted fractional remainder, row-level (doc_id, epoch) output", sa06, Some(sa06Sql)),
   )
 }

@@ -1224,6 +1224,73 @@ object Streams {
     compactDeltas(spark, vocabTable, Seq("tok"), Seq("df", "cf"),
       docTable, "doc_id")
 
+  /** pp16's continuous twin: CONTINUOUS domain-mix maintenance — the
+    * sampling-side member of the additive-counts family (vocab, LM,
+    * sums). Standing tables: `countsTable` (batch_key, source, n — per-
+    * source count DELTAS, purely additive across doc-disjoint batches)
+    * and `docTable` (the id guard). The advance is ONE batch-sized count
+    * pass appended under the batch's key — no standing read at all, the
+    * vocab flow's shape — and the rates a sampler consumes are derived
+    * at snapshot time from the folded counts through the SAME
+    * [[graft.queries.SampleOps.mixRates]] kernel the batch gate uses.
+    * The batch carries (doc_id, source); in-batch duplicates collapse
+    * deterministically (max source per id), and the usual batch_key
+    * contract covers crash replay: the delta lands, the guard append
+    * crashes, the replay recomputes byte-identical rows under the same
+    * key, and the snapshot's (batch_key, source) dedup collapses them. */
+  def maintainMixState(batch: DataFrame, countsTable: String,
+      docTable: String): Unit = {
+    val arrived = batch.select(col("doc_id"), col("source"))
+      .groupBy(col("doc_id")).agg(max(col("source")).as("source"))
+    val fresh = tryRead(batch.sparkSession, docTable)
+      .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .getOrElse(arrived)
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    mixDelta(fresh, batchKey).write.mode("append").parquet(countsTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The per-source delta rows of one batch — the exact rows
+    * [[maintainMixState]] appends, shared with the crash-simulation spec
+    * (same drift-pinning reason as [[vocabDelta]]). */
+  private[graft] def mixDelta(fresh: DataFrame, batchKey: Long): DataFrame =
+    fresh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(lit(batchKey).as("batch_key"), col("source"), col("n"))
+
+  /** [[maintainMixState]] as a foreachBatch sink over a (doc_id, source)
+    * stream. */
+  def mixStateStream(docs: DataFrame, countsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainMixState(b, countsTable, docTable))
+      .start()
+
+  /** The current folded per-source counts under the maintained delta
+    * table. Duplicate delta rows from redelivered batches collapse on
+    * (batch_key, source) before the sum. */
+  def mixCountsSnapshot(spark: SparkSession, countsTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, countsTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "source" -> StringType, "n" -> LongType))
+      .dropDuplicates("batch_key", "source")
+      .groupBy(col("source")).agg(sum(col("n")).as("n"))
+  }
+
+  /** The current sampling rates under the maintained counts — the exact
+    * rate kernel the sa05/pp16 gates use, over the snapshot counts. */
+  def mixRatesSnapshot(spark: SparkSession, countsTable: String): DataFrame =
+    graft.queries.SampleOps.mixRates(mixCountsSnapshot(spark, countsTable))
+
+  /** Compact the mix deltas to one row per source; `docTable` is the
+    * flow's guard. */
+  def compactMix(spark: SparkSession, countsTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, countsTable, Seq("source"), Seq("n"),
+      docTable, "doc_id")
+
   /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
     * second counts-shaped member of the standing-state family, with
     * [[maintainVocabState]]'s contract verbatim: per-bigram occurrence

@@ -34,4 +34,35 @@ class SampleOpsSpec extends AnyFunSuite with SparkSpec {
     val byCount = counts.toSeq.sortBy(_._2).map { case (s, _) => out(s) }
     assert(byCount == byCount.sorted.reverse, "rates not anti-monotone in count")
   }
+
+  test("epochMix: repeat counts bracket the recipe's epochs; epochs are dense ordinals; fractional share is the salted fold; deterministic") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val bps = Map("s0" -> 32500, "s1" -> 10000, "s2" -> 5000)
+    val out = SampleOps.epochMix(docs, bps, defaultBps = 0, salt = "e")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val reps = out.groupBy(_._1).map { case (id, rs) =>
+      // epochs must be exactly 1..n — an ordinal, not n identical copies
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, s"epochs not dense for $id")
+      id -> rs.length
+    }
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length)
+    // s0 at 3.25 epochs: every doc 3 or 4 times; s1 exactly once each;
+    // s2 fractional-only (0 or 1); s3 under defaultBps=0 absent entirely
+    docs.filter($"source" === "s0").collect().foreach { r =>
+      assert(Set(3, 4).contains(reps(r.getLong(0))), "s0 repeat outside 3..4") }
+    assert(bySrc("s1") == 100 && out.count(_._2 == "s1") == 100)
+    assert(bySrc("s2") > 0 && bySrc("s2") < 100, "s2 fractional regime empty or full")
+    assert(!bySrc.contains("s3"), "defaultBps=0 source leaked into the output")
+    // the fractional 4th epoch of s0 falls on exactly the docs whose salted
+    // fold is under the remainder — membership is the fold, not arbitrary
+    val expect4 = docs.filter($"source" === "s0")
+      .filter(QueryUtils.hex8(concat_ws(":", lit("e"), $"doc_id".cast("string"))) % 10000 < 2500)
+      .collect().map(_.getLong(0)).toSet
+    assert(reps.filter(_._2 == 4).keySet == expect4)
+    // byte-determinism across a second evaluation
+    val again = SampleOps.epochMix(docs, bps, defaultBps = 0, salt = "e")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
 }
