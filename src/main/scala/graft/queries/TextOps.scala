@@ -49,6 +49,37 @@ object TextOps {
     """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id
       |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
 
+  /** dd15 — exact dedup AFTER text canonicalization (lowercase, every
+    * non-alphanumeric run → one space, trim): the standard "fuzzy-exact"
+    * first pass of a web-corpus pipeline — trivially-reformatted copies
+    * (case, punctuation, whitespace) collapse WITHOUT paying near-dup
+    * candidate generation for them, shrinking what dd05/dd10 must
+    * consider. Same 100 TB shape as dd01 (the document body is hashed
+    * at the scan, only the 16-byte digest is ever shuffled);
+    * `n_raw_variants` counts distinct RAW digests per canonical group —
+    * the strictly-coarser-than-dd01 evidence, and the audit column a
+    * pipeline logs to report what canonicalization alone bought. The
+    * canonicalizer is deliberately ASCII-range ([^a-z0-9]): identical
+    * byte-for-byte in Java and RE2 regex semantics, so the digest
+    * cross-verifies; a production Unicode fold (NFKC) swaps into the
+    * same column expression. */
+  private def dd15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", md5($"text").as("raw_hash"),
+        md5(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")))
+          .as("canon_hash"))
+      .groupBy($"canon_hash")
+      .agg(count(lit(1)).as("dup_count"), min($"doc_id").as("keeper_id"),
+        countDistinct($"raw_hash").as("n_raw_variants"))
+      .orderBy($"keeper_id")
+  }
+  private val dd15Sql =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_hash,
+      |  COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id,
+      |  COUNT(DISTINCT md5(text)) AS n_raw_variants
+      |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
   /** dd02 — n-gram Jaccard near-dup: top-20 most-similar pairs. The shingle
     * self-join shuffles on the shingle (small, hashed at scale); Jaccard is
     * exact int arithmetic so the score hashes identically cross-engine. */
@@ -2012,6 +2043,7 @@ object TextOps {
 
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
+    Q("dd15_norm_dedup", "exact dedup after ASCII canonicalization (case/punct/ws-insensitive), with per-group raw-variant audit", dd15, Some(dd15Sql)),
     Q("dd02_ngram_jaccard", "word-3gram Jaccard top-20 pairs", dd02, Some(dd02Sql)),
     Q("dd03_minhash_lsh", "MinHash signatures + LSH band keys", dd03, Some(dd03Sql)),
     Q("dd04_simhash", "32-bit SimHash per document", dd04, Some(dd04Sql)),
