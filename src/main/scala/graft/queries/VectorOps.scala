@@ -216,6 +216,40 @@ object VectorOps {
     vecs.select(assign.as("cid"), col("vec_id"), col("q"), col("nrm"))
   }
 
+  /** The probe-and-score candidate stream ivfSearch (top-k) and
+    * ivfRangeSearch (threshold) share: each query keeps its nProbe
+    * nearest cells (the one window — Q×|cents| rows, per-query bounded),
+    * joins the postings ON the centroid id, and scores exact quantized
+    * cosine per candidate. One definition, so the two retrieval modes
+    * can never disagree on probing. */
+  private[graft] def ivfCandidates(postings: DataFrame, queries: DataFrame,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qq"), col("qn"), col("cid"))
+    probed.join(postings, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") / (col("qn") * col("nrm")))
+  }
+
+  /** Range (threshold) retrieval over the same probed cells: ALL
+    * candidates with cosine ≥ tau, no ranking — the retrieval mode a
+    * RAG recall filter or a dedup-style "everything this similar" audit
+    * uses, where the answer set is data-sized rather than k-sized. No
+    * window and no top-k buffer anywhere downstream of the candidates
+    * join: the predicate is row-local, so the output scales with the
+    * MATCHES, not the probed volume. */
+  private[graft] def ivfRangeSearch(postings: DataFrame, queries: DataFrame,
+      cents: DataFrame, nProbe: Int, tau: Double): DataFrame =
+    ivfCandidates(postings, queries, cents, nProbe)
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("cid"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+
   /** IVF probe-and-score over a postings table: each query ranks the
     * centroids (the one window left — Q×|cents| rows, per-query bounded),
     * keeps its nProbe nearest cells, joins the postings ON THE CENTROID
@@ -229,15 +263,7 @@ object VectorOps {
     * search is the same either way. */
   private[graft] def ivfSearch(postings: DataFrame, queries: DataFrame,
       cents: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
-    val probed = queries.crossJoin(broadcast(cents))
-      .withColumn("pcos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
-      .withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qq"), col("qn"), col("cid"))
-    val scored = probed.join(postings, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") / (col("qn") * col("nrm")))
+    val scored = ivfCandidates(postings, queries, cents, nProbe)
     graft.operators.GroupedTopK.topKCarry(
         scored.select(col("query_id"), col("cos"), col("vec_id"), col("cid")),
         "query_id", "cos", "vec_id", "cid", k)
@@ -268,7 +294,11 @@ object VectorOps {
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
     ivfSearch(assignCells(e, cents), queries, cents, nProbe = 2, k = 3)
   }
-  private val vs06Sql = {
+  /** The DuckDB twin of [[ivfCandidates]] (assignment + probe-2 + exact
+    * quantized-cosine scoring), parameterized on the query-id predicate —
+    * shared by vs06's top-k suffix and vs12's threshold suffix so the
+    * oracles replay ONE probing definition, like the Spark side. */
+  private def ivfCandidatesCte(queryPred: String): String = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
@@ -279,18 +309,44 @@ object VectorOps {
        |a AS (SELECT vec_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
        |p0 AS (SELECT n.vec_id AS query_id, n.q, n.nrm, c.cid, ${dot("n", "c")} AS pcos
-       |  FROM n CROSS JOIN c WHERE n.vec_id >= 10 AND n.vec_id < 20),
+       |  FROM n CROSS JOIN c WHERE $queryPred),
        |p AS (SELECT query_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, cid) AS rn FROM p0) WHERE rn <= 2),
        |s AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id,
        |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
        |  FROM p JOIN a ON p.cid = a.cid AND a.vec_id <> p.query_id
        |       JOIN n x ON x.vec_id = p.query_id
-       |       JOIN n y ON y.vec_id = a.vec_id),
+       |       JOIN n y ON y.vec_id = a.vec_id)""".stripMargin
+  }
+
+  private val vs06Sql =
+    s"""${ivfCandidatesCte("n.vec_id >= 10 AND n.vec_id < 20")},
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  /** vs12 — range (threshold) retrieval: vs06's probing with the top-k
+    * replaced by `cos ≥ τ` — the "give me EVERYTHING this similar"
+    * retrieval mode (RAG recall filters, similarity audits, building
+    * dd10-style drop candidates from a query set). Same quantizer, same
+    * probe decisions (shared [[ivfCandidates]] kernel on both engines);
+    * downstream of the candidates join there is no window and no buffer,
+    * just the row-local predicate, so the 100 TB cost is the probed
+    * cells' postings and the OUTPUT is match-sized. τ = 0.25 sits inside
+    * the corpus's score spread so both verdict directions are
+    * exercised. */
+  private def vs12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    ivfRangeSearch(assignCells(e, cents), queries, cents, nProbe = 2, tau = 0.25)
   }
+  private val vs12Sql =
+    s"""${ivfCandidatesCte("n.vec_id >= 10 AND n.vec_id < 30")}
+       |SELECT query_id, cid, neighbor_id, cos FROM s WHERE cos >= 0.25
+       |ORDER BY query_id, neighbor_id""".stripMargin
 
   /** pp05 — INCREMENTAL IVF maintenance, vs06's incremental twin (the
     * vector-side member of the pp02/pp04 standing-state family): the
@@ -982,6 +1038,7 @@ object VectorOps {
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
+    Q("vs12_range_search", "threshold retrieval: all probed candidates with cosine >= tau, match-sized output (no top-k)", vs12, Some(vs12Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs11_kmeans_rebuild", "quantizer rebuild: 3 exact integer Lloyd iterations (L2 lattice assignment, truncated-mean update, empty-cell carryover)", vs11, Some(vs11Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
