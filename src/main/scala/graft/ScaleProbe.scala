@@ -108,7 +108,7 @@ object ScaleProbe {
     // input in the work dir)
     val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters",
       "dd14_canonical_keep", "pp15_incremental_canonical", "mm03_binary_dedup",
-      "dd15_norm_dedup", "sa06_epoch_upsample",
+      "dd15_norm_dedup", "pp17_incremental_dedup", "sa06_epoch_upsample",
       "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
       "pp06_incremental_spans", "pp07_incremental_vocab", "pp13_incremental_lm",
       "ta12_lm_quality_filter", "sa05_temperature_resample",

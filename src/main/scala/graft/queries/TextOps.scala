@@ -63,22 +63,60 @@ object TextOps {
     * byte-for-byte in Java and RE2 regex semantics, so the digest
     * cross-verifies; a production Unicode fold (NFKC) swaps into the
     * same column expression. */
-  private def dd15(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    documents(s, d)
-      .select($"doc_id", md5($"text").as("raw_hash"),
-        md5(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")))
+  /** The (canon_hash, raw_hash)-granular stats dd15 rolls up — kept at
+    * this granularity because it is the ADDITIVE form: per-(canon, raw)
+    * counts sum across doc-disjoint batches and keepers min-combine,
+    * while canon-level `n_raw_variants` (a distinct-count) does not.
+    * pp17 and the continuous maintainer advance THIS table; one shared
+    * definition with the batch gate so they can never drift. */
+  private[graft] def canonRawStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("raw_hash"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
           .as("canon_hash"))
-      .groupBy($"canon_hash")
-      .agg(count(lit(1)).as("dup_count"), min($"doc_id").as("keeper_id"),
-        countDistinct($"raw_hash").as("n_raw_variants"))
-      .orderBy($"keeper_id")
-  }
+      .groupBy(col("canon_hash"), col("raw_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper_id"))
+
+  /** Canon-level rollup of [[canonRawStats]] rows: dup_count = Σn,
+    * keeper = min, n_raw_variants = the (canon, raw) row count — exactly
+    * dd15's output, derivable from the additive granularity alone. */
+  private[graft] def canonGroups(stats: DataFrame): DataFrame =
+    stats.groupBy(col("canon_hash"))
+      .agg(sum(col("n")).as("dup_count"), min(col("keeper_id")).as("keeper_id"),
+        count(lit(1)).as("n_raw_variants"))
+      .select(col("canon_hash"), col("dup_count"), col("keeper_id"),
+        col("n_raw_variants"))
+      .orderBy(col("keeper_id"))
+
+  private def dd15(s: SparkSession, d: String): DataFrame =
+    canonGroups(canonRawStats(documents(s, d)))
   private val dd15Sql =
     """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_hash,
       |  COUNT(*) AS dup_count, MIN(doc_id) AS keeper_id,
       |  COUNT(DISTINCT md5(text)) AS n_raw_variants
       |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
+  /** pp17 — INCREMENTAL exact-dedup maintenance, dd15's incremental twin
+    * and the most common production incremental dedup there is: the
+    * standing state is the (canon_hash, raw_hash)-granular stats table —
+    * [[canonRawStats]]'s shape, chosen BECAUSE it is the additive form
+    * (per-(canon, raw) counts sum across doc-disjoint batches, keepers
+    * min-combine; canon-level n_raw_variants is a distinct-count and
+    * does NOT compose, which is why the state is kept one level finer
+    * than the report). The advance is one batch-sized stats pass merged
+    * by (sum, min) — no standing read beyond the merge itself — and the
+    * canon-level report over the merged state must equal dd15 over the
+    * FULL corpus: the oracle is dd15's, verbatim.
+    * [[graft.streaming.Streams.maintainDedupState]] is the continuous
+    * loop. */
+  private def pp17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("ded:"), $"doc_id".cast("string"))) % 5 === 0
+    val standing = canonRawStats(docs.filter(!isNew)).localCheckpoint(true)
+    canonGroups(standing.unionByName(canonRawStats(docs.filter(isNew)))
+      .groupBy($"canon_hash", $"raw_hash")
+      .agg(sum($"n").as("n"), min($"keeper_id").as("keeper_id")))
+  }
 
   /** dd02 — n-gram Jaccard near-dup: top-20 most-similar pairs. The shingle
     * self-join shuffles on the shingle (small, hashed at scale); Jaccard is
@@ -2044,6 +2082,7 @@ object TextOps {
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
     Q("dd15_norm_dedup", "exact dedup after ASCII canonicalization (case/punct/ws-insensitive), with per-group raw-variant audit", dd15, Some(dd15Sql)),
+    Q("pp17_incremental_dedup", "incremental exact-dedup maintenance: (canon, raw)-granular additive stats advanced per batch, report == dd15", pp17, Some(dd15Sql)),
     Q("dd02_ngram_jaccard", "word-3gram Jaccard top-20 pairs", dd02, Some(dd02Sql)),
     Q("dd03_minhash_lsh", "MinHash signatures + LSH band keys", dd03, Some(dd03Sql)),
     Q("dd04_simhash", "32-bit SimHash per document", dd04, Some(dd04Sql)),

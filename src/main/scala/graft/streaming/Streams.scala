@@ -973,7 +973,8 @@ object Streams {
 
   private def compactDeltas(spark: SparkSession, table: String,
       keys: Seq[String], sums: Seq[String],
-      guardTable: String, guardIdCol: String): Unit =
+      guardTable: String, guardIdCol: String,
+      mins: Seq[String] = Nil): Unit =
     tryRead(spark, table).foreach { t0 =>
       val t = t0.localCheckpoint(true)
       val guard = tryRead(spark, guardTable)
@@ -990,11 +991,14 @@ object Streams {
         t.join(broadcast(committedKeys), Seq("batch_key"), "left_semi"))
       val pending = t.filter(!reserved)
         .join(broadcast(committedKeys), Seq("batch_key"), "left_anti")
-      val aggs = sums.map(c => sum(col(c)).as(c))
+      // sums fold additively; mins (keeper-style columns) min-combine —
+      // both are associative+commutative, which is all batch_key-tagged
+      // delta folding requires
+      val aggs = sums.map(c => sum(col(c)).as(c)) ++ mins.map(c => min(col(c)).as(c))
       val folded = committed.dropDuplicates("batch_key" +: keys)
         .groupBy(keys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-        .select(lit(Long.MinValue).as("batch_key") +: (keys ++ sums).map(col): _*)
+        .select(lit(Long.MinValue).as("batch_key") +: (keys ++ sums ++ mins).map(col): _*)
       graft.operators.MergeWriter.overwriteAtomic(
         folded.unionByName(pending), table)
     }
@@ -1290,6 +1294,66 @@ object Streams {
       docTable: String): Unit =
     compactDeltas(spark, countsTable, Seq("source"), Seq("n"),
       docTable, "doc_id")
+
+  /** pp17's continuous twin: CONTINUOUS exact-dedup maintenance — the
+    * (canon_hash, raw_hash)-granular stats table advanced additively per
+    * batch (counts sum, keepers min-combine; the canon-level report's
+    * distinct-count is derived at snapshot time, never maintained —
+    * pp17's Scaladoc explains why the state is one level finer than the
+    * report). Standing tables: `statsTable` (batch_key, canon_hash,
+    * raw_hash, n, keeper_id — pure deltas, the vocab flow's
+    * no-standing-read shape) and `docTable` (the id guard). The usual
+    * batch_key contract covers crash replay: the delta lands, the guard
+    * append crashes, the replay recomputes byte-identical rows under the
+    * same key, and the snapshot's (batch_key, canon, raw) dedup
+    * collapses them. */
+  def maintainDedupState(batch: DataFrame, statsTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    dedupDelta(fresh, batchKey).write.mode("append").parquet(statsTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The per-(canon, raw) delta rows of one batch — the exact rows
+    * [[maintainDedupState]] appends, shared with the crash-simulation
+    * spec (same drift-pinning reason as [[vocabDelta]]). */
+  private[graft] def dedupDelta(fresh: DataFrame, batchKey: Long): DataFrame =
+    graft.queries.TextOps.canonRawStats(fresh)
+      .select(lit(batchKey).as("batch_key"), col("canon_hash"),
+        col("raw_hash"), col("n"), col("keeper_id"))
+
+  /** [[maintainDedupState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def dedupStateStream(docs: DataFrame, statsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainDedupState(b, statsTable, docTable))
+      .start()
+
+  /** The current canon-level dedup report under the maintained stats —
+    * dd15's exact shape over every doc that has arrived. Duplicate delta
+    * rows from redelivered batches collapse on (batch_key, canon, raw)
+    * before the (sum, min) fold. */
+  def dedupSnapshot(spark: SparkSession, statsTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.queries.TextOps.canonGroups(
+      tryRead(spark, statsTable).getOrElse(emptyDf(spark,
+          "batch_key" -> LongType, "canon_hash" -> StringType,
+          "raw_hash" -> StringType, "n" -> LongType, "keeper_id" -> LongType))
+        .dropDuplicates("batch_key", "canon_hash", "raw_hash")
+        .groupBy(col("canon_hash"), col("raw_hash"))
+        .agg(sum(col("n")).as("n"), min(col("keeper_id")).as("keeper_id")))
+  }
+
+  /** Compact the dedup deltas to one row per (canon, raw); `docTable` is
+    * the flow's guard. */
+  def compactDedup(spark: SparkSession, statsTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, statsTable, Seq("canon_hash", "raw_hash"), Seq("n"),
+      docTable, "doc_id", mins = Seq("keeper_id"))
 
   /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
     * second counts-shaped member of the standing-state family, with
