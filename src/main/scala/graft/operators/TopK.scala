@@ -109,6 +109,72 @@ object GroupedTopK {
       .select(col(group), (col("pos") + 1).cast("int").as("rank"),
         col("col.v").as("v"), col("col.id").as("id"))
 
+  /** One scored row with a STRING id — the [[In]] variant for detail
+    * rows keyed by text (tokens, terms), where the deterministic
+    * tie-break must be the string itself (a hash surrogate would need
+    * the oracle to replay the hash; binary string order both engines
+    * already share). */
+  final case class InS(v: Double, id: String)
+
+  /** Sorted parallel arrays (v DESC, id ASC lexicographic), length ≤ k. */
+  final case class BufS(vs: Array[Double], ids: Array[String])
+
+  final class TopKStrAgg(k: Int) extends Aggregator[InS, BufS, BufS] {
+    override def zero: BufS = BufS(Array.empty, Array.empty)
+
+    // same total order as TopKAgg (NaN ranks first via Double.compare),
+    // with the id leg lexicographic on the raw string
+    private def before(b: BufS, i: Int, v: Double, id: String): Boolean = {
+      val c = java.lang.Double.compare(b.vs(i), v)
+      c > 0 || (c == 0 && b.ids(i).compareTo(id) < 0)
+    }
+
+    private def insert(b: BufS, v: Double, id: String): BufS = {
+      val n = b.vs.length
+      if (n == k && before(b, n - 1, v, id)) return b
+      var pos = 0
+      while (pos < n && before(b, pos, v, id)) pos += 1
+      val m = math.min(n + 1, k)
+      val vs = new Array[Double](m)
+      val ids = new Array[String](m)
+      java.lang.System.arraycopy(b.vs, 0, vs, 0, pos)
+      java.lang.System.arraycopy(b.ids, 0, ids, 0, pos)
+      vs(pos) = v; ids(pos) = id
+      java.lang.System.arraycopy(b.vs, pos, vs, pos + 1, m - pos - 1)
+      java.lang.System.arraycopy(b.ids, pos, ids, pos + 1, m - pos - 1)
+      BufS(vs, ids)
+    }
+
+    override def reduce(b: BufS, a: InS): BufS = insert(b, a.v, a.id)
+
+    override def merge(b1: BufS, b2: BufS): BufS = {
+      var acc = b1
+      var i = 0
+      while (i < b2.vs.length) { acc = insert(acc, b2.vs(i), b2.ids(i)); i += 1 }
+      acc
+    }
+
+    override def finish(b: BufS): BufS = b
+    override def bufferEncoder: Encoder[BufS] = Encoders.product[BufS]
+    override def outputEncoder: Encoder[BufS] = Encoders.product[BufS]
+  }
+
+  /** [[topK]] for STRING-keyed detail rows: top `k` per `group` by
+    * (`value` DESC, `id` ASC lexicographic). Same bounded-buffer partial
+    * aggregation contract (map-side combine to ≤ k rows per group, no
+    * WindowExec). Output: (group, rank, v, id). */
+  def topKStr(df: DataFrame, group: String, value: String, id: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val fn = udaf(new TopKStrAgg(k), Encoders.product[InS])
+    df.groupBy(col(group))
+      .agg(fn(col(value).cast("double"), col(id).cast("string")).as("top"))
+      .select(col(group), posexplode(zip_with(col("top.vs"), col("top.ids"),
+        (v, i) => struct(v.as("v"), i.as("id")))))
+      .select(col(group), (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").as("v"), col("col.id").as("id"))
+  }
+
   /** [[topK]] with an extra BIGINT `carry` column that rides along with
     * each kept row (not part of the ordering) — so a top-k whose output
     * needs a third attribute of the winning row (vs06 carries the

@@ -914,6 +914,42 @@ object Relational {
       |  FROM orders)
       |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
 
+  /** q44 — change-interval (SCD2) build: an event log folded into a
+    * state-history table — per user, consecutive repeats of the same
+    * event_type collapse, and each surviving change opens an interval
+    * [valid_from, valid_to) closed by the NEXT change (null = still
+    * open). The warehouse move behind every dimension-history table and
+    * training-corpus snapshot ledger. Two windows over ONE user_id
+    * partitioning (the dedup lag, the interval lead) — a single
+    * exchange; `first_event_id` (globally unique) makes the output
+    * unambiguous under second-resolution timestamp ties and is the
+    * deterministic sort key on both engines. */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, d)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("vt", lead($"ts", 1).over(w))
+      .select($"user_id", $"event_id".as("first_event_id"),
+        $"event_type".as("state"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format($"vt", "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+      .orderBy($"user_id", $"first_event_id")
+  }
+  private val q44Sql =
+    """WITH m AS (SELECT user_id, event_id, ts, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT user_id, event_id, ts, event_type FROM m
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |i AS (SELECT user_id, event_id AS first_event_id, event_type AS state, ts,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt FROM c)
+      |SELECT user_id, first_event_id, state,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+      |FROM i ORDER BY user_id, first_event_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -958,5 +994,6 @@ object Relational {
     Q("q41_percentile", "exact interpolated percentiles per group", q41, Some(q41Sql)),
     Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
     Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
+    Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),
   )
 }

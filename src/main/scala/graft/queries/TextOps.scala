@@ -1313,6 +1313,47 @@ object TextOps {
       |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_rate,
       |  (CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) <= 0.5 AS keep
       |FROM d ORDER BY doc_id""".stripMargin
+  /** ta13 — per-document keyword extraction: top-3 terms by an
+    * INTEGER-EXACT tf·idf surrogate, `score = tf · ((10000·N) div df)` —
+    * the log-free rational idf (a production log-idf is a trivial FP map
+    * swap on the same plan; the integer form is chosen so the score, and
+    * therefore the top-3 CUT, hashes identically cross-engine — a
+    * boundary term under an IEEE log could rank differently). Plan: one
+    * corpus scan → per-(doc, tok) tf rollup; df = second-order rollup of
+    * THAT (never a count-distinct over the raw stream); df joined back
+    * tok-keyed (NOT broadcast — a corpus-wide term table outgrows one at
+    * scale, ta12's LM-join argument verbatim); N is a 1-row broadcast.
+    * The per-doc top-3 is [[graft.operators.GroupedTopK.topKStr]] — the
+    * bounded-buffer aggregator with the STRING tie-break (score ties are
+    * common: tf = 1 × equal-df terms — so the term itself must order,
+    * not a hash surrogate), map-side combined to ≤ 3 rows per doc before
+    * the doc-keyed exchange; no WindowExec anywhere. */
+  private def ta13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val tf = docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * expr("(10000 * n_docs) div df"))
+    graft.operators.GroupedTopK
+      .topKStr(scored.select($"doc_id", $"score", $"tok"),
+        "doc_id", "score", "tok", k = 3)
+      .select($"doc_id", $"rank", $"id".as("tok"), $"v".cast("long").as("score"))
+      .orderBy($"doc_id", $"rank")
+  }
+  private val ta13Sql =
+    """WITH a AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM a GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT tf.doc_id, tf.tok,
+      |    CAST(tf.tf * ((10000 * (SELECT COUNT(*) FROM documents)) // df.df) AS BIGINT) AS score
+      |  FROM tf JOIN df USING (tok)),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank FROM sc)
+      |SELECT doc_id, rank, tok, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -2121,5 +2162,6 @@ object TextOps {
     Q("pp11_export_sharded", "pp01's export carried to training-ready delivery: train split + shard + within-shard order", pp11, Some(pp11Sql)),
     Q("pp13_incremental_lm", "incremental bigram-LM maintenance: summed standing + batch counts equal full-corpus ta09", pp13, Some(ta09Sql)),
     Q("ta12_lm_quality_filter", "per-doc rare-bigram rate under the corpus LM + keep verdict (perplexity-filter core)", ta12, Some(ta12Sql)),
+    Q("ta13_tfidf_terms", "per-doc keyword extraction: top-3 terms by integer-exact tf-idf surrogate, string-tie-break bounded-buffer top-k", ta13, Some(ta13Sql)),
   )
 }

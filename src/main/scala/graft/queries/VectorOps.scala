@@ -325,6 +325,59 @@ object VectorOps {
        |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The kNN GRAPH over a postings table: every vector's top-k neighbors
+    * within its own IVF cell — the all-to-all composition (embedding
+    * curation, cluster analysis, kNN-graph construction for
+    * graph-based pruning) where the query set IS the corpus. No probe
+    * window at all: with nProbe = 1 a vector's probed cell is its
+    * ASSIGNED cell, already a column of the postings — so the plan is
+    * one cid-keyed self-join (Σ|cell|² pairs, dd10's cost model, the
+    * nlist ∝ N sizing rule bounds it) followed by the bounded-buffer
+    * top-k. Both sides of the self-join are the SAME frame at the SAME
+    * cid layout — one exchange, reused. */
+  private[graft] def knnGraph(postings: DataFrame, k: Int): DataFrame = {
+    val q = postings.select(col("cid"), col("vec_id").as("query_id"),
+      col("q").as("qq"), col("nrm").as("qn"))
+    val scored = q.join(postings, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") / (col("qn") * col("nrm")))
+    graft.operators.GroupedTopK.topKCarry(
+        scored.select(col("query_id"), col("cos"), col("vec_id"), col("cid")),
+        "query_id", "cos", "vec_id", "cid", k)
+      .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
+        col("rank"), col("v").as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** vs13 — the kNN-graph gate: top-3 in-cell neighbors for EVERY
+    * vector under the catalog quantizer. Approximate exactly like vs06
+    * (a true neighbor in another cell is missed); the oracle replays
+    * the same assignment decisions. */
+  private def vs13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    knnGraph(assignCells(e, ivfCentroids(e)), k = 3)
+  }
+  private val vs13Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |s AS (SELECT ax.vec_id AS query_id, ax.cid, ay.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM a ax JOIN a ay ON ax.cid = ay.cid AND ay.vec_id <> ax.vec_id
+       |       JOIN n x ON x.vec_id = ax.vec_id
+       |       JOIN n y ON y.vec_id = ay.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** vs12 — range (threshold) retrieval: vs06's probing with the top-k
     * replaced by `cos ≥ τ` — the "give me EVERYTHING this similar"
     * retrieval mode (RAG recall filters, similarity audits, building
@@ -1039,6 +1092,7 @@ object VectorOps {
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs12_range_search", "threshold retrieval: all probed candidates with cosine >= tau, match-sized output (no top-k)", vs12, Some(vs12Sql)),
+    Q("vs13_knn_graph", "kNN graph: every vector's top-3 in-cell neighbors via one cid-keyed self-join (no probe window)", vs13, Some(vs13Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs11_kmeans_rebuild", "quantizer rebuild: 3 exact integer Lloyd iterations (L2 lattice assignment, truncated-mean update, empty-cell carryover)", vs11, Some(vs11Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),

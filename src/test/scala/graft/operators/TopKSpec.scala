@@ -90,4 +90,34 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
     val df = Seq((1L, 1.0, 1L)).toDF("g", "v", "id")
     intercept[IllegalArgumentException](GroupedTopK.topK(df, "g", "v", "id", 0))
   }
+
+  test("topKStr: matches the window form with lexicographic tie-break; merge path; no window in the plan") {
+    import spark.implicits._
+    // ties on v resolved by STRING order (bb < z lexicographically even
+    // though z is shorter) — the property a hash surrogate would break
+    val rows = Seq(
+      (1L, 5.0, "z"), (1L, 5.0, "bb"), (1L, 7.0, "mid"), (1L, 1.0, "a"),
+      (2L, 3.0, "only"), (2L, 4.0, "two"),
+      (3L, 2.0, "one"))
+    def windowForm(k: Int) = {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      rows.toDF("g", "v", "id")
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(1), r.getString(2))).toSet
+    }
+    def aggForm(k: Int, parts: Int = 4) =
+      GroupedTopK.topKStr(rows.toDF("g", "v", "id").repartition(parts), "g", "v", "id", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    for (k <- Seq(1, 2, 3, 5)) assert(aggForm(k) == windowForm(k), s"k=$k")
+    // merge path: full buffers on every partition
+    val many = (1L to 64L).map(i => (1L, (i % 16).toDouble, f"t$i%03d"))
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val expect = many.toDF("g", "v", "id")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .collect().map(r => (r.getInt(3), r.getString(2))).toSet
+    val got = GroupedTopK.topKStr(many.toDF("g", "v", "id").repartition(8), "g", "v", "id", 5)
+    assert(got.collect().map(r => (r.getInt(1), r.getString(3))).toSet == expect)
+    assert(!PlanInspect.nodes(got).exists(_.isInstanceOf[WindowExec]),
+      "string top-k must not fall back to a window")
+  }
 }
