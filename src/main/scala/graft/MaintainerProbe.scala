@@ -101,6 +101,45 @@ object MaintainerProbe {
       println(f"| ${k + 1} | $rows | $standing | $dt%.2f | $pt%.2f | $cs |")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+
+    // ---- document-side leg: the counts-family maintainers (pp16 mix,
+    // pp17 dedup) over disjoint batches of the 10× documents corpus.
+    // Both advances are one batch-sized pass + appends; the only
+    // standing-sized touch is the id-guard anti-join (a single-column
+    // scan every text flow shares) — the claim under test is that
+    // per-advance cost stays flat as the guard grows to the corpus.
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    def docBatch(k: Int) = docs.filter(pmod(col("doc_id"), lit(nBatches)) === k)
+    val (mixT, mixDocT) = (s"$work/mix_counts", s"$work/mix_docs")
+    val (dedT, dedDocT) = (s"$work/dedup_stats", s"$work/dedup_docs")
+    graft.streaming.Streams.maintainMixState(docBatch(0), s"$warm/mix",
+      s"$warm/mix_docs")
+    graft.streaming.Streams.maintainDedupState(docBatch(0), s"$warm/ded",
+      s"$warm/ded_docs")
+    println()
+    println("| batch | rows | standing docs | mix s | dedup s | compact s |")
+    println("|---|---|---|---|---|---|")
+    var docStanding = 0L
+    for (k <- 0 until nBatches) {
+      val b = docBatch(k)
+      val rows = b.count()
+      val mt = time {
+        graft.streaming.Streams.maintainMixState(b, mixT, mixDocT)
+      }
+      val ddt = time {
+        graft.streaming.Streams.maintainDedupState(b, dedT, dedDocT)
+      }
+      val ct =
+        if ((k + 1) % compactEvery == 0) time {
+          graft.streaming.Streams.compactMix(spark, mixT, mixDocT)
+          graft.streaming.Streams.compactDedup(spark, dedT, dedDocT)
+        } else -1.0
+      docStanding += rows
+      val cs = if (ct < 0) "" else f"$ct%.2f"
+      println(f"| ${k + 1} | $rows | $docStanding | $mt%.2f | $ddt%.2f | $cs |")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     spark.stop()
   }
 }

@@ -68,11 +68,25 @@ import graft.queries.Catalog
   *    vs03 cluster stats, vs04 LSH ANN (graft.operators.Ann, native
   *    quantized_dot codegen expression, md5-derived integer hyperplanes),
   *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids),
-  *    vs08 product-quantization ANN (8×8 codebook encode +
+  *    vs08 product-quantization ANN (8×64 codebook encode +
   *    asymmetric-distance table lookups — the vector-compression scale
   *    path beside vs04/vs06's candidate pruning), vs09 IVF-PQ ANN (the
   *    100 TB composition: probe-pruned cells scored by ADC lookups over
-  *    a codes-only postings table)
+  *    a codes-only postings table), vs10 two-stage retrieval (ADC
+  *    shortlist re-ranked by exact cosine), vs11 quantizer rebuild
+  *    (3 exact integer Lloyd iterations), vs12 range/threshold
+  *    retrieval (shared ivfCandidates kernel, match-sized output),
+  *    vs13 kNN graph (cid-keyed self-join, no probe window);
+  *    dd14 cluster canonicalization + pp15 its incremental twin,
+  *    dd15 fuzzy-exact dedup (ASCII canonicalization) + pp17 its
+  *    incremental twin over (canon, raw)-granular additive stats,
+  *    mm03 binary-payload exact dedup; sa05 temperature resampling
+  *    (integer-exact rate interpolation) + pp16 incremental mix
+  *    maintenance, sa06 epoch up-sampling (whole-epoch repeats +
+  *    salted fractional remainder); pp14 incremental PQ-codes
+  *    maintenance; ta13 per-doc tf-idf keywords (integer-exact
+  *    surrogate, string-tie-break GroupedTopK.topKStr); q44 SCD2
+  *    change-interval build from the event log
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):
