@@ -336,14 +336,20 @@ object VectorOps {
     * top-k. Both sides of the self-join are the SAME frame at the SAME
     * cid layout — one exchange, reused. */
   private[graft] def knnGraph(postings: DataFrame, k: Int): DataFrame = {
-    val q = postings.select(col("cid"), col("vec_id").as("query_id"),
-      col("q").as("qq"), col("nrm").as("qn"))
-    val scored = q.join(postings, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dotQ(col("qq"), col("q")).cast("double") / (col("qn") * col("nrm")))
+    // both join branches are the SAME frame with the SAME projection
+    // (aliases only at the join, dd02's shape) so they need the SAME
+    // cid exchange, which ReusedExchange computes once; the hint keeps
+    // the small-SF planner from broadcasting one side, which would both
+    // break the reuse and be the wrong 100 TB shape (the postings are
+    // corpus-sized on either side of this join)
+    val p = postings.hint("shuffle_hash")
+    val scored = p.as("a").join(p.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") =!= col("a.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        (dotQ(col("a.q"), col("b.q")).cast("double") / (col("a.nrm") * col("b.nrm"))).as("cos"),
+        col("b.vec_id").as("neighbor"), col("a.cid").as("cid"))
     graft.operators.GroupedTopK.topKCarry(
-        scored.select(col("query_id"), col("cos"), col("vec_id"), col("cid")),
-        "query_id", "cos", "vec_id", "cid", k)
+        scored, "query_id", "cos", "neighbor", "cid", k)
       .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
         col("rank"), col("v").as("cos"))
       .orderBy(col("query_id"), col("rank"))

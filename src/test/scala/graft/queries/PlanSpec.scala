@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.execution.{RDDScanExec, SortExec, TakeOrderedAndProjectExec}
-import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Partial}
@@ -782,5 +782,70 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
     assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
     assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("dd15: canonicalized dedup keeps dd01's contract — digests computed at the scan, text never rides an exchange") {
+    val d = df("dd15_norm_dedup")
+    d.collect()
+    assert(nodes(d).exists { n =>
+      n.isInstanceOf[HashAggregateExec] &&
+        n.expressions.exists(_.exists {
+          case ae: AggregateExpression => ae.mode == Partial
+          case _ => false
+        })
+    }, "no map-side partial aggregation before the digest exchange")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text"), s"exchange ships the document body: $p"))
+  }
+
+  test("sa06: epoch repeat is row-local — no exchange before the explode, and none ships text") {
+    val d = df("sa06_epoch_upsample")
+    d.collect()
+    // membership, repeat count, and the sequence explode are all pure
+    // row functions of the scan: the ONLY exchange the gate may contain
+    // is its deterministic output ORDER BY (a range exchange, not hash)
+    assert(hashShuffleKeys(d).isEmpty,
+      s"epoch up-sampling hash-shuffles: ${hashShuffleKeys(d)}")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text"), s"exchange ships the document body: $p"))
+  }
+
+  test("q44: both windows (dedup lag, interval lead) share ONE user_id exchange") {
+    val d = df("q44_change_intervals")
+    d.collect()
+    val userKeyed = hashShuffleKeys(d).count(_ == Set("user_id"))
+    assert(userKeyed == 1,
+      s"expected exactly one user_id exchange feeding both windows, got $userKeyed")
+  }
+
+  test("ta13: per-doc top-3 is a bounded aggregate (no window); df joins back tok-keyed; text never ships") {
+    val d = df("ta13_tfidf_terms")
+    d.collect()
+    val ns = nodes(d)
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "keyword top-3 fell back to a window")
+    assert(ns.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "bounded-buffer top-k aggregate missing")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text"), s"exchange ships the document body: $p"))
+  }
+
+  test("vs13: kNN graph self-join keys on cid, reuses one postings exchange; no probe window, no cartesian") {
+    val d = df("vs13_knn_graph")
+    d.collect()
+    val ns = nodes(d)
+    // the one window-free contract: assignment is row-local, the probe
+    // IS the assignment, so no WindowExec anywhere (vs06 keeps one for
+    // its per-query centroid ranking — this gate must not)
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "kNN graph plans a window")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(equiJoinKeys(d).exists(_.contains("cid")), "pair join not cid-keyed")
+    // both self-join sides are the same frame at the same cid layout —
+    // the second side must come back as a ReusedExchange, not a second
+    // corpus shuffle
+    assert(nodes(d.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ReusedExchangeExec]),
+      "postings exchange not reused across the self-join")
   }
 }
