@@ -57,7 +57,15 @@ object Bench {
     // MEDIAN per query and every per-run time are emitted alongside, so
     // an outlier is visible in the artifact instead of silently folded in.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — time just
+    // those (local iteration aid; driver leaves it unset = full catalog).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",").toSeq
+        SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => prefixes.exists(n.startsWith))
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -844,22 +844,56 @@ object Relational {
        |ORDER BY event_type, day""".stripMargin
   }
 
-  /** q41 — EXACT percentiles (linear interpolation) per group. Spark's
-    * `percentile` and DuckDB's `quantile_cont` share the formula
-    * `lower + (upper - lower) * frac` at position p·(n−1), so the doubles
-    * agree bit-for-bit on the same data; rounded to 4dp as a guard. The
-    * exact aggregate buffers O(group size) values, so the 100×-scale path
-    * is `approx_percentile` (bounded-memory KLL-style sketch, mergeable
-    * map-side) — in the catalog's approx family and exercised by
-    * ApproxSpec; it is deliberately NOT a gate because its error bound is
-    * engine-specific. */
+  /** q41 — EXACT percentiles (linear interpolation) per group, computed
+    * BOUNDED-MEMORY via the sort-based two-pass: (1) per-group non-null
+    * count n; (2) `row_number` over (group, value) — an external
+    * (spill-to-disk) sort, never an aggregation buffer — then keep only
+    * the rows whose 0-based index is floor/ceil of p·(n−1) and combine
+    * with `lower + (upper − lower) * frac`, the same formula DuckDB's
+    * `quantile_cont` evaluates, so the doubles agree bit-for-bit (4dp
+    * round as a guard). This replaces the round-≤8 `percentile` aggregate,
+    * whose buffer holds O(group) values — at fixed group cardinality
+    * (3 return flags) that is O(N) doubles per buffer and OOMs at 100×;
+    * the window sort spills and survives. Group-count skew (3 sort
+    * partitions) is inherent to exact per-group order statistics; the
+    * bounded-ERROR alternative at extreme scale is `approx_percentile`
+    * (mergeable KLL-style sketch, exercised by ApproxSpec; not a gate —
+    * its error bound is engine-specific). */
   private def q41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lineitem(s, d)
-      .groupBy($"l_returnflag")
-      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+    val li = lineitem(s, d)
+    // Exact interpolated percentiles for one value column, ps = (alias, p).
+    def pcts(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      val vals = li.where(col(valueCol).isNotNull)
+        .select($"l_returnflag", col(valueCol).cast("double").as("v"))
+      val counts = vals.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val ranked = vals
+        .withColumn("idx",
+          row_number().over(Window.partitionBy($"l_returnflag").orderBy($"v"))
+            .cast("long") - lit(1L))
+        .join(broadcast(counts), Seq("l_returnflag"))
+      def pos(p: Double) = lit(p) * ($"n" - lit(1L)).cast("double")
+      val keep = ps.map { case (_, p) =>
+        $"idx" === floor(pos(p)).cast("long") || $"idx" === ceil(pos(p)).cast("long")
+      }.reduce(_ || _)
+      val aggs = ps.flatMap { case (name, p) =>
+        Seq(
+          max(when($"idx" === floor(pos(p)).cast("long"), $"v")).as(s"${name}_lo"),
+          max(when($"idx" === ceil(pos(p)).cast("long"), $"v")).as(s"${name}_hi"),
+          max(pos(p) - floor(pos(p))).as(s"${name}_frac"))
+      }
+      ranked.where(keep)
+        .groupBy($"l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+        .select($"l_returnflag" +: ps.map { case (name, _) =>
+          round(col(s"${name}_lo") +
+            (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"), 4)
+            .as(name)
+        }: _*)
+    }
+    pcts("l_quantity", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .join(pcts("l_extendedprice", Seq("price_p25" -> 0.25)), Seq("l_returnflag"))
+      .select($"l_returnflag", $"p50", $"p90", $"price_p25")
       .orderBy($"l_returnflag")
   }
   private val q41Sql =

@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(d).count(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]) == 1)
   }
 
+  test("q41: exact percentile is the bounded-memory sort pick — no O(group) agg buffer") {
+    val ns = nodes(df("q41_percentile"))
+    // the round-≤8 `percentile` aggregate planned as ObjectHashAggregate
+    // buffering O(group) values; the two-pass plans as external-sort
+    // windows + a broadcast of the 3-row count table
+    assert(!ns.exists(_.isInstanceOf[ObjectHashAggregateExec]))
+    assert(ns.count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) == 2)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+  }
+
   test("q25: IN-subquery plans as a broadcast semi join") {
     assert(nodes(df("q25_semi_join_subquery")).exists {
       case j: BroadcastHashJoinExec => j.joinType == LeftSemi
