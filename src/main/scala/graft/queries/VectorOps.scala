@@ -999,10 +999,14 @@ object VectorOps {
     val pq = pqOf(book)
     val cents = ivfCentroids(e)
     val isNew = QueryUtils.hex8(concat(lit("pqc:"), $"vec_id".cast("string"))) % 5 === 0
-    // the standing codes table (persisted in production — pp05's pattern)
-    val standing = pqCodesPostings(e.filter(!isNew), cents, pq).localCheckpoint(true)
+    // the standing codes table, held as a parquet session table (pp04
+    // treatment — persisted in production, pp05's pattern)
+    val stand = QueryUtils.standingDir(s, "pp14", d) { dir =>
+      pqCodesPostings(e.filter(!isNew), cents, pq).write.parquet(s"$dir/codes")
+    }
     // the advance: encode ONLY the increment, append to the lists
-    val postings = standing.unionByName(pqCodesPostings(e.filter(isNew), cents, pq))
+    val postings = s.read.parquet(s"$stand/codes")
+      .unionByName(pqCodesPostings(e.filter(isNew), cents, pq))
     ivfPqScore(postings, pqQueries(e, pq), cents, pq, 3)
   }
 
