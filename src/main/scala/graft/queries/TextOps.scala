@@ -1353,6 +1353,111 @@ object TextOps {
       |SELECT doc_id, rank, tok, score FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** ta14 — BPE merge TRAINING + corpus encode, the iterative stage
+    * between ta08 (one merge step's pair counts) and a real tokenizer:
+    * train [[BPE_MERGES]] merges by iterating ta08's pair-count step on
+    * the word-frequency vocabulary, then encode the corpus against the
+    * learned merges. Training is vs11's rebuild shape — a DRIVER-bounded
+    * loop of k vocab-sized jobs (the corpus appears in exactly ONE
+    * shuffle, the word-frequency rollup; every iteration after that
+    * works on the symbolized VOCAB, thousands of rows, which is why BPE
+    * training is feasible at 100 TB at all), each iteration collecting
+    * exactly one driver-sized row (the argmax pair; ties break
+    * (n desc, sym, nxt) so both engines agree). Merge application is
+    * greedy LEFT-TO-RIGHT NON-OVERLAPPING (the reference BPE word
+    * encoder's semantics): match flags + running match count give
+    * gaps-and-islands run ids, and within a run of consecutive matches
+    * every second one merges — pure window logic over (tok, pos), no
+    * self-join, replayed verbatim by the oracle. Encode is the
+    * production cached-word→pieces shape: corpus tokens join the learned
+    * segmentation token-keyed (vocab-sized dim — NOT broadcast at scale,
+    * ta12's reasoning) and roll up per doc. Zero-token docs are absent
+    * on both sides (ta10's convention); the ratio is one double division
+    * of two exact longs. */
+  private val BPE_MERGES = 5
+  /** The BPE trainer kernel: symbolize a (tok, wf) vocabulary to
+    * characters, then k iterations of [pair-count argmax → greedy
+    * left-to-right non-overlapping merge]. Returns the final
+    * symbolization (tok, wf, pos, sym). Driver-bounded loop, one
+    * 1-row collect per iteration; every job is vocab-sized. */
+  private[graft] def bpeSegmentation(vocab: DataFrame, k: Int): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val wTok = Window.partitionBy($"tok").orderBy($"pos")
+    var sym = vocab
+      .select($"tok", $"wf",
+        posexplode(filter(split($"tok", ""), x => x =!= "")))
+      .select($"tok", $"wf", ($"pos" + 1).as("pos"), $"col".as("sym"))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      val p = sym.withColumn("nxt", lead($"sym", 1).over(wTok))
+      val best = p.filter($"nxt".isNotNull)
+        .groupBy($"sym", $"nxt").agg(sum($"wf").as("n"))
+        .orderBy($"n".desc, $"sym", $"nxt").limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (x, y) = (best(0).getString(0), best(0).getString(1))
+        sym = p.withColumn("m", $"sym" === x && $"nxt" === y)
+          .withColumn("cum", sum(when($"m", 1L).otherwise(0L)).over(
+            wTok.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("base", min(when($"m", $"cum")).over(
+            Window.partitionBy($"tok", $"pos" - $"cum")))
+          .withColumn("keep", $"m" && ($"cum" - $"base") % 2 === 0)
+          .withColumn("dropped", coalesce(lag($"keep", 1).over(wTok), lit(false)))
+          .filter(!$"dropped")
+          .select($"tok", $"wf",
+            row_number().over(wTok).as("npos"),
+            when($"keep", concat($"sym", $"nxt")).otherwise($"sym").as("nsym"))
+          .select($"tok", $"wf", $"npos".as("pos"), $"nsym".as("sym"))
+          .localCheckpoint(true)
+      }
+    }
+    sym
+  }
+  private def ta14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val vocab = docs.select(explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("wf"))
+    val seg = bpeSegmentation(vocab, BPE_MERGES)
+      .groupBy($"tok").agg(count(lit(1)).as("n_pieces"))
+    docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .join(seg, Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"n_pieces").as("n_pieces"))
+      .withColumn("pieces_per_token",
+        $"n_pieces".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+  private val ta14Sql = {
+    val iters = (1 to BPE_MERGES).map { i =>
+      s"""p$i AS (SELECT tok, wf, pos, sym, lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt FROM s$i),
+         |b$i AS (SELECT sym AS x, nxt AS y FROM (
+         |  SELECT sym, nxt, CAST(SUM(wf) AS BIGINT) AS n FROM p$i WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+         |  ORDER BY n DESC, sym, nxt LIMIT 1),
+         |k$i AS (SELECT *, (m AND (cum - base) % 2 = 0) AS keep FROM (
+         |  SELECT *, MIN(CASE WHEN m THEN cum END) OVER (PARTITION BY tok, pos - cum) AS base FROM (
+         |    SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END) OVER (PARTITION BY tok ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum FROM (
+         |      SELECT p.tok, p.wf, p.pos, p.sym, p.nxt, (p.sym = b.x AND p.nxt = b.y) AS m
+         |      FROM p$i p LEFT JOIN b$i b ON true)))),
+         |s${i + 1} AS (SELECT tok, wf, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY pos) AS pos,
+         |    CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY tok ORDER BY pos), false) AS dropped FROM k$i)
+         |  WHERE NOT dropped)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+       |v AS (SELECT tok, COUNT(*) AS wf FROM a GROUP BY tok),
+       |s1 AS (SELECT tok, wf, u.pos AS pos, u.sym AS sym FROM (
+       |  SELECT tok, wf, unnest([{'pos': i, 'sym': substr(tok, i, 1)} for i in range(1, len(tok)+1)]) AS u FROM v)),
+       |$iters,
+       |sg AS (SELECT tok, COUNT(*) AS n_pieces FROM s${BPE_MERGES + 1} GROUP BY tok),
+       |dd AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+       |  FROM a JOIN sg USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_pieces,
+       |  CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS pieces_per_token
+       |FROM dd ORDER BY doc_id""".stripMargin
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -2168,5 +2273,6 @@ object TextOps {
     Q("pp13_incremental_lm", "incremental bigram-LM maintenance: summed standing + batch counts equal full-corpus ta09", pp13, Some(ta09Sql)),
     Q("ta12_lm_quality_filter", "per-doc rare-bigram rate under the corpus LM + keep verdict (perplexity-filter core)", ta12, Some(ta12Sql)),
     Q("ta13_tfidf_terms", "per-doc keyword extraction: top-3 terms by integer-exact tf-idf surrogate, string-tie-break bounded-buffer top-k", ta13, Some(ta13Sql)),
+    Q("ta14_bpe_encode", "BPE: train 5 merges by iterated pair-count argmax over the vocab, encode corpus via learned segmentation", ta14, Some(ta14Sql)),
   )
 }
