@@ -13,6 +13,25 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")
 
+  /** dd15/pp17's canonicalizer seam. ASCII mode (default) is the
+    * cross-engine fold the oracle replays byte-for-byte (lowercase, every
+    * non-[a-z0-9] run → one space, trim). `unicode = true` swaps in the
+    * production pipeline on the SAME column shape: NFKC first (fullwidth
+    * → ASCII, ligatures decomposed, combining sequences composed — the
+    * native [[NfkcNormalize]] expression, codegen'd), then lowercase,
+    * then every non-letter/digit run (Unicode classes, so é survives as a
+    * letter instead of splitting) → one space. This approximates NFKC
+    * casefold as NFKC→toLowerCase — full NFKC_CF needs ICU, which is not
+    * a declared dependency; the difference is confined to locale-special
+    * casings (dotless-i family), documented rather than hidden.
+    * Oracle-exempt by design (DuckDB has no NFKC); UnicodeCanonSpec pins
+    * it with hand-built fixtures, golden-style like F1–F25. */
+  def canonical(c: Column, unicode: Boolean = false): Column =
+    if (unicode)
+      trim(regexp_replace(lower(NfkcNormalize(c)), "[^\\p{L}\\p{N}]+", " "))
+    else
+      trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
   /** Word n-grams (space-joined) over a token array; < n tokens → empty. */
   def wordNGrams(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(0), size(toks) - n),

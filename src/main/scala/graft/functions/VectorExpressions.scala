@@ -125,12 +125,23 @@ final case class QuantizedDotProduct(left: Expression, right: Expression)
   * REFERENCE, so two semantically-equal assignments built from separate
   * collect()s won't common-subexpression-merge — harmless (each
   * assignment is built once per plan), and the alternative (deep array
-  * equality on every semanticEquals probe) taxes the optimizer. */
+  * equality on every semanticEquals probe) taxes the optimizer.
+  *
+  * `rank` selects which centroid the fused loop returns under the total
+  * order (cos DESC, cid ASC): 1 (default) is the assignment, 2 is the
+  * SECOND-nearest cell — the row-local boundary probe vs14's
+  * nProbe = 2 kNN graph needs (tracking two running bests in the same
+  * loop instead of re-ranking centroids through a corpus-sized window;
+  * the window form shuffles N × nlist rows to compute what is a pure
+  * per-row function of the fixed quantizer). */
 final case class NearestCentroid(left: Expression, right: Expression,
-    cids: Array[Long], cqs: Array[Array[Long]], cns: Array[Double])
+    cids: Array[Long], cqs: Array[Array[Long]], cns: Array[Double],
+    rank: Int = 1)
     extends BinaryExpression {
   require(cids.nonEmpty && cids.length == cqs.length && cids.length == cns.length,
     "NearestCentroid: empty or ragged centroid arrays")
+  require(rank == 1 || rank == 2, s"NearestCentroid: rank must be 1 or 2, got $rank")
+  require(cids.length >= rank, s"NearestCentroid: rank $rank needs >= $rank centroids")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -160,6 +171,8 @@ final case class NearestCentroid(left: Expression, right: Expression,
     }
     var best = Double.NegativeInfinity
     var bestCid = Long.MaxValue
+    var best2 = Double.NegativeInfinity
+    var bestCid2 = Long.MaxValue
     var c = 0
     while (c < cqs.length) {
       val cc = cqs(c)
@@ -169,11 +182,15 @@ final case class NearestCentroid(left: Expression, right: Expression,
       while (i < n) { s += q.getLong(i) * cc(i); i += 1 }
       val cos = s.toDouble / (nrm * cns(c))
       if (cos > best || (cos == best && cids(c) < bestCid)) {
+        if (rank == 2) { best2 = best; bestCid2 = bestCid }
         best = cos; bestCid = cids(c)
+      } else if (rank == 2 &&
+          (cos > best2 || (cos == best2 && cids(c) < bestCid2))) {
+        best2 = cos; bestCid2 = cids(c)
       }
       c += 1
     }
-    bestCid
+    if (rank == 2) bestCid2 else bestCid
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

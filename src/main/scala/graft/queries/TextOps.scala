@@ -61,17 +61,22 @@ object TextOps {
     * pipeline logs to report what canonicalization alone bought. The
     * canonicalizer is deliberately ASCII-range ([^a-z0-9]): identical
     * byte-for-byte in Java and RE2 regex semantics, so the digest
-    * cross-verifies; a production Unicode fold (NFKC) swaps into the
-    * same column expression. */
+    * cross-verifies; the production Unicode fold
+    * ([[graft.functions.Text.canonical]] with `unicode = true` — NFKC
+    * via the native [[graft.functions.NfkcNormalize]] expression) swaps
+    * into the same column shape, selectable here and in the continuous
+    * maintainer, pinned by UnicodeCanonSpec goldens since DuckDB cannot
+    * replay NFKC. */
   /** The (canon_hash, raw_hash)-granular stats dd15 rolls up — kept at
     * this granularity because it is the ADDITIVE form: per-(canon, raw)
     * counts sum across doc-disjoint batches and keepers min-combine,
     * while canon-level `n_raw_variants` (a distinct-count) does not.
     * pp17 and the continuous maintainer advance THIS table; one shared
     * definition with the batch gate so they can never drift. */
-  private[graft] def canonRawStats(docs: DataFrame): DataFrame =
+  private[graft] def canonRawStats(docs: DataFrame,
+      unicode: Boolean = false): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("raw_hash"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        md5(graft.functions.Text.canonical(col("text"), unicode))
           .as("canon_hash"))
       .groupBy(col("canon_hash"), col("raw_hash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper_id"))

@@ -1306,21 +1306,26 @@ object Streams {
     * batch_key contract covers crash replay: the delta lands, the guard
     * append crashes, the replay recomputes byte-identical rows under the
     * same key, and the snapshot's (batch_key, canon, raw) dedup
-    * collapses them. */
+    * collapses them. `unicode` selects the production NFKC canonicalizer
+    * ([[graft.functions.Text.canonical]]) — a per-deployment constant:
+    * the two modes produce different canon_hash spaces, so a flow must
+    * pick one at table creation and keep it (mixing modes in one stats
+    * table would split groups, not corrupt state). */
   def maintainDedupState(batch: DataFrame, statsTable: String,
-      docTable: String): Unit = {
+      docTable: String, unicode: Boolean = false): Unit = {
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
     val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
-    dedupDelta(fresh, batchKey).write.mode("append").parquet(statsTable)
+    dedupDelta(fresh, batchKey, unicode).write.mode("append").parquet(statsTable)
     fresh.write.mode("append").parquet(docTable)
   }
 
   /** The per-(canon, raw) delta rows of one batch — the exact rows
     * [[maintainDedupState]] appends, shared with the crash-simulation
     * spec (same drift-pinning reason as [[vocabDelta]]). */
-  private[graft] def dedupDelta(fresh: DataFrame, batchKey: Long): DataFrame =
-    graft.queries.TextOps.canonRawStats(fresh)
+  private[graft] def dedupDelta(fresh: DataFrame, batchKey: Long,
+      unicode: Boolean = false): DataFrame =
+    graft.queries.TextOps.canonRawStats(fresh, unicode)
       .select(lit(batchKey).as("batch_key"), col("canon_hash"),
         col("raw_hash"), col("n"), col("keeper_id"))
 
