@@ -21,23 +21,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. Read nanos as long and convert to a µs
-    * timestamp — lossless here (driver data is µs-aligned) and identical to
-    * DuckDB's TIMESTAMP_NS → µs view of the same file.
+  /** events.parquet's ts column has shipped under TWO physical types
+    * across driver testdata generations: TIMESTAMP(NANOS) (rounds 1–8),
+    * which Spark's parquet reader rejects by default, and plain
+    * TIMESTAMP(MICROS) since the round-9 refresh. Handle both by
+    * dispatching on the READ schema: under the nanosAsLong flag a nanos
+    * column arrives as LongType (convert — lossless, driver data is
+    * µs-aligned, identical to DuckDB's TIMESTAMP_NS → µs view), while a
+    * µs column arrives as a timestamp already (cast NTZ → session-UTC
+    * timestamp so downstream output types match the nanos path
+    * bit-for-bit).
     *
     * The nanosAsLong flag is deliberately left set for the whole session:
     * it is consulted again on the EXECUTOR side when each scan task builds
     * its parquet reader (captured from the session conf at action time), so
     * a save-and-restore around this lazy read would silently break any
-    * events query executed later. Session-wide effect: a raw
-    * `spark.read.parquet` of some OTHER nanos-timestamp file in the same
-    * session will also see long, not an error — acceptable for this engine,
-    * where all nanos inputs go through this helper. */
+    * events query executed later. It only affects nanos columns, so the
+    * µs generation reads identically with or without it. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -207,10 +207,27 @@ final case class NearestCentroid(left: Expression, right: Expression,
       val cos = ctx.freshName("cos")
       val best = ctx.freshName("best")
       val bestCid = ctx.freshName("bestCid")
+      val best2 = ctx.freshName("best2")
+      val bestCid2 = ctx.freshName("bestCid2")
+      // rank is a plan-time constant, so the rank-2 tracking compiles in
+      // only when asked for — the rank-1 assignment loop is unchanged
+      val trackDecls = if (rank == 2)
+        s"""
+           |double $best2 = java.lang.Double.NEGATIVE_INFINITY;
+           |long $bestCid2 = java.lang.Long.MAX_VALUE;
+         """.stripMargin else ""
+      val demote = if (rank == 2)
+        s"$best2 = $best; $bestCid2 = $bestCid;" else ""
+      val elseTrack = if (rank == 2)
+        s""" else if ($cos > $best2 || ($cos == $best2 && $cidRef[$c] < $bestCid2)) {
+           |    $best2 = $cos; $bestCid2 = $cidRef[$c];
+           |  }""".stripMargin else ""
+      val result = if (rank == 2) bestCid2 else bestCid
       val body =
         s"""
            |double $best = java.lang.Double.NEGATIVE_INFINITY;
            |long $bestCid = java.lang.Long.MAX_VALUE;
+           |$trackDecls
            |for (int $c = 0; $c < $cqRef.length; $c++) {
            |  final long[] $cc = $cqRef[$c];
            |  final int $n = java.lang.Math.min($qn, $cc.length);
@@ -218,10 +235,11 @@ final case class NearestCentroid(left: Expression, right: Expression,
            |  for (int $i = 0; $i < $n; $i++) { $s += $q.getLong($i) * $cc[$i]; }
            |  final double $cos = ((double) $s) / ($nrm * $cnRef[$c]);
            |  if ($cos > $best || ($cos == $best && $cidRef[$c] < $bestCid)) {
+           |    $demote
            |    $best = $cos; $bestCid = $cidRef[$c];
-           |  }
+           |  }$elseTrack
            |}
-           |${ev.value} = $bestCid;
+           |${ev.value} = $result;
          """.stripMargin
       // the element-null pre-scan exists only when an element CAN be null
       // (same Janino `ev.isNull`-assignment trap as QuantizedDotProduct)
@@ -262,4 +280,11 @@ object VectorExpressions {
       cqs: Array[Array[Long]], cns: Array[Double]): Column =
     Bridge.column(NearestCentroid(
       Bridge.expression(q), Bridge.expression(nrm), cids, cqs, cns))
+
+  /** Column API for the SECOND-nearest cell under the same total order —
+    * the row-local boundary probe of an nProbe = 2 flow (vs14). */
+  def secondNearestCentroid(q: Column, nrm: Column, cids: Array[Long],
+      cqs: Array[Array[Long]], cns: Array[Double]): Column =
+    Bridge.column(NearestCentroid(
+      Bridge.expression(q), Bridge.expression(nrm), cids, cqs, cns, rank = 2))
 }

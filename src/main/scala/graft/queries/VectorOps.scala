@@ -384,6 +384,99 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The nProbe = 2 kNN graph: every vector's top-k neighbors across its
+    * assigned cell AND its second-nearest cell — the boundary-recall
+    * upgrade over [[knnGraph]] (a vector near a cell boundary has true
+    * neighbors just across it; nProbe = 1 structurally misses them; the
+    * recall uplift is measured against brute-force truth in
+    * ScalePathsSpec). The probe list is built ROW-LOCALLY: the assigned
+    * cell is already a postings column and the second-nearest cell is the
+    * native [[graft.functions.NearestCentroid]] expression at rank = 2 —
+    * the same fused centroid loop tracking two running bests, so the
+    * boundary probe costs zero exchanges and no N × nlist window (the
+    * rank-via-window form would shuffle the corpus × quantizer). Each
+    * vector then explodes to TWO probe rows and joins the postings ON the
+    * candidate's assigned cell — a candidate's cell is unique and the two
+    * probe cids are distinct by construction, so every (query, candidate)
+    * pair appears at most once: no dedup stage. Cost is
+    * Σ_cell |cell| · |probers of cell| ≤ 2 Σ|cell|² — twice [[knnGraph]]'s
+    * pair volume under the same nlist ∝ N bound, traded for the measured
+    * recall gain. */
+  private[graft] def knnGraph2Candidates(postings: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cs = cents.select(col("cid"), col("cq"), col("cn")).collect()
+    require(cs.length >= 2,
+      "knnGraph2: a 0/1-cell quantizer has no second cell to probe")
+    val second = graft.functions.VectorExpressions.secondNearestCentroid(
+      col("q"), col("nrm"),
+      cs.map(_.getLong(0)),
+      cs.map(_.getSeq[Long](1).toArray),
+      cs.map(_.getDouble(2)))
+    val probes = postings
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"),
+        explode(array(col("cid"), second)).as("cid"))
+    probes.hint("shuffle_hash")
+      .join(postings, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (dotQ(col("qq"), col("q")).cast("double") / (col("qn") * col("nrm"))).as("cos"),
+        col("vec_id").as("neighbor"), col("cid"))
+  }
+
+  /** The scored ordered-pair volume of the nProbe = 2 graph — the cost
+    * side of the recall trade, measured (not asserted) in
+    * ScalePathsSpec. */
+  private[graft] def knnGraph2Volume(postings: DataFrame,
+      cents: DataFrame): Long =
+    knnGraph2Candidates(postings, cents).count()
+
+  private[graft] def knnGraph2(postings: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    // a 0/1-cell quantizer has no second cell to probe — degenerate to
+    // the nProbe = 1 graph rather than invent a probe
+    if (cents.limit(2).count() < 2) return knnGraph(postings, k)
+    graft.operators.GroupedTopK.topKCarry(
+        knnGraph2Candidates(postings, cents),
+        "query_id", "cos", "neighbor", "cid", k)
+      .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
+        col("rank"), col("v").as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** vs14 — the boundary-recall kNN-graph gate: top-3 neighbors for
+    * EVERY vector with nProbe = 2 under the catalog quantizer. The
+    * oracle replays both probe decisions (rn ≤ 2 over the same centroid
+    * order) and the same exact scoring, so every probed pair and every
+    * cut is verified; vs13 (nProbe = 1) stays as-is beside it. */
+  private def vs14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
+    knnGraph2(assignCells(e, cents), cents, k = 3)
+  }
+  private val vs14Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |p AS (SELECT vec_id AS query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn <= 2),
+       |s AS (SELECT p.query_id, p.cid, ay.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM p JOIN a ay ON p.cid = ay.cid AND ay.vec_id <> p.query_id
+       |       JOIN n x ON x.vec_id = p.query_id
+       |       JOIN n y ON y.vec_id = ay.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** vs12 — range (threshold) retrieval: vs06's probing with the top-k
     * replaced by `cos ≥ τ` — the "give me EVERYTHING this similar"
     * retrieval mode (RAG recall filters, similarity audits, building
@@ -1103,6 +1196,7 @@ object VectorOps {
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs12_range_search", "threshold retrieval: all probed candidates with cosine >= tau, match-sized output (no top-k)", vs12, Some(vs12Sql)),
     Q("vs13_knn_graph", "kNN graph: every vector's top-3 in-cell neighbors via one cid-keyed self-join (no probe window)", vs13, Some(vs13Sql)),
+    Q("vs14_knn_graph_probe2", "kNN graph at nProbe=2: assigned + second-nearest cell probed per vector, both row-local (rank-2 native assignment, no window)", vs14, Some(vs14Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs11_kmeans_rebuild", "quantizer rebuild: 3 exact integer Lloyd iterations (L2 lattice assignment, truncated-mean update, empty-cell carryover)", vs11, Some(vs11Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),

@@ -149,6 +149,44 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("secondNearestCentroid: rank-2 matches scalar recompute, codegen == interpreted") {
+    // The rank-2 branch has its own codegen (the demote + runner-up
+    // tracking compile in only at rank = 2) — pin generated code against
+    // a scalar-side full sort of the (cos DESC, cid ASC) order, under
+    // fallback=false so a Janino failure fails the test instead of
+    // silently interpreting. Includes an exact tie (vecs aligned with
+    // two identical-direction centroids) where rank-1 takes the lower
+    // cid and rank-2 must take the HIGHER of the tied pair.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val cids = Array(9L, 5L, 3L, 7L)
+      val cqs = Array(Array(10L, 0L), Array(10L, 0L), Array(0L, 7L), Array(6L, 6L))
+      val cns = Array(10.0, 10.0, 7.0, math.sqrt(72.0))
+      val vecs = (1L to 40L).map(i => (i, Array(i * 17 % 23 - 11, i * 31 % 19 - 9))).toDF("vec_id", "q")
+        .unionByName(Seq((100L, Array(5L, 0L))).toDF("vec_id", "q")) // exact 9/5 tie
+        .withColumn("nrm", sqrt(VectorExpressions.quantizedDot($"q", $"q").cast("double")))
+        .filter($"nrm" > 0.0)
+      val out = vecs.select($"vec_id", $"q", $"nrm",
+          VectorExpressions.nearestCentroid($"q", $"nrm", cids, cqs, cns).as("c1"),
+          VectorExpressions.secondNearestCentroid($"q", $"nrm", cids, cqs, cns).as("c2"))
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val q = r.getSeq[Long](1); val nrm = r.getDouble(2)
+        val ranked = cids.indices.map { c =>
+          val cos = q.zip(cqs(c)).map { case (a, b) => a * b }.sum.toDouble / (nrm * cns(c))
+          (cos, cids(c))
+        }.sortBy { case (cos, cid) => (-cos, cid) }
+        assert(r.getLong(3) == ranked(0)._2, s"rank-1 for vec ${r.getLong(0)}")
+        assert(r.getLong(4) == ranked(1)._2, s"rank-2 for vec ${r.getLong(0)}")
+      }
+      val tie = out.find(_.getLong(0) == 100L).get
+      assert(tie.getLong(3) == 5L && tie.getLong(4) == 9L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("nearestCentroid null contract: null array/nrm and null element all yield null") {
     import spark.implicits._
     val cids = Array(1L); val cqs = Array(Array(1L, 1L)); val cns = Array(math.sqrt(2.0))

@@ -173,6 +173,46 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("vs13/vs14 kNN graph: nProbe=2 recall uplift over nProbe=1 vs brute-force truth, at bounded extra pair volume") {
+    // The boundary-recall trade quantified (round-8 verdict item): vs14
+    // probes each vector's second-nearest cell on top of its own, so
+    // every true neighbor that sits JUST across a cell boundary becomes
+    // reachable. Truth = full brute-force top-3 under the same quantized
+    // cosine (the metric both graphs rank by), computed by the pinned
+    // bruteTopK kernel over the whole corpus.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val truth = graft.operators.Ann.bruteTopK(emb, emb, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def pairs(name: String) = rows(Catalog.byName(name).fn(spark, sfDir))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val g1 = pairs("vs13_knn_graph")
+    val g2 = pairs("vs14_knn_graph_probe2")
+    val r1 = (truth intersect g1).size.toDouble / truth.size
+    val r2 = (truth intersect g2).size.toDouble / truth.size
+    info(f"kNN-graph recall vs brute force: nProbe=1 $r1%.3f, nProbe=2 $r2%.3f")
+    // nProbe=2's candidate set strictly contains nProbe=1's (same cell
+    // plus one more), so under the same exact scorer recall cannot drop —
+    // and on this corpus the boundary uplift is real, not a tie
+    assert(r2 > r1, s"no recall uplift: nProbe=1 $r1, nProbe=2 $r2")
+    assert(r2 >= 0.4, s"nProbe=2 recall $r2 below floor")
+    // The cost side of the trade: scored pair volume. nProbe=1 scores
+    // sum(|cell|^2) ordered pairs; nProbe=2 adds each vector's
+    // second-cell probe, bounded by doubling — pin both bounds so the
+    // cost model in the knnGraph2 doc stays measured, not asserted.
+    import spark.implicits._
+    val e = VectorOps.normed(emb)
+    val cents = VectorOps.ivfCentroids(e)
+    val post = VectorOps.assignCells(e, cents)
+    val sizes = post.groupBy("cid").count().as[(Long, Long)].collect().toMap
+    val v1 = sizes.values.map(n => n * (n - 1)).sum
+    val probers = post.count() // every vector probes exactly one extra cell
+    val v2pairs = VectorOps.knnGraph2Volume(post, cents)
+    info(s"scored ordered pairs: nProbe=1 $v1, nProbe=2 $v2pairs (corpus $probers vectors)")
+    assert(v2pairs > v1 && v2pairs <= 2 * v1 + probers,
+      s"pair volume out of band: $v2pairs vs nProbe=1 $v1")
+  }
+
   test("vs08/vs09 PQ search: recall vs exact quantized-L2 truth; IVF-PQ results stay within probed cells") {
     // ADC distances are to RECONSTRUCTIONS under the quantized-L2
     // metric, so the recall baseline is the exact quantized-L2 top-5
