@@ -25,20 +25,16 @@ import org.apache.spark.sql.functions._
   * /tmp/graft-sf1 and /root/testdata/sf0.1).
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse("/tmp/graft-sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+  /** Generate the deterministic `replicas`× corpus (documents +
+    * embeddings) under `work` from the sf0.1 tables at `sf01` — the
+    * shared generator for this probe (replicas = 10) and
+    * [[MaintainerProbe]]'s data-dominant regime (replicas sized so a
+    * probe batch is ≥ 20k rows). Idempotent: existing tables are kept
+    * (delete the work dir to regenerate at a different factor). */
+  def generate(spark: SparkSession, work: String, sf01: String,
+      replicas: Int): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
     val docsPath = s"$work/documents.parquet"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -50,7 +46,7 @@ object ScaleProbe {
       val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
       require(maxId < 10000000L,
         s"replica stride 10M does not clear base doc_id space (max=$maxId)")
-      (0 until 10).map { k =>
+      (0 until replicas).map { k =>
         // suffix FILTERED tokens (Text.tokens semantics): suffixing raw
         // split segments would turn empty segments from doubled spaces
         // into real "_k" tokens, breaking the bijection claim for such
@@ -65,7 +61,7 @@ object ScaleProbe {
           text.as("text"),
           col("lang"), col("source"), length(text).cast("long").as("n_chars"))
       }.reduce(_ unionByName _)
-        .repartition(cpus.toInt)
+        .repartition(cpus)
         .write.mode("overwrite").parquet(docsPath)
     }
 
@@ -81,6 +77,10 @@ object ScaleProbe {
       val dim = base.agg(max(size(col("embedding")))).head().getInt(0)
       require(base.agg(min(size(col("embedding")))).head().getInt(0) == dim,
         s"ragged embedding widths void the rotation's isometry claim")
+      // a rotation by k ≥ dim would wrap and collide with an earlier
+      // replica's permutation, voiding the decorrelation claim
+      require(replicas <= dim,
+        s"replica count $replicas exceeds embedding dim $dim")
       // replica k's vectors are the base CYCLICALLY ROTATED by k
       // dimensions: a common coordinate permutation preserves every norm
       // and every within-replica cosine exactly (each replica's internal
@@ -91,7 +91,7 @@ object ScaleProbe {
       // selecting only base-replica rows, so the probe measures corpus
       // growth under a FIXED quantizer and query set — the production
       // regime.
-      (0 until 10).map { k =>
+      (0 until replicas).map { k =>
         val emb =
           if (k == 0) col("embedding")
           else concat(slice(col("embedding"), k + 1, dim - k),
@@ -99,9 +99,26 @@ object ScaleProbe {
         base.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
           emb.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
-        .repartition(cpus.toInt)
+        .repartition(cpus)
         .write.mode("overwrite").parquet(embPath)
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse("/tmp/graft-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    generate(spark, work, sf01, replicas = 10)
 
     // the documents-shaped gates, then the embeddings-shaped gates (both
     // tables are replicated above, so every listed gate sees real 10×

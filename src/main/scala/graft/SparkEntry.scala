@@ -86,7 +86,14 @@ import graft.queries.Catalog
   *    salted fractional remainder); pp14 incremental PQ-codes
   *    maintenance; ta13 per-doc tf-idf keywords (integer-exact
   *    surrogate, string-tie-break GroupedTopK.topKStr); q44 SCD2
-  *    change-interval build from the event log
+  *    change-interval build from the event log; ta14 BPE merge
+  *    TRAINING (k iterated pair-count argmaxes over the vocab) +
+  *    row-local corpus encode against the learned merges; vs14 kNN
+  *    graph at nProbe=2 (assigned + second-nearest cell, both
+  *    row-local via the rank-2 native assignment — measured recall
+  *    uplift in ScalePathsSpec); dd15/pp17's production NFKC
+  *    canonicalizer variant (native nfkc_normalize expression,
+  *    UnicodeCanonSpec goldens — oracle-exempt, DuckDB has no NFKC)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -858,4 +858,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .exists(_.isInstanceOf[ReusedExchangeExec]),
       "postings exchange not reused across the self-join")
   }
+
+  test("vs14: nProbe=2 kNN graph stays window-free (rank-2 probe is row-local), cid-keyed, no cartesian") {
+    val d = df("vs14_knn_graph_probe2")
+    d.collect()
+    val ns = nodes(d)
+    // the gate's whole point: BOTH probe cells per vector come from
+    // row-local native expressions (rank-1 assignment + rank-2
+    // second-nearest), so even at nProbe = 2 there is NO WindowExec
+    // anywhere — the window form would rank N × nlist rows through an
+    // exchange to compute a pure per-row function of the fixed quantizer
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "nProbe=2 kNN graph plans a window")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(equiJoinKeys(d).exists(_.contains("cid")), "pair join not cid-keyed")
+  }
 }
