@@ -128,11 +128,13 @@ object ScaleProbe {
       "dd15_norm_dedup", "pp17_incremental_dedup", "sa06_epoch_upsample",
       "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
       "pp06_incremental_spans", "pp07_incremental_vocab", "pp13_incremental_lm",
-      "ta12_lm_quality_filter", "ta13_tfidf_terms", "sa05_temperature_resample",
+      "ta12_lm_quality_filter", "ta13_tfidf_terms", "ta14_bpe_encode",
+      "sa05_temperature_resample",
       "pp16_incremental_mix",
       "pp09_incremental_containment", "dd11_containment",
       "dd13_containment_index", "pp12_incremental_containment_index",
       "vs04_ann_lsh", "vs06_ivf_search", "vs12_range_search", "vs13_knn_graph",
+      "vs14_knn_graph_probe2",
       "vs07_kmeans_step",
       "vs11_kmeans_rebuild",
       "pp05_incremental_ivf", "dd10_semantic_dedup", "pp10_incremental_semdedup",

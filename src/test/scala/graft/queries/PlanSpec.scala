@@ -640,11 +640,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val d = df("pp13_incremental_lm")
     d.collect()
     val ns = nodes(d)
-    // the batch branch re-counts ONLY the batch; the standing counts are
-    // a checkpointed table (no second corpus scan), the merge + the
-    // continuation window run over the already-aggregated vocab²-bounded
-    // table, and the top-100 never globally sorts
-    assert(fileScans(d).size == 1)
+    // the batch branch re-counts ONLY the batch (one documents scan,
+    // batch-filtered at the source); the standing counts are a parquet
+    // SESSION TABLE since round 9 (the pp04 treatment) — their scan reads
+    // the already-aggregated (bigram, n) table, never text; the merge +
+    // the continuation window run over the vocab²-bounded union, and the
+    // top-100 never globally sorts
+    val scans = fileScans(d)
+    assert(scans.size == 2, s"expected batch + standing-counts scans, got $scans")
+    assert(scans.count(_.toString.contains("documents")) == 1,
+      "corpus must appear in exactly one (batch-filtered) scan")
     assert(ns.exists {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.aggregateExpressions.exists((e: AggregateExpression) => e.mode == Partial)
