@@ -118,6 +118,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // "kernels" re-measures only the companion rows (the nlist ∝ N /
+    // minHits bounding measurements) without the full gate sweep
+    val kernelsOnly = args.lift(2).contains("kernels")
     generate(spark, work, sf01, replicas = 10)
 
     // the documents-shaped gates, then the embeddings-shaped gates (both
@@ -150,15 +153,52 @@ object ScaleProbe {
       dt
     }
     // warm both scales once so codegen/JIT lands outside the measurement
-    gates.foreach { g => run(g, sf01); run(g, work) }
-    println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
-    println("|---|---|---|---|---|")
-    for (g <- gates) {
-      val a = (1 to 3).map(_ => run(g, sf01)).min
-      val b = (1 to 3).map(_ => run(g, work)).min
-      val ratio = b / a
-      val expn = math.log10(ratio) // growth 10× ⇒ exponent = log10(ratio)
-      println(f"| $g | $a%.2f | $b%.2f | $ratio%.2f | $expn%.2f |")
+    if (!kernelsOnly) {
+      gates.foreach { g => run(g, sf01); run(g, work) }
+      println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
+      println("|---|---|---|---|---|")
+      for (g <- gates) {
+        val a = (1 to 3).map(_ => run(g, sf01)).min
+        val b = (1 to 3).map(_ => run(g, work)).min
+        val ratio = b / a
+        val expn = math.log10(ratio) // growth 10× ⇒ exponent = log10(ratio)
+        println(f"| $g | $a%.2f | $b%.2f | $ratio%.2f | $expn%.2f |")
+      }
+    } else {
+      println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
+      println("|---|---|---|---|---|")
+    }
+
+    // the kNN-graph kernels under the production sizing rule: the GATES
+    // (vs13/vs14) pin fixed-quantizer semantics, under which Σ|cell|²
+    // grows ~N²/nlist — super-linear BY THE COST MODEL at fixed nlist
+    // (the same structural fact as dd10's round-7 cautionary row, on the
+    // all-pairs composition where it is loudest: every vector is a
+    // query). Production sizes nlist ∝ N (constant target cell size),
+    // which bounds the nProbe=1 graph's pair volume at Σ|cell|² ∝ N and
+    // the nProbe=2 graph's at ≤ 2× that — these rows measure exactly
+    // that configuration (8 cells at sf0.1 → 80 at 10×).
+    {
+      import graft.queries.VectorOps.{assignCells, knnGraph, knnGraph2, normed}
+      def knnAt(dir: String, nlist: Int, probe2: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val e = normed(graft.Tables.embeddings(spark, dir))
+        val cents = e.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+        val g = if (probe2) knnGraph2(assignCells(e, cents), cents, k = 3)
+                else knnGraph(assignCells(e, cents), k = 3)
+        g.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      for (probe2 <- Seq(false, true)) {
+        knnAt(sf01, 8, probe2); knnAt(work, 80, probe2) // warm
+        val a = (1 to 3).map(_ => knnAt(sf01, 8, probe2)).min
+        val b = (1 to 3).map(_ => knnAt(work, 80, probe2)).min
+        val label = if (probe2) "vs14 kernel" else "vs13 kernel"
+        println(f"| $label @ nlist prop. N (8->80 cells) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+      }
     }
 
     // dd10's kernel under the production sizing rule the fixed-quantizer
