@@ -173,6 +173,25 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("knnGraph2 degenerates to the nProbe=1 graph under a <2-cell quantizer") {
+    import spark.implicits._
+    // a 1-cell quantizer has no second cell to probe: the nProbe=2 graph
+    // must equal the nProbe=1 graph rather than invent a probe (and the
+    // candidates kernel refuses outright — the require is the contract)
+    val post = Seq(
+      (1L, 10L, Seq(10L, 0L)), (1L, 11L, Seq(9L, 1L)), (1L, 12L, Seq(0L, 8L)))
+      .toDF("cid", "vec_id", "q")
+      .withColumn("nrm", sqrt(aggregate(transform(col("q"), x => x * x),
+        lit(0L), (a, x) => a + x).cast("double")))
+    val cents = Seq((1L, Seq(10L, 0L), 10.0)).toDF("cid", "cq", "cn")
+    val g2 = VectorOps.knnGraph2(post, cents, k = 2).collect().toSeq
+    val g1 = VectorOps.knnGraph(post, k = 2).collect().toSeq
+    assert(g2 == g1 && g2.nonEmpty)
+    intercept[IllegalArgumentException] {
+      VectorOps.knnGraph2Candidates(post, cents)
+    }
+  }
+
   test("vs13/vs14 kNN graph: nProbe=2 recall uplift over nProbe=1 vs brute-force truth, at bounded extra pair volume") {
     // The boundary-recall trade quantified (round-8 verdict item): vs14
     // probes each vector's second-nearest cell on top of its own, so

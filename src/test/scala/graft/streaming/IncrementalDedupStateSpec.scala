@@ -115,4 +115,57 @@ class IncrementalDedupStateSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(stT2).select("batch_key").distinct().count() == 1)
     assert(report2() == direct(seen12))
   }
+
+  test("unicode mode: NFKC variants merge across batches under the same (sum, min) fold; ASCII mode keeps them distinct") {
+    // The production-canonicalizer flow end to end: the SAME maintainer
+    // with unicode = true must fold an NFKC variant arriving in a LATER
+    // batch than its original into one canon group (keeper = the
+    // original, min-combined across batches), while the default ASCII
+    // flow on identical input keeps the pairs apart — the per-deployment
+    // mode choice the maintainDedupState doc pins.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (3L, "totally unrelated text body"),
+      (5L, "finest ligature work"),
+      // NFKC variants of 1 and 5: fullwidth forms / the fi ligature —
+      // byte-distinct, ASCII-canon-distinct, NFKC-canon-equal
+      (11L, "Ｔｈｅ Ｑｕｉｃｋ Ｂｒｏｗｎ Ｆｏｘ"),
+      (15L, "ﬁnest ligature work"))
+    val allDf = docs.toDF("doc_id", "text")
+    // variants arrive FIRST (their ids are higher), originals later —
+    // the unicode groups only land on the original keeper if the fold
+    // min-combines across batches
+    val b1 = docs.filter(_._1 > 10).toDF("doc_id", "text")
+    val b2 = docs.filter(_._1 <= 10).toDF("doc_id", "text")
+
+    def run(unicode: Boolean): Set[(String, Long, Long, Long)] = {
+      val root = Files.createTempDirectory(s"inc-dedup-u$unicode").toString
+      val (stT, docT) = (s"$root/stats", s"$root/docs")
+      Streams.maintainDedupState(b1, stT, docT, unicode)
+      Streams.maintainDedupState(b2, stT, docT, unicode)
+      val rep = Streams.dedupSnapshot(spark, stT)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val direct = graft.queries.TextOps.canonGroups(
+          graft.queries.TextOps.canonRawStats(allDf, unicode))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rep == direct, s"maintained snapshot != from-scratch (unicode=$unicode)")
+      rep
+    }
+
+    val uni = run(unicode = true)
+    // both NFKC pairs merged, keeper = the ORIGINAL (lower id, later
+    // batch), each group counting its two raw variants
+    assert(uni.exists(g => g._2 == 2 && g._3 == 1L && g._4 == 2),
+      s"fullwidth pair did not merge on the original: $uni")
+    assert(uni.exists(g => g._2 == 2 && g._3 == 5L && g._4 == 2),
+      s"ligature pair did not merge on the original: $uni")
+    assert(uni.size == 3)
+
+    val ascii = run(unicode = false)
+    // identical input, default mode: every doc is its own canon group
+    assert(ascii.size == 5 && ascii.forall(_._2 == 1),
+      s"ASCII mode unexpectedly merged NFKC variants: $ascii")
+  }
 }
