@@ -331,11 +331,33 @@ object Streams {
     * at-least-once contract, whose replays are byte-identical — yields
     * the same fresh set on every replay, keeping the batch_key delta
     * trick's byte-identical-recompute premise intact. */
+  /** Prune a standing id-guard read to the batch's id RANGE before the
+    * anti-join. Semantically a no-op: guard rows with ids outside
+    * [min, max] of the batch's ids cannot match any batch row, so
+    * dropping them changes nothing — but the between() reaches the
+    * guard's parquet scan as a pushed predicate, so row-group min/max
+    * statistics skip whole files whenever ingest ids are clustered (a
+    * monotonic id stream — the common production shape — leaves each
+    * advance's guard read O(overlapping files) instead of O(standing);
+    * the worst case, fully interleaved ids, degenerates to exactly the
+    * full scan this replaces, which is what the MaintainerProbe's
+    * replica-interleaved batches time). Costs one batch-sized min/max
+    * agg — in family with the batchKey agg every advance already runs.
+    * An empty batch returns an empty guard without touching it. */
+  private def pruneToBatchRange(guard: DataFrame, batch: DataFrame,
+      idCol: String): DataFrame = {
+    val b = batch.agg(min(col(idCol)), max(col(idCol))).head()
+    if (b.isNullAt(0)) guard.limit(0)
+    else guard.filter(col(idCol).between(b.get(0), b.get(1)))
+  }
+
   private def freshAgainst(batch: DataFrame, docTable: String): DataFrame = {
     val arrived = batch.select(col("doc_id"), col("text"))
       .groupBy(col("doc_id")).agg(max(col("text")).as("text"))
     tryRead(batch.sparkSession, docTable)
-      .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .map(e => arrived.join(
+        pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
+        Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
       .localCheckpoint(true)
   }
@@ -374,7 +396,10 @@ object Streams {
 
   /** Append `rows` minus those whose `idCol` the target table already
     * holds — the per-table redelivery guard of every append-only advance
-    * (a column-pruned id scan of the target, never bodies). */
+    * (a column-pruned id scan of the target, never bodies). NOT
+    * range-pruned like the batch-side guards: `rows` is often a derived
+    * frame (the span advance's grams), and the bounds agg
+    * [[pruneToBatchRange]] needs would recompute its whole subtree. */
   private def appendNewBy(rows: DataFrame, table: String, idCol: String): Unit =
     tryRead(rows.sparkSession, table)
       .map(t => rows.join(t.select(idCol), Seq(idCol), "left_anti"))
@@ -690,7 +715,9 @@ object Streams {
     // freshAgainst contract), so replays recompute identical fresh sets
     // even under divergent-payload duplicates.
     val freshRaw = postings
-      .map(p => batch.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .map(p => batch.join(
+        pruneToBatchRange(p.select("vec_id"), batch, "vec_id"),
+        Seq("vec_id"), "left_anti"))
       .getOrElse(batch)
       .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
     val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
@@ -803,7 +830,9 @@ object Streams {
     val spark = batch.sparkSession
     val pq = graft.queries.VectorOps.pqOf(book)
     val freshRaw = tryRead(spark, codesTable)
-      .map(p => batch.join(p.select("vec_id"), Seq("vec_id"), "left_anti"))
+      .map(p => batch.join(
+        pruneToBatchRange(p.select("vec_id"), batch, "vec_id"),
+        Seq("vec_id"), "left_anti"))
       .getOrElse(batch)
       .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
     val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
@@ -1247,7 +1276,9 @@ object Streams {
     val arrived = batch.select(col("doc_id"), col("source"))
       .groupBy(col("doc_id")).agg(max(col("source")).as("source"))
     val fresh = tryRead(batch.sparkSession, docTable)
-      .map(e => arrived.join(e.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .map(e => arrived.join(
+        pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
+        Seq("doc_id"), "left_anti"))
       .getOrElse(arrived)
       .localCheckpoint(true)
     if (fresh.isEmpty) return
