@@ -1257,6 +1257,31 @@ object Streams {
     compactDeltas(spark, vocabTable, Seq("tok"), Seq("df", "cf"),
       docTable, "doc_id")
 
+  /** The TOKENIZER-lifecycle rebuild, text-side twin of
+    * [[rebuildIvfState]]: retrain the BPE segmentation from the
+    * MAINTAINED vocabulary and atomically swap the per-word
+    * segmentation table. The trainer is ta14's
+    * ([[graft.queries.TextOps.bpeSegmentation]] — k driver-bounded
+    * iterations over the VOCAB, corpus scale enters only through the
+    * standing counts the O(batch) vocab maintainer already keeps
+    * current), so this job never rescans a document; the swapped table
+    * is the cached word→pieces dimension ta14's encode join consumes.
+    * Crash-safe the same way as the IVF rebuild: the pass is a pure
+    * function of the vocab fold, so a re-run after a crash mid-swap
+    * recomputes the identical table (idempotence spec-pinned). */
+  def rebuildBpeState(spark: SparkSession, vocabTable: String,
+      segTable: String, merges: Int = 5): Unit = {
+    import org.apache.spark.sql.types._
+    val vocab = tryRead(spark, vocabTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "tok" -> StringType,
+        "df" -> LongType, "cf" -> LongType))
+      .dropDuplicates("batch_key", "tok")
+      .groupBy(col("tok")).agg(sum(col("cf")).as("wf"))
+    val seg = graft.queries.TextOps.bpeSegmentation(vocab, merges)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_pieces"))
+    graft.operators.MergeWriter.overwriteAtomic(seg, segTable)
+  }
+
   /** pp16's continuous twin: CONTINUOUS domain-mix maintenance — the
     * sampling-side member of the additive-counts family (vocab, LM,
     * sums). Standing tables: `countsTable` (batch_key, source, n — per-

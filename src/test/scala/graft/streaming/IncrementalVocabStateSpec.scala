@@ -95,4 +95,43 @@ class IncrementalVocabStateSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(vocT2).select("batch_key").distinct().count() == 1)
     assert(snap2() == direct(seen12))
   }
+
+  test("rebuildBpeState: segmentation retrained from the maintained vocab == from-scratch ta14 trainer; idempotent re-run") {
+    // The tokenizer-lifecycle job: after the O(batch) vocab maintainer
+    // has advanced over arbitrary splits, the BPE rebuild over the
+    // STANDING counts must train exactly the segmentation ta14's
+    // trainer produces from the full corpus (wf = the maintained cf),
+    // and re-running it (a crash between swap and its caller's
+    // bookkeeping) must leave the same table.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("bpe-rebuild").toString
+    val (vocT, docT, segT) = (s"$root/vocab", s"$root/docs", s"$root/seg")
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainVocabState(b.toSeq.toDF("doc_id", "text"), vocT, docT)
+
+    Streams.rebuildBpeState(spark, vocT, segT, merges = 5)
+    def seg() = spark.read.parquet(segT)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = seg()
+    val fromScratch = graft.queries.TextOps.bpeSegmentation(
+        docs.select(explode(graft.functions.Text.tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("wf")), k = 5)
+      .groupBy($"tok").agg(count(lit(1)).as("n_pieces"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == fromScratch && got.nonEmpty,
+      "maintained-vocab BPE retrain drifted from the from-scratch trainer")
+    // merges actually happened (some word segments to fewer pieces than
+    // its character count), or the trainer was a no-op
+    val chars = all.flatMap(_._2.split(" ").filter(_.nonEmpty)).distinct
+      .map(t => t -> t.length.toLong).toMap
+    assert(got.exists { case (t, n) => chars.get(t).exists(_ > n) },
+      "no word's segmentation is shorter than its characters — no merge applied")
+    Streams.rebuildBpeState(spark, vocT, segT, merges = 5)
+    assert(seg() == got, "rebuild re-run is not idempotent")
+  }
 }
