@@ -48,6 +48,16 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
     // a lone 3-word doc has one shingle and no partner — empty pair log,
     // snapshot still readable
     assert(Streams.containmentPairsSnapshot(spark, s"$root/cpairs").count() == 0)
+
+    // the BPE rebuild over a missing vocab table writes an empty (but
+    // readable, correctly-typed) segmentation table; over the 3-token
+    // vocab it trains without throwing and covers every token
+    Streams.rebuildBpeState(spark, s"$root/absent-vocab", s"$root/seg0")
+    assert(spark.read.parquet(s"$root/seg0").count() == 0)
+    Streams.rebuildBpeState(spark, s"$root/vocab", s"$root/seg1")
+    val seg = spark.read.parquet(s"$root/seg1")
+      .collect().map(_.getString(0)).toSet
+    assert(seg == Set("real", "words", "here"))
   }
 
   test("vector-flow maintainer survives zero vectors and empty batches") {
