@@ -40,7 +40,7 @@ object Bench {
     for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk",
         "pp04_incremental_clusters", "pp15_incremental_canonical",
         "pp12_incremental_containment_index", "pp13_incremental_lm",
-        "pp14_incremental_pq")) {
+        "pp14_incremental_pq", "pp18_incremental_bpe")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>

@@ -1419,20 +1419,53 @@ object TextOps {
     }
     sym
   }
+  /** ta14/pp18's shared train-and-encode suffix over a (tok, wf)
+    * vocabulary: k-merge BPE segmentation, then the corpus encode join
+    * and per-doc rollup. One definition, so the incremental gate cannot
+    * drift from the batch gate on anything downstream of the vocab. */
+  private def bpeEncodeReport(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val seg = bpeSegmentation(vocab, BPE_MERGES)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_pieces"))
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .join(seg, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("pieces_per_token",
+        col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
   private def ta14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
     val vocab = docs.select(explode(Text.tokens($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("wf"))
-    val seg = bpeSegmentation(vocab, BPE_MERGES)
-      .groupBy($"tok").agg(count(lit(1)).as("n_pieces"))
-    docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
-      .join(seg, Seq("tok"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"n_pieces").as("n_pieces"))
-      .withColumn("pieces_per_token",
-        $"n_pieces".cast("double") / $"n_tokens".cast("double"))
-      .orderBy($"doc_id")
+    bpeEncodeReport(docs, vocab)
+  }
+
+  /** pp18 — incremental BPE: the tokenizer-refresh composition over
+    * MAINTAINED state. The per-token occurrence counts are pp07's
+    * standing vocabulary (purely additive across doc-disjoint batches —
+    * held here as a parquet session table, the pp04 treatment); a batch
+    * advances them with ONE batch-sized counting pass, and the
+    * retrain-and-encode suffix ([[bpeEncodeReport]] — ta14's verbatim,
+    * `Streams.rebuildBpeState`'s shape) runs over the merged counts in
+    * vocab-sized work. The corpus is never rescanned for training — the
+    * gate's one corpus-shaped job is the encode join itself, which any
+    * tokenizer deployment pays. Oracle = ta14's full-corpus SQL
+    * verbatim: the additive vocab fold means the incremental
+    * composition must reproduce the batch trainer's every merge and
+    * every encode decision. */
+  private def pp18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("bpe:"), $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp18", d) { dir =>
+      vocabCounts(docs.filter(!isNew)).write.parquet(s"$dir/vocab")
+    }
+    val vocab = s.read.parquet(s"$stand/vocab")
+      .unionByName(vocabCounts(docs.filter(isNew)))
+      .groupBy($"tok").agg(sum($"cf").as("wf"))
+    bpeEncodeReport(docs, vocab)
   }
   private val ta14Sql = {
     val iters = (1 to BPE_MERGES).map { i =>
@@ -2279,5 +2312,6 @@ object TextOps {
     Q("ta12_lm_quality_filter", "per-doc rare-bigram rate under the corpus LM + keep verdict (perplexity-filter core)", ta12, Some(ta12Sql)),
     Q("ta13_tfidf_terms", "per-doc keyword extraction: top-3 terms by integer-exact tf-idf surrogate, string-tie-break bounded-buffer top-k", ta13, Some(ta13Sql)),
     Q("ta14_bpe_encode", "BPE: train 5 merges by iterated pair-count argmax over the vocab, encode corpus via learned segmentation", ta14, Some(ta14Sql)),
+    Q("pp18_incremental_bpe", "incremental BPE: standing vocab counts advanced additively per batch, segmentation retrained from the merged counts, encode == ta14", pp18, Some(ta14Sql)),
   )
 }
