@@ -88,7 +88,9 @@ import graft.queries.Catalog
   *    surrogate, string-tie-break GroupedTopK.topKStr); q44 SCD2
   *    change-interval build from the event log; ta14 BPE merge
   *    TRAINING (k iterated pair-count argmaxes over the vocab) +
-  *    row-local corpus encode against the learned merges; vs14 kNN
+  *    corpus encode against the learned merges, pp18 its incremental
+  *    twin over the maintained vocabulary (+ Streams.rebuildBpeState,
+  *    the tokenizer-lifecycle swap job); vs14 kNN
   *    graph at nProbe=2 (assigned + second-nearest cell, both
   *    row-local via the rank-2 native assignment — measured recall
   *    uplift in ScalePathsSpec); dd15/pp17's production NFKC
