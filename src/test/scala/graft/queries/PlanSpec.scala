@@ -864,6 +864,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "postings exchange not reused across the self-join")
   }
 
+  test("pp18: standing vocab from the session table; batch + encode are the only documents scans; text never ships") {
+    val d = df("pp18_incremental_bpe")
+    d.collect()
+    // the trained segmentation is materialized (bpeSegmentation
+    // localCheckpoints each iteration — the driver-bounded loop's
+    // lineage would otherwise nest k plans deep), so the FINAL plan
+    // contains exactly ONE file scan: the full documents scan the
+    // encode join pays — the one corpus-shaped job any tokenizer
+    // deployment has. The vocab advance's batch + standing-table scans
+    // happen inside the checkpointed training job, upstream of this
+    // plan. No exchange carries the document body — the encode join
+    // keys on the token.
+    val scans = fileScans(d)
+    assert(scans.size == 1 && scans.head.toString.contains("documents"),
+      s"expected the encode documents scan alone, got $scans")
+    noTextPayload(exchangePayloads(d))
+  }
+
   test("vs14: nProbe=2 kNN graph stays window-free (rank-2 probe is row-local), cid-keyed, no cartesian") {
     val d = df("vs14_knn_graph_probe2")
     d.collect()
