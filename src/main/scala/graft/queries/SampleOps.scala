@@ -252,6 +252,32 @@ object SampleOps {
        |ORDER BY doc_id, epoch""".stripMargin
   }
 
+  /** sa07 — exact-SIZE uniform sample: the fixed-count counterpart of
+    * sa01's fixed-rate draw — "exactly k documents, uniformly,
+    * deterministically" (eval subsets, human-review draws, seed
+    * corpora, anywhere a budget is a count rather than a rate). Rank
+    * every doc by its salted md5 fold (uniform on the key space,
+    * reproducible across runs/engines/retries) with doc_id breaking
+    * fold ties so the order is total, and keep the k smallest: the plan
+    * is TakeOrderedAndProject — each partition keeps a bounded k-buffer
+    * combined map-side, so no global sort of the corpus materializes
+    * anywhere (q09's pinned shape). The fold is emitted so the oracle
+    * verifies the draw itself, not just the membership count. */
+  private def sa07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"source",
+        hex8(concat(lit("take:"), $"doc_id".cast("string"))).as("fold"))
+      .orderBy($"fold", $"doc_id")
+      .limit(100)
+  }
+  private val sa07Sql =
+    s"""SELECT doc_id, source,
+       |    ${hex8Sql("'take:' || CAST(doc_id AS VARCHAR)")} AS fold
+       |FROM documents
+       |ORDER BY fold, doc_id
+       |LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
@@ -260,5 +286,6 @@ object SampleOps {
     Q("sa05_temperature_resample", "temperature resampling: per-source rates computed from counts, integer-exact natural/uniform interpolation", sa05, Some(sa05Sql)),
     Q("pp16_incremental_mix", "incremental mix maintenance: standing per-source counts advanced additively per batch, membership == sa05", pp16, Some(sa05Sql)),
     Q("sa06_epoch_upsample", "mix recipe with epochs: whole-epoch repeats + salted fractional remainder, row-level (doc_id, epoch) output", sa06, Some(sa06Sql)),
+    Q("sa07_exact_size_sample", "exact-k uniform sample: smallest k salted folds via TakeOrderedAndProject (no corpus sort)", sa07, Some(sa07Sql)),
   )
 }

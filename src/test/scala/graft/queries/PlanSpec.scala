@@ -864,6 +864,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "postings exchange not reused across the self-join")
   }
 
+  test("sa07: exact-k draw is TakeOrderedAndProject — no global corpus sort") {
+    val d = df("sa07_exact_size_sample")
+    val ns = nodes(d)
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "exact-k sample lost its bounded-buffer top-k shape")
+    assert(!ns.exists(_.isInstanceOf[SortExec]),
+      "exact-k sample plans a full sort")
+  }
+
   test("pp18: standing vocab from the session table; batch + encode are the only documents scans; text never ships") {
     val d = df("pp18_incremental_bpe")
     d.collect()
