@@ -267,6 +267,152 @@ final case class NearestCentroid(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local TOP-P centroid ranking under the same total order as
+  * [[NearestCentroid]] (quantized cosine DESC, cid ASC): one fused
+  * codegen'd nlist × dim loop per row maintaining a p-length insertion
+  * buffer, returning the ranked cid array — the probe list of an
+  * nProbe = p IVF flow ([[graft.queries.VectorOps.knnGraphP]]). p is a
+  * plan-time constant and the scratch buffers are hoisted to operator
+  * state, so the per-row cost over [[NearestCentroid]] is the insertion
+  * chain alone (p ≤ nlist, typically 2–4) and the only per-row
+  * allocation is the result array itself. Returns min(p, nlist) cids —
+  * a quantizer with fewer cells than probes yields every cell, ranked.
+  *
+  * Null contract matches [[NearestCentroid]]: null q / null nrm → null;
+  * any null ELEMENT → null, with the pre-scan compiled out for
+  * containsNull = false inputs (the `ev.isNull`-assignment Janino trap —
+  * see [[QuantizedDotProduct]]). */
+final case class RankedCentroids(left: Expression, right: Expression,
+    cids: Array[Long], cqs: Array[Array[Long]], cns: Array[Double], p: Int)
+    extends BinaryExpression {
+  require(cids.nonEmpty && cids.length == cqs.length && cids.length == cns.length,
+    "RankedCentroids: empty or ragged centroid arrays")
+  require(p >= 1, s"RankedCentroids: p must be >= 1, got $p")
+
+  private val effP: Int = math.min(p, cids.length)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, double) inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ranked_centroids"
+
+  private def elementsNullable: Boolean = left.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val qn = q.numElements()
+    if (elementsNullable) {
+      var i = 0
+      while (i < qn) { if (q.isNullAt(i)) return null; i += 1 }
+    }
+    val best = Array.fill(effP)(Double.NegativeInfinity)
+    val bcid = Array.fill(effP)(Long.MaxValue)
+    var c = 0
+    while (c < cqs.length) {
+      val cc = cqs(c)
+      val n = math.min(qn, cc.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += q.getLong(i) * cc(i); i += 1 }
+      val cos = s.toDouble / (nrm * cns(c))
+      // bounded insertion under (cos DESC, cid ASC)
+      var pos = effP
+      while (pos > 0 && (cos > best(pos - 1) ||
+          (cos == best(pos - 1) && cids(c) < bcid(pos - 1)))) pos -= 1
+      if (pos < effP) {
+        var m = effP - 1
+        while (m > pos) { best(m) = best(m - 1); bcid(m) = bcid(m - 1); m -= 1 }
+        best(pos) = cos; bcid(pos) = cids(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bcid, effP))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, nrm) => {
+      val cqRef = ctx.addReferenceObj("cqs", cqs, "long[][]")
+      val cidRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val cnRef = ctx.addReferenceObj("cns", cns, "double[]")
+      // p-length insertion buffers hoisted to operator state: allocated
+      // once, refilled per row — zero per-row scratch allocation
+      val best = ctx.addMutableState("double[]", "rcBest",
+        v => s"$v = new double[$effP];")
+      val bcid = ctx.addMutableState("long[]", "rcCid",
+        v => s"$v = new long[$effP];")
+      val qn = ctx.freshName("qn")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val cc = ctx.freshName("cc")
+      val n = ctx.freshName("n")
+      val cos = ctx.freshName("cos")
+      val pos = ctx.freshName("pos")
+      val m = ctx.freshName("m")
+      val f = ctx.freshName("f")
+      val out = ctx.freshName("out")
+      val body =
+        s"""
+           |for (int $f = 0; $f < $effP; $f++) {
+           |  $best[$f] = java.lang.Double.NEGATIVE_INFINITY;
+           |  $bcid[$f] = java.lang.Long.MAX_VALUE;
+           |}
+           |for (int $c = 0; $c < $cqRef.length; $c++) {
+           |  final long[] $cc = $cqRef[$c];
+           |  final int $n = java.lang.Math.min($qn, $cc.length);
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $n; $i++) { $s += $q.getLong($i) * $cc[$i]; }
+           |  final double $cos = ((double) $s) / ($nrm * $cnRef[$c]);
+           |  int $pos = $effP;
+           |  while ($pos > 0 && ($cos > $best[$pos - 1] ||
+           |      ($cos == $best[$pos - 1] && $cidRef[$c] < $bcid[$pos - 1]))) $pos--;
+           |  if ($pos < $effP) {
+           |    for (int $m = $effP - 1; $m > $pos; $m--) {
+           |      $best[$m] = $best[$m - 1]; $bcid[$m] = $bcid[$m - 1];
+           |    }
+           |    $best[$pos] = $cos; $bcid[$pos] = $cidRef[$c];
+           |  }
+           |}
+           |final long[] $out = java.util.Arrays.copyOf($bcid, $effP);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      if (elementsNullable) {
+        val j = ctx.freshName("j")
+        s"""
+           |final int $qn = $q.numElements();
+           |for (int $j = 0; $j < $qn; $j++) {
+           |  if ($q.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |}
+           |if (!${ev.isNull}) {
+           |  $body
+           |}
+         """.stripMargin
+      } else {
+        s"""
+           |final int $qn = $q.numElements();
+           |$body
+         """.stripMargin
+      }
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RankedCentroids =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -287,4 +433,11 @@ object VectorExpressions {
       cqs: Array[Array[Long]], cns: Array[Double]): Column =
     Bridge.column(NearestCentroid(
       Bridge.expression(q), Bridge.expression(nrm), cids, cqs, cns, rank = 2))
+
+  /** Column API for the ranked top-p cid array — the probe list of an
+    * nProbe = p flow (graft.queries.VectorOps.knnGraphP). */
+  def rankedCentroids(q: Column, nrm: Column, cids: Array[Long],
+      cqs: Array[Array[Long]], cns: Array[Double], p: Int): Column =
+    Bridge.column(RankedCentroids(
+      Bridge.expression(q), Bridge.expression(nrm), cids, cqs, cns, p))
 }

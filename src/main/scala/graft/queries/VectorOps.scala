@@ -403,19 +403,48 @@ object VectorOps {
     * pair volume under the same nlist ∝ N bound, traded for the measured
     * recall gain. */
   private[graft] def knnGraph2Candidates(postings: DataFrame,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame): DataFrame =
+    knnGraphPCandidates(postings, cents, p = 2)
+
+  /** The nProbe = p candidate kernel: each vector explodes to at most p
+    * probe rows — its OWN assigned cell (the postings' stored cid) plus
+    * ranks 2..p from the native [[graft.functions.RankedCentroids]]
+    * expression (one fused centroid loop maintaining a p-length
+    * insertion buffer: zero exchanges, no N × nlist window at ANY p).
+    *
+    * PRECONDITION (same-quantizer contract): the postings' `cid` column
+    * must have been produced by [[assignCells]] under the SAME `cents`
+    * argument — the no-duplicate argument ("probe cids are pairwise
+    * distinct, a candidate's cell is unique") relies on the stored cid
+    * equalling the expression's rank-1 cell. Probing a maintained table
+    * assigned under an OLDER quantizer (pre-[[graft.streaming.Streams
+    * .rebuildIvfState]]) would let a rank-2..p probe equal the stored
+    * cid; the `array_distinct` below drops such a duplicate probe row
+    * defensively, so even a contract violation cannot seat one neighbor
+    * at two top-k ranks — but the probe SEMANTICS (which cells are
+    * "nearest") are only meaningful under the current quantizer, which
+    * is why rebuilds swap the postings era atomically. */
+  private[graft] def knnGraphPCandidates(postings: DataFrame,
+      cents: DataFrame, p: Int): DataFrame = {
+    require(p >= 1, s"knnGraphP: nProbe must be >= 1, got $p")
     val cs = cents.select(col("cid"), col("cq"), col("cn")).collect()
-    require(cs.length >= 2,
+    require(p == 1 || cs.length >= 2,
       "knnGraph2: a 0/1-cell quantizer has no second cell to probe")
-    val second = graft.functions.VectorExpressions.secondNearestCentroid(
-      col("q"), col("nrm"),
-      cs.map(_.getLong(0)),
-      cs.map(_.getSeq[Long](1).toArray),
-      cs.map(_.getDouble(2)))
+    val probeList = if (p == 1) array(col("cid")) else {
+      val ranked = graft.functions.VectorExpressions.rankedCentroids(
+        col("q"), col("nrm"),
+        cs.map(_.getLong(0)),
+        cs.map(_.getSeq[Long](1).toArray),
+        cs.map(_.getDouble(2)), p)
+      // ranks 2..p only: rank 1 IS the stored assignment under the
+      // same-quantizer precondition; array_distinct is the defensive
+      // dedup for a stale-quantizer caller (no-op otherwise)
+      array_distinct(concat(array(col("cid")), slice(ranked, 2, p - 1)))
+    }
     val probes = postings
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nrm").as("qn"),
-        explode(array(col("cid"), second)).as("cid"))
+        explode(probeList).as("cid"))
     probes.hint("shuffle_hash")
       .join(postings, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -431,13 +460,28 @@ object VectorOps {
       cents: DataFrame): Long =
     knnGraph2Candidates(postings, cents).count()
 
+  /** Scored ordered-pair volume at nProbe = p — the cost axis of the
+    * ScalePathsSpec recall curve. */
+  private[graft] def knnGraphPVolume(postings: DataFrame,
+      cents: DataFrame, p: Int): Long =
+    knnGraphPCandidates(postings, cents, p).count()
+
   private[graft] def knnGraph2(postings: DataFrame, cents: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = knnGraphP(postings, cents, k, p = 2)
+
+  /** The nProbe = p kNN graph: top-k neighbors for every vector across
+    * its p nearest cells. p = 1 is [[knnGraph]], p = 2 the vs14 gate;
+    * the recall/cost curve over p ∈ {1, 2, 4} is measured in
+    * ScalePathsSpec (COVERAGE records the table). Cost model:
+    * Σ_cell |cell| · |probers of cell| ≤ p Σ|cell|² — p× [[knnGraph]]'s
+    * pair volume under the same nlist ∝ N production sizing. */
+  private[graft] def knnGraphP(postings: DataFrame, cents: DataFrame,
+      k: Int, p: Int): DataFrame = {
     // a 0/1-cell quantizer has no second cell to probe — degenerate to
     // the nProbe = 1 graph rather than invent a probe
-    if (cents.limit(2).count() < 2) return knnGraph(postings, k)
+    if (p >= 2 && cents.limit(2).count() < 2) return knnGraph(postings, k)
     graft.operators.GroupedTopK.topKCarry(
-        knnGraph2Candidates(postings, cents),
+        knnGraphPCandidates(postings, cents, p),
         "query_id", "cos", "neighbor", "cid", k)
       .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
         col("rank"), col("v").as("cos"))

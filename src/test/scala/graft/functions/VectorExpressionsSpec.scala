@@ -187,6 +187,67 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("rankedCentroids: top-p matches scalar full-sort prefix, codegen == interpreted") {
+    // The generalized probe list (nProbe = p): pin the generated
+    // insertion-buffer loop against a scalar-side full sort of the
+    // (cos DESC, cid ASC) order at several p, under fallback=false so a
+    // Janino failure fails the test. p > nlist must clamp to every cell.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val cids = Array(9L, 5L, 3L, 7L)
+      val cqs = Array(Array(10L, 0L), Array(10L, 0L), Array(0L, 7L), Array(6L, 6L))
+      val cns = Array(10.0, 10.0, 7.0, math.sqrt(72.0))
+      val vecs = (1L to 40L).map(i => (i, Array(i * 17 % 23 - 11, i * 31 % 19 - 9))).toDF("vec_id", "q")
+        .unionByName(Seq((100L, Array(5L, 0L))).toDF("vec_id", "q")) // exact 9/5 tie
+        .withColumn("nrm", sqrt(VectorExpressions.quantizedDot($"q", $"q").cast("double")))
+        .filter($"nrm" > 0.0)
+      for (p <- Seq(1, 2, 4, 9)) {
+        val out = vecs.select($"vec_id", $"q", $"nrm",
+            VectorExpressions.rankedCentroids($"q", $"nrm", cids, cqs, cns, p).as("r"))
+          .collect()
+        assert(out.nonEmpty)
+        out.foreach { r =>
+          val q = r.getSeq[Long](1); val nrm = r.getDouble(2)
+          val ranked = cids.indices.map { c =>
+            val cos = q.zip(cqs(c)).map { case (a, b) => a * b }.sum.toDouble / (nrm * cns(c))
+            (cos, cids(c))
+          }.sortBy { case (cos, cid) => (-cos, cid) }.map(_._2)
+          assert(r.getSeq[Long](3) == ranked.take(p),
+            s"top-$p for vec ${r.getLong(0)}")
+        }
+      }
+      // agreement with the rank-1/rank-2 single-result expressions
+      val both = vecs.select(
+          VectorExpressions.nearestCentroid($"q", $"nrm", cids, cqs, cns).as("c1"),
+          VectorExpressions.secondNearestCentroid($"q", $"nrm", cids, cqs, cns).as("c2"),
+          VectorExpressions.rankedCentroids($"q", $"nrm", cids, cqs, cns, 2).as("r"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](2) == Seq(r.getLong(0), r.getLong(1)))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("rankedCentroids null contract: null array/nrm and null element all yield null") {
+    import spark.implicits._
+    val cids = Array(1L, 2L)
+    val cqs = Array(Array(1L, 1L), Array(1L, 0L))
+    val cns = Array(math.sqrt(2.0), 1.0)
+    val df = Seq(
+      (1L, Some(Seq(Some(1L), Some(2L))), Some(2.0)),
+      (2L, None, Some(2.0)),
+      (3L, Some(Seq(Some(1L), None)), Some(2.0)),
+      (4L, Some(Seq(Some(1L), Some(2L))), None)
+    ).toDF("vec_id", "q", "nrm")
+    val out = df.select($"vec_id",
+        VectorExpressions.rankedCentroids($"q", $"nrm", cids, cqs, cns, 2).as("r"))
+      .orderBy($"vec_id").collect()
+    assert(out(0).getSeq[Long](1) == Seq(1L, 2L))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
   test("nearestCentroid null contract: null array/nrm and null element all yield null") {
     import spark.implicits._
     val cids = Array(1L); val cqs = Array(Array(1L, 1L)); val cns = Array(math.sqrt(2.0))

@@ -232,6 +232,41 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
       s"pair volume out of band: $v2pairs vs nProbe=1 $v1")
   }
 
+  test("knnGraphP recall/cost curve at p in {1,2,4}: recall monotone in p, volume bounded by p x nProbe=1") {
+    // The generalized knob behind vs13/vs14 (round-9 verdict item 5):
+    // nProbe = p probes each vector's p nearest cells, so the candidate
+    // set — and with an exact scorer, recall — is monotone non-decreasing
+    // in p, while scored pair volume is bounded by p× the nProbe=1
+    // volume plus the extra probe rows. Measure both axes at p ∈ {1,2,4}
+    // against brute-force truth; COVERAGE records the table.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val truth = graft.operators.Ann.bruteTopK(emb, emb, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val e = VectorOps.normed(emb)
+    val cents = VectorOps.ivfCentroids(e)
+    val post = VectorOps.assignCells(e, cents).localCheckpoint(true)
+    val curve = Seq(1, 2, 4).map { p =>
+      val g = VectorOps.knnGraphP(post, cents, k = 3, p = p)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (truth intersect g).size.toDouble / truth.size
+      val vol = VectorOps.knnGraphPVolume(post, cents, p)
+      info(f"p=$p%d: recall $recall%.3f, scored ordered pairs $vol%d")
+      (p, recall, vol)
+    }
+    val Seq((_, r1, v1), (_, r2, v2), (_, r4, v4)) = curve
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1, $r2, $r4")
+    assert(r4 > r1, s"no uplift across the curve: p=1 $r1 vs p=4 $r4")
+    assert(v1 < v2 && v2 < v4, s"volume not increasing: $v1, $v2, $v4")
+    assert(v4 <= 4 * v1 + 3 * post.count() * 2,
+      s"p=4 volume $v4 breaks the p x nProbe=1 bound ($v1)")
+    // p=2 through the generalized path must equal the vs14 kernel exactly
+    val viaP = VectorOps.knnGraphP(post, cents, k = 3, p = 2).collect().toSeq
+    val via2 = VectorOps.knnGraph2(post, cents, k = 3).collect().toSeq
+    assert(viaP == via2)
+  }
+
   test("vs08/vs09 PQ search: recall vs exact quantized-L2 truth; IVF-PQ results stay within probed cells") {
     // ADC distances are to RECONSTRUCTIONS under the quantized-L2
     // metric, so the recall baseline is the exact quantized-L2 top-5
