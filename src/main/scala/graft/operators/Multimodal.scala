@@ -118,6 +118,74 @@ object Multimodal {
     df.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
 
+  /** Per-row perceptual signature columns b0..b3 (the 4 × 16-bit bands of
+    * [[graft.functions.PerceptualBands]]) derived from `blobCol` AT THE
+    * SCAN — 16 bytes of signature per row is all that ever leaves the
+    * scan stage; the payload itself stays columnar-pruned out of every
+    * downstream exchange (PlanSpec pins that for mm04). */
+  def perceptualSigs(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val pb = graft.functions.PerceptualExpressions.perceptualBands(col(blobCol))
+    df.select(Seq(col(idCol)) ++
+      (0 until graft.functions.PerceptualBands.N_BANDS)
+        .map(b => element_at(pb, b + 1).as(s"b$b")): _*)
+  }
+
+  /** Perceptual near-dup report over a signature table: Hamming-banded
+    * candidate join + exact Hamming verify — dd04/dd05's multi-index
+    * shape on the binary modality. A pair is a CANDIDATE when any of the
+    * 4 bands matches exactly; by pigeonhole, every pair within Hamming
+    * distance 3 (< number of bands) shares at least one intact band, so
+    * the `is_dup` verdict (hamming ≤ tau, tau ≤ 3) is COMPLETE over the
+    * corpus — banding here is exact pruning, not probabilistic LSH.
+    * Candidates beyond tau are emitted too (is_dup = false) as the audit
+    * stream the threshold is tuned on.
+    *
+    * Scale shape: the only shuffles carry (id, band value) and
+    * (id, 4 × int) — 100 TB of payload bytes never move. Volume is
+    * Σ_bucket |bucket|² over band-value buckets; `maxBucket` is the
+    * dd13-style hot-bucket cap for corpora whose band values collide
+    * pathologically (a bucket larger than the cap carries no dedup
+    * signal at 16-bit band width and is dropped from CANDIDACY — recall
+    * beyond tau degrades, the ≤ tau guarantee needs the cap above the
+    * corpus's true near-dup cluster size). Production sizing widens
+    * band bits with log₂(corpus) the way nlist tracks N for IVF. */
+  def perceptualPairs(sigs: DataFrame, idCol: String, tau: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(tau >= 0 && tau < graft.functions.PerceptualBands.N_BANDS,
+      s"tau must be in [0, 4) for the 4-band completeness guarantee, got $tau")
+    val bandCols = (0 until graft.functions.PerceptualBands.N_BANDS)
+      .map(b => col(s"b$b"))
+    val members = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "v")))
+    val capped = maxBucket match {
+      case None => members
+      case Some(cap) =>
+        members.join(
+          members.groupBy(col("band"), col("v"))
+            .agg(count(lit(1)).as("__sz")).filter(col("__sz") <= cap)
+            .select(col("band"), col("v")),
+          Seq("band", "v"), "left_semi")
+    }
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+    val s1 = sigs.select(Seq(col(idCol).as("d1")) ++
+      bandCols.zipWithIndex.map { case (c, b) => c.as(s"x$b") }: _*)
+    val s2 = sigs.select(Seq(col(idCol).as("d2")) ++
+      bandCols.zipWithIndex.map { case (c, b) => c.as(s"y$b") }: _*)
+    val hamming = (0 until graft.functions.PerceptualBands.N_BANDS)
+      .map(b => bit_count(expr(s"x$b ^ y$b")))
+      .reduce(_ + _).cast("int")
+    val matched = (0 until graft.functions.PerceptualBands.N_BANDS)
+      .map(b => when(col(s"x$b") === col(s"y$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .select(col("d1"), col("d2"), matched.as("matched_bands"),
+        hamming.as("hamming"), (hamming <= tau).as("is_dup"))
+  }
+
   /** Size-aware repartition: big blobs skew task time, so partition count
     * derives from total bytes / target bytes-per-partition, clamped. This
     * is the knob that keeps a 100 TB binary scan's tasks uniform. */

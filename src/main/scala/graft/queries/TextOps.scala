@@ -2268,6 +2268,73 @@ object TextOps {
       |  MIN(CAST(octet_length(encode(text)) AS INT)) AS byte_len
       |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
 
+  /** mm04's verdict radius: within the 4-band multi-index, pigeonhole
+    * guarantees every pair at Hamming ≤ 3 shares an intact band, so the
+    * is_dup set is exactly {pairs : hamming ≤ 3} — complete, not
+    * LSH-probabilistic. Shared with the spec so the pin can't drift. */
+  private[queries] val MM04_TAU = 3
+
+  /** mm04 — PERCEPTUAL multimodal near-dup: the first-pass image-dedup
+    * shape mm03 (exact digest) lacks. Row-local 64-bit signature over the
+    * binary payload (byte-bigram-histogram block-mean, the native
+    * [[graft.functions.PerceptualBands]] expression — integer-exact, so
+    * DuckDB replays every bit), emitted as 4 × 16-bit band ints;
+    * Hamming-banded candidate join on exact band matches (dd04's
+    * multi-index trick on the binary column); exact Hamming verify with
+    * both verdict directions in the output (is_dup = hamming ≤
+    * [[MM04_TAU]], candidates beyond stay as the audit stream). The blob
+    * is hashed at the scan and never rides an exchange (PlanSpec pin) —
+    * the same 100 TB argument as mm03, now for near-dups. */
+  private def mm04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = graft.operators.Multimodal.perceptualSigs(
+      documents(s, d).withColumn("blob", encode($"text", "UTF-8")),
+      "doc_id", "blob").localCheckpoint(true) // band explode + 2 verify probes
+    graft.operators.Multimodal.perceptualPairs(sigs, "doc_id", MM04_TAU)
+      .orderBy($"d1", $"d2")
+  }
+  /** The sig CTE is shared verbatim by mm04 and pp19 (whose oracle is
+    * mm04's, the incremental contract). DuckDB 1.0 has no BLOB
+    * subscripting, so bytes come from nibble-parsing the hex dump; the
+    * n ≥ 2 guard mirrors the expression's no-bigram rule (without it,
+    * n = 0 hits `0 > −1` = true and signs all-ones). */
+  private val mm04SigCte =
+    """by AS (
+      |  SELECT doc_id, n,
+      |    [16*(strpos('0123456789abcdef', substr(h, 2*j-1, 1))-1)
+      |      + (strpos('0123456789abcdef', substr(h, 2*j, 1))-1)
+      |     for j in range(1, n+1)] AS b
+      |  FROM (SELECT doc_id, lower(hex(encode(text))) AS h,
+      |        octet_length(encode(text)) AS n FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, v,
+      |    CASE WHEN n >= 2 AND
+      |        len(list_filter([(b[j]*31 + b[j+1]) % 64 for j in range(1, n)],
+      |                        x -> x = v)) * 64 > (n - 1)
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM by, (SELECT unnest(range(0, 64)) AS v)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v // 16 = 0 THEN bit << (15 - (v % 16)) ELSE 0 END) AS INT) AS b0,
+      |    CAST(SUM(CASE WHEN v // 16 = 1 THEN bit << (15 - (v % 16)) ELSE 0 END) AS INT) AS b1,
+      |    CAST(SUM(CASE WHEN v // 16 = 2 THEN bit << (15 - (v % 16)) ELSE 0 END) AS INT) AS b2,
+      |    CAST(SUM(CASE WHEN v // 16 = 3 THEN bit << (15 - (v % 16)) ELSE 0 END) AS INT) AS b3
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+  private val mm04Sql =
+    s"""WITH $mm04SigCte,
+       |m AS (SELECT doc_id, unnest([0,1,2,3]) AS band, unnest([b0,b1,b2,b3]) AS v FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM m a JOIN m b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  (CASE WHEN s1.b0 = s2.b0 THEN 1 ELSE 0 END + CASE WHEN s1.b1 = s2.b1 THEN 1 ELSE 0 END
+       |   + CASE WHEN s1.b2 = s2.b2 THEN 1 ELSE 0 END + CASE WHEN s1.b3 = s2.b3 THEN 1 ELSE 0 END) AS matched_bands,
+       |  CAST(bit_count(xor(s1.b0, s2.b0)) + bit_count(xor(s1.b1, s2.b1))
+       |   + bit_count(xor(s1.b2, s2.b2)) + bit_count(xor(s1.b3, s2.b3)) AS INT) AS hamming,
+       |  (bit_count(xor(s1.b0, s2.b0)) + bit_count(xor(s1.b1, s2.b1))
+       |   + bit_count(xor(s1.b2, s2.b2)) + bit_count(xor(s1.b3, s2.b3)) <= $MM04_TAU) AS is_dup
+       |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
     Q("dd15_norm_dedup", "exact dedup after ASCII canonicalization (case/punct/ws-insensitive), with per-group raw-variant audit", dd15, Some(dd15Sql)),
@@ -2295,6 +2362,7 @@ object TextOps {
     Q("mm01_multimodal_meta", "binary column + typed metadata plumbing", mm01, Some(mm01Sql)),
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("mm03_binary_dedup", "exact multimodal dedup: content-digest groupBy on the binary payload, blob never shuffled", mm03, Some(mm03Sql)),
+    Q("mm04_perceptual_dedup", "perceptual multimodal near-dup: 64-bit bigram-histogram signature, Hamming-banded candidates, exact Hamming verify", mm04, Some(mm04Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),

@@ -565,6 +565,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"exchange ships the payload: $p"))
   }
 
+  test("mm04: perceptual near-dup — the payload is signed at the scan and never rides an exchange") {
+    val d = df("mm04_perceptual_dedup")
+    d.collect()
+    // every shuffle carries ids + band ints only: the blob (and the text
+    // it derives from) must be column-pruned out before the first
+    // exchange — the 100 TB contract of the mm family
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("blob") && !p.contains("text"),
+        s"exchange ships the payload: $p"))
+    // no cartesian anywhere: candidates come from the band-value
+    // equi-join, verification from id equi-joins
+    assert(!nodes(d).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(equiJoinKeys(d).exists(k => k.contains("band") && k.contains("v")),
+      "candidate join must key on (band, value)")
+  }
+
   test("dd10: pair space is cell-blocked — pairs join ON cid, no cartesian, no window") {
     val d = df("dd10_semantic_dedup")
     d.collect()
