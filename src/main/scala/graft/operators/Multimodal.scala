@@ -149,14 +149,46 @@ object Multimodal {
     * beyond tau degrades, the ≤ tau guarantee needs the cap above the
     * corpus's true near-dup cluster size). Production sizing widens
     * band bits with log₂(corpus) the way nlist tracks N for IVF. */
+  /** The largest Hamming radius the 4-band multi-index covers COMPLETELY
+    * (pigeonhole: a pair at distance < N_BANDS shares an intact band) —
+    * mm04's verdict threshold and pp19/the continuous maintainer's, one
+    * definition so the gate and its twins cannot drift. */
+  val completeTau: Int = graft.functions.PerceptualBands.N_BANDS - 1
+
+  private def bandCols: Seq[Column] =
+    (0 until graft.functions.PerceptualBands.N_BANDS).map(b => col(s"b$b"))
+
+  /** (id, band, v) multi-index membership rows of a signature table. */
+  private def bandMembers(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "v")))
+
+  /** Exact verify of candidate (d1, d2) pairs against the signature
+    * table: matched-band count, exact Hamming, and the ≤ tau verdict —
+    * shared verbatim by the batch gate ([[perceptualPairs]]) and the
+    * incremental advance ([[perceptualPairsAdvance]]), the
+    * one-definition rule that keeps a gate and its twin in lockstep. */
+  private def scorePairs(cand: DataFrame, sigs: DataFrame, idCol: String,
+      tau: Int): DataFrame = {
+    val s1 = sigs.select(Seq(col(idCol).as("d1")) ++
+      bandCols.zipWithIndex.map { case (c, b) => c.as(s"x$b") }: _*)
+    val s2 = sigs.select(Seq(col(idCol).as("d2")) ++
+      bandCols.zipWithIndex.map { case (c, b) => c.as(s"y$b") }: _*)
+    val hamming = (0 until graft.functions.PerceptualBands.N_BANDS)
+      .map(b => bit_count(expr(s"x$b ^ y$b")))
+      .reduce(_ + _).cast("int")
+    val matched = (0 until graft.functions.PerceptualBands.N_BANDS)
+      .map(b => when(col(s"x$b") === col(s"y$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .select(col("d1"), col("d2"), matched.as("matched_bands"),
+        hamming.as("hamming"), (hamming <= tau).as("is_dup"))
+  }
+
   def perceptualPairs(sigs: DataFrame, idCol: String, tau: Int,
       maxBucket: Option[Int] = None): DataFrame = {
-    require(tau >= 0 && tau < graft.functions.PerceptualBands.N_BANDS,
-      s"tau must be in [0, 4) for the 4-band completeness guarantee, got $tau")
-    val bandCols = (0 until graft.functions.PerceptualBands.N_BANDS)
-      .map(b => col(s"b$b"))
-    val members = sigs.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band", "v")))
+    require(tau >= 0 && tau <= completeTau,
+      s"tau must be in [0, $completeTau] for the band completeness guarantee, got $tau")
+    val members = bandMembers(sigs, idCol)
     val capped = maxBucket match {
       case None => members
       case Some(cap) =>
@@ -171,19 +203,32 @@ object Multimodal {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
       .distinct()
-    val s1 = sigs.select(Seq(col(idCol).as("d1")) ++
-      bandCols.zipWithIndex.map { case (c, b) => c.as(s"x$b") }: _*)
-    val s2 = sigs.select(Seq(col(idCol).as("d2")) ++
-      bandCols.zipWithIndex.map { case (c, b) => c.as(s"y$b") }: _*)
-    val hamming = (0 until graft.functions.PerceptualBands.N_BANDS)
-      .map(b => bit_count(expr(s"x$b ^ y$b")))
-      .reduce(_ + _).cast("int")
-    val matched = (0 until graft.functions.PerceptualBands.N_BANDS)
-      .map(b => when(col(s"x$b") === col(s"y$b"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
-      .select(col("d1"), col("d2"), matched.as("matched_bands"),
-        hamming.as("hamming"), (hamming <= tau).as("is_dup"))
+    scorePairs(cand, sigs, idCol, tau)
+  }
+
+  /** The perceptual pairs a BATCH adds over a standing signature store —
+    * mm04 over the full corpus restricted to pairs touching the batch,
+    * which is the full delta because a pair's (matched_bands, hamming,
+    * verdict) is a pure function of two immutable signatures: it is
+    * emitted exactly once, by the batch that completes it. The batch's
+    * band rows broadcast into the (standing ∪ batch) index probe — one
+    * pass over the standing index at its own layout; the verify join
+    * reads 16-byte signature rows, never payloads. `standingSigs` and
+    * `batchSigs` must be id-disjoint (the maintainer's guards enforce
+    * it). */
+  def perceptualPairsAdvance(standingSigs: DataFrame, batchSigs: DataFrame,
+      idCol: String, tau: Int): DataFrame = {
+    require(tau >= 0 && tau <= completeTau,
+      s"tau must be in [0, $completeTau] for the band completeness guarantee, got $tau")
+    val allSigs = standingSigs.unionByName(batchSigs)
+    val cand = broadcast(bandMembers(batchSigs, idCol)).as("x")
+      .join(bandMembers(allSigs, idCol).as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("d1"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("d2"))
+      .distinct()
+    scorePairs(cand, allSigs, idCol, tau)
   }
 
   /** Size-aware repartition: big blobs skew task time, so partition count

@@ -2271,8 +2271,9 @@ object TextOps {
   /** mm04's verdict radius: within the 4-band multi-index, pigeonhole
     * guarantees every pair at Hamming ≤ 3 shares an intact band, so the
     * is_dup set is exactly {pairs : hamming ≤ 3} — complete, not
-    * LSH-probabilistic. Shared with the spec so the pin can't drift. */
-  private[queries] val MM04_TAU = 3
+    * LSH-probabilistic. One definition with the operator layer (and so
+    * with pp19 and the continuous maintainer). */
+  private[queries] val MM04_TAU = graft.operators.Multimodal.completeTau
 
   /** mm04 — PERCEPTUAL multimodal near-dup: the first-pass image-dedup
     * shape mm03 (exact digest) lacks. Row-local 64-bit signature over the
@@ -2335,6 +2336,42 @@ object TextOps {
        |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
        |ORDER BY d1, d2""".stripMargin
 
+  /** pp19 — INCREMENTAL perceptual dedup, mm04's twin and the mm family's
+    * first incremental member: standing state is the signature store
+    * (16 bytes per doc, append-only — a signature is a pure immutable
+    * function of the payload) plus the standing pair report; the advance
+    * computes only pairs TOUCHING the batch (the batch's band rows
+    * broadcast-probe the standing ∪ batch index, verified against
+    * signature rows — the payload is signed once on arrival and never
+    * re-read), and a pair's verdict is immutable once both docs exist, so
+    * standing report ∪ advance == mm04 over the full corpus: the oracle
+    * is mm04's verbatim, the pp04 contract. Standing tables live as
+    * parquet session tables (the pp12 treatment) so the gate times the
+    * advance. [[graft.streaming.Streams.maintainPerceptualState]] is the
+    * continuous loop. */
+  private def pp19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp19", d) { dir =>
+      graft.operators.Multimodal.perceptualSigs(
+          docs.filter(!isNew).withColumn("blob", encode($"text", "UTF-8")),
+          "doc_id", "blob")
+        .write.parquet(s"$dir/sigs")
+      graft.operators.Multimodal.perceptualPairs(
+          s.read.parquet(s"$dir/sigs"), "doc_id", MM04_TAU)
+        .write.parquet(s"$dir/pairs")
+    }
+    val batchSigs = graft.operators.Multimodal.perceptualSigs(
+        docs.filter(isNew).withColumn("blob", encode($"text", "UTF-8")),
+        "doc_id", "blob")
+      .localCheckpoint(true) // band probe + verify read it
+    s.read.parquet(s"$stand/pairs")
+      .unionByName(graft.operators.Multimodal.perceptualPairsAdvance(
+        s.read.parquet(s"$stand/sigs"), batchSigs, "doc_id", MM04_TAU))
+      .orderBy($"d1", $"d2")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
     Q("dd15_norm_dedup", "exact dedup after ASCII canonicalization (case/punct/ws-insensitive), with per-group raw-variant audit", dd15, Some(dd15Sql)),
@@ -2363,6 +2400,7 @@ object TextOps {
     Q("mm02_frame_sample", "stride-sampled frame work units", mm02, Some(mm02Sql)),
     Q("mm03_binary_dedup", "exact multimodal dedup: content-digest groupBy on the binary payload, blob never shuffled", mm03, Some(mm03Sql)),
     Q("mm04_perceptual_dedup", "perceptual multimodal near-dup: 64-bit bigram-histogram signature, Hamming-banded candidates, exact Hamming verify", mm04, Some(mm04Sql)),
+    Q("pp19_incremental_perceptual", "incremental perceptual dedup: batch band rows probe the standing signature store, report == mm04", pp19, Some(mm04Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),

@@ -1416,6 +1416,76 @@ object Streams {
     compactDeltas(spark, statsTable, Seq("canon_hash", "raw_hash"), Seq("n"),
       docTable, "doc_id", mins = Seq("keeper_id"))
 
+  /** mm04's continuous twin: CONTINUOUS perceptual-dedup maintenance,
+    * and the mm family's first standing-state member. Standing tables,
+    * all append-only: `sigTable` (doc_id, b0..b3 — the 16-byte signature
+    * store; a signature is a pure immutable function of the payload, so
+    * a doc's row never changes), `pairsTable` (the scored pair log: a
+    * pair's matched_bands/hamming/verdict is immutable once both docs
+    * exist and is emitted by exactly the batch that completes it — the
+    * containment pair-log argument verbatim), `docTable` (the shared
+    * redelivery guard, advanced LAST so a crash anywhere makes the batch
+    * redeliverable). Per batch: the payload is signed ONCE at the scan
+    * (it never reaches the standing state or any exchange), the batch's
+    * band rows broadcast-probe the band index derived from the standing
+    * store at its own layout, and every write appends O(batch +
+    * candidates) rows. The standing sig read excludes the batch's own
+    * ids (the [[advanceBandIndex]] exclusion): after a crash between the
+    * sig append and the doc advance, a redelivered batch would otherwise
+    * meet its own landed signatures and emit pair rows that differ from
+    * the originals (d1 = d2 filtered, but duplicates under reversed
+    * roles); excluded, the replay recomputes byte-identical pairs and
+    * distinct() — the documented pair-log recovery — collapses them. */
+  def maintainPerceptualState(batch: DataFrame, sigTable: String,
+      pairsTable: String, docTable: String,
+      tau: Int = graft.operators.Multimodal.completeTau): Unit = {
+    val spark = batch.sparkSession
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val freshSigs = graft.operators.Multimodal.perceptualSigs(
+        fresh.withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob")
+      .localCheckpoint(true) // feeds the probe, the verify, and the append
+    val standing = tryRead(spark, sigTable).getOrElse(emptySigStore(spark))
+      .join(broadcast(fresh.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    graft.operators.Multimodal
+      .perceptualPairsAdvance(standing, freshSigs, "doc_id", tau)
+      .write.mode("append").parquet(pairsTable)
+    appendNewBy(freshSigs, sigTable, "doc_id")
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** [[maintainPerceptualState]] as a foreachBatch sink over a
+    * (doc_id, text) document stream. */
+  def perceptualStateStream(docs: DataFrame, sigTable: String,
+      pairsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainPerceptualState(b, sigTable, pairsTable, docTable))
+      .start()
+
+  /** The current perceptual pair report under the maintained state —
+    * mm04's exact shape over every doc arrived. distinct() is the pair
+    * log's documented redelivery recovery. */
+  def perceptualPairsSnapshot(spark: SparkSession,
+      pairsTable: String): DataFrame =
+    tryRead(spark, pairsTable).getOrElse(emptyPerceptualPairs(spark))
+      .distinct()
+
+  private def emptySigStore(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    emptyDf(spark, "doc_id" -> LongType, "b0" -> IntegerType,
+      "b1" -> IntegerType, "b2" -> IntegerType, "b3" -> IntegerType)
+  }
+
+  private def emptyPerceptualPairs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    emptyDf(spark, "d1" -> LongType, "d2" -> LongType,
+      "matched_bands" -> IntegerType, "hamming" -> IntegerType,
+      "is_dup" -> BooleanType)
+  }
+
   /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
     * second counts-shaped member of the standing-state family, with
     * [[maintainVocabState]]'s contract verbatim: per-bigram occurrence

@@ -907,6 +907,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     noTextPayload(exchangePayloads(d))
   }
 
+  test("pp19: advance plan reads only the standing session tables — no corpus re-scan, payload never ships") {
+    val d = df("pp19_incremental_perceptual")
+    d.collect()
+    // the 80% is state, not work: the batch is signed inside its
+    // localCheckpoint job (the payload never even reaches this plan), so
+    // the FINAL plan reads ONLY the standing parquet session tables —
+    // zero documents scans; the standing signature store and pair report
+    // come in at their own layout
+    val scans = scanRoots(d)
+    assert(scans.count(_.contains("documents")) == 0,
+      s"corpus re-scanned in the advance plan: $scans")
+    assert(scans.exists(_.contains("sigs")) && scans.exists(_.contains("pairs")),
+      s"standing state not read from the session tables: $scans")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("blob") && !p.contains("text"),
+        s"exchange ships the payload: $p"))
+    assert(!nodes(d).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("vs14: nProbe=2 kNN graph stays window-free (rank-2 probe is row-local), cid-keyed, no cartesian") {
     val d = df("vs14_knn_graph_probe2")
     d.collect()
