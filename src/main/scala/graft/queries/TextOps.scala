@@ -1496,6 +1496,104 @@ object TextOps {
        |FROM dd ORDER BY doc_id""".stripMargin
   }
 
+  /** ta15's fixed-point model, as a LITERAL weight table: the fasttext-
+    * style learned linear quality filter between ta02's hand heuristics
+    * and a real model — the last text-pipeline stage a production
+    * curation stack runs that heuristics alone cannot express. Weights
+    * are INTEGERS over per-mille integer features, so the score — and
+    * therefore the keep verdict — is exact integer arithmetic that
+    * hash-matches cross-engine (ta13's log-free trick applied to model
+    * inference: a logistic head is monotone, so thresholding the linear
+    * score IS thresholding the probability; train offline with any
+    * framework, round the weights to fixed point, deploy the table).
+    * Signs encode the learned direction: diversity and length support
+    * quality, top-token concentration / duplicated bigrams / LM-rare
+    * transitions oppose it. The threshold sits inside the corpus's score
+    * spread (~27% rejected at sf0.01) so both verdict directions are
+    * exercised. */
+  private[queries] val TA15_WEIGHTS: Seq[(String, Long)] = Seq(
+    "diversity_pm" -> 2L,  // distinct-token rate (per mille)
+    "top_share_pm" -> -3L, // top-token share (per mille)
+    "dup2_pm" -> -2L,      // duplicated-bigram rate (per mille)
+    "rare_pm" -> -4L,      // LM-rare-transition rate (per mille, ta12's signal)
+    "len_cap" -> 1L)       // token count, capped at 500
+  private[queries] val TA15_THRESHOLD = 500L
+
+  /** ta15 — learned quality-classifier INFERENCE: a linear scorer over
+    * five already-computed integer features with the fixed-point
+    * [[TA15_WEIGHTS]]. Features are per-mille integer ratios
+    * (`(1000·num) div den` — floor division, exact on both engines) of
+    * exact counts: token-level stats from one (doc, token) rollup,
+    * repetition + rare-transition stats from ta12's (doc, bigram) rollup
+    * under the corpus LM. 100 TB shape: ONE corpus scan lands the
+    * tokenized arrays (a persisted tokenizer-output table in
+    * production), both rollups combine map-side off it, the LM join back
+    * is bigram-keyed (vocab²-vs-docs, NOT broadcast — ta12's argument),
+    * the feature join is doc-keyed, and inference itself is a row-local
+    * integer dot product — free at any scale. Docs with < 2 tokens have
+    * no bigram row and are absent (ta12's convention: the trivial length
+    * gate upstream already rejected them). */
+  private def ta15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", Text.tokens($"text").as("ts"))
+      .localCheckpoint(true) // one corpus scan feeds both rollups
+    val tstat = toks.select($"doc_id", explode($"ts").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max($"c").as("n_top"))
+    val m = toks
+      .select($"doc_id", explode(Text.wordNGrams($"ts", 2)).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // LM rollup + join back (ta12's shape)
+    val lm = m.groupBy($"bigram").agg(sum($"m").as("n"))
+    val dstat = m.join(lm, Seq("bigram"))
+      .groupBy($"doc_id")
+      .agg(sum($"m").as("n_bigrams"),
+        (sum($"m") - count(lit(1))).as("n_dup2"),
+        sum(when($"n" <= 2L, $"m").otherwise(0L)).as("n_rare"))
+    val feats = tstat.join(dstat, Seq("doc_id"))
+      .select($"doc_id",
+        expr("(1000 * n_distinct) div n_tokens").as("diversity_pm"),
+        expr("(1000 * n_top) div n_tokens").as("top_share_pm"),
+        expr("(1000 * n_dup2) div n_bigrams").as("dup2_pm"),
+        expr("(1000 * n_rare) div n_bigrams").as("rare_pm"),
+        least($"n_tokens", lit(500L)).as("len_cap"))
+    val score = TA15_WEIGHTS.map { case (f, w) => col(f) * lit(w) }
+      .reduce(_ + _)
+    feats
+      .withColumn("score", score)
+      .withColumn("keep", $"score" >= TA15_THRESHOLD)
+      .orderBy($"doc_id")
+  }
+  private val ta15Sql = {
+    val score = TA15_WEIGHTS
+      .map { case (f, w) => s"($w) * $f" }.mkString(" + ")
+    s"""WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(ts) AS tok FROM a) GROUP BY 1, 2),
+       |tstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS n_top
+       |  FROM tc GROUP BY 1),
+       |b AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
+       |m AS (SELECT doc_id, bigram, COUNT(*) AS m FROM b GROUP BY 1, 2),
+       |lm AS (SELECT bigram, CAST(SUM(m) AS BIGINT) AS n FROM m GROUP BY 1),
+       |dstat AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(m.m) - COUNT(*) AS BIGINT) AS n_dup2,
+       |    CAST(SUM(CASE WHEN lm.n <= 2 THEN m.m ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM m JOIN lm USING (bigram) GROUP BY 1),
+       |f AS (SELECT tstat.doc_id,
+       |    (1000 * n_distinct) // n_tokens AS diversity_pm,
+       |    (1000 * n_top) // n_tokens AS top_share_pm,
+       |    (1000 * n_dup2) // n_bigrams AS dup2_pm,
+       |    (1000 * n_rare) // n_bigrams AS rare_pm,
+       |    least(n_tokens, 500) AS len_cap
+       |  FROM tstat JOIN dstat ON tstat.doc_id = dstat.doc_id)
+       |SELECT doc_id, diversity_pm, top_share_pm, dup2_pm, rare_pm, len_cap,
+       |  $score AS score, ($score) >= $TA15_THRESHOLD AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -2419,5 +2517,6 @@ object TextOps {
     Q("ta13_tfidf_terms", "per-doc keyword extraction: top-3 terms by integer-exact tf-idf surrogate, string-tie-break bounded-buffer top-k", ta13, Some(ta13Sql)),
     Q("ta14_bpe_encode", "BPE: train 5 merges by iterated pair-count argmax over the vocab, encode corpus via learned segmentation", ta14, Some(ta14Sql)),
     Q("pp18_incremental_bpe", "incremental BPE: standing vocab counts advanced additively per batch, segmentation retrained from the merged counts, encode == ta14", pp18, Some(ta14Sql)),
+    Q("ta15_quality_classifier", "learned quality filter: fixed-point linear scorer over five integer features, row-local inference, verdict per doc", ta15, Some(ta15Sql)),
   )
 }

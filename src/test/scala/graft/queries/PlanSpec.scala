@@ -926,6 +926,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!nodes(d).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("ta15: one corpus scan behind the token checkpoint; LM join bigram-keyed; inference row-local; text never ships") {
+    val d = df("ta15_quality_classifier")
+    d.collect()
+    val ns = nodes(d)
+    // the tokenized arrays are checkpointed once (the persisted
+    // tokenizer-output table of a production stack): the final plan
+    // reads checkpoints only, never the corpus — and there is no window
+    // anywhere (every feature is a combinable aggregate; the score is a
+    // row-local integer dot product)
+    assert(fileScans(d).isEmpty,
+      s"corpus re-scanned past the token checkpoint: ${fileScans(d)}")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "ta15 plans a window")
+    assert(equiJoinKeys(d).exists(_.contains("bigram")),
+      "LM join must key on the bigram (vocab-squared vs docs is not broadcastable)")
+    assert(equiJoinKeys(d).exists(_.contains("doc_id")),
+      "feature join must key on doc_id")
+    noTextPayload(exchangePayloads(d))
+  }
+
   test("vs14: nProbe=2 kNN graph stays window-free (rank-2 probe is row-local), cid-keyed, no cartesian") {
     val d = df("vs14_knn_graph_probe2")
     d.collect()
