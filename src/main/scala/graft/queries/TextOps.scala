@@ -992,6 +992,12 @@ object TextOps {
     val oldAdvanced = oldLabels.join(broadcast(adv.remap),
         oldLabels("component") === adv.remap("__oldc"), "left")
       .select(col("doc_id"), coalesce(col("__newc"), col("component")).as("component"))
+    // deliberately NOT materialized despite two consumers (touched-member
+    // lookup + final join): the duplicate subtree is a ~5k-row standing
+    // scan + broadcast remap, and the eager checkpoint JOB costs more
+    // than it saves (A/B at sf0.1: 2.45 s unmaterialized vs 2.82 s
+    // checkpointed — the advance is scheduling-overhead-bound, not
+    // data-bound, so adding a job loses)
     val labels = oldAdvanced.unionByName(adv.newLabels)
     // scores: standing rows + the batch's own (row-local, batch-sized)
     val scores = s.read.parquet(s"$stand/scores")
