@@ -278,6 +278,76 @@ object SampleOps {
        |ORDER BY fold, doc_id
        |LIMIT 100""".stripMargin
 
+  /** sa08 — exact-size STRATIFIED sample: "exactly K docs total,
+    * allocated across the language strata in proportion to their sizes"
+    * — the draw an eval-set or annotation-budget stage needs when both
+    * the TOTAL (a cost budget) and the per-stratum representativeness
+    * matter. sa02 audits a fixed-RATE stratified draw; sa07 is exact-K
+    * but unstratified; this is the missing corner. Allocation is
+    * largest-remainder (Hamilton) apportionment in exact integers:
+    * quota_s = ⌊K·n_s/N⌋ plus one of the K − Σ⌊·⌋ leftover units to the
+    * strata with the largest remainder (K·n_s mod N), ties to the
+    * lexicographically-first language — computed from the strata-sized
+    * counts table (driver-sized, like a centroid table; the collect is
+    * |strata| rows however big the corpus is). The draw itself is
+    * per-stratum smallest-quota_s salted folds via the bounded-buffer
+    * [[graft.operators.GroupedTopK]] at k = max quota (≤ K): each
+    * partition keeps at most that many rows PER STRATUM map-side, so no
+    * corpus sort and no per-stratum window over the full corpus
+    * materializes anywhere. The fold and quota are emitted so the
+    * oracle verifies the apportionment and the draw, not just counts. */
+  private val sa08K = 100L
+  private def sa08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // stratify over KNOWN languages only, explicitly on both engines — a
+    // NULL stratum would hit three divergent corners at once (SQL GROUP
+    // BY keeps NULL, JOIN USING drops it, engines disagree on NULL sort
+    // order in the remainder tie-break), so it is excluded by contract
+    val docs = documents(s, d).filter($"lang".isNotNull)
+    val cs = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (cs.isEmpty)
+      return docs.select($"lang", $"doc_id", lit(1).as("rank"),
+        lit(0L).as("fold"), lit(0L).as("quota")).limit(0)
+    val total = cs.map(_._2).sum
+    val base = cs.map { case (l, n) => (l, sa08K * n / total, sa08K * n % total) }
+    val extra = (sa08K - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (l, _, rem) => (-rem, l) }
+      .take(extra).map(_._1).toSet
+    val quota = base.map { case (l, fl, _) =>
+      l -> (fl + (if (bump(l)) 1L else 0L)) }.toMap
+    val maxQ = math.max(1L, quota.values.max).toInt
+    graft.operators.GroupedTopK.topK(
+        docs.select($"lang",
+          (-hex8(concat(lit("strat:"), $"doc_id".cast("string"))))
+            .cast("double").as("nf"),
+          $"doc_id"),
+        "lang", "nf", "doc_id", maxQ)
+      .withColumn("quota", element_at(typedLit(quota), $"lang"))
+      .filter($"rank" <= $"quota")
+      .select($"lang", $"id".as("doc_id"), $"rank",
+        (-$"v").cast("long").as("fold"), $"quota")
+      .orderBy($"lang", $"rank")
+  }
+  private val sa08Sql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+       |           WHERE lang IS NOT NULL GROUP BY lang),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+       |q0 AS (SELECT lang, ($sa08K * n) // tot AS fl, ($sa08K * n) % tot AS rem
+       |       FROM c CROSS JOIN t),
+       |x AS (SELECT CAST($sa08K - SUM(fl) AS BIGINT) AS extra FROM q0),
+       |qu AS (SELECT lang, fl + (CASE WHEN ROW_NUMBER() OVER
+       |      (ORDER BY rem DESC, lang) <= extra THEN 1 ELSE 0 END) AS quota
+       |    FROM q0 CROSS JOIN x),
+       |f AS (SELECT lang, doc_id,
+       |    ${hex8Sql("'strat:' || CAST(doc_id AS VARCHAR)")} AS fold
+       |  FROM documents WHERE lang IS NOT NULL),
+       |r AS (SELECT lang, doc_id, fold, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY fold, doc_id) AS INT) AS rank FROM f)
+       |SELECT r.lang, r.doc_id, r.rank, r.fold, qu.quota
+       |FROM r JOIN qu USING (lang) WHERE r.rank <= qu.quota
+       |ORDER BY lang, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
@@ -287,5 +357,6 @@ object SampleOps {
     Q("pp16_incremental_mix", "incremental mix maintenance: standing per-source counts advanced additively per batch, membership == sa05", pp16, Some(sa05Sql)),
     Q("sa06_epoch_upsample", "mix recipe with epochs: whole-epoch repeats + salted fractional remainder, row-level (doc_id, epoch) output", sa06, Some(sa06Sql)),
     Q("sa07_exact_size_sample", "exact-k uniform sample: smallest k salted folds via TakeOrderedAndProject (no corpus sort)", sa07, Some(sa07Sql)),
+    Q("sa08_stratified_exact", "exact-size stratified sample: largest-remainder integer apportionment across language strata + per-stratum bounded top-k draw", sa08, Some(sa08Sql)),
   )
 }

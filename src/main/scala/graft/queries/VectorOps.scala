@@ -1231,6 +1231,178 @@ object VectorOps {
        |SELECT query_id, neighbor_id, rank, cos FROM rr WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Integer floor division for NON-NEGATIVE operands: a/b is computed as
+    * (a − a mod b)/b — the numerator is exactly divisible, so the one FP
+    * division is a correctly-rounded division of two exactly-representable
+    * integers whose exact quotient is an integer < 2⁵³: the result is
+    * EXACT, matching DuckDB's `//` on BIGINTs bit-for-bit. (Spark's
+    * Column API exposes no integral `div`; this stays codegen'd where an
+    * `expr("a div b")` string would too, without name-capture risk.) */
+  private def idivNonneg(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** The per-dimension affine scalar quantizer TRAIN step (FAISS
+    * ScalarQuantizer QT_8bit shape: /root/reference's embedding tables
+    * motivate the column, the quantizer itself is the standard SQ8): the
+    * corpus min and (max − min) per dimension. One partial-aggregatable
+    * pass — posexplode streams (dim) keys per row and the hash aggregate
+    * map-side-combines to AT MOST `dim` rows per partition before the
+    * shuffle, so the exchange carries O(partitions × dim) rows no matter
+    * the corpus size — then a driver-sized collect (dim pairs), the same
+    * baked-literal treatment as the IVF centroid and PQ codebook tables.
+    * A production deployment re-trains on a sample and versions the
+    * (vmin, vdiff) arrays with the code table; nothing downstream
+    * changes — the quantizer is a parameter. */
+  private[graft] def sqTrain(normedVecs: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = normedVecs
+      .select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .orderBy(col("i"))
+      .collect()
+    (rows.map(_.getLong(1)), rows.map(r => r.getLong(2) - r.getLong(1)))
+  }
+
+  /** Row-local SQ8 ENCODE: one 8-bit code per dimension,
+    * code_d = ⌊(x_d − vmin_d) · 255 / vdiff_d⌋ ∈ [0, 255] (x_d ∈
+    * [vmin_d, vmax_d] by construction of the trained bounds; a constant
+    * dimension encodes 0). The (vmin, vdiff) arrays ride as DATA
+    * literals, so the generated code is one loop whose size does not
+    * grow with `dim` (the NearestCentroid/Janino lesson). All
+    * arithmetic is exact BIGINT — both engines replay the identical
+    * code choice. */
+  private[graft] def sqCodes(vec: Column, vmin: Array[Long],
+      vdiff: Array[Long]): Column =
+    transform(vec, (x, i) => {
+      val mn = element_at(typedLit(vmin), (i + 1).cast("int"))
+      val df = element_at(typedLit(vdiff), (i + 1).cast("int"))
+      // the clamp is inert for in-range values (every corpus the TRAIN
+      // saw) — it exists for the MAINTAINED deployment, where the bounds
+      // are fixed at era start and a later arrival may fall outside them:
+      // such a vector must encode to the nearest grid edge, not to a
+      // negative or >8-bit code that would corrupt the byte-packed index
+      when(df === 0L, 0L).otherwise(
+        greatest(lit(0L), least(lit(255L), idivNonneg((x - mn) * 255L, df))))
+    })
+
+  /** Row-local SQ8 DECODE: recon_d = vmin_d + ⌊code_d · vdiff_d / 255⌋ —
+    * the integer-exact reconstruction the asymmetric distance scores
+    * against. */
+  private[graft] def sqRecon(codes: Column, vmin: Array[Long],
+      vdiff: Array[Long]): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(typedLit(vmin), (i + 1).cast("int"))
+      val df = element_at(typedLit(vdiff), (i + 1).cast("int"))
+      mn + when(df === 0L, 0L).otherwise(idivNonneg(c * df, lit(255L)))
+    })
+
+  /** vs15 — SCALAR-quantized ANN (FAISS SQ8): the third compression
+    * point on the memory/recall curve the engine already spans — Flat
+    * (vs01: exact, 8 B/dim), SQ8 (1 B/dim, per-dimension affine), PQ
+    * (vs08: 6 bits/SUBSPACE). SQ8 is what production stacks deploy when
+    * PQ's codebook error is too coarse but raw vectors don't fit: 8×
+    * smaller index, near-exact recall, and — unlike PQ — no codebook to
+    * train or drift, just per-dimension bounds. The pipeline: train
+    * (one dim-bounded aggregate), encode (row-local, the standing CODES
+    * table a maintainer would append to, pp14's shape), then asymmetric
+    * distance — the query stays EXACT and each candidate is scored
+    * against its integer reconstruction, all in BIGINT, top-5 per query
+    * via the bounded-buffer [[graft.operators.GroupedTopK]] (value =
+    * −adist so (v DESC, id) replays the oracle's (adist ASC,
+    * neighbor_id)). The corpus-sized scored stream is never shuffled or
+    * window-sorted; at 100 TB the candidate set comes from the IVF
+    * probe first (vs09's composition — swap PQ codes for SQ codes in
+    * the postings, nothing else changes). */
+  /** The SQ asymmetric-distance scorer over an EXISTING (vec_id, codes)
+    * table — vs15 derives the codes in-gate; pp20 / the continuous
+    * maintainer feed a maintained standing table through the same kernel
+    * (pp05's derive-once-search-identically contract, SQ edition).
+    * Sentinel rows (empty `codes`, a maintained table's zero-norm
+    * rejects) are inert: zip_with against the exact query yields an
+    * empty array whose aggregate is 0, but such rows never enter —
+    * [[sqScore]] filters them so a reject can't surface as a
+    * zero-distance "neighbor". */
+  private[graft] def sqScore(enc: DataFrame, queries: DataFrame,
+      vmin: Array[Long], vdiff: Array[Long], k: Int): DataFrame = {
+    val scored = broadcast(queries)
+      .join(enc.filter(size(col("codes")) > 0), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-aggregate(zip_with(col("qq"), sqRecon(col("codes"), vmin, vdiff),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, y) => acc + y))
+          .cast("double").as("nd"),
+        col("vec_id"))
+    graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        (-col("v")).cast("long").as("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The exact-query frame for the SQ scorers — the catalog's fixed
+    * query window, query vector kept EXACT (that is the asymmetric
+    * half). */
+  private[graft] def sqQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+
+  private def vs15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val (vmin, vdiff) = sqTrain(e)
+    val enc = e.select($"vec_id", sqCodes($"q", vmin, vdiff).as("codes"))
+    sqScore(enc, sqQueries(e), vmin, vdiff, 5)
+  }
+
+  /** pp20 — INCREMENTAL SQ-codes maintenance, vs15's incremental twin
+    * (pp14's shape with the scalar quantizer): the per-dimension bounds
+    * are fixed between rebuilds, the codes are a STANDING table, and a
+    * batch advances the index by encoding ONLY its own rows — the SQ
+    * encode is a pure per-row function of the fixed (vmin, vdiff)
+    * parameters, so the codes of a corpus are the union of the codes of
+    * its batches and the advance is |batch| row-local encodes + one
+    * append. Search over the maintained table must equal vs15 over the
+    * full corpus — the oracle is vs15's, verbatim.
+    * [[graft.streaming.Streams.maintainSqCodes]] is the continuous
+    * loop; out-of-bounds late arrivals clamp to the grid edge by
+    * [[sqCodes]]'s contract (invisible here, where train saw every
+    * row). */
+  private def pp20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val (vmin, vdiff) = sqTrain(e)
+    val isNew = QueryUtils.hex8(concat(lit("sqc:"), $"vec_id".cast("string"))) % 5 === 0
+    // the standing codes table, held as a parquet session table (pp04
+    // treatment — persisted in production, pp05's pattern)
+    val stand = QueryUtils.standingDir(s, "pp20", d) { dir =>
+      e.filter(!isNew).select($"vec_id", sqCodes($"q", vmin, vdiff).as("codes"))
+        .write.parquet(s"$dir/codes")
+    }
+    // the advance: encode ONLY the increment, append to the table
+    val enc = s.read.parquet(s"$stand/codes")
+      .unionByName(e.filter(isNew)
+        .select($"vec_id", sqCodes($"q", vmin, vdiff).as("codes")))
+    sqScore(enc, sqQueries(e), vmin, vdiff, 5)
+  }
+  private val vs15Sql =
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |u AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS i FROM n),
+       |mm AS (SELECT i, MIN(x) AS vmin, MAX(x) - MIN(x) AS df FROM u GROUP BY i),
+       |rec AS (SELECT u.vec_id, u.i,
+       |    mm.vmin + CASE WHEN mm.df = 0 THEN 0
+       |      ELSE (((u.x - mm.vmin) * 255) // mm.df) * mm.df // 255 END AS recon
+       |  FROM u JOIN mm USING (i)),
+       |qd AS (SELECT vec_id AS query_id, i, x AS qx FROM u
+       |       WHERE vec_id >= 10 AND vec_id < 20),
+       |s2 AS (SELECT qd.query_id, rec.vec_id AS neighbor_id,
+       |         CAST(SUM((qd.qx - rec.recon) * (qd.qx - rec.recon)) AS BIGINT) AS adist
+       |       FROM rec JOIN qd ON rec.i = qd.i AND rec.vec_id <> qd.query_id
+       |       GROUP BY qd.query_id, rec.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -1246,6 +1418,8 @@ object VectorOps {
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
     Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
     Q("vs10_ivf_rerank", "two-stage retrieval: ADC shortlist (k=10) re-ranked by exact cosine over shortlisted vectors only", vs10, Some(vs10Sql)),
+    Q("vs15_sq_search", "scalar-quantized ANN (SQ8): per-dimension affine codes (1 byte/dim), exact-query-vs-reconstruction asymmetric distance, top-5", vs15, Some(vs15Sql)),
+    Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),

@@ -845,6 +845,60 @@ object Streams {
     if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
   }
 
+  /** pp20's continuous loop — [[maintainPqCodes]] with the SCALAR
+    * quantizer (vs15's kernel): the standing (vec_id, codes) table
+    * advanced by one row-local encode + append per batch under the
+    * era's fixed per-dimension bounds. Same crash/redelivery contract
+    * as the PQ twin (pure per-row encode, guard-moving append is the
+    * only write); in-batch duplicates collapse deterministically (max
+    * embedding); zero-norm arrivals enter with EMPTY codes so
+    * redelivery is a no-op — [[graft.queries.VectorOps.sqScore]]
+    * filters empty codes, so sentinel rows are invisible to queries.
+    * A late arrival outside the trained bounds clamps to the grid edge
+    * (sqCodes's contract) instead of corrupting the byte range — the
+    * drift signal for scheduling a bounds re-train, not an error.
+    * Per-batch work and write volume O(batch). */
+  def maintainSqCodes(batch: DataFrame, vmin: Array[Long],
+      vdiff: Array[Long], codesTable: String): Unit = {
+    require(vmin.nonEmpty, "empty SQ bounds")
+    val spark = batch.sparkSession
+    val freshRaw = tryRead(spark, codesTable)
+      .map(p => batch.join(
+        pruneToBatchRange(p.select("vec_id"), batch, "vec_id"),
+        Seq("vec_id"), "left_anti"))
+      .getOrElse(batch)
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
+    val rejects = freshRaw
+      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(Array.empty[Long]).as("codes"))
+    val out = fresh.select(col("vec_id"),
+        graft.queries.VectorOps.sqCodes(col("q"), vmin, vdiff).as("codes"))
+      .unionByName(rejects)
+    if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
+  }
+
+  /** [[maintainSqCodes]] as a foreachBatch sink over a (vec_id,
+    * embedding) stream. */
+  def sqCodesStream(vecs: DataFrame, vmin: Array[Long], vdiff: Array[Long],
+      codesTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainSqCodes(b, vmin, vdiff, codesTable))
+      .start()
+
+  /** The SQ asymmetric search (vs15's scorer) over the maintained codes
+    * table — pp20's read path. */
+  def sqSearchSnapshot(spark: SparkSession, codesTable: String,
+      queriesNormed: DataFrame, vmin: Array[Long], vdiff: Array[Long],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val enc = tryRead(spark, codesTable).getOrElse(emptyDf(spark,
+      "vec_id" -> LongType, "codes" -> ArrayType(LongType)))
+    graft.queries.VectorOps.sqScore(enc,
+      graft.queries.VectorOps.sqQueries(queriesNormed), vmin, vdiff, k)
+  }
+
   /** The REBUILD→SWAP that closes the index lifecycle: the maintainers
     * grow the standing state O(batch) between rebuilds; when the sums
     * deltas say the quantizer has drifted, a retrain (vs11's integer

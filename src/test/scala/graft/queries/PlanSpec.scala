@@ -433,6 +433,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
   }
 
+  test("vs15: SQ encode/decode are row-local — no vector or code array ever shuffled, no window; top-k is the bounded aggregator") {
+    val d = df("vs15_sq_search")
+    d.collect()
+    val ns = nodes(d)
+    // the 10 exact queries broadcast; candidates meet them in a
+    // broadcast nested-loop on the <> condition (never a cartesian);
+    // every shuffle carries only GroupedTopK's bounded buffers — the
+    // quantized vector, the embedding and the code array must not cross
+    // a shuffle wire (at scale the codes ARE the index: 1 byte/dim)
+    assert(ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("embedding") && !p.contains("codes"),
+        s"shuffle ships per-vector payload: $p"))
+    assert(ns.exists(_.isInstanceOf[ObjectHashAggregateExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
+  test("sa08: stratified exact draw — bounded per-stratum buffers, no corpus window, text never ships") {
+    val d = df("sa08_stratified_exact")
+    d.collect()
+    val ns = nodes(d)
+    // the per-stratum draw is GroupedTopK at k = max quota: partial
+    // buffers combine map-side, so the exchange carries at most
+    // (strata × k) rows per partition — never a per-stratum sort or
+    // window over the corpus, and never the document body
+    assert(ns.exists(_.isInstanceOf[ObjectHashAggregateExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("text"), s"shuffle ships document text: $p"))
+  }
+
   test("vs09: IVF-PQ keeps vs06's probe/join contract with PQ payloads — the raw vector never reaches the candidates join") {
     val d = df("vs09_ivfpq_search")
     d.collect()

@@ -35,6 +35,42 @@ class SampleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(byCount == byCount.sorted.reverse, "rates not anti-monotone in count")
   }
 
+  test("sa08: quotas are the exact Hamilton apportionment of measured strata; total is exactly K; each stratum's draw is its quota smallest folds") {
+    import spark.implicits._
+    val k = 100L
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("lang").isNotNull)
+    val out = Catalog.byName("sa08_stratified_exact").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    // replicate the apportionment from the measured counts
+    val counts = docs.groupBy(col("lang")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val base = counts.map { case (l, n) => (l, k * n / total, k * n % total) }
+    val extra = (k - base.map(_._2).sum).toInt
+    val bumped = base.sortBy { case (l, _, rem) => (-rem, l) }.take(extra).map(_._1).toSet
+    val quota = base.map { case (l, fl, _) => l -> (fl + (if (bumped(l)) 1 else 0)) }.toMap
+    assert(quota.values.sum == k, "apportionment must hit the budget exactly")
+    val got = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    quota.filter(_._2 > 0).foreach { case (l, q) =>
+      assert(got.getOrElse(l, 0L) == math.min(q, counts.toMap.apply(l)),
+        s"stratum $l drew ${got.getOrElse(l, 0L)} != quota $q") }
+    assert(out.length.toLong == k, "total draw must be exactly K at this corpus size")
+    out.foreach { case (l, _, _, _, q) => assert(q == quota(l), s"emitted quota drifts for $l") }
+    // the draw itself: per stratum, exactly the quota smallest (fold, doc_id)
+    val folds = docs.select(col("lang"), col("doc_id"),
+        graft.functions.HashExpressions.md5Fold32(
+          concat(lit("strat:"), col("doc_id").cast("string"))).as("fold"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    folds.groupBy(_._1).foreach { case (l, rows) =>
+      val want = rows.sortBy(r => (r._3, r._2)).take(quota(l).toInt)
+        .map(r => (r._2, r._3)).toSeq
+      val gotL = out.filter(_._1 == l).sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      assert(gotL == want, s"stratum $l drew the wrong members")
+    }
+  }
+
   test("epochMix: repeat counts bracket the recipe's epochs; epochs are dense ordinals; fractional share is the salted fold; deterministic") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
