@@ -231,6 +231,69 @@ object Multimodal {
     scorePairs(cand, allSigs, idCol, tau)
   }
 
+  /** Content-defined chunk rows of a binary payload: (id, chunk_idx,
+    * start, clen, digest) — one row per chunk, boundaries from the
+    * row-local [[graft.functions.CdcBoundaries]] rolling hash. The
+    * chunk digests are computed IN THE SAME PROJECTION as the boundary
+    * list, against the un-exploded payload (a `transform` over the
+    * boundary array), and the explode unnests the pre-digested struct
+    * array — so the blob is columnar-pruned before any row
+    * multiplication and never rides an exchange (mm03/mm04's contract,
+    * PlanSpec-pinned for mm05). Empty payload → no rows; null payload →
+    * no rows. */
+  def cdcChunks(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val withEnds = df.select(col(idCol), col(blobCol).as("__blob"))
+      .withColumn("ends",
+        graft.functions.CdcExpressions.cdcBoundaries(col("__blob")))
+    // start_i = 1 for the first chunk, previous end + 1 after; the
+    // (element, 0-based index) transform makes element_at(ends, i) —
+    // 1-based — exactly the PREVIOUS end for i >= 1
+    val chunkStructs = expr(
+      """transform(ends, (e, i) -> named_struct(
+        |  'chunk_idx', i,
+        |  'start', IF(i = 0, 1, element_at(ends, i) + 1),
+        |  'clen', e - IF(i = 0, 1, element_at(ends, i) + 1) + 1,
+        |  'digest', md5(substring(__blob,
+        |     IF(i = 0, 1, element_at(ends, i) + 1),
+        |     e - IF(i = 0, 1, element_at(ends, i) + 1) + 1))))""".stripMargin)
+    withEnds.select(col(idCol), chunkStructs.as("__chunks"))
+      .select(col(idCol), explode(col("__chunks")).as("ch"))
+      .select(col(idCol), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.start").as("start"), col("ch.clen").as("clen"),
+        col("ch.digest").as("digest"))
+  }
+
+  /** Cross-payload repeated-chunk report over chunk rows: every digest
+    * that occurs in ≥ 2 DISTINCT payloads, with its occurrence count,
+    * payload count, and lowest-id holder — the storage-dedup ledger
+    * (which regions are shared, who holds the canonical copy). One
+    * combinable digest-keyed rollup; the shuffle carries (digest, id,
+    * clen) — never payload bytes. */
+  def chunkDupReport(chunks: DataFrame, idCol: String): DataFrame =
+    chunks.groupBy(col("digest"))
+      .agg(min(col("clen")).as("clen"), count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+
+  /** The repeated-chunk report advanced by one batch: a digest's report
+    * row changes iff the batch adds an occurrence of it, so the advance
+    * recomputes ONLY the batch's digests — standing occurrences of those
+    * digests are pulled by a broadcast semi-join (digest-pruned read of
+    * the standing chunk store; the store is never rescanned whole) and
+    * merged with the batch's chunk rows; every other standing report row
+    * carries over untouched (broadcast anti-join). `standingChunks` and
+    * `batchChunks` must be id-disjoint (the maintainer's guard). */
+  def chunkDupAdvance(standingChunks: DataFrame, standingReport: DataFrame,
+      batchChunks: DataFrame, idCol: String): DataFrame = {
+    val touched = batchChunks.select(col("digest")).distinct()
+    val recomputed = chunkDupReport(
+      standingChunks.join(broadcast(touched), Seq("digest"), "left_semi")
+        .unionByName(batchChunks), idCol)
+    standingReport.join(broadcast(touched), Seq("digest"), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** Size-aware repartition: big blobs skew task time, so partition count
     * derives from total bytes / target bytes-per-partition, clamped. This
     * is the knob that keeps a 100 TB binary scan's tasks uniform. */

@@ -348,6 +348,45 @@ object SampleOps {
        |FROM r JOIN qu USING (lang) WHERE r.rank <= qu.quota
        |ORDER BY lang, rank""".stripMargin
 
+  /** sa09 — exact-size WEIGHTED sample without replacement
+    * (quality/length-weighted data selection: "pick exactly K docs,
+    * longer/better docs proportionally more often" — the draw behind
+    * importance-weighted curation budgets). Exact Efraimidis–Spirakis
+    * semantics with zero floating point: A-ES ranks items by U^(1/w),
+    * and U^(1/w) is distributed as the MAX of w iid uniforms — so each
+    * doc draws w integer tickets (independent salted md5 folds, the
+    * engine-universal uniform) and its key is the largest; the K largest
+    * keys are exactly an A-ES weighted draw without replacement. The
+    * ticket fan-out is ROW-LOCAL (a `transform` over `sequence(1, w)`,
+    * never an explode — nothing corpus×w ever hits an exchange) and the
+    * selection is (key DESC, doc_id) + limit ⇒ TakeOrderedAndProject,
+    * sa07's bounded k-buffer shape: no corpus sort at any scale. Weights
+    * are small integers derived from doc length (1 + ⌊chars/100⌋ capped
+    * at 8); `coalesce` keeps NULL-text docs at weight 1 on both engines.
+    * The weight and winning ticket are emitted so the oracle verifies
+    * the draw mechanics, not just membership. */
+  private def sa09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // `div` (integer), not `/` (Spark's Column./ is double division)
+    val w = expr("1L + least(coalesce(length(text), 0L) div 100L, 7L)").as("w")
+    documents(s, d)
+      .select($"doc_id", w)
+      .withColumn("key", array_max(transform(sequence(lit(1L), $"w"), tk =>
+        hex8(concat(lit("wt:"), $"doc_id".cast("string"), lit(":"),
+          tk.cast("string"))))))
+      .orderBy($"key".desc, $"doc_id")
+      .limit(100)
+  }
+  private val sa09Sql =
+    s"""SELECT doc_id, w,
+       |  list_max([${hex8Sql("'wt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(tk AS VARCHAR)")}
+       |            for tk in range(1, CAST(w AS INT) + 1)]) AS key
+       |FROM (SELECT doc_id,
+       |        1 + least(coalesce(len(text), 0) // 100, 7) AS w
+       |      FROM documents)
+       |ORDER BY key DESC, doc_id
+       |LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
@@ -358,5 +397,6 @@ object SampleOps {
     Q("sa06_epoch_upsample", "mix recipe with epochs: whole-epoch repeats + salted fractional remainder, row-level (doc_id, epoch) output", sa06, Some(sa06Sql)),
     Q("sa07_exact_size_sample", "exact-k uniform sample: smallest k salted folds via TakeOrderedAndProject (no corpus sort)", sa07, Some(sa07Sql)),
     Q("sa08_stratified_exact", "exact-size stratified sample: largest-remainder integer apportionment across language strata + per-stratum bounded top-k draw", sa08, Some(sa08Sql)),
+    Q("sa09_weighted_sample", "exact-size weighted sample without replacement: integer Efraimidis-Spirakis (max of w salted tickets), row-local fan-out, bounded top-k draw", sa09, Some(sa09Sql)),
   )
 }

@@ -1600,6 +1600,73 @@ object TextOps {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** ta16 — RULE-battery quality gate (the Gopher/C4-style heuristic
+    * filter battery; reference scope: the filtering stage of a curation
+    * stack, cf. Rae et al. 2021 §A.1.1): five named integer-exact rules
+    * with per-rule attribution, so a curation run can audit WHICH rule
+    * killed each document — the stage that sits before ta15's learned
+    * scorer (rules are cheap, auditable, and trainable-data-free) and
+    * after ta02's raw metrics (which carry no verdict at all).
+    * Every feature is computed ROW-LOCALLY with array functions — the
+    * max-token-count uses a distinct×n in-row scan instead of a
+    * (doc, token) rollup — so the whole gate is a MAP over the corpus
+    * scan: zero exchanges at any scale (the final orderBy exists for the
+    * oracle hash only; PlanSpec pins the shuffle-free shape). Ratio
+    * thresholds are cross-multiplied integers (10·distinct ≥ 5·n etc.) —
+    * no division, no floats, no epsilon. Rules `coalesce` to false on
+    * NULL-text docs on both engines; the word-length band is vacuously
+    * true on zero-token docs (0 ≥ 0 ∧ 0 ≤ 0 — such docs die by r_len,
+    * never by an accidental NULL). */
+  private def ta16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def cb(c: Column): Column = coalesce(c, lit(false))
+    documents(s, d)
+      .withColumn("t", Text.tokens($"text"))
+      .select($"doc_id",
+        size($"t").as("n"),
+        aggregate($"t", lit(0L), (acc, x) => acc + length(x)).as("sl"),
+        size(array_distinct($"t")).as("nd"),
+        array_max(transform(array_distinct($"t"), x =>
+          size(filter($"t", y => y === x)))).as("ntop"),
+        size(filter($"t", x => x === "the" || x === "a")).as("nstop"))
+      .select($"doc_id",
+        cb($"n" >= 25 && $"n" <= 100000).as("r_len"),
+        cb(coalesce($"sl", lit(0L)) >= $"n" * 3L &&
+          coalesce($"sl", lit(0L)) <= $"n" * 10L).as("r_word_len"),
+        cb($"nd" * 2 >= $"n").as("r_diversity"),
+        cb(coalesce($"ntop", lit(0)) * 8 <= $"n").as("r_top_share"),
+        cb($"nstop" >= 2).as("r_stopword"))
+      .withColumn("n_failed",
+        Seq("r_len", "r_word_len", "r_diversity", "r_top_share", "r_stopword")
+          .map(r => when(col(r), 0).otherwise(1)).reduce(_ + _))
+      .withColumn("keep", $"n_failed" === 0)
+      .orderBy($"doc_id")
+  }
+  private val ta16Sql =
+    """WITH f AS (SELECT doc_id,
+      |    len(t) AS n,
+      |    coalesce(list_sum([len(x) for x in t]), 0) AS sl,
+      |    len(list_distinct(t)) AS nd,
+      |    coalesce(list_max([len(list_filter(t, y -> y = x))
+      |                       for x in list_distinct(t)]), 0) AS ntop,
+      |    len(list_filter(t, x -> x = 'the' OR x = 'a')) AS nstop
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |        FROM documents)),
+      |r AS (SELECT doc_id,
+      |    coalesce(n >= 25 AND n <= 100000, false) AS r_len,
+      |    coalesce(sl >= n * 3 AND sl <= n * 10, false) AS r_word_len,
+      |    coalesce(nd * 2 >= n, false) AS r_diversity,
+      |    coalesce(ntop * 8 <= n, false) AS r_top_share,
+      |    coalesce(nstop >= 2, false) AS r_stopword
+      |  FROM f)
+      |SELECT doc_id, r_len, r_word_len, r_diversity, r_top_share, r_stopword,
+      |  (CASE WHEN r_len THEN 0 ELSE 1 END + CASE WHEN r_word_len THEN 0 ELSE 1 END
+      |   + CASE WHEN r_diversity THEN 0 ELSE 1 END + CASE WHEN r_top_share THEN 0 ELSE 1 END
+      |   + CASE WHEN r_stopword THEN 0 ELSE 1 END) AS n_failed,
+      |  (r_len AND r_word_len AND r_diversity AND r_top_share AND r_stopword) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -2476,6 +2543,109 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
+  /** mm05 — content-defined CHUNK dedup: the storage-layer pass that
+    * completes the multimodal dedup ladder (mm03 whole-payload exact,
+    * mm04 whole-payload perceptual, mm05 SHARED-REGION exact): payloads
+    * are split at rolling-hash boundaries ([[graft.functions
+    * .CdcBoundaries]] — content-defined, so an edit re-aligns within ~one
+    * chunk and every untouched region re-hashes identically), and the
+    * report is every chunk digest held by ≥ 2 distinct payloads — the
+    * same-bytes-different-container case (the video re-muxed with a new
+    * intro, the tarball with one file changed) that neither whole-payload
+    * pass can see. Chunking and digesting are ROW-LOCAL at the scan; the
+    * only shuffle carries (digest, id, clen); the payload never rides an
+    * exchange (PlanSpec pin). The oracle replays every boundary from
+    * nibble-parsed bytes and hashes chunk substrings — byte-exact here
+    * because this corpus is pure ASCII (mm03's md5(text) convention;
+    * DuckDB 1.0 has no md5(BLOB)). */
+  private def mm05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunks = graft.operators.Multimodal.cdcChunks(
+      documents(s, d).withColumn("blob", encode($"text", "UTF-8")),
+      "doc_id", "blob")
+    graft.operators.Multimodal.chunkDupReport(chunks, "doc_id")
+      .orderBy($"keeper_id", $"digest")
+  }
+  /** Chunk-rows CTE shared verbatim by mm05 and pp21 (whose oracle is
+    * mm05's, the incremental contract). Bytes via mm04's nibble parse;
+    * the boundary hash is the polynomial expansion of the expression's
+    * Horner loop (31-powers mod 2¹⁶ as literals — sums stay far below
+    * 2³¹, so the replay is exact). */
+  private val mm05ChunkCte = {
+    val W = graft.functions.CdcBoundaries.W
+    val D = graft.functions.CdcBoundaries.D
+    val M = graft.functions.CdcBoundaries.M
+    // pw(k) = 31^(W-k) mod M for k = 1..W — the Horner weights
+    val pw = (1 to W).map(k => BigInt(31).modPow(BigInt(W - k), BigInt(M)))
+      .mkString("[", ", ", "]")
+    s"""by AS (
+       |  SELECT doc_id, text, n,
+       |    [16*(strpos('0123456789abcdef', substr(h, 2*j-1, 1))-1)
+       |      + (strpos('0123456789abcdef', substr(h, 2*j, 1))-1)
+       |     for j in range(1, n+1)] AS b
+       |  FROM (SELECT doc_id, text, lower(hex(encode(text))) AS h,
+       |        octet_length(encode(text)) AS n FROM documents)),
+       |pw AS (SELECT $pw AS pw),
+       |en AS (
+       |  SELECT doc_id, text, n,
+       |    CASE WHEN n > 0 THEN list_append(
+       |      [p for p in range($W, n)
+       |         if (list_sum([b[p - $W + k] * pw[k] for k in range(1, ${W + 1})])
+       |             % $M) % $D = 0], n)
+       |    ELSE [] END AS ends
+       |  FROM by CROSS JOIN pw),
+       |cx AS (SELECT doc_id, text, ends,
+       |    unnest(range(1, len(ends) + 1)) AS ci FROM en),
+       |chunks AS (
+       |  SELECT doc_id, ci - 1 AS chunk_idx,
+       |    CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END AS start,
+       |    ends[ci] - (CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END) + 1 AS clen,
+       |    md5(substr(text,
+       |      CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END,
+       |      ends[ci] - (CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END) + 1)) AS digest
+       |  FROM cx)""".stripMargin
+  }
+  private val mm05Sql =
+    s"""WITH $mm05ChunkCte
+       |SELECT digest, CAST(MIN(clen) AS INT) AS clen,
+       |  COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+       |  MIN(doc_id) AS keeper_id
+       |FROM chunks GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY keeper_id, digest""".stripMargin
+
+  /** pp21 — INCREMENTAL chunk dedup, mm05's twin (the mm family's second
+    * incremental member, pp19's shape at chunk granularity): standing
+    * state is the chunk store (digest rows per payload — append-only, a
+    * chunk list is a pure immutable function of the payload) plus the
+    * standing report; a digest's report row changes iff the batch adds
+    * an occurrence, so the advance recomputes ONLY the batch's digests
+    * (broadcast semi-join pulls their standing occurrences — the store
+    * is digest-pruned, never rescanned) and every other report row
+    * carries over. Standing tables live as parquet session tables (the
+    * pp12 treatment); the oracle is mm05's verbatim. */
+  private def pp21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("chk:"), $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp21", d) { dir =>
+      graft.operators.Multimodal.cdcChunks(
+          docs.filter(!isNew).withColumn("blob", encode($"text", "UTF-8")),
+          "doc_id", "blob")
+        .write.parquet(s"$dir/chunks")
+      graft.operators.Multimodal.chunkDupReport(
+          s.read.parquet(s"$dir/chunks"), "doc_id")
+        .write.parquet(s"$dir/report")
+    }
+    val batchChunks = graft.operators.Multimodal.cdcChunks(
+        docs.filter(isNew).withColumn("blob", encode($"text", "UTF-8")),
+        "doc_id", "blob")
+      .localCheckpoint(true) // touched-digest probe + recompute read it
+    graft.operators.Multimodal.chunkDupAdvance(
+        s.read.parquet(s"$stand/chunks"), s.read.parquet(s"$stand/report"),
+        batchChunks, "doc_id")
+      .orderBy($"keeper_id", $"digest")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("dd01_dedup_exact", "exact dedup via content-hash groupBy", dd01, Some(dd01Sql)),
     Q("dd15_norm_dedup", "exact dedup after ASCII canonicalization (case/punct/ws-insensitive), with per-group raw-variant audit", dd15, Some(dd15Sql)),
@@ -2505,6 +2675,8 @@ object TextOps {
     Q("mm03_binary_dedup", "exact multimodal dedup: content-digest groupBy on the binary payload, blob never shuffled", mm03, Some(mm03Sql)),
     Q("mm04_perceptual_dedup", "perceptual multimodal near-dup: 64-bit bigram-histogram signature, Hamming-banded candidates, exact Hamming verify", mm04, Some(mm04Sql)),
     Q("pp19_incremental_perceptual", "incremental perceptual dedup: batch band rows probe the standing signature store, report == mm04", pp19, Some(mm04Sql)),
+    Q("mm05_chunk_dedup", "content-defined chunk dedup: rolling-hash boundaries, per-chunk digests, cross-payload shared-region report", mm05, Some(mm05Sql)),
+    Q("pp21_incremental_chunks", "incremental chunk dedup: batch digests recomputed against the digest-pruned standing store, rest carried, report == mm05", pp21, Some(mm05Sql)),
     Q("pp01_export_pipeline", "quality→dedup→decontaminate→sample, composed", pp01, Some(pp01Sql)),
     Q("pp02_incremental_index", "incremental LSH index maintenance: new-batch dup pairs only", pp02, Some(pp02Sql)),
     Q("pp03_sequence_pack", "concat-then-chunk packing offsets via distributed prefix sum", pp03, Some(pp03Sql)),
@@ -2524,5 +2696,6 @@ object TextOps {
     Q("ta14_bpe_encode", "BPE: train 5 merges by iterated pair-count argmax over the vocab, encode corpus via learned segmentation", ta14, Some(ta14Sql)),
     Q("pp18_incremental_bpe", "incremental BPE: standing vocab counts advanced additively per batch, segmentation retrained from the merged counts, encode == ta14", pp18, Some(ta14Sql)),
     Q("ta15_quality_classifier", "learned quality filter: fixed-point linear scorer over five integer features, row-local inference, verdict per doc", ta15, Some(ta15Sql)),
+    Q("ta16_rule_filter", "Gopher/C4-style rule battery: five named integer-exact rules with per-rule attribution, fully row-local (zero-exchange map)", ta16, Some(ta16Sql)),
   )
 }

@@ -1403,6 +1403,130 @@ object VectorOps {
        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** vs16 — PQ codebook TRAINING: the rebuild-side step vs08's Scaladoc
+    * promises ("a production deployment k-means-trains each subspace's
+    * book and swaps it in as data") — vs11's exact integer Lloyd loop
+    * run PER SUBSPACE, with all 8 subspaces trained in the SAME jobs:
+    * each of the 3 iterations is one row-local encode pass against the
+    * literal current books (the [[Pq]] kernel — constant codegen size)
+    * plus ONE combinable (subspace, code, dim) rollup of the posexploded
+    * quantized values; the 8×64×8 = 4096-long sums table collects to the
+    * driver between iterations (driver-sized by construction, the vs11
+    * convention — a trained codebook IS driver-sized, that is what makes
+    * PQ deployable). Assignment is argmin of exact BIGINT subvector L2²
+    * with first-minimum-in-book-order ties (array_position semantics ==
+    * the oracle's ORDER BY dist, code — book order is initializing
+    * vec_id order); the update is the truncated integer mean (sign-safe
+    * `//` on the oracle side); a codeword that loses every member
+    * carries over. Init = vs08's fixed book (first 64 normed vectors cut
+    * into subvectors), so this gate trains THE configuration vs08/vs09
+    * serve, and emitted code ids are the initializing vec_ids on both
+    * engines (positions relabeled driver-side — positions and labels
+    * coincide only when vectors 0..63 all survive the norm filter, so
+    * the relabel, not the coincidence, is the contract). Output: final
+    * books in long form + per-(subspace, code) member counts. */
+  private def vs16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    val book = pqBookRows(e)
+    if (book.isEmpty)
+      return e.select($"vec_id".as("sp"), $"vec_id".as("code"),
+        $"vec_id".as("dim"), $"vec_id".as("c"), $"vec_id".as("n_members"))
+        .limit(0)
+    val codeIds = book.map(_.getLong(0)).toIndexedSeq
+    val subDims = 8
+    var books = pqOf(book, subDims).books // books(sp)(code) = subvector
+    val m = books.length
+    def assigned(): DataFrame = {
+      val pq = Pq(subDims, codeIds.length, books)
+      e.select($"vec_id", pq.codes($"q").as("codes"), $"q")
+    }
+    def subspaceSums(): Array[(Int, Long, Int, Long, Long)] =
+      assigned()
+        .select($"codes", posexplode($"q").as(Seq("dim0", "qv")))
+        .select($"codes", expr("CAST(dim0 div 8 AS INT)").as("sp"),
+          expr("CAST(dim0 % 8 AS INT)").as("i0"), $"qv")
+        .withColumn("code", element_at($"codes", $"sp" + 1))
+        .groupBy($"sp", $"code", $"i0")
+        .agg(count(lit(1)).as("n"), sum($"qv").as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+    for (_ <- 1 to 3) {
+      val byKey = subspaceSums()
+        .map { case (sp, code, i0, n, s0) => (sp, code, i0) -> (n, s0) }.toMap
+      books = books.zipWithIndex.map { case (bk, sp) =>
+        bk.zipWithIndex.map { case (cw, code) =>
+          (0 until subDims).map { i0 =>
+            byKey.get((sp, code.toLong, i0))
+              // Long `/` truncates toward zero — the oracle's sign-safe
+              // `//` CASE replicates it (vs11's convention)
+              .map { case (n, s0) => s0 / n }
+              .getOrElse(cw(i0))
+          }
+        }.toIndexedSeq
+      }
+    }
+    // sizes under the FINAL books; posexplode yields the 0-based
+    // subspace and the POSITION-based code — relabeled via the same
+    // driver-side map as the book rows, so the join key is (sp, pos)
+    val sizes = assigned()
+      .select(posexplode($"codes").as(Seq("sp", "pos")))
+      .groupBy($"sp", $"pos").agg(count(lit(1)).as("n_members"))
+    books.zipWithIndex.flatMap { case (bk, sp) =>
+      bk.zipWithIndex.flatMap { case (cw, code) =>
+        cw.zipWithIndex.map { case (v, i0) =>
+          (sp, code.toLong, codeIds(code), i0.toLong, v) }
+      }
+    }.toDF("sp", "pos", "code", "dim", "c")
+      .join(broadcast(sizes), Seq("sp", "pos"), "left")
+      .na.fill(0L, Seq("n_members"))
+      .select($"sp".cast("long").as("sp"), $"code", $"dim", $"c", $"n_members")
+      .orderBy($"sp", $"code", $"dim")
+  }
+
+  private val vs16Sql = {
+    def iter(j: Int, prevList: String, prevLong: String) =
+      s"""t$j AS (SELECT n.vec_id, n.q, c.s, c.code,
+         |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
+         |                   for i in range(1, 9)]) AS BIGINT) AS dist
+         |  FROM n CROSS JOIN $prevList c),
+         |a$j AS (SELECT vec_id, q, s, code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+         |  FROM t$j) WHERE rn = 1),
+         |d$j AS (SELECT s, code, unnest(range(1, 9)) AS i, q FROM a$j),
+         |s$j AS (SELECT s, code, i, COUNT(*) AS n, CAST(SUM(q[s * 8 + i]) AS BIGINT) AS sm
+         |  FROM d$j GROUP BY s, code, i),
+         |u$j AS (SELECT p.s, p.code, p.i,
+         |    COALESCE(CASE WHEN x.sm >= 0 THEN x.sm // x.n ELSE -((-x.sm) // x.n) END,
+         |             p.c) AS c
+         |  FROM $prevLong p LEFT JOIN s$j x ON x.s = p.s AND x.code = p.code AND x.i = p.i),
+         |cb$j AS (SELECT s, code, list(c ORDER BY i) AS cq FROM u$j GROUP BY s, code)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |cb0 AS (SELECT sub.s, n.vec_id AS code,
+       |    [n.q[sub.s * 8 + i] for i in range(1, 9)] AS cq
+       |  FROM n CROSS JOIN sub WHERE n.vec_id < 64),
+       |e0 AS (SELECT s, code, unnest(range(1, 9)) AS i, cq FROM cb0),
+       |f0 AS (SELECT s, code, i, cq[i] AS c FROM e0),
+       |${iter(1, "cb0", "f0")},
+       |${iter(2, "cb1", "u1")},
+       |${iter(3, "cb2", "u2")},
+       |t4 AS (SELECT n.vec_id, c.s, c.code,
+       |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS dist
+       |  FROM n CROSS JOIN cb3 c),
+       |a4 AS (SELECT s, code FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |  FROM t4) WHERE rn = 1),
+       |sz AS (SELECT s, code, COUNT(*) AS n_members FROM a4 GROUP BY s, code)
+       |SELECT u3.s AS sp, u3.code AS code, u3.i - 1 AS dim, u3.c AS c,
+       |  CAST(COALESCE(sz.n_members, 0) AS BIGINT) AS n_members
+       |FROM u3 LEFT JOIN sz ON sz.s = u3.s AND sz.code = u3.code
+       |ORDER BY sp, code, dim""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -1419,6 +1543,7 @@ object VectorOps {
     Q("vs09_ivfpq_search", "IVF-PQ ANN: probe-2 cells, score only their PQ codes by ADC lookups (the 100 TB composition)", vs09, Some(vs09Sql)),
     Q("vs10_ivf_rerank", "two-stage retrieval: ADC shortlist (k=10) re-ranked by exact cosine over shortlisted vectors only", vs10, Some(vs10Sql)),
     Q("vs15_sq_search", "scalar-quantized ANN (SQ8): per-dimension affine codes (1 byte/dim), exact-query-vs-reconstruction asymmetric distance, top-5", vs15, Some(vs15Sql)),
+    Q("vs16_pq_train", "PQ codebook training: 3 exact integer Lloyd iterations per subspace, all subspaces in one rollup per iteration, empty-codeword carryover", vs16, Some(vs16Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),

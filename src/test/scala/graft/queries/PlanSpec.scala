@@ -992,4 +992,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
     assert(equiJoinKeys(d).exists(_.contains("cid")), "pair join not cid-keyed")
   }
+
+  test("ta16: the rule battery is a pure map over the scan — the only exchange is the oracle's output order") {
+    val d = df("ta16_rule_filter")
+    d.collect()
+    val ns = nodes(d)
+    // every feature (including the max-token-count) is computed in-row
+    // with array functions: no aggregate, no join, no window — at 100 TB
+    // the battery costs exactly one pass over the corpus. The single
+    // allowed exchange is the final orderBy's range partitioning (the
+    // oracle's output-order contract), which a production run drops.
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(equiJoinKeys(d).isEmpty, "rule battery must not join")
+    assert(!ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      "rule battery must not aggregate")
+    assert(shuffles(d).size <= 1, s"more than the output-order exchange: ${shuffles(d)}")
+    noTextPayload(exchangePayloads(d).filterNot(_.contains("doc_id")))
+  }
+
+  test("mm05: CDC chunk dedup — payload chunked and digested at the scan, never rides an exchange, digest-keyed rollup combines map-side") {
+    val d = df("mm05_chunk_dedup")
+    d.collect()
+    val ns = nodes(d)
+    // the blob (and the text it derives from) is columnar-pruned before
+    // the explode's output hits any exchange: the only shuffle payload
+    // is (digest, id, clen) — mm03/mm04's 100 TB contract at chunk
+    // granularity
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("blob") && !p.contains("text") && !p.contains("__blob"),
+        s"exchange ships the payload: $p"))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(hashShuffleKeys(d).exists(_.contains("digest")),
+      "dup report must shuffle on the chunk digest")
+  }
+
+  test("sa09: weighted draw is TakeOrderedAndProject — ticket fan-out row-local, no explode, no corpus sort") {
+    val d = df("sa09_weighted_sample")
+    d.collect()
+    val ns = nodes(d)
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "weighted top-K must plan as TakeOrderedAndProject")
+    assert(!ns.exists(_.isInstanceOf[SortExec]), "no global sort of the corpus")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "tickets must fan out inside a row-local transform, not an explode")
+    noTextPayload(exchangePayloads(d))
+  }
 }

@@ -101,4 +101,40 @@ class SampleOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSet == again.toSet)
   }
+
+  test("sa09: draw == exact top-K of max-of-w tickets recomputed over the full corpus; weights follow the length rule; key is genuinely the max ticket") {
+    import spark.implicits._
+    // sf0.01: the draw must be SELECTIVE (corpus > K) for the tilt check
+    val d09 = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, d09)
+    // recompute every doc's (w, key) from first principles with the same
+    // engine-universal fold the gate uses, then take the top-100
+    val all = docs.select($"doc_id",
+        expr("1L + least(coalesce(length(text), 0L) div 100L, 7L)").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ticket(id: Long, tk: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wt:$id:$tk".getBytes("UTF-8"))
+      md.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val keys = all.map { case (id, w) => (id, w, (1L to w).map(ticket(id, _)).max) }
+    val expect = keys.sortBy { case (id, _, k) => (-k, id) }.take(100).toSeq
+    val got = Catalog.byName("sa09_weighted_sample").fn(spark, d09)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, "gate draw differs from the first-principles A-ES draw")
+    // the length rule held everywhere (not only inside the sample)
+    val lens = docs.select($"doc_id", coalesce(length($"text"), lit(0)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    all.foreach { case (id, w) =>
+      assert(w == 1L + math.min(lens(id) / 100L, 7L), s"weight rule drifts for doc $id") }
+    // A-ES sanity: the realized sample overselects heavy docs relative to
+    // their population share (the point of weighting) — only meaningful
+    // when the draw is actually selective at this corpus size
+    if (all.length > 150) {
+      val popHeavy = all.count(_._2 >= 4).toDouble / all.length
+      val sampleHeavy = got.count(_._2 >= 4).toDouble / got.size
+      assert(sampleHeavy > popHeavy,
+        f"weighted draw did not tilt toward heavy docs: pop $popHeavy%.3f sample $sampleHeavy%.3f")
+    }
+  }
 }
