@@ -40,7 +40,9 @@ object Bench {
     for (w <- Seq("q01_agg_pricing", "dd05_lsh_dedup", "vs01_ann_topk",
         "pp04_incremental_clusters", "pp15_incremental_canonical",
         "pp12_incremental_containment_index", "pp13_incremental_lm",
-        "pp14_incremental_pq", "pp18_incremental_bpe")) {
+        "pp14_incremental_pq", "pp18_incremental_bpe",
+        "pp19_incremental_perceptual", "pp20_incremental_sq",
+        "pp21_incremental_chunks")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>

@@ -1540,6 +1540,81 @@ object Streams {
       "is_dup" -> BooleanType)
   }
 
+  /** mm05's continuous twin: CONTINUOUS chunk-dedup maintenance — a
+    * counts-shaped member of the standing-state family (the vocab/LM
+    * no-standing-read shape, NOT pp21's semi-join recompute: the gate
+    * must emit the report inline, so it probes the standing store; the
+    * continuous flow defers folding to snapshot time and its advance
+    * never reads standing state at all). A payload's chunk rows are a
+    * pure immutable function of its bytes, and the id guard puts each
+    * doc in exactly one committed batch — so per-digest occurrence
+    * counts and DISTINCT-DOC counts are both purely additive across
+    * batches (the distinct docs of digest g in the corpus partition
+    * exactly into its distinct docs per batch), keepers/lengths
+    * min-combine, and one batch-sized chunk+rollup pass appended as a
+    * delta is the whole advance. At-least-once safety: doc store as
+    * guard (appended LAST), deterministic batch_key (min doc_id),
+    * byte-identical replay rows, snapshot dedup on (batch_key, digest);
+    * [[compactChunks]] folds the delta table to O(distinct digests) on
+    * the maintenance cadence. */
+  def maintainChunkState(batch: DataFrame, statsTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    chunkDelta(fresh, batchKey).write.mode("append").parquet(statsTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The per-digest delta rows of one batch — the exact rows
+    * [[maintainChunkState]] appends, shared with the crash-simulation
+    * spec (the vocabDelta drift-pinning convention). */
+  private[graft] def chunkDelta(fresh: DataFrame, batchKey: Long): DataFrame =
+    graft.operators.Multimodal.cdcChunks(
+        fresh.withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob")
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+        min(col("clen")).as("clen"), min(col("doc_id")).as("keeper_id"))
+      .select(lit(batchKey).as("batch_key"), col("digest"), col("n_occ"),
+        col("n_docs"), col("clen"), col("keeper_id"))
+
+  /** [[maintainChunkState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def chunkStateStream(docs: DataFrame, statsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainChunkState(b, statsTable, docTable))
+      .start()
+
+  /** The current shared-chunk report under the maintained stats — mm05's
+    * exact shape over every doc arrived. Redelivered-batch duplicates
+    * collapse on (batch_key, digest) before the additive fold. */
+  def chunkReportSnapshot(spark: SparkSession, statsTable: String): DataFrame =
+    tryRead(spark, statsTable).getOrElse(emptyChunkStats(spark))
+      .dropDuplicates("batch_key", "digest")
+      .groupBy(col("digest"))
+      .agg(min(col("clen")).as("clen"), sum(col("n_occ")).as("n_occ"),
+        sum(col("n_docs")).as("n_docs"), min(col("keeper_id")).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+      .select(col("digest"), col("clen"), col("n_occ"), col("n_docs"),
+        col("keeper_id"))
+
+  /** Compact the chunk deltas to one row per digest; `docTable` is the
+    * flow's guard. */
+  def compactChunks(spark: SparkSession, statsTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, statsTable, Seq("digest"), Seq("n_occ", "n_docs"),
+      docTable, "doc_id", mins = Seq("clen", "keeper_id"))
+
+  private def emptyChunkStats(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    emptyDf(spark, "batch_key" -> LongType, "digest" -> StringType,
+      "n_occ" -> LongType, "n_docs" -> LongType, "clen" -> IntegerType,
+      "keeper_id" -> LongType)
+  }
+
   /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
     * second counts-shaped member of the standing-state family, with
     * [[maintainVocabState]]'s contract verbatim: per-bigram occurrence
