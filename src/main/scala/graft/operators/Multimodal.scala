@@ -217,12 +217,33 @@ object Multimodal {
     * `batchSigs` must be id-disjoint (the maintainer's guards enforce
     * it). */
   def perceptualPairsAdvance(standingSigs: DataFrame, batchSigs: DataFrame,
-      idCol: String, tau: Int): DataFrame = {
+      idCol: String, tau: Int, maxBucket: Option[Int] = None): DataFrame = {
     require(tau >= 0 && tau <= completeTau,
       s"tau must be in [0, $completeTau] for the band completeness guarantee, got $tau")
     val allSigs = standingSigs.unionByName(batchSigs)
+    // the dd13-style hot-bucket cap, here on the MERGED (standing ∪
+    // batch) index: a (band, v) bucket beyond the cap carries no dedup
+    // signal at 16-bit band width and is dropped from CANDIDACY, which
+    // bounds the advance at batch × cap instead of batch × standing on a
+    // band-collident corpus (measured in MaintainerProbe: the uncapped
+    // advance grows with the standing store where every other maintainer
+    // is flat). The knob trades recall: the ≤ tau completeness guarantee
+    // needs every true near-dup cluster under the cap, and because the
+    // bucket size is evaluated at ARRIVAL time, capped incremental mode
+    // is a recall knob, not an oracle-gated contract — the uncapped
+    // default is what pp19's gate and the maintainer specs verify.
+    val members = bandMembers(allSigs, idCol)
+    val searchable = maxBucket match {
+      case None => members
+      case Some(cap) =>
+        members.join(
+          members.groupBy(col("band"), col("v"))
+            .agg(count(lit(1)).as("__sz")).filter(col("__sz") <= cap)
+            .select(col("band"), col("v")),
+          Seq("band", "v"), "left_semi")
+    }
     val cand = broadcast(bandMembers(batchSigs, idCol)).as("x")
-      .join(bandMembers(allSigs, idCol).as("y"),
+      .join(searchable.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
       .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("d1"),

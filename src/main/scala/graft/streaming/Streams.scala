@@ -1492,7 +1492,8 @@ object Streams {
     * distinct() — the documented pair-log recovery — collapses them. */
   def maintainPerceptualState(batch: DataFrame, sigTable: String,
       pairsTable: String, docTable: String,
-      tau: Int = graft.operators.Multimodal.completeTau): Unit = {
+      tau: Int = graft.operators.Multimodal.completeTau,
+      maxBucket: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
@@ -1503,7 +1504,7 @@ object Streams {
     val standing = tryRead(spark, sigTable).getOrElse(emptySigStore(spark))
       .join(broadcast(fresh.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     graft.operators.Multimodal
-      .perceptualPairsAdvance(standing, freshSigs, "doc_id", tau)
+      .perceptualPairsAdvance(standing, freshSigs, "doc_id", tau, maxBucket)
       .write.mode("append").parquet(pairsTable)
     appendNewBy(freshSigs, sigTable, "doc_id")
     fresh.write.mode("append").parquet(docTable)

@@ -126,4 +126,25 @@ class PerceptualDedupSpec extends AnyFunSuite with SparkSpec {
     val loose = pairs(Some(1000000))
     assert(loose == all, "a cap above every bucket size must be a no-op")
   }
+
+  test("advance hot-bucket cap: capped advance is a subset of the uncapped advance; a loose cap is a no-op") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("blob", encode($"text", "UTF-8"))
+    val isNew = pmod($"doc_id", lit(4)) === 0
+    val standing = Multimodal.perceptualSigs(docs.filter(!isNew), "doc_id", "blob")
+      .localCheckpoint(true)
+    val batch = Multimodal.perceptualSigs(docs.filter(isNew), "doc_id", "blob")
+      .localCheckpoint(true)
+    def adv(mb: Option[Int]) =
+      Multimodal.perceptualPairsAdvance(standing, batch, "doc_id", tau = 3,
+          maxBucket = mb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = adv(None)
+    val capped = adv(Some(3))
+    assert(capped.subsetOf(all) && capped.size < all.size,
+      s"tight cap must prune advance candidacy (${capped.size} vs ${all.size})")
+    assert(adv(Some(1000000)) == all,
+      "a cap above every merged bucket size must be a no-op")
+  }
 }
