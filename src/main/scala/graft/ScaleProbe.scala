@@ -126,9 +126,18 @@ object ScaleProbe {
     // the documents-shaped gates, then the embeddings-shaped gates (both
     // tables are replicated above, so every listed gate sees real 10×
     // input in the work dir)
+    // mm04/pp19 are deliberately NOT in this sweep: the replica
+    // generator collides band values by construction (uncapped pair
+    // volume is Σ|bucket|² — measured 28.5M pairs / 2.6 min at a 6×
+    // corpus), so the 10× uncapped gate is minutes-per-run cost-model
+    // noise; the capped kernel row below measures the production
+    // configuration, and the MaintainerProbe's capped perc column
+    // measures the incremental leg.
     val gates = Seq("dd05_lsh_dedup", "dd06_dup_clusters",
       "dd14_canonical_keep", "pp15_incremental_canonical", "mm03_binary_dedup",
+      "mm05_chunk_dedup", "pp21_incremental_chunks",
       "dd15_norm_dedup", "pp17_incremental_dedup", "sa06_epoch_upsample",
+      "sa09_weighted_sample", "ta15_quality_classifier", "ta16_rule_filter",
       "pp02_incremental_index", "pp04_incremental_clusters", "dd09_span_dedup",
       "pp06_incremental_spans", "pp07_incremental_vocab", "pp13_incremental_lm",
       "ta12_lm_quality_filter", "ta13_tfidf_terms", "ta14_bpe_encode",
@@ -142,7 +151,8 @@ object ScaleProbe {
       "vs11_kmeans_rebuild",
       "pp05_incremental_ivf", "dd10_semantic_dedup", "pp10_incremental_semdedup",
       "vs08_pq_search", "vs09_ivfpq_search", "vs10_ivf_rerank",
-      "pp14_incremental_pq")
+      "pp14_incremental_pq", "vs15_sq_search", "pp20_incremental_sq",
+      "vs16_pq_train")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)
@@ -280,6 +290,33 @@ object ScaleProbe {
       val a = (1 to 3).map(_ => dd13At(sf01, 1)).min
       val b = (1 to 3).map(_ => dd13At(work, 1)).min
       println(f"| dd13 kernel @ minHits 1 (recall-maximal) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+    }
+
+    // mm04's kernel under the hot-bucket cap — the production knob the
+    // GATE (uncapped, the completeness contract) deliberately omits.
+    // This corpus is the cap's worst-case motivator: the replicas
+    // collide on band values by construction, so uncapped candidate
+    // volume grows ~Σ|bucket|² while the capped row bounds it at
+    // corpus × cap.
+    {
+      import graft.operators.Multimodal
+      def mm04At(dir: String, mb: Option[Int]): Double = {
+        val t0 = System.nanoTime()
+        val sigs = Multimodal.perceptualSigs(
+            graft.Tables.documents(spark, dir)
+              .withColumn("blob", encode(col("text"), "UTF-8")),
+            "doc_id", "blob").localCheckpoint(true)
+        Multimodal.perceptualPairs(sigs, "doc_id",
+            Multimodal.completeTau, maxBucket = mb)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      mm04At(sf01, Some(256)); mm04At(work, Some(256)) // warm
+      val a = (1 to 3).map(_ => mm04At(sf01, Some(256))).min
+      val b = (1 to 3).map(_ => mm04At(work, Some(256))).min
+      println(f"| mm04 kernel @ maxBucket 256 (hot-bucket cap) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
     }
     spark.stop()
   }

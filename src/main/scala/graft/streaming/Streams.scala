@@ -887,6 +887,38 @@ object Streams {
         maintainSqCodes(b, vmin, vdiff, codesTable))
       .start()
 
+  /** The SQ bounds REBUILD→SWAP — [[rebuildIvfState]]'s sibling for the
+    * scalar quantizer, closing the third lifecycle (IVF, BPE, now SQ):
+    * the bounds are fixed between rebuilds (vs15's contract), pp20's
+    * advance clamps out-of-bounds late arrivals to the grid edge, and
+    * clamping IS the drift signal — when it fires often enough, this
+    * pass retrains. Retrains (vmin, vdiff) from the standing POSTINGS
+    * table's vectors (codes tables are codes-only by design;
+    * precondition: one ingest stream feeds both tables — the
+    * rebuildIvfState contract verbatim) with the SAME one dim-bounded
+    * aggregate the batch gate runs, re-encodes every standing row
+    * row-locally against the new literal bounds, atomically swaps the
+    * codes table, and returns the new bounds for subsequent
+    * [[maintainSqCodes]] calls. Zero-norm sentinels carry through with
+    * empty codes (invisible to sqScore). Crash contract: the pass is a
+    * pure id-stable function of (postings content) — re-run to repair.
+    * Single-maintenance-loop contract: call BETWEEN advances. Returns
+    * None when no postings table exists yet. */
+  def rebuildSqState(spark: SparkSession, postingsTable: String,
+      sqCodesTable: String): Option[(Array[Long], Array[Long])] =
+    tryRead(spark, postingsTable).map { p0 =>
+      val p = p0.localCheckpoint(true)
+      val real = p.filter(col("cid") >= 0).select(col("vec_id"), col("q"))
+      val (vmin, vdiff) = graft.queries.VectorOps.sqTrain(real)
+      val codes = real.select(col("vec_id"),
+        graft.queries.VectorOps.sqCodes(col("q"), vmin, vdiff).as("codes"))
+      val sentinels = p.filter(col("cid") < 0)
+        .select(col("vec_id"), lit(Array.empty[Long]).as("codes"))
+      graft.operators.MergeWriter.overwriteAtomic(
+        codes.unionByName(sentinels), sqCodesTable)
+      (vmin, vdiff)
+    }
+
   /** The SQ asymmetric search (vs15's scorer) over the maintained codes
     * table — pp20's read path. */
   def sqSearchSnapshot(spark: SparkSession, codesTable: String,

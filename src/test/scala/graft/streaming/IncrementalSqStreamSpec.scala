@@ -100,4 +100,61 @@ class IncrementalSqStreamSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getSeq[Long](1)).head
     assert(oob.forall(c => c >= 0L && c <= 255L), s"clamp failed: $oob")
   }
+
+  test("rebuildSqState: bounds retrained from the postings table, codes swapped, search == from-scratch encode under the new bounds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sq-rebuild").toString
+    val (postT, sumsT, codesT) = (s"$root/postings", s"$root/sums", s"$root/codes")
+
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val all = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val batches = Seq(all.take(60), all.slice(60, 200), all.drop(200))
+    // the drift regime: bounds trained on the FIRST batch only, held
+    // fixed while later batches arrive — out-of-range rows clamp (the
+    // scheduled-rebuild signal this lifecycle exists for)
+    val firstNormed = VectorOps.normed(
+      batches(0).toSeq.toDF("vec_id", "embedding"))
+    val (vmin0, vdiff0) = VectorOps.sqTrain(firstNormed)
+    val cents = VectorOps.ivfCentroids(VectorOps.normed(e), 4)
+    for (b <- batches) {
+      val bdf = b.toSeq.toDF("vec_id", "embedding")
+      // one ingest stream feeds both tables — the rebuild's precondition
+      Streams.maintainIvfState(bdf, cents, postT, sumsT)
+      Streams.maintainSqCodes(bdf, vmin0, vdiff0, codesT)
+    }
+    val Some((vmin1, vdiff1)) = Streams.rebuildSqState(spark, postT, codesT)
+    val normedAll = VectorOps.normed(e)
+    // new bounds == the one-aggregate derivation over everything arrived
+    val (emin, ediff) = VectorOps.sqTrain(normedAll)
+    assert(vmin1.toSeq == emin.toSeq && vdiff1.toSeq == ediff.toSeq,
+      "rebuilt bounds differ from a from-scratch train over the postings")
+    // swapped codes == direct encode under the new bounds; sentinels kept
+    val (real, sentinel) = spark.read.parquet(codesT)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      .partition(_._2.nonEmpty)
+    val direct = normedAll
+      .select($"vec_id", VectorOps.sqCodes($"q", vmin1, vdiff1).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(real == direct, "swapped codes differ from direct encode")
+    val zeroIds = e.join(normedAll.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(sentinel.map(_._1) == zeroIds, "sentinels lost across the swap")
+    // and the read path serves the new era seamlessly
+    val got = Streams.sqSearchSnapshot(spark, codesT, normedAll, vmin1, vdiff1, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val expect = VectorOps.sqScore(
+        normedAll.select($"vec_id", VectorOps.sqCodes($"q", vmin1, vdiff1).as("codes")),
+        VectorOps.sqQueries(normedAll), vmin1, vdiff1, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expect,
+      "post-rebuild search drifted from from-scratch encode")
+    // a rebuild re-run is byte-stable (the crash-repair contract)
+    val filesBefore = spark.read.parquet(codesT)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    Streams.rebuildSqState(spark, postT, codesT)
+    val filesAfter = spark.read.parquet(codesT)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(filesBefore == filesAfter, "rebuild re-run is not idempotent")
+  }
 }
