@@ -1425,6 +1425,45 @@ object VectorOps {
     * coincide only when vectors 0..63 all survive the norm filter, so
     * the relabel, not the coincidence, is the contract). Output: final
     * books in long form + per-(subspace, code) member counts. */
+  /** The per-subspace Lloyd loop shared by vs16 (3 iterations, the
+    * training gate) and vs17 (1 iteration, the train→deploy gate): each
+    * iteration is one row-local encode pass against the literal current
+    * books plus ONE combinable (subspace, code, dim) rollup whose
+    * codebook-sized result collects driver-side for the update
+    * (truncated integer mean — Long `/` truncates toward zero, the
+    * oracle's sign-safe `//` CASE — with empty-codeword carryover). */
+  private[graft] def trainPqBooks(e: DataFrame,
+      init: IndexedSeq[Seq[Seq[Long]]], subDims: Int, nCodes: Int,
+      iters: Int): IndexedSeq[Seq[Seq[Long]]] = {
+    var books = init
+    def subspaceSums(): Array[(Int, Long, Int, Long, Long)] = {
+      val pq = Pq(subDims, nCodes, books)
+      e.select(col("vec_id"), pq.codes(col("q")).as("codes"), col("q"))
+        .select(col("codes"), posexplode(col("q")).as(Seq("dim0", "qv")))
+        .select(col("codes"), expr(s"CAST(dim0 div $subDims AS INT)").as("sp"),
+          expr(s"CAST(dim0 % $subDims AS INT)").as("i0"), col("qv"))
+        .withColumn("code", element_at(col("codes"), col("sp") + 1))
+        .groupBy(col("sp"), col("code"), col("i0"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+    }
+    for (_ <- 1 to iters) {
+      val byKey = subspaceSums()
+        .map { case (sp, code, i0, n, s0) => (sp, code, i0) -> (n, s0) }.toMap
+      books = books.zipWithIndex.map { case (bk, sp) =>
+        bk.zipWithIndex.map { case (cw, code) =>
+          (0 until subDims).map { i0 =>
+            byKey.get((sp, code.toLong, i0))
+              .map { case (n, s0) => s0 / n }
+              .getOrElse(cw(i0))
+          }
+        }.toIndexedSeq
+      }
+    }
+    books
+  }
+
   private def vs16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
@@ -1435,36 +1474,11 @@ object VectorOps {
         .limit(0)
     val codeIds = book.map(_.getLong(0)).toIndexedSeq
     val subDims = 8
-    var books = pqOf(book, subDims).books // books(sp)(code) = subvector
-    val m = books.length
+    val books = trainPqBooks(e, pqOf(book, subDims).books, subDims,
+      codeIds.length, iters = 3)
     def assigned(): DataFrame = {
       val pq = Pq(subDims, codeIds.length, books)
       e.select($"vec_id", pq.codes($"q").as("codes"), $"q")
-    }
-    def subspaceSums(): Array[(Int, Long, Int, Long, Long)] =
-      assigned()
-        .select($"codes", posexplode($"q").as(Seq("dim0", "qv")))
-        .select($"codes", expr("CAST(dim0 div 8 AS INT)").as("sp"),
-          expr("CAST(dim0 % 8 AS INT)").as("i0"), $"qv")
-        .withColumn("code", element_at($"codes", $"sp" + 1))
-        .groupBy($"sp", $"code", $"i0")
-        .agg(count(lit(1)).as("n"), sum($"qv").as("s"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
-          r.getLong(3), r.getLong(4)))
-    for (_ <- 1 to 3) {
-      val byKey = subspaceSums()
-        .map { case (sp, code, i0, n, s0) => (sp, code, i0) -> (n, s0) }.toMap
-      books = books.zipWithIndex.map { case (bk, sp) =>
-        bk.zipWithIndex.map { case (cw, code) =>
-          (0 until subDims).map { i0 =>
-            byKey.get((sp, code.toLong, i0))
-              // Long `/` truncates toward zero — the oracle's sign-safe
-              // `//` CASE replicates it (vs11's convention)
-              .map { case (n, s0) => s0 / n }
-              .getOrElse(cw(i0))
-          }
-        }.toIndexedSeq
-      }
     }
     // sizes under the FINAL books; posexplode yields the 0-based
     // subspace and the POSITION-based code — relabeled via the same
@@ -1484,23 +1498,28 @@ object VectorOps {
       .orderBy($"sp", $"code", $"dim")
   }
 
+  /** One oracle-side Lloyd iteration over the per-subspace books —
+    * shared by vs16Sql (3 iterations) and vs17Sql (1 + search). */
+  private def pqIterSql(j: Int, prevList: String, prevLong: String) =
+    s"""t$j AS (SELECT n.vec_id, n.q, c.s, c.code,
+       |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS dist
+       |  FROM n CROSS JOIN $prevList c),
+       |a$j AS (SELECT vec_id, q, s, code FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |  FROM t$j) WHERE rn = 1),
+       |d$j AS (SELECT s, code, unnest(range(1, 9)) AS i, q FROM a$j),
+       |s$j AS (SELECT s, code, i, COUNT(*) AS n, CAST(SUM(q[s * 8 + i]) AS BIGINT) AS sm
+       |  FROM d$j GROUP BY s, code, i),
+       |u$j AS (SELECT p.s, p.code, p.i,
+       |    COALESCE(CASE WHEN x.sm >= 0 THEN x.sm // x.n ELSE -((-x.sm) // x.n) END,
+       |             p.c) AS c
+       |  FROM $prevLong p LEFT JOIN s$j x ON x.s = p.s AND x.code = p.code AND x.i = p.i),
+       |cb$j AS (SELECT s, code, list(c ORDER BY i) AS cq FROM u$j GROUP BY s, code)""".stripMargin
+
   private val vs16Sql = {
     def iter(j: Int, prevList: String, prevLong: String) =
-      s"""t$j AS (SELECT n.vec_id, n.q, c.s, c.code,
-         |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
-         |                   for i in range(1, 9)]) AS BIGINT) AS dist
-         |  FROM n CROSS JOIN $prevList c),
-         |a$j AS (SELECT vec_id, q, s, code FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-         |  FROM t$j) WHERE rn = 1),
-         |d$j AS (SELECT s, code, unnest(range(1, 9)) AS i, q FROM a$j),
-         |s$j AS (SELECT s, code, i, COUNT(*) AS n, CAST(SUM(q[s * 8 + i]) AS BIGINT) AS sm
-         |  FROM d$j GROUP BY s, code, i),
-         |u$j AS (SELECT p.s, p.code, p.i,
-         |    COALESCE(CASE WHEN x.sm >= 0 THEN x.sm // x.n ELSE -((-x.sm) // x.n) END,
-         |             p.c) AS c
-         |  FROM $prevLong p LEFT JOIN s$j x ON x.s = p.s AND x.code = p.code AND x.i = p.i),
-         |cb$j AS (SELECT s, code, list(c ORDER BY i) AS cq FROM u$j GROUP BY s, code)""".stripMargin
+      pqIterSql(j, prevList, prevLong)
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
@@ -1527,6 +1546,68 @@ object VectorOps {
        |ORDER BY sp, code, dim""".stripMargin
   }
 
+  /** vs17 — TRAIN → DEPLOY, composed: one Lloyd iteration per subspace
+    * ([[trainPqBooks]] at iters = 1 — the cheap periodic-retrain
+    * cadence) and then vs08's encode + ADC search under the TRAINED
+    * books. vs16 proves training; vs08 proves search under a fixed
+    * book; this gate proves the claim joining them — the codebook is a
+    * PARAMETER, swapped as data, with nothing in the encode/lookup
+    * kernel changing (vs08's Scaladoc, now verified end to end: the
+    * FAISS train→add→search path entirely in-engine, every codeword
+    * update, encode choice, and table lookup replayed by the oracle).
+    * Trained codewords can collide (two codes converging to the same
+    * subvector); ties break first-minimum-in-book-order on both
+    * engines, so even degenerate books encode identically. */
+  private def vs17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    val book = pqBookRows(e)
+    if (book.isEmpty)
+      return e.select($"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
+        lit(1).as("rank"), lit(0L).as("adist")).limit(0)
+    val pq = Pq(8, book.length,
+      trainPqBooks(e, pqOf(book).books, 8, book.length, iters = 1))
+    val enc = e.select($"vec_id", pq.codes($"q").as("codes"))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), pq.dtab($"q").as("dtab"))
+    val scored = broadcast(queries).join(enc, $"query_id" =!= $"vec_id")
+      .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
+        $"vec_id")
+    graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", 5)
+      .select($"query_id", $"id".as("neighbor_id"), $"rank",
+        (-$"v").cast("long").as("adist"))
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs17Sql =
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |cb0 AS (SELECT sub.s, n.vec_id AS code,
+       |    [n.q[sub.s * 8 + i] for i in range(1, 9)] AS cq
+       |  FROM n CROSS JOIN sub WHERE n.vec_id < 64),
+       |e0 AS (SELECT s, code, unnest(range(1, 9)) AS i, cq FROM cb0),
+       |f0 AS (SELECT s, code, i, cq[i] AS c FROM e0),
+       |${pqIterSql(1, "cb0", "f0")},
+       |es AS (SELECT n.vec_id, c.s, c.code,
+       |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS d
+       |  FROM n CROSS JOIN cb1 c),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |    FROM es) WHERE rn = 1),
+       |qt AS (SELECT vec_id AS query_id, s, code, d FROM es
+       |       WHERE vec_id >= 10 AND vec_id < 20),
+       |s2 AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+       |         CAST(SUM(qt.d) AS BIGINT) AS adist
+       |       FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+       |                       AND enc.vec_id <> qt.query_id
+       |       GROUP BY qt.query_id, enc.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -1544,6 +1625,7 @@ object VectorOps {
     Q("vs10_ivf_rerank", "two-stage retrieval: ADC shortlist (k=10) re-ranked by exact cosine over shortlisted vectors only", vs10, Some(vs10Sql)),
     Q("vs15_sq_search", "scalar-quantized ANN (SQ8): per-dimension affine codes (1 byte/dim), exact-query-vs-reconstruction asymmetric distance, top-5", vs15, Some(vs15Sql)),
     Q("vs16_pq_train", "PQ codebook training: 3 exact integer Lloyd iterations per subspace, all subspaces in one rollup per iteration, empty-codeword carryover", vs16, Some(vs16Sql)),
+    Q("vs17_pq_trained_search", "train-then-deploy: one per-subspace Lloyd iteration, then vs08's encode + ADC search under the trained books (codebook swapped as data)", vs17, Some(vs17Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),
