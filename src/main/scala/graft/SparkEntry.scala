@@ -95,7 +95,26 @@ import graft.queries.Catalog
   *    row-local via the rank-2 native assignment — measured recall
   *    uplift in ScalePathsSpec); dd15/pp17's production NFKC
   *    canonicalizer variant (native nfkc_normalize expression,
-  *    UnicodeCanonSpec goldens — oracle-exempt, DuckDB has no NFKC)
+  *    UnicodeCanonSpec goldens — oracle-exempt, DuckDB has no NFKC);
+  *    sa07 exact-k uniform sample (bounded top-k, no corpus sort),
+  *    sa08 exact stratified sample (largest-remainder apportionment),
+  *    sa09 weighted sample without replacement (integer
+  *    Efraimidis–Spirakis), sa10 token-budget mix (per-source greedy
+  *    hash-prefix under a token budget via the two-level grouped prefix
+  *    sum graft.operators.PrefixSum.runningTotalBy — no per-source
+  *    single-task sort); mm04 perceptual near-dup (banded 64-bit
+  *    signature + exact Hamming verify) + pp19 its incremental twin,
+  *    mm05 content-defined chunk dedup (rolling-hash boundaries) + pp21
+  *    its incremental twin; ta15 learned quality-classifier inference
+  *    (fixed-point linear scorer), ta16 Gopher/C4-style rule battery;
+  *    vs15 SQ8 scalar-quantized search + pp20 incremental codes
+  *    (+ Streams.rebuildSqState, the bounds retrain-and-swap), vs16 PQ
+  *    codebook training (per-subspace integer Lloyd), vs17
+  *    train-then-deploy PQ search, vs18 residual IVF-PQ (the FAISS
+  *    IVFPQ encoding: codes over x − c(x) residuals, per-probed-cell
+  *    query distance tables, ADC top-k) + Streams.rebuildPqState (book
+  *    retrain-and-swap — the fourth quantizer lifecycle after
+  *    IVF/BPE/SQ)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

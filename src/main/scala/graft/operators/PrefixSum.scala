@@ -62,4 +62,40 @@ object PrefixSum {
       .withColumn(outCol, col("__local") + col("__offset"))
       .drop("__pid", "__local", "__offset")
   }
+
+  /** Per-GROUP running totals: `outCol` = inclusive running total of
+    * `valueCol` within each `groupCol` value, ordered by `orderCols`
+    * (which must be unique WITHIN a group — they are the group's total
+    * order). The naive form, `sum(v) OVER (PARTITION BY g ORDER BY …)`,
+    * sorts each group in ONE task — at 100 TB a popular group (one web
+    * domain holding a third of the corpus) is a straggler that a bigger
+    * cluster cannot absorb. Same two-level scan as [[runningTotal]],
+    * group-aware: range-partition by (group, order) so a big group SPANS
+    * partitions; per-(partition, group) totals (≤ partitions × groups
+    * rows, usually ≈ partitions + groups); each fragment's exclusive
+    * offset via a window PARTITIONED BY GROUP over those summary rows
+    * (group-parallel, fragment-count-sized); partition-local running sum
+    * plus the broadcast offset. */
+  def runningTotalBy(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, outCol: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val order = orderCols.map(col)
+    val parted = materialize(
+      df.repartitionByRange((col(groupCol) +: order): _*)
+        .sortWithinPartitions((col(groupCol) +: order): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val offsets = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol).cast("long")).as("__psum"))
+      .withColumn("__offset", coalesce(
+        sum(col("__psum")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__offset"))
+    val w = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(order: _*)
+    parted
+      .withColumn("__local", sum(col(valueCol).cast("long")).over(w))
+      .join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
 }

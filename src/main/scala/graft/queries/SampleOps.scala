@@ -387,6 +387,47 @@ object SampleOps {
        |ORDER BY key DESC, doc_id
        |LIMIT 100""".stripMargin
 
+  /** sa10 — TOKEN-BUDGET mix: each source contributes documents up to a
+    * fixed token budget — the unit data recipes are actually written in
+    * ("300 B tokens of crawl, 30 B of books"), where sa03/sa05 steer
+    * RATES. Deterministic greedy draw: docs ordered per source by a
+    * salted hash (the same engine-universal fold as sa01 — re-runs,
+    * retries and engines agree on the order), kept while the source's
+    * running token total stays within budget; the first doc that would
+    * cross is dropped along with everything after it, so the output is a
+    * hash-random prefix whose membership is a pure function of the
+    * corpus. The running total is
+    * [[graft.operators.PrefixSum.runningTotalBy]] — the two-level
+    * group-aware scan — NOT `SUM OVER (PARTITION BY source)`: a naive
+    * per-source window sorts each source in one task, and at 100 TB the
+    * biggest source (a third of any crawl) is a straggler no cluster
+    * size fixes; the two-level scan fragments every source across
+    * partitions and reduces only fragment summaries. Emitting `running`
+    * makes the oracle verify the accounting itself, not just
+    * membership. */
+  private val sa10Budget = 600L
+  private def sa10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = documents(s, d).select($"doc_id", $"source",
+      size(graft.functions.Text.tokens($"text")).cast("long").as("n_tokens"),
+      hex8(concat(lit("budget:"), $"doc_id".cast("string"))).as("key"))
+    graft.operators.PrefixSum
+      .runningTotalBy(t, "source", Seq("key", "doc_id"), "n_tokens", "running")
+      .filter($"running" <= sa10Budget)
+      .select($"doc_id", $"source", $"n_tokens", $"running")
+      .orderBy($"doc_id")
+  }
+  private val sa10Sql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    ${hex8Sql("'budget:' || CAST(doc_id AS VARCHAR)")} AS key
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS BIGINT) AS running
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, running FROM r
+       |WHERE running <= $sa10Budget ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
@@ -398,5 +439,6 @@ object SampleOps {
     Q("sa07_exact_size_sample", "exact-k uniform sample: smallest k salted folds via TakeOrderedAndProject (no corpus sort)", sa07, Some(sa07Sql)),
     Q("sa08_stratified_exact", "exact-size stratified sample: largest-remainder integer apportionment across language strata + per-stratum bounded top-k draw", sa08, Some(sa08Sql)),
     Q("sa09_weighted_sample", "exact-size weighted sample without replacement: integer Efraimidis-Spirakis (max of w salted tickets), row-local fan-out, bounded top-k draw", sa09, Some(sa09Sql)),
+    Q("sa10_token_budget_mix", "token-budget mix: per-source hash-ordered greedy prefix under a fixed token budget, two-level grouped prefix sum (no per-source single-task sort)", sa10, Some(sa10Sql)),
   )
 }

@@ -1608,6 +1608,109 @@ object VectorOps {
        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** vs18 — RESIDUAL IVF-PQ (FAISS IVFPQ's actual encoding): vs09 codes
+    * the raw vector; production IVFPQ codes the RESIDUAL x − c(x) against
+    * the assigned coarse centroid, because residuals concentrate near the
+    * origin — one shared codebook spends its 64 codewords on a far
+    * smaller ball, cutting reconstruction error at identical code size.
+    * The structural consequence is on the QUERY side: a residual code
+    * only means something relative to a cell's centroid, so the query
+    * builds a distance table PER PROBED CELL from its own residual
+    * q − c(cell) — nProbe tables instead of one, the classic IVFPQ
+    * trade (FAISS `IVFPQ` precomputed-table machinery exists to amortize
+    * exactly this).
+    * Plan shape: residuals are one broadcast join against the 8-row
+    * quantizer + a row-local `zip_with` (exact BIGINT — quantized
+    * integer minus quantized integer); encode and the per-(query, cell)
+    * dtab are row-local against the literal books ([[Pq]], constant
+    * codegen size); postings join ON the probed cid (a candidate's cell
+    * is unique, so each (query, candidate) pair appears once); top-5 per
+    * query via the bounded-buffer [[graft.operators.GroupedTopK]]. All
+    * integer arithmetic — the oracle replays assignment, residual,
+    * encode, probe, and every ADC lookup exactly. Books = the residuals
+    * of the first 64 assigned vectors (deterministic and
+    * SQL-expressible, [[pqBookRows]]'s convention); a production
+    * deployment trains them per subspace over residuals
+    * ([[trainPqBooks]]) and swaps them in as data. */
+  private def vs18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
+    val withRes = assignCells(e, cents)
+      .join(broadcast(cents.select($"cid", $"cq")), Seq("cid"))
+      .withColumn("r", zip_with($"q", $"cq", (a, b) => a - b))
+    val bookRows = withRes.filter($"vec_id" < 64).orderBy($"vec_id")
+      .select($"vec_id", $"r").collect().toIndexedSeq
+    if (bookRows.isEmpty)
+      return e.select($"vec_id".as("query_id"), $"vec_id".as("cid"),
+        $"vec_id".as("neighbor_id"), lit(1).as("rank"), lit(0L).as("adist"))
+        .limit(0)
+    val pq = pqOf(bookRows)
+    val postings = withRes.select($"cid", $"vec_id", pq.codes($"r").as("codes"))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    val pw = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cid")
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", dotQ($"qq", $"cq").cast("double") / ($"qn" * $"cn"))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= 2)
+      .withColumn("qr", zip_with($"qq", $"cq", (a, b) => a - b))
+      .select($"query_id", $"cid", pq.dtab($"qr").as("dtab"))
+    val scored = probed.join(postings, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
+        $"vec_id", $"cid")
+    graft.operators.GroupedTopK.topKCarry(scored, "query_id", "nd", "vec_id", "cid", 5)
+      .select($"query_id", $"carry".as("cid"), $"id".as("neighbor_id"),
+        $"rank", (-$"v").cast("long").as("adist"))
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs18Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |ar AS (SELECT a.vec_id, a.cid,
+       |    [n.q[i] - c.cq[i] for i in range(1, len(n.q) + 1)] AS r
+       |  FROM a JOIN n ON n.vec_id = a.vec_id JOIN c ON c.cid = a.cid),
+       |cb AS (SELECT vec_id AS code, r AS cr FROM ar WHERE vec_id < 64),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |e0 AS (SELECT ar.vec_id, sub.s, cb.code,
+       |    CAST(list_sum([(ar.r[sub.s * 8 + i] - cb.cr[sub.s * 8 + i])
+       |                   * (ar.r[sub.s * 8 + i] - cb.cr[sub.s * 8 + i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS d
+       |  FROM ar CROSS JOIN sub CROSS JOIN cb),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |    FROM e0) WHERE rn = 1),
+       |p0 AS (SELECT n.vec_id AS query_id, c.cid, ${dot("n", "c")} AS pcos
+       |  FROM n CROSS JOIN c WHERE n.vec_id >= 10 AND n.vec_id < 20),
+       |p AS (SELECT query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, cid) AS rn FROM p0) WHERE rn <= 2),
+       |qr AS (SELECT p.query_id, p.cid,
+       |    [n.q[i] - c.cq[i] for i in range(1, len(n.q) + 1)] AS r
+       |  FROM p JOIN n ON n.vec_id = p.query_id JOIN c ON c.cid = p.cid),
+       |qt AS (SELECT qr.query_id, qr.cid, sub.s, cb.code,
+       |    CAST(list_sum([(qr.r[sub.s * 8 + i] - cb.cr[sub.s * 8 + i])
+       |                   * (qr.r[sub.s * 8 + i] - cb.cr[sub.s * 8 + i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS d
+       |  FROM qr CROSS JOIN sub CROSS JOIN cb),
+       |s2 AS (SELECT qt.query_id, qt.cid, a.vec_id AS neighbor_id,
+       |    CAST(SUM(qt.d) AS BIGINT) AS adist
+       |  FROM a JOIN qt ON a.cid = qt.cid AND a.vec_id <> qt.query_id
+       |  JOIN enc ON enc.vec_id = a.vec_id AND enc.s = qt.s AND enc.code = qt.code
+       |  GROUP BY qt.query_id, qt.cid, a.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |SELECT query_id, cid, neighbor_id, rank, adist FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -1626,6 +1729,7 @@ object VectorOps {
     Q("vs15_sq_search", "scalar-quantized ANN (SQ8): per-dimension affine codes (1 byte/dim), exact-query-vs-reconstruction asymmetric distance, top-5", vs15, Some(vs15Sql)),
     Q("vs16_pq_train", "PQ codebook training: 3 exact integer Lloyd iterations per subspace, all subspaces in one rollup per iteration, empty-codeword carryover", vs16, Some(vs16Sql)),
     Q("vs17_pq_trained_search", "train-then-deploy: one per-subspace Lloyd iteration, then vs08's encode + ADC search under the trained books (codebook swapped as data)", vs17, Some(vs17Sql)),
+    Q("vs18_ivfpq_residual", "residual IVF-PQ (the FAISS IVFPQ encoding): codes over x - c(x) residuals, per-probed-cell query distance tables, ADC top-5", vs18, Some(vs18Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),

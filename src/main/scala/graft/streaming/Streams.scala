@@ -827,8 +827,17 @@ object Streams {
   def maintainPqCodes(batch: DataFrame, cents: DataFrame,
       book: Seq[org.apache.spark.sql.Row], codesTable: String): Unit = {
     require(book.nonEmpty, "empty PQ codebook")
+    maintainPqCodesTrained(batch, cents,
+      graft.queries.VectorOps.pqOf(book), codesTable)
+  }
+
+  /** [[maintainPqCodes]] under an already-materialized [[graft.queries
+    * .VectorOps.Pq]] — the post-[[rebuildPqState]] era's advance, where
+    * the books are TRAINED values rather than rows cut from a frame.
+    * Same guard/redelivery/sentinel contract. */
+  def maintainPqCodesTrained(batch: DataFrame, cents: DataFrame,
+      pq: graft.queries.VectorOps.Pq, codesTable: String): Unit = {
     val spark = batch.sparkSession
-    val pq = graft.queries.VectorOps.pqOf(book)
     val freshRaw = tryRead(spark, codesTable)
       .map(p => batch.join(
         pruneToBatchRange(p.select("vec_id"), batch, "vec_id"),
@@ -919,6 +928,55 @@ object Streams {
       (vmin, vdiff)
     }
 
+  /** The PQ codebook REBUILD→SWAP — the FOURTH quantizer lifecycle
+    * closed (IVF centroids, BPE merges, SQ bounds, now PQ books): pp14's
+    * advance encodes against FIXED books between rebuilds; when
+    * reconstruction error has drifted (new data no longer looks like the
+    * data the books were trained on), this pass retrains. Trains the
+    * per-subspace books from the standing POSTINGS table's vectors
+    * (codes tables are codes-only by design; precondition: one ingest
+    * stream feeds both tables — the rebuildIvfState contract verbatim)
+    * with the vs16 Lloyd kernel ([[graft.queries.VectorOps
+    * .trainPqBooks]]; init = the 64 lowest-vec_id standing rows, the
+    * driver-sized [[graft.queries.VectorOps.pqOf]] convention),
+    * re-encodes every standing row ROW-LOCALLY against the new literal
+    * books, atomically swaps pp14's codes table, and returns the trained
+    * [[graft.queries.VectorOps.Pq]] for subsequent
+    * [[maintainPqCodesTrained]] advances. Sentinel rows (cid −1) carry
+    * through with empty codes — invisible to the cid-keyed search, but
+    * their ids stay behind the guard. Deliberately corpus-sized (iters
+    * row-local encode passes + codebook-sized rollups, then one encode
+    * + swap) — the run-rarely rebuild the O(batch) advances amortize.
+    * Crash contract: a pure id-stable function of (postings content,
+    * iters) — re-run to repair. Single-maintenance-loop contract: call
+    * BETWEEN advances. None when no postings table or no real rows
+    * exist yet. */
+  def rebuildPqState(spark: SparkSession, postingsTable: String,
+      pqCodesTable: String, iters: Int = 1)
+      : Option[graft.queries.VectorOps.Pq] =
+    tryRead(spark, postingsTable).flatMap { p0 =>
+      val p = p0.localCheckpoint(true)
+      val real = p.filter(col("cid") >= 0)
+        .select(col("cid"), col("vec_id"), col("q"))
+      val initRows = real.select(col("vec_id"), col("q"))
+        .orderBy(col("vec_id")).limit(64).collect().toIndexedSeq
+      if (initRows.isEmpty) None
+      else {
+        val pq0 = graft.queries.VectorOps.pqOf(initRows)
+        val books = graft.queries.VectorOps.trainPqBooks(
+          real.select(col("vec_id"), col("q")), pq0.books, pq0.subDims,
+          pq0.nCodes, iters)
+        val pq = graft.queries.VectorOps.Pq(pq0.subDims, pq0.nCodes, books)
+        val codes = real.select(col("cid"), col("vec_id"),
+          pq.codes(col("q")).as("codes"))
+        val sentinels = p.filter(col("cid") < 0).select(col("cid"),
+          col("vec_id"), lit(Array.empty[Long]).as("codes"))
+        graft.operators.MergeWriter.overwriteAtomic(
+          codes.unionByName(sentinels), pqCodesTable)
+        Some(pq)
+      }
+    }
+
   /** The SQ asymmetric search (vs15's scorer) over the maintained codes
     * table — pp20's read path. */
   def sqSearchSnapshot(spark: SparkSession, codesTable: String,
@@ -997,9 +1055,16 @@ object Streams {
     * frame; the catalog's fixed query window applies. */
   def pqSearchSnapshot(spark: SparkSession, codesTable: String,
       queriesNormed: DataFrame, cents: DataFrame,
-      book: Seq[org.apache.spark.sql.Row], k: Int): DataFrame = {
+      book: Seq[org.apache.spark.sql.Row], k: Int): DataFrame =
+    pqSearchSnapshotTrained(spark, codesTable, queriesNormed, cents,
+      graft.queries.VectorOps.pqOf(book), k)
+
+  /** [[pqSearchSnapshot]] under an already-materialized Pq — the read
+    * path of a post-[[rebuildPqState]] era. */
+  def pqSearchSnapshotTrained(spark: SparkSession, codesTable: String,
+      queriesNormed: DataFrame, cents: DataFrame,
+      pq: graft.queries.VectorOps.Pq, k: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    val pq = graft.queries.VectorOps.pqOf(book)
     val postings = tryRead(spark, codesTable).getOrElse(emptyDf(spark,
       "cid" -> LongType, "vec_id" -> LongType, "codes" -> ArrayType(LongType)))
     graft.queries.VectorOps.ivfPqScore(postings,

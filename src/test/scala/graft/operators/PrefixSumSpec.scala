@@ -39,6 +39,51 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
     assert(distributed(Seq.empty, 2) == Seq.empty)
   }
 
+  private def naiveBy(rows: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).map { case (_, k, v) => acc += v; (g, k, acc) }
+    }.sortBy(t => (t._1, t._2))
+
+  private def distributedBy(rows: Seq[(String, Long, Long)], parts: Int): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    PrefixSum.runningTotalBy(rows.toDF("g", "k", "v").repartition(parts),
+        "g", Seq("k"), "v", "run")
+      .select($"g", $"k", $"run")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  test("grouped: matches the per-group window whatever the partitioning; groups independent") {
+    val rows = Seq(("a", 5L, 10L), ("b", 1L, 1L), ("a", 9L, 100L), ("c", 3L, 7L),
+      ("b", 7L, 0L), ("a", 2L, 2L), ("c", 1L, -4L))
+    for (p <- Seq(1, 3, 8))
+      assert(distributedBy(rows, p) == naiveBy(rows), s"parts=$p")
+    // one skewed group spanning every partition plus singletons
+    val skew = (1L to 400L).map(i => ("big", i, i % 7)) ++
+      Seq(("s1", 1L, 5L), ("s2", 1L, 6L))
+    assert(distributedBy(skew, 8) == naiveBy(skew))
+    assert(distributedBy(Seq.empty, 2) == Seq.empty)
+  }
+
+  test("grouped: a big group spans partitions instead of sorting in one task") {
+    import spark.implicits._
+    // 2000 rows, ONE group: the naive PARTITION BY g window would put all
+    // detail rows in a single task; the two-level scan must keep the
+    // detail stage range-partitioned with only (pid, group) summaries in
+    // any single-partition funnel.
+    val df = PrefixSum.runningTotalBy(
+      (1L to 2000L).map(i => ("g", i, 1L)).toDF("g", "k", "v").repartition(8),
+      "g", Seq("k"), "v", "run")
+    df.collect()
+    val singleParts = PlanInspect.shuffles(df).filter(_.outputPartitioning.numPartitions == 1)
+    singleParts.foreach { s =>
+      val payload = s.child.output.map(_.name).toSet
+      assert(!payload.contains("v") && !payload.contains("k"),
+        s"detail rows funneled to one partition: $payload")
+    }
+  }
+
   test("no full-data single-partition exchange: only per-partition totals funnel") {
     import spark.implicits._
     val df = PrefixSum.runningTotal(

@@ -489,6 +489,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"shuffle ships the raw vector: $p"))
   }
 
+  test("vs18: residual IVF-PQ keeps vs09's contract — residuals and per-cell dtabs row-local, vector never at the candidates join") {
+    val d = df("vs18_ivfpq_residual")
+    d.collect()
+    val ns = nodes(d)
+    // residuals are a broadcast join against the 8-row quantizer plus a
+    // row-local zip_with; the per-(query, cell) distance tables ride the
+    // nProbe probe rows (never the corpus); candidates join ON the probed
+    // cid; the final top-k is the bounded aggregator. The one window
+    // ranks each query's C centroid cosines. No shuffle may carry the
+    // quantized vector — the postings side is (cid, vec_id, codes), the
+    // PQ-compression point, residual edition.
+    assert(equiJoinKeys(d).exists(_.contains("cid")))
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts == Set("query_id"), s"window partitioned over $parts")
+    }
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("embedding") && !p.contains("r"),
+        s"shuffle ships a vector payload: $p"))
+  }
+
   test("pp05: search over maintained postings keeps vs06's plan contract") {
     val d = df("pp05_incremental_ivf")
     d.collect()

@@ -137,4 +137,55 @@ class SampleOpsSpec extends AnyFunSuite with SparkSpec {
         f"weighted draw did not tilt toward heavy docs: pop $popHeavy%.3f sample $sampleHeavy%.3f")
     }
   }
+
+  test("sa10: per-source totals within budget; greedy-maximal (next doc in hash order would cross); running == recomputed per-group prefix sum") {
+    import spark.implicits._
+    val budget = 600L
+    val got = Catalog.byName("sa10_token_budget_mix").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "budget mix kept nothing at sf0.001")
+
+    // first-principles replay: per source, hash order, cumulative prefix
+    val all = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        size(graft.functions.Text.tokens($"text")).cast("long").as("n"),
+        graft.queries.QueryUtils.hex8(
+          concat(lit("budget:"), $"doc_id".cast("string"))).as("key"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = all.groupBy(_._2)
+    val expect = bySource.toSeq.flatMap { case (src, rs) =>
+      var acc = 0L
+      rs.sortBy(t => (t._4, t._1)).flatMap { case (id, _, n, _) =>
+        acc += n
+        if (acc <= budget) Some((id, src, n, acc)) else None
+      }
+    }.toSet
+    // greedy prefix: everything after the first crossing doc is dropped
+    // on the Spark side too, because `running` is monotone in the order —
+    // so set equality against the per-source PREFIX (not the filter over
+    // all rows) is the stronger check
+    val expectPrefix = bySource.toSeq.flatMap { case (src, rs) =>
+      val ordered = rs.sortBy(t => (t._4, t._1))
+      val cum = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cum).takeWhile(_._2 <= budget)
+        .map { case ((id, _, n, _), run) => (id, src, n, run) }
+    }.toSet
+    assert(got.toSet == expectPrefix, "gate != greedy per-source prefix replay")
+    // NOTE: filter-form and prefix-form agree exactly because running is
+    // strictly monotone within a source (token counts are >= 0 and a
+    // 0-token doc cannot cross the budget once it is exceeded) — pinned:
+    assert(expect == expectPrefix)
+
+    // budget respected and maximal per source
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      assert(total <= budget, s"$src over budget: $total")
+      val kept = rs.map(_._1).toSet
+      val next = bySource(src).filter(t => !kept.contains(t._1))
+        .sortBy(t => (t._4, t._1)).headOption
+      next.foreach { case (_, _, n, _) =>
+        assert(total + n > budget,
+          s"$src not maximal: next doc ($n tokens) still fits under $budget") }
+    }
+  }
 }

@@ -116,4 +116,74 @@ class RebuildStateSpec extends AnyFunSuite with SparkSpec {
     Streams.rebuildIvfState(spark, newCents, s"$vroot/p", s"$vroot/s", None)
     assert(!new java.io.File(s"$vroot/p").exists())
   }
+
+  test("rebuildPqState: Lloyd retrain from standing postings + re-encode + swap == from-scratch under the trained books; flow continues under the returned Pq") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("rebuild-pq").toString
+    val (postT, sumsT, codesT) = (s"$root/postings", s"$root/sums", s"$root/codes")
+
+    val e0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val zeroId = 999999L
+    val all = e0 :+ (zeroId -> Seq.fill(e0.head._2.length)(0.0f))
+    val batches = Seq(all.take(40), all.slice(40, 300), all.drop(300))
+    def df(b: Seq[(Long, Seq[Float])]) = b.toDF("vec_id", "embedding")
+    val normedAll = VectorOps.normed(df(all)).localCheckpoint(true)
+
+    val cents = VectorOps.ivfCentroids(normedAll).localCheckpoint(true)
+    val book0 = VectorOps.pqBookRows(normedAll)
+    for (b <- batches) {
+      Streams.maintainIvfState(df(b), cents, postT, sumsT)
+      Streams.maintainPqCodes(df(b), cents, book0, codesT)
+    }
+
+    // a rebuild before first ingest (missing table) trains nothing
+    assert(Streams.rebuildPqState(spark, s"$root/nope", s"$root/nope2").isEmpty)
+
+    val pq = Streams.rebuildPqState(spark, postT, codesT, iters = 2).get
+
+    // the trained books are EXACTLY the vs16 kernel over the standing
+    // real vectors with the driver-sized lowest-64-id init
+    val initRows = normedAll.select($"vec_id", $"q")
+      .orderBy($"vec_id").limit(64).collect().toIndexedSeq
+    val expBooks = VectorOps.trainPqBooks(normedAll.select($"vec_id", $"q"),
+      VectorOps.pqOf(initRows).books, 8, initRows.length, iters = 2)
+    assert(pq.books == expBooks, "trained books != vs16 kernel over standing rows")
+
+    def codesSet() = spark.read.parquet(codesT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    def fromScratch(vecs: org.apache.spark.sql.DataFrame) =
+      VectorOps.pqCodesPostings(vecs, cents, pq)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(codesSet() == fromScratch(normedAll) + ((-1L, zeroId, Seq.empty[Long])),
+      "swapped codes != from-scratch encode under the trained books")
+
+    // idempotent: postings unchanged ⇒ identical retrain, identical swap
+    val c1 = codesSet()
+    val pq2 = Streams.rebuildPqState(spark, postT, codesT, iters = 2).get
+    assert(pq2 == pq && codesSet() == c1)
+
+    // redelivery after the swap is still a no-op (the guard is the codes
+    // table itself and the rebuild preserved every id, sentinel included)
+    Streams.maintainPqCodesTrained(df(batches(2)), cents, pq, codesT)
+    assert(codesSet() == c1)
+
+    // the flow CONTINUES under the trained books: a new batch advances
+    // the table to the from-scratch state of the union
+    val extra = Seq((1000000L, e0.head._2), (1000001L, e0.last._2))
+    Streams.maintainPqCodesTrained(df(extra), cents, pq, codesT)
+    val unionNormed = VectorOps.normed(df(all ++ extra))
+    assert(codesSet() == fromScratch(unionNormed) + ((-1L, zeroId, Seq.empty[Long])))
+
+    // search over the maintained table under the trained Pq == the
+    // in-gate scorer over a from-scratch codes frame
+    val qs = unionNormed.filter($"vec_id" >= 10 && $"vec_id" < 20)
+    val got = Streams.pqSearchSnapshotTrained(spark, codesT, qs, cents, pq, 3)
+      .collect().toSeq
+    val want = VectorOps.ivfPqScore(
+      VectorOps.pqCodesPostings(unionNormed, cents, pq),
+      VectorOps.pqQueries(unionNormed, pq), cents, pq, 3).collect().toSeq
+    assert(got == want)
+  }
 }
