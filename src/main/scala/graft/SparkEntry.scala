@@ -114,7 +114,9 @@ import graft.queries.Catalog
   *    IVFPQ encoding: codes over x − c(x) residuals, per-probed-cell
   *    query distance tables, ADC top-k) + Streams.rebuildPqState (book
   *    retrain-and-swap — the fourth quantizer lifecycle after
-  *    IVF/BPE/SQ)
+  *    IVF/BPE/SQ), vs19 graph-expansion ANN (two id-keyed hops over the
+  *    standing vs13 kNN graph + exact-cosine rescore — candidate volume
+  *    degree^h per query, cell-size independent)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -1610,9 +1610,18 @@ object VectorOps {
 
   /** vs18 — RESIDUAL IVF-PQ (FAISS IVFPQ's actual encoding): vs09 codes
     * the raw vector; production IVFPQ codes the RESIDUAL x − c(x) against
-    * the assigned coarse centroid, because residuals concentrate near the
-    * origin — one shared codebook spends its 64 codewords on a far
-    * smaller ball, cutting reconstruction error at identical code size.
+    * the assigned coarse centroid: when the data is CLUSTERED
+    * (‖x − c(x)‖ ≪ ‖x‖, what real embedding corpora look like under a
+    * trained quantizer) residuals concentrate near the origin and one
+    * shared codebook spends its 64 codewords on a far smaller ball,
+    * cutting reconstruction error at identical code size. The condition
+    * is measured, not assumed (ScalePathsSpec): on a clustered corpus
+    * residual books reconstruct at 0.53× the raw books' error; on this
+    * catalog's near-random embeddings the relation INVERTS (1.44×,
+    * ‖x − c‖² ≈ ‖x‖² + ‖c‖² for near-orthogonal x, c) — the gate pins
+    * the encoding's semantics either way, and the deployment choice
+    * between vs09's raw codes and vs18's residual codes is the
+    * clusteredness of the data, stated rather than hidden.
     * The structural consequence is on the QUERY side: a residual code
     * only means something relative to a cell's centroid, so the query
     * builds a distance table PER PROBED CELL from its own residual
@@ -1711,6 +1720,81 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** vs19 — GRAPH-expansion ANN search: the graph-based family member
+    * (NSW/HNSW's navigate-by-neighbors idea) beside the LSH (vs04), IVF
+    * (vs06) and PQ (vs08/vs09/vs18) candidate generators. The standing
+    * artifact is the kNN GRAPH — vs13's top-3 edges, the thing an
+    * embedding-curation pipeline maintains anyway — and a query searches
+    * by EXPANSION: hop 1 collects its graph neighbors, hop 2 their
+    * neighbors, the union is rescored by exact cosine and top-5 kept.
+    * A greedy best-first descent is inherently sequential per query;
+    * the fixed-depth batch expansion is its distributed analog — each
+    * hop is ONE id-keyed join of the (query-bounded, ≤ Q·3^h rows)
+    * frontier against the edge table, so candidate volume is degree^h
+    * per query, INDEPENDENT of cell sizes — the property that makes
+    * graph ANN attractive exactly where IVF probes degrade (hub cells,
+    * skewed quantizers). Candidates fetch their vectors by one id-keyed
+    * join into the store at its own layout; the 10 queries broadcast
+    * with their vectors for the rescore; top-5 via the bounded-buffer
+    * [[graft.operators.GroupedTopK]]. Approximate exactly like the
+    * graph is (an out-of-neighborhood true neighbor is missed); the
+    * oracle replays edges, hops, dedup and rescore bit-for-bit. */
+  private def vs19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).localCheckpoint(true)
+    val edges = knnGraph(assignCells(e, ivfCentroids(e)), 3)
+      .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint(true)
+    val frontier0 = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"))
+    val h1 = frontier0.join(edges, frontier0("query_id") === edges("src"))
+      .select($"query_id", $"dst")
+    val h2 = h1.select($"query_id", $"dst".as("src"))
+      .join(edges, Seq("src")).select($"query_id", $"dst")
+    val cand = h1.unionByName(h2).filter($"dst" =!= $"query_id").distinct()
+    val qv = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    val scored = cand
+      .join(e.select($"vec_id".as("dst"), $"q", $"nrm"), Seq("dst"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select($"query_id",
+        (dotQ($"qq", $"q").cast("double") / ($"qn" * $"nrm")).as("cos"), $"dst")
+    graft.operators.GroupedTopK.topK(scored, "query_id", "cos", "dst", 5)
+      .select($"query_id", $"id".as("neighbor_id"), $"rank", $"v".as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs19Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |s AS (SELECT ax.vec_id AS src0, ay.vec_id AS dst0,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM a ax JOIN a ay ON ax.cid = ay.cid AND ay.vec_id <> ax.vec_id
+       |       JOIN n x ON x.vec_id = ax.vec_id
+       |       JOIN n y ON y.vec_id = ay.vec_id),
+       |g AS (SELECT src0 AS src, dst0 AS dst FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src0 ORDER BY cos DESC, dst0) AS rn FROM s) WHERE rn <= 3),
+       |qs AS (SELECT vec_id AS query_id FROM n WHERE vec_id >= 10 AND vec_id < 20),
+       |h1 AS (SELECT qs.query_id, g.dst FROM qs JOIN g ON g.src = qs.query_id),
+       |h2 AS (SELECT h1.query_id, g.dst FROM h1 JOIN g ON g.src = h1.dst),
+       |cand AS (SELECT DISTINCT query_id, dst FROM (
+       |  SELECT * FROM h1 UNION ALL SELECT * FROM h2) WHERE dst <> query_id),
+       |sc AS (SELECT cand.query_id, cand.dst AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM cand JOIN n x ON x.vec_id = cand.query_id
+       |       JOIN n y ON y.vec_id = cand.dst),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -1730,6 +1814,7 @@ object VectorOps {
     Q("vs16_pq_train", "PQ codebook training: 3 exact integer Lloyd iterations per subspace, all subspaces in one rollup per iteration, empty-codeword carryover", vs16, Some(vs16Sql)),
     Q("vs17_pq_trained_search", "train-then-deploy: one per-subspace Lloyd iteration, then vs08's encode + ADC search under the trained books (codebook swapped as data)", vs17, Some(vs17Sql)),
     Q("vs18_ivfpq_residual", "residual IVF-PQ (the FAISS IVFPQ encoding): codes over x - c(x) residuals, per-probed-cell query distance tables, ADC top-5", vs18, Some(vs18Sql)),
+    Q("vs19_graph_search", "graph-expansion ANN: two id-keyed hops over the standing kNN graph, exact-cosine rescore, top-5 (candidate volume degree^h, cell-size independent)", vs19, Some(vs19Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),

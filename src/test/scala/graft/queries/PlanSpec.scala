@@ -515,6 +515,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"shuffle ships a vector payload: $p"))
   }
 
+  test("vs19: graph expansion is id-keyed joins + broadcast rescore — no window, no cartesian, vector never shuffled in the search phase") {
+    val d = df("vs19_graph_search")
+    d.collect()
+    val ns = nodes(d)
+    // hops join the (query-bounded) frontier against the edge table on
+    // src; candidates fetch vectors by an id-keyed join into the store
+    // at its own layout (the tiny candidate list broadcasts, the store
+    // never moves); the 10 queries broadcast with their vectors; top-5
+    // is the bounded aggregator. The standing graph/store frames are
+    // checkpointed, so this plan IS the per-query search cost — and it
+    // must contain no corpus window, no cartesian, and no exchange
+    // carrying a vector payload.
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    assert(equiJoinKeys(d).exists(k => k.contains("src") || k.contains("dst")))
+    shuffles(d).map(_.child.output.map(_.name).toSet).foreach(p =>
+      assert(!p.contains("q") && !p.contains("qq") && !p.contains("embedding"),
+        s"shuffle ships a vector payload: $p"))
+  }
+
   test("pp05: search over maintained postings keeps vs06's plan contract") {
     val d = df("pp05_incremental_ivf")
     d.collect()

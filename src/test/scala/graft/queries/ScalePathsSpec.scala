@@ -332,6 +332,108 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vs18 residual IVF-PQ: ADC identity in residual space; residual books reconstruct better than raw books (the point of residual encoding)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val qv = emb.select(col("vec_id"), graft.operators.Ann.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .filter { case (_, v) => v.exists(_ != 0L) }
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    def nrm(a: Array[Long]): Double = math.sqrt(dot(a, a).toDouble)
+    // the catalog quantizer + cosine assignment (ties to lowest cid)
+    val cents = qv.toSeq.filter(_._1 < 8).sortBy(_._1)
+    def cellOf(v: Array[Long]): Long =
+      cents.maxBy { case (cid, c) => (dot(v, c).toDouble / (nrm(v) * nrm(c)), -cid) }._1
+    val cellMap = cents.toMap
+    val res = qv.map { case (id, v) =>
+      val c = cellMap(cellOf(v))
+      id -> v.indices.map(i => v(i) - c(i)).toArray
+    }
+    def subL2(a: Array[Long], b: Array[Long], sp: Int): Long =
+      (0 until 8).map { i => val d = a(sp * 8 + i) - b(sp * 8 + i); d * d }.sum
+    def reconErr(vecs: Map[Long, Array[Long]], books: Seq[Array[Long]]): Long =
+      vecs.values.map(v => (0 until 8).map(sp =>
+        books.map(b => subL2(v, b, sp)).min).sum).sum
+    val rawBooks = qv.toSeq.filter(_._1 < 64).sortBy(_._1).map(_._2)
+    val resBooks = res.toSeq.filter(_._1 < 64).sortBy(_._1).map(_._2)
+    // Residual encoding's payoff CONDITION, measured honestly. On this
+    // catalog corpus the embeddings are near-random, so x is almost
+    // orthogonal to its centroid and ‖x − c‖² ≈ ‖x‖² + ‖c‖² — residuals
+    // are BIGGER than the raw vectors and reconstruct WORSE (measured
+    // ratio ≈ 1.44 at sf0.001). The claim residual encoding rests on is
+    // about CLUSTERED data — ‖x − c(x)‖ ≪ ‖x‖ — which is what real
+    // embedding corpora look like and what a trained coarse quantizer
+    // produces. So: log the unclustered ratio (no direction asserted —
+    // it documents the condition's failure mode), then verify the
+    // mechanism on a corpus that HAS the structure: synthetic vectors
+    // concentrated around the 8 centroids, where the same kernels must
+    // show residual books reconstructing strictly better.
+    val (eRaw, eRes) = (reconErr(qv, rawBooks), reconErr(res, resBooks))
+    info(s"unclustered corpus, total reconstruction L2^2: raw books $eRaw, " +
+      f"residual books $eRes (residual/raw = ${eRes.toDouble / eRaw}%.3f)")
+    val corpusIds = qv.keys.toSeq.sorted
+    val synth: Map[Long, Array[Long]] = (0L until 256L).map { id =>
+      val c = cents((id % 8).toInt)._2
+      val e = qv(corpusIds((id % corpusIds.size).toInt))
+      id -> c.indices.map(i => c(i) + e(i) / 8).toArray
+    }.toMap
+    val synthRes = synth.map { case (id, v) =>
+      val c = cellMap(cellOf(v))
+      id -> v.indices.map(i => v(i) - c(i)).toArray
+    }
+    val sRawBooks = synth.toSeq.filter(_._1 < 64).sortBy(_._1).map(_._2)
+    val sResBooks = synthRes.toSeq.filter(_._1 < 64).sortBy(_._1).map(_._2)
+    val (sRaw, sRes) = (reconErr(synth, sRawBooks), reconErr(synthRes, sResBooks))
+    info(s"clustered corpus, total reconstruction L2^2: raw books $sRaw, " +
+      f"residual books $sRes (residual/raw = ${sRes.toDouble / sRaw}%.3f)")
+    assert(sRes < sRaw,
+      s"residual encoding did not win on clustered data: $sRes >= $sRaw")
+
+    // THE load-bearing pin — the residual-ADC identity: every reported
+    // adist must equal the exact L2² between the query's residual
+    // against the probed (== candidate's) cell and the candidate's
+    // reconstruction from its residual codes
+    def codeOf(v: Array[Long], books: Seq[Array[Long]], sp: Int): Int =
+      books.indices.minBy(b => (subL2(v, books(b), sp), b))
+    val out = Catalog.byName("vs18_ivfpq_residual").fn(spark, sfDir).collect()
+    assert(out.length == 50) // 10 queries x top-5
+    out.foreach { r =>
+      val (qid, cid, nid) = (r.getAs[Long]("query_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("neighbor_id"))
+      assert(cid == cellOf(qv(nid)), s"candidate $nid reported outside its own cell")
+      val c = cellMap(cid)
+      val qres = qv(qid).indices.map(i => qv(qid)(i) - c(i)).toArray
+      val expected = (0 until 8).map { sp =>
+        subL2(qres, resBooks(codeOf(res(nid), resBooks, sp)), sp)
+      }.sum
+      assert(r.getAs[Long]("adist") == expected,
+        s"residual ADC identity broken for ($qid, $nid)")
+    }
+  }
+
+  test("vs19 graph search: candidates are exactly the <= 2-hop graph neighborhood, rescoring is the exact cosine, and volume is degree-bounded") {
+    // the graph-expansion contract recomputed from first principles: the
+    // candidate set a query may draw from is its 1-hop ∪ 2-hop
+    // neighborhood in the vs13 edge set (minus itself), bounded by
+    // 3 + 3·3 = 12 per query REGARDLESS of cell sizes — the property
+    // that distinguishes the graph path from the IVF probe
+    val g = rows(Catalog.byName("vs13_knn_graph").fn(spark, sfDir))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val adj = g.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = rows(Catalog.byName("vs19_graph_search").fn(spark, sfDir))
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val h1 = adj.getOrElse(qid, Set.empty)
+      val hood = (h1 ++ h1.flatMap(adj.getOrElse(_, Set.empty))) - qid
+      assert(hood.size <= 12, s"neighborhood of $qid exceeds the degree bound")
+      val drawn = rs.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(drawn.subsetOf(hood), s"query $qid drew outside its 2-hop neighborhood")
+      assert(rs.size == math.min(5, hood.size),
+        s"query $qid returned ${rs.size} of ${hood.size} reachable candidates")
+    }
+  }
+
   test("vs11: the three-iteration integer Lloyd trace recomputed independently, row for row") {
     import spark.implicits._
     // the whole rebuild is integer arithmetic, so a from-scratch scalar
