@@ -102,7 +102,13 @@ import graft.queries.Catalog
   *    Efraimidis–Spirakis), sa10 token-budget mix (per-source greedy
   *    hash-prefix under a token budget via the two-level grouped prefix
   *    sum graft.operators.PrefixSum.runningTotalBy — no per-source
-  *    single-task sort); mm04 perceptual near-dup (banded 64-bit
+  *    single-task sort) + pp22 its incremental twin (kept-prefix +
+  *    cut-marker standing state advanced O(kept + batch);
+  *    Streams.maintainBudgetState is the continuous journal loop);
+  *    q45 KMV bottom-k distinct sketch (graft.operators.KmvSketch —
+  *    mergeable bounded-buffer cardinality estimate, integer-exact and
+  *    oracle-replayed, vs q28's exact distinct shuffle);
+  *    mm04 perceptual near-dup (banded 64-bit
   *    signature + exact Hamming verify) + pp19 its incremental twin,
   *    mm05 content-defined chunk dedup (rolling-hash boundaries) + pp21
   *    its incremental twin; ta15 learned quality-classifier inference

@@ -984,6 +984,44 @@ object Relational {
       |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
       |FROM i ORDER BY user_id, first_event_id""".stripMargin
 
+  /** q45 — KMV distinct-count sketch: per return flag, the bottom-256
+    * md5 folds of `l_partkey` and the cardinality estimate they imply
+    * ([[graft.operators.KmvSketch]]). The MERGEABLE sketch path beside
+    * q28's exact `count_distinct`: exact distinct shuffles every distinct
+    * value to its group's reducer — at 100 TB the exchange IS the
+    * distinct table — while the sketch's bounded sorted-set buffer
+    * combines map-side to ≤ k longs per group, the shuffle carries
+    * O(groups × k × maps) buffer rows, and sketches of disjoint shards
+    * union. Unlike `approx_count_distinct`'s HLL++ registers, a bottom-k
+    * of engine-universal hashes replays in DuckDB bit for bit — the
+    * estimate, not just the machinery, is oracle-checked. Accuracy
+    * (standard error ≈ 1/√k ≈ 6%) is measured against the exact counts
+    * in SketchSpec. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val sk = graft.operators.KmvSketch.sketch(
+      lineitem(s, d).select($"l_returnflag",
+        hex8($"l_partkey".cast("string")).as("h")),
+      "l_returnflag", $"h", k)
+    graft.operators.KmvSketch.estimated(sk, k)
+      .orderBy($"l_returnflag")
+  }
+  private val q45Sql = {
+    val h = hex8Sql("CAST(l_partkey AS VARCHAR)")
+    s"""WITH h AS (SELECT DISTINCT l_returnflag, $h AS h FROM lineitem),
+       |r AS (SELECT l_returnflag, h,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+       |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(MAX(h) AS BIGINT) AS kth_min
+       |  FROM r WHERE rn <= 256 GROUP BY l_returnflag)
+       |SELECT l_returnflag, n_kept, kth_min,
+       |  CAST(CASE WHEN n_kept < 256 THEN n_kept
+       |       ELSE ${255L * 4294967296L} // GREATEST(kth_min, 1) END AS BIGINT)
+       |    AS est_distinct
+       |FROM s ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -1029,5 +1067,6 @@ object Relational {
     Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
     Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
     Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),
+    Q("q45_kmv_distinct", "KMV bottom-k distinct sketch: mergeable bounded-buffer cardinality estimate per group, integer-exact and oracle-replayed (vs q28's exact shuffle)", q45, Some(q45Sql)),
   )
 }

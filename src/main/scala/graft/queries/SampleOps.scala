@@ -428,6 +428,92 @@ object SampleOps {
        |SELECT doc_id, source, n_tokens, running FROM r
        |WHERE running <= $sa10Budget ORDER BY doc_id""".stripMargin
 
+  /** The (doc_id, source, n_tokens, key) frame sa10 and pp22 order and
+    * budget — one definition, the gates cannot drift. */
+  private[graft] def budgetFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"),
+      hex8(concat(lit("budget:"), col("doc_id").cast("string"))).as("key"))
+
+  /** Per-source budget state over a frame: the KEPT prefix (with running
+    * totals) and the CUT MARKER — the (key, doc_id) order position of
+    * the first doc the budget dropped (absent if nothing dropped).
+    * The cut marker is what makes the state INCREMENTALLY maintainable:
+    * a later arrival sorting past the cut must drop outright, because
+    * the dropped docs between the cut and it still count toward its
+    * running total but are not in the kept state — without the marker,
+    * an advance over (kept ∪ batch) would under-count and wrongly admit
+    * it. */
+  private[graft] def budgetKept(frame: DataFrame, budget: Long): DataFrame =
+    graft.operators.PrefixSum
+      .runningTotalBy(frame, "source", Seq("key", "doc_id"), "n_tokens", "running")
+      .filter(col("running") <= budget)
+
+  private[graft] def budgetCut(frame: DataFrame, budget: Long): DataFrame =
+    graft.operators.PrefixSum
+      .runningTotalBy(frame, "source", Seq("key", "doc_id"), "n_tokens", "running")
+      .filter(col("running") > budget)
+      .groupBy(col("source")).agg(min(struct(col("key"), col("doc_id"))).as("c"))
+      .select(col("source"), col("c.key").as("cut_key"), col("c.doc_id").as("cut_doc"))
+
+  /** The token-budget ADVANCE — sa10's incremental kernel (pp22's gate
+    * and [[graft.streaming.Streams.maintainBudgetState]]'s loop): given
+    * the standing kept/cut state and a batch frame, produce the new
+    * state touching O(kept_touched + batch) rows — never the corpus.
+    * Soundness: (a) a doc the budget ever dropped can never re-enter
+    * (arrivals only grow running totals), so the new kept set ⊆ old
+    * kept ∪ batch; (b) a batch doc sorting at or past the cut marker
+    * has running ≥ the marker's (> budget) and drops outright; (c) for
+    * every remaining candidate, ALL of its in-order predecessors are
+    * candidates too, so the prefix sum over candidates IS its true
+    * corpus running total; (d) the new cut is the in-order minimum of
+    * the old marker and the candidates' first crossing. Untouched
+    * sources carry their state rows verbatim. */
+  private[graft] def budgetAdvance(kept: DataFrame, cut: DataFrame,
+      batch: DataFrame, budget: Long): (DataFrame, DataFrame) = {
+    val touched = batch.select(col("source")).distinct().localCheckpoint(true)
+    val eligible = batch.join(cut, Seq("source"), "left")
+      .filter(col("cut_key").isNull ||
+        col("key") < col("cut_key") ||
+        (col("key") === col("cut_key") && col("doc_id") < col("cut_doc")))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("key"))
+    val keptTouched = kept.join(touched, Seq("source"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("key"))
+    val re = graft.operators.PrefixSum.runningTotalBy(
+      keptTouched.unionByName(eligible), "source", Seq("key", "doc_id"),
+      "n_tokens", "running")
+    val newKeptTouched = re.filter(col("running") <= budget)
+    val candCut = re.filter(col("running") > budget)
+      .groupBy(col("source")).agg(min(struct(col("key"), col("doc_id"))).as("c"))
+      .select(col("source"), col("c.key").as("cut_key"), col("c.doc_id").as("cut_doc"))
+    val newCutTouched = cut.join(touched, Seq("source"), "left_semi")
+      .unionByName(candCut)
+      .groupBy(col("source"))
+      .agg(min(struct(col("cut_key"), col("cut_doc"))).as("c"))
+      .select(col("source"), col("c.cut_key").as("cut_key"),
+        col("c.cut_doc").as("cut_doc"))
+    (newKeptTouched.unionByName(kept.join(touched, Seq("source"), "left_anti")),
+      newCutTouched.unionByName(cut.join(touched, Seq("source"), "left_anti")))
+  }
+
+  /** pp22 — INCREMENTAL token-budget mix, sa10's twin (the pp16 family
+    * member for budget-typed recipes): the standing state is the kept
+    * prefix + cut marker per source; a batch advances it via
+    * [[budgetAdvance]] without rescanning the corpus or the dropped
+    * docs. Result must equal sa10 over the full corpus — the oracle is
+    * sa10's, verbatim. */
+  private def pp22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frame = budgetFrame(documents(s, d))
+    val isNew = fold(concat_ws(":", lit("bmix"), $"doc_id".cast("string")), 5) === 0
+    val old = frame.filter(!isNew).localCheckpoint(true)
+    val kept = budgetKept(old, sa10Budget).localCheckpoint(true)
+    val cut = budgetCut(old, sa10Budget).localCheckpoint(true)
+    val (kept2, _) = budgetAdvance(kept, cut, frame.filter(isNew), sa10Budget)
+    kept2.select($"doc_id", $"source", $"n_tokens", $"running")
+      .orderBy($"doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("sa01_hash_sample", "deterministic 10% Bernoulli sample by doc_id", sa01, Some(sa01Sql)),
     Q("sa02_stratified_sample", "per-stratum 5% hash sample audit", sa02, Some(sa02Sql)),
@@ -440,5 +526,6 @@ object SampleOps {
     Q("sa08_stratified_exact", "exact-size stratified sample: largest-remainder integer apportionment across language strata + per-stratum bounded top-k draw", sa08, Some(sa08Sql)),
     Q("sa09_weighted_sample", "exact-size weighted sample without replacement: integer Efraimidis-Spirakis (max of w salted tickets), row-local fan-out, bounded top-k draw", sa09, Some(sa09Sql)),
     Q("sa10_token_budget_mix", "token-budget mix: per-source hash-ordered greedy prefix under a fixed token budget, two-level grouped prefix sum (no per-source single-task sort)", sa10, Some(sa10Sql)),
+    Q("pp22_incremental_budget", "incremental token-budget mix: kept-prefix + cut-marker standing state advanced O(kept + batch), membership == sa10", pp22, Some(sa10Sql)),
   )
 }

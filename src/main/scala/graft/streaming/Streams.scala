@@ -1713,6 +1713,125 @@ object Streams {
       "keeper_id" -> LongType)
   }
 
+  /** pp22's continuous loop: CONTINUOUS token-budget mix maintenance.
+    * The standing state is an append-only JOURNAL of every arrived doc
+    * that was ELIGIBLE when it arrived — i.e. sorted before the
+    * source's current cut marker (the first doc the budget ever
+    * dropped; eligibility only ever shrinks). The journal provably
+    * contains EVERY arrived doc before the current cut: when such a doc
+    * arrived, the cut sat at or past where it sits now, so the doc was
+    * eligible then. The kept set and cut marker are therefore exact
+    * snapshots DERIVED from the journal ([[budgetKeptSnapshot]] /
+    * [[budgetCutSnapshot]] — the sa10 kernel over the journal), and an
+    * advance is: derive the batch frame (row-local token count + fold),
+    * drop docs at/past the current cut outright, append the remainder
+    * under the batch_key. Docs past the cut never enter the journal, so
+    * its size is kept + eviction history — [[compactBudget]] folds rows
+    * strictly past the current cut away (keeping the crossing witness)
+    * on the usual cadence. Crash contract: journal append, then guard
+    * append; a replay recomputes a byte-identical (possibly smaller —
+    * the cut may have advanced) row set under the same batch_key, and
+    * the snapshot's doc_id dedup collapses it. In-batch duplicates
+    * collapse deterministically (max text). Per-batch work and write
+    * volume O(batch). */
+  def maintainBudgetState(batch: DataFrame, eligTable: String,
+      docTable: String, budget: Long): Unit = {
+    val spark = batch.sparkSession
+    val arrived = batch.select(col("doc_id"), col("source"), col("text"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"), max(col("text")).as("text"))
+    val fresh0 = tryRead(spark, docTable)
+      .map(e => arrived.join(
+        pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(arrived)
+    val fresh = graft.queries.SampleOps.budgetFrame(fresh0).localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val eligible = budgetDelta(fresh, eligTable, budget)
+    if (!eligible.isEmpty) eligible.write.mode("append").parquet(eligTable)
+    fresh.select(col("doc_id")).write.mode("append").parquet(docTable)
+  }
+
+  /** The batch-keyed journal rows of one fresh frame — the exact rows
+    * [[maintainBudgetState]] appends, shared with the crash-simulation
+    * spec (the mixDelta/vocabDelta drift-pinning convention). */
+  private[graft] def budgetDelta(fresh: DataFrame, eligTable: String,
+      budget: Long): DataFrame = {
+    val spark = fresh.sparkSession
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    val cut = budgetCutSnapshot(spark, eligTable, budget)
+    fresh.join(cut, Seq("source"), "left")
+      .filter(col("cut_key").isNull ||
+        col("key") < col("cut_key") ||
+        (col("key") === col("cut_key") && col("doc_id") < col("cut_doc")))
+      .select(lit(batchKey).as("batch_key"), col("doc_id"), col("source"),
+        col("n_tokens"), col("key"))
+  }
+
+  /** [[maintainBudgetState]] as a foreachBatch sink over a (doc_id,
+    * source, text) stream. */
+  def budgetStateStream(docs: DataFrame, eligTable: String,
+      docTable: String, budget: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainBudgetState(b, eligTable, docTable, budget))
+      .start()
+
+  /** The deduped journal rows (doc_id, source, n_tokens, key). */
+  private def budgetJournal(spark: SparkSession, eligTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, eligTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "doc_id" -> LongType,
+        "source" -> StringType, "n_tokens" -> LongType, "key" -> LongType))
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("key"))
+  }
+
+  /** The current kept prefix under the maintained journal — sa10's
+    * exact output shape over every doc arrived. */
+  def budgetKeptSnapshot(spark: SparkSession, eligTable: String,
+      budget: Long): DataFrame =
+    graft.queries.SampleOps.budgetKept(budgetJournal(spark, eligTable), budget)
+
+  /** The current cut markers under the maintained journal. */
+  def budgetCutSnapshot(spark: SparkSession, eligTable: String,
+      budget: Long): DataFrame =
+    graft.queries.SampleOps.budgetCut(budgetJournal(spark, eligTable), budget)
+
+  /** Compact the journal to the live rows: everything at or before the
+    * current cut (inclusive — the crossing doc is the marker's witness),
+    * folded under the reserved key; pending (crashed-batch) rows keep
+    * their key so a replay still collapses against them. */
+  def compactBudget(spark: SparkSession, eligTable: String,
+      docTable: String, budget: Long): Unit =
+    tryRead(spark, eligTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val guard = tryRead(spark, docTable)
+        .map(_.select(col("doc_id").as("__gid")))
+        .getOrElse(emptyDf(spark, "__gid" -> org.apache.spark.sql.types.LongType))
+      val tKeys = t.select(col("batch_key")).distinct()
+      val committedKeys = tKeys
+        .join(guard, tKeys("batch_key") === col("__gid"), "left_semi")
+        .localCheckpoint(true)
+      val reserved = col("batch_key") === Long.MinValue
+      val committed = t.filter(reserved).unionByName(
+        t.join(broadcast(committedKeys), Seq("batch_key"), "left_semi"))
+        .dropDuplicates("doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("key"))
+      val pending = t.filter(!reserved)
+        .join(broadcast(committedKeys), Seq("batch_key"), "left_anti")
+      val cut = graft.queries.SampleOps.budgetCut(committed, budget)
+      val live = committed.join(cut, Seq("source"), "left")
+        .filter(col("cut_key").isNull ||
+          col("key") < col("cut_key") ||
+          (col("key") === col("cut_key") && col("doc_id") <= col("cut_doc")))
+        .select(lit(Long.MinValue).as("batch_key"), col("doc_id"),
+          col("source"), col("n_tokens"), col("key"))
+      graft.operators.MergeWriter.overwriteAtomic(
+        live.unionByName(pending), eligTable)
+    }
+
   /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
     * second counts-shaped member of the standing-state family, with
     * [[maintainVocabState]]'s contract verbatim: per-bigram occurrence

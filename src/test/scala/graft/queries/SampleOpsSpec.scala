@@ -138,6 +138,64 @@ class SampleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("budgetAdvance: cut-marker semantics forced — late arrivals drop even when kept∪batch has room; early arrivals evict; untouched sources carried; sequential advances == full recompute") {
+    import spark.implicits._
+    val B = 600L
+    def frame(rows: (Long, String, Long, Long)*) =
+      rows.toDF("doc_id", "source", "n_tokens", "key")
+    def kept(f: org.apache.spark.sql.DataFrame) = SampleOps.budgetKept(f, B)
+    def cut(f: org.apache.spark.sql.DataFrame) = SampleOps.budgetCut(f, B)
+    def keptSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source", "n_tokens", "running")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    // old corpus, source s: d1(key 10, 300) kept; d2(key 20, 400) crosses
+    // (cut marker); d3(key 30, 10) dropped in its wake. Source u untouched.
+    val old = frame((1, "s", 300, 10), (2, "s", 400, 20), (3, "s", 10, 30),
+      (9, "u", 100, 5))
+    val (k0, c0) = (kept(old).localCheckpoint(true), cut(old).localCheckpoint(true))
+    assert(keptSet(k0) == Set((1L, "s", 300L, 300L), (9L, "u", 100L, 100L)))
+    assert(c0.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("s", 20L, 2L)))
+
+    // THE marker case: d4 sorts past the cut. kept ∪ batch alone has
+    // room (300 + 50 <= 600) — the dropped d2/d3 contributions are what
+    // the marker stands in for; d4 must drop and the state not move.
+    val (k1, c1) = SampleOps.budgetAdvance(k0, c0, frame((4, "s", 50, 40)), B)
+    assert(keptSet(k1) == keptSet(k0), "late arrival wrongly admitted past the cut")
+    assert(c1.collect().toSet == c0.collect().toSet)
+    val full1 = old.unionByName(frame((4, "s", 50, 40)))
+    assert(keptSet(k1) == keptSet(kept(full1)), "advance != full recompute (late case)")
+
+    // eviction: d5 sorts FIRST (key 5, 550 tokens) — it enters, d1 now
+    // crosses and becomes the new cut marker; u untouched throughout
+    val (k2, c2) = SampleOps.budgetAdvance(k0, c0, frame((5, "s", 550, 5)), B)
+    val full2 = old.unionByName(frame((5, "s", 550, 5)))
+    assert(keptSet(k2) == keptSet(kept(full2)), "advance != full recompute (evict case)")
+    assert(keptSet(k2) == Set((5L, "s", 550L, 550L), (9L, "u", 100L, 100L)))
+    assert(c2.filter($"source" === "s").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((10L, 1L)),
+      "cut marker did not advance to the newly-crossing doc")
+
+    // fresh source in the batch starts its own budget
+    val (k3, _) = SampleOps.budgetAdvance(k0, c0, frame((6, "t", 200, 1)), B)
+    assert(keptSet(k3) == keptSet(k0) + ((6L, "t", 200L, 200L)))
+
+    // sequential advances from EMPTY state over a real corpus == sa10's
+    // full recompute, for an arbitrary 3-way split
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val f = SampleOps.budgetFrame(corpus).localCheckpoint(true)
+    val empty = f.filter(lit(false))
+    var state = (kept(empty).localCheckpoint(true), cut(empty).localCheckpoint(true))
+    for (m <- 0 until 3) {
+      val b = f.filter($"doc_id" % 3 === m)
+      state = SampleOps.budgetAdvance(state._1, state._2, b, B)
+      state = (state._1.localCheckpoint(true), state._2.localCheckpoint(true))
+    }
+    assert(keptSet(state._1) == keptSet(kept(f)),
+      "three-batch advance drifted from the full recompute")
+  }
+
   test("sa10: per-source totals within budget; greedy-maximal (next doc in hash order would cross); running == recomputed per-group prefix sum") {
     import spark.implicits._
     val budget = 600L
