@@ -107,7 +107,11 @@ import graft.queries.Catalog
   *    Streams.maintainBudgetState is the continuous journal loop);
   *    q45 KMV bottom-k distinct sketch (graft.operators.KmvSketch —
   *    mergeable bounded-buffer cardinality estimate, integer-exact and
-  *    oracle-replayed, vs q28's exact distinct shuffle);
+  *    oracle-replayed, vs q28's exact distinct shuffle) + pp23 its
+  *    incremental twin (standing sketch merged row-locally with the
+  *    batch sketch — exact under overlap); pp24 incremental kNN-graph
+  *    maintenance (stored edges stand in for standing-standing pairs,
+  *    batch scores only its cells' members — graph == vs13);
   *    mm04 perceptual near-dup (banded 64-bit
   *    signature + exact Hamming verify) + pp19 its incremental twin,
   *    mm05 content-defined chunk dedup (rolling-hash boundaries) + pp21

@@ -71,6 +71,15 @@ object KmvSketch {
       .select(col(group), col("kmv.hs").as("hs"))
   }
 
+  /** Merge two sketch columns (sorted ascending, ≤ k): union, dedup,
+    * keep the k smallest — EXACTLY the aggregator's merge, as a
+    * row-local array expression. Sound under OVERLAPPING inputs (the
+    * union dedups by hash), which is what makes per-shard /
+    * per-batch sketches composable without coordination. Callers
+    * coalesce a missing side to `array()` (full-outer merge). */
+  def merged(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
   /** The estimate columns over a [[sketch]] result: n_kept (buffer
     * fill), kth_min (the k-th minimum; the largest kept hash), and
     * est_distinct — exact when unsaturated, (k−1)·2³² / kth otherwise,

@@ -1022,6 +1022,37 @@ object Relational {
        |FROM s ORDER BY l_returnflag""".stripMargin
   }
 
+  /** pp23 — INCREMENTAL distinct-sketch maintenance, q45's twin: the
+    * standing per-group bottom-k sketch is advanced by sketching ONLY
+    * the batch and merging row-locally ([[graft.operators.KmvSketch
+    * .merged]] — union, dedup, keep k smallest: the aggregator's merge
+    * as an array expression). This is WHY a pipeline holds sketches
+    * instead of exact distinct state: the merge is exact under
+    * overlapping inputs (dedup by hash), needs no rescan, and the
+    * standing table is O(groups × k) forever. Advance = one batch-sized
+    * aggregation + a groups-sized full-outer merge. Result must equal
+    * q45 over the full table — the oracle is q45's, verbatim. */
+  private def pp23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val li = lineitem(s, d).select($"l_returnflag",
+      hex8($"l_partkey".cast("string")).as("h"),
+      (hex8(concat_ws(":", lit("skinc"), $"l_orderkey", $"l_linenumber")) % 5 === 0)
+        .as("is_new"))
+    val standing = graft.operators.KmvSketch
+      .sketch(li.filter(!$"is_new"), "l_returnflag", $"h", k)
+      .localCheckpoint(true)
+    val batchSk = graft.operators.KmvSketch
+      .sketch(li.filter($"is_new"), "l_returnflag", $"h", k)
+    val empty = array().cast("array<bigint>")
+    val merged = standing.select($"l_returnflag", $"hs".as("a"))
+      .join(batchSk.select($"l_returnflag", $"hs".as("b")),
+        Seq("l_returnflag"), "full_outer")
+      .select($"l_returnflag", graft.operators.KmvSketch.merged(
+        coalesce($"a", empty), coalesce($"b", empty), k).as("hs"))
+    graft.operators.KmvSketch.estimated(merged, k).orderBy($"l_returnflag")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -1068,5 +1099,6 @@ object Relational {
     Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
     Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),
     Q("q45_kmv_distinct", "KMV bottom-k distinct sketch: mergeable bounded-buffer cardinality estimate per group, integer-exact and oracle-replayed (vs q28's exact shuffle)", q45, Some(q45Sql)),
+    Q("pp23_incremental_sketch", "incremental distinct-sketch maintenance: standing bottom-k merged row-locally with the batch sketch (exact under overlap), estimate == q45", pp23, Some(q45Sql)),
   )
 }

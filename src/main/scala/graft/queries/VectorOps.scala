@@ -1795,6 +1795,64 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The kNN-graph ADVANCE kernel shared by pp24's gate and any
+    * maintained deployment: given the standing postings, the standing
+    * graph (vs13's top-k edge rows) and a batch's postings, produce the
+    * new graph touching only the batch's cells.
+    *
+    * Soundness: edges are never removed (the corpus grows), so a
+    * standing vector's new top-k is the top-k of (its STORED edges ∪
+    * its candidate pairs against the BATCH members of its cell) — the
+    * stored rows stand in for every standing-standing pair, which is
+    * what makes the advance Σ_touched |cell∩standing|·|cell∩batch|
+    * instead of vs13's Σ|cell|² rescan. Batch vectors score against
+    * everything in their cell (standing + batch). Vectors in untouched
+    * cells carry their graph rows verbatim. Pair coverage is exact and
+    * disjoint: (standing, batch) from the allTouched×batch join,
+    * (batch, batch) likewise, (batch, standing) from the second join,
+    * (standing, standing) only via stored rows. */
+  private[graft] def knnGraphAdvance(standPost: DataFrame, standGraph: DataFrame,
+      batchPost: DataFrame, k: Int): DataFrame = {
+    val touched = batchPost.select(col("cid")).distinct().localCheckpoint(true)
+    val standTouched = standPost.join(touched, Seq("cid"), "left_semi")
+    val allTouched = standTouched.unionByName(batchPost)
+    def score(a: DataFrame, b: DataFrame): DataFrame =
+      a.as("a").hint("shuffle_hash").join(b.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"),
+          (dotQ(col("a.q"), col("b.q")).cast("double") / (col("a.nrm") * col("b.nrm"))).as("cos"),
+          col("b.vec_id").as("neighbor"), col("a.cid").as("cid"))
+    val newScores = score(allTouched, batchPost)
+      .unionByName(score(batchPost, standTouched))
+    val storedTouched = standGraph.join(touched, Seq("cid"), "left_semi")
+      .select(col("query_id"), col("cos"), col("neighbor_id").as("neighbor"),
+        col("cid"))
+    val merged = graft.operators.GroupedTopK.topKCarry(
+        storedTouched.unionByName(newScores),
+        "query_id", "cos", "neighbor", "cid", k)
+      .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
+        col("rank"), col("v").as("cos"))
+    merged.unionByName(standGraph.join(touched, Seq("cid"), "left_anti"))
+  }
+
+  /** pp24 — INCREMENTAL kNN-graph maintenance, vs13's twin (and the
+    * standing artifact vs19's graph search reads): the graph a curation
+    * pipeline maintains is exactly this — per-vector top-k edge rows
+    * advanced as vectors arrive, never the Σ|cell|² full rescan. The
+    * oracle is vs13's, verbatim. */
+  private def pp24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e)
+    val isNew = graft.functions.HashExpressions.md5Fold32(
+      concat(lit("ginc:"), $"vec_id".cast("string"))) % 5 === 0
+    val standPost = assignCells(e.filter(!isNew), cents).localCheckpoint(true)
+    val standGraph = knnGraph(standPost, 3).localCheckpoint(true)
+    val batchPost = assignCells(e.filter(isNew), cents).localCheckpoint(true)
+    knnGraphAdvance(standPost, standGraph, batchPost, 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -1815,6 +1873,7 @@ object VectorOps {
     Q("vs17_pq_trained_search", "train-then-deploy: one per-subspace Lloyd iteration, then vs08's encode + ADC search under the trained books (codebook swapped as data)", vs17, Some(vs17Sql)),
     Q("vs18_ivfpq_residual", "residual IVF-PQ (the FAISS IVFPQ encoding): codes over x - c(x) residuals, per-probed-cell query distance tables, ADC top-5", vs18, Some(vs18Sql)),
     Q("vs19_graph_search", "graph-expansion ANN: two id-keyed hops over the standing kNN graph, exact-cosine rescore, top-5 (candidate volume degree^h, cell-size independent)", vs19, Some(vs19Sql)),
+    Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),

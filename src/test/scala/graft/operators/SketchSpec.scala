@@ -49,6 +49,23 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("x", 1L, out.head._3, 1L)))
   }
 
+  test("merged: row-local sketch merge == the whole-corpus sketch, even under OVERLAPPING splits") {
+    import spark.implicits._
+    val ids = (1L to 3000L).map(("g", _))
+    val k = 64
+    // overlapping halves: 1..2000 and 1500..3000 — the merge must dedup
+    val h1 = KmvSketch.sketch(hashed(ids.filter(_._2 <= 2000), 3), "g", col("h"), k)
+    val h2 = KmvSketch.sketch(hashed(ids.filter(_._2 >= 1500), 3), "g", col("h"), k)
+    val empty = array().cast("array<bigint>")
+    val merged = h1.select($"g", $"hs".as("a"))
+      .join(h2.select($"g", $"hs".as("b")), Seq("g"), "full_outer")
+      .select($"g", KmvSketch.merged(coalesce($"a", empty), coalesce($"b", empty), k).as("hs"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    val whole = KmvSketch.sketch(hashed(ids, 5), "g", col("h"), k)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    assert(merged == whole, "merge of overlapping shard sketches drifted from the whole-corpus sketch")
+  }
+
   test("plan: bounded buffers combine map-side — no window, no distinct-value shuffle") {
     val df = KmvSketch.estimated(
       KmvSketch.sketch(hashed((1L to 5000L).map(("g", _)), 8), "g", col("h"), 64), 64)

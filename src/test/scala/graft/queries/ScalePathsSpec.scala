@@ -434,6 +434,33 @@ class ScalePathsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("knnGraphAdvance: sequential batches from empty reproduce the full vs13 graph at every step; empty batch is a no-op") {
+    import spark.implicits._
+    val e = VectorOps.normed(graft.Tables.embeddings(spark, sfDir))
+      .localCheckpoint(true)
+    val cents = VectorOps.ivfCentroids(e).localCheckpoint(true)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"cid", $"neighbor_id", $"rank", $"cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getDouble(4))).toSet
+    var post = VectorOps.assignCells(e.filter(lit(false)), cents)
+      .localCheckpoint(true)
+    var graph = VectorOps.knnGraph(post, 3).localCheckpoint(true)
+    for (m <- 0 until 3) {
+      val batch = VectorOps.assignCells(e.filter($"vec_id" % 3 === m), cents)
+        .localCheckpoint(true)
+      graph = VectorOps.knnGraphAdvance(post, graph, batch, 3)
+        .localCheckpoint(true)
+      post = post.unionByName(batch).localCheckpoint(true)
+      assert(rowsOf(graph) == rowsOf(VectorOps.knnGraph(post, 3)),
+        s"graph drifted from the full rescan after batch $m")
+    }
+    // an empty batch advances nothing
+    val g2 = VectorOps.knnGraphAdvance(post, graph,
+      VectorOps.assignCells(e.filter(lit(false)), cents), 3)
+    assert(rowsOf(g2) == rowsOf(graph))
+  }
+
   test("vs11: the three-iteration integer Lloyd trace recomputed independently, row for row") {
     import spark.implicits._
     // the whole rebuild is integer arithmetic, so a from-scratch scalar
