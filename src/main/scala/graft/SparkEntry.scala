@@ -111,7 +111,9 @@ import graft.queries.Catalog
   *    incremental twin (standing sketch merged row-locally with the
   *    batch sketch — exact under overlap); pp24 incremental kNN-graph
   *    maintenance (stored edges stand in for standing-standing pairs,
-  *    batch scores only its cells' members — graph == vs13);
+  *    batch scores only its cells' members — graph == vs13;
+  *    Streams.maintainKnnGraphState is the continuous loop over a
+  *    cid-partitioned graph table, rewriting only touched partitions);
   *    mm04 perceptual near-dup (banded 64-bit
   *    signature + exact Hamming verify) + pp19 its incremental twin,
   *    mm05 content-defined chunk dedup (rolling-hash boundaries) + pp21

@@ -1810,9 +1810,15 @@ object VectorOps {
     * cells carry their graph rows verbatim. Pair coverage is exact and
     * disjoint: (standing, batch) from the allTouched×batch join,
     * (batch, batch) likewise, (batch, standing) from the second join,
-    * (standing, standing) only via stored rows. */
-  private[graft] def knnGraphAdvance(standPost: DataFrame, standGraph: DataFrame,
-      batchPost: DataFrame, k: Int): DataFrame = {
+    * (standing, standing) only via stored rows.
+    *
+    * This variant returns the TOUCHED cells' rows only — what a
+    * cid-partitioned maintained graph table rewrites per batch (dynamic
+    * partition overwrite: untouched cells' files never move);
+    * [[knnGraphAdvance]] unions the carried untouched rows for the
+    * full-graph view. */
+  private[graft] def knnGraphAdvanceTouched(standPost: DataFrame,
+      standGraph: DataFrame, batchPost: DataFrame, k: Int): DataFrame = {
     val touched = batchPost.select(col("cid")).distinct().localCheckpoint(true)
     val standTouched = standPost.join(touched, Seq("cid"), "left_semi")
     val allTouched = standTouched.unionByName(batchPost)
@@ -1824,15 +1830,33 @@ object VectorOps {
           col("b.vec_id").as("neighbor"), col("a.cid").as("cid"))
     val newScores = score(allTouched, batchPost)
       .unionByName(score(batchPost, standTouched))
+    // Stored edges REFERENCING a batch id are dropped and re-derived: in
+    // the clean path no such edge exists (the batch is new) and the two
+    // anti-joins are no-ops against a broadcast batch-id list, but under
+    // a crash-replay (graph already merged, guard append lost, batch
+    // redelivered) they are what makes the advance IDEMPOTENT — without
+    // them a re-scored (v, b) pair would sit beside its stored duplicate
+    // and occupy two top-k ranks.
+    val batchIds = batchPost.select(col("vec_id")).localCheckpoint(true)
     val storedTouched = standGraph.join(touched, Seq("cid"), "left_semi")
       .select(col("query_id"), col("cos"), col("neighbor_id").as("neighbor"),
         col("cid"))
-    val merged = graft.operators.GroupedTopK.topKCarry(
+      .join(broadcast(batchIds.withColumnRenamed("vec_id", "query_id")),
+        Seq("query_id"), "left_anti")
+      .join(broadcast(batchIds.withColumnRenamed("vec_id", "neighbor")),
+        Seq("neighbor"), "left_anti")
+    graft.operators.GroupedTopK.topKCarry(
         storedTouched.unionByName(newScores),
         "query_id", "cos", "neighbor", "cid", k)
       .select(col("query_id"), col("carry").as("cid"), col("id").as("neighbor_id"),
         col("rank"), col("v").as("cos"))
-    merged.unionByName(standGraph.join(touched, Seq("cid"), "left_anti"))
+  }
+
+  private[graft] def knnGraphAdvance(standPost: DataFrame, standGraph: DataFrame,
+      batchPost: DataFrame, k: Int): DataFrame = {
+    val touched = batchPost.select(col("cid")).distinct().localCheckpoint(true)
+    knnGraphAdvanceTouched(standPost, standGraph, batchPost, k)
+      .unionByName(standGraph.join(touched, Seq("cid"), "left_anti"))
   }
 
   /** pp24 — INCREMENTAL kNN-graph maintenance, vs13's twin (and the

@@ -928,6 +928,82 @@ object Streams {
       (vmin, vdiff)
     }
 
+  /** pp24's continuous loop: CONTINUOUS kNN-graph maintenance — the
+    * standing artifact vs19's graph search reads, kept current as
+    * vectors arrive. Standing tables: `postingsTable` (the flow's
+    * vector store AND id guard — [[maintainIvfState]]'s shape, sentinel
+    * cid −1 for zero-norm arrivals) and `graphTable`, a parquet table
+    * PARTITIONED BY cid holding vs13's edge rows. An advance scores the
+    * batch against its own cells only ([[graft.queries.VectorOps
+    * .knnGraphAdvanceTouched]] — stored edges stand in for every
+    * standing-standing pair) and rewrites JUST the touched cid
+    * partitions (dynamic partition overwrite): per-batch write volume
+    * is O(touched cells' graph rows) = O(affected), never the graph.
+    * Write order: graph partitions first, then the guard-moving
+    * postings append. Crash between the two: the batch is unguarded, a
+    * replay recomputes the SAME touched partitions — the advance is
+    * idempotent because stored edges referencing batch ids are dropped
+    * and re-derived inside the kernel — and the second overwrite is
+    * byte-equivalent. A touched cell's edge set never shrinks to empty
+    * (members are never removed), so dynamic overwrite cannot strand a
+    * stale partition. Per-batch compute Σ_touched
+    * |cell∩standing|·|cell∩batch| — the incremental cost the pp24 gate
+    * states, vs vs13's Σ|cell|² rescan. */
+  def maintainKnnGraphState(batch: DataFrame, cents: DataFrame,
+      postingsTable: String, graphTable: String, k: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val postings = tryRead(spark, postingsTable)
+    val freshRaw = postings
+      .map(p => batch.join(
+        pruneToBatchRange(p.select("vec_id"), batch, "vec_id"),
+        Seq("vec_id"), "left_anti"))
+      .getOrElse(batch)
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
+    val rejects = freshRaw
+      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(lit(-1L).as("cid"), col("vec_id"),
+        lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
+    if (fresh.isEmpty) {
+      if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
+      return
+    }
+    val assigned = graft.queries.VectorOps.assignCells(fresh, cents)
+      .localCheckpoint(true)
+    val standPost = postings.map(_.filter(col("cid") >= 0))
+      .getOrElse(assigned.limit(0))
+    val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
+      standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
+    if (!touchedRows.isEmpty)
+      touchedRows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(graphTable)
+    assigned.unionByName(rejects).write.mode("append").parquet(postingsTable)
+  }
+
+  /** The current graph under the maintained cid-partitioned table —
+    * vs13's output shape (the partition column rides back as a normal
+    * column, cast to long: partition-value inference would narrow it). */
+  def knnGraphSnapshot(spark: SparkSession, graphTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, graphTable)
+      .map(_.withColumn("cid", col("cid").cast("long"))
+        .select(col("query_id"), col("cid"), col("neighbor_id"), col("rank"),
+          col("cos")))
+      .getOrElse(emptyDf(spark, "query_id" -> LongType, "cid" -> LongType,
+        "neighbor_id" -> LongType, "rank" -> IntegerType, "cos" -> DoubleType))
+  }
+
+  /** [[maintainKnnGraphState]] as a foreachBatch sink over a (vec_id,
+    * embedding) stream. */
+  def knnGraphStream(vecs: DataFrame, cents: DataFrame,
+      postingsTable: String, graphTable: String, k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainKnnGraphState(b, cents, postingsTable, graphTable, k))
+      .start()
+
   /** The PQ codebook REBUILD→SWAP — the FOURTH quantizer lifecycle
     * closed (IVF centroids, BPE merges, SQ bounds, now PQ books): pp14's
     * advance encodes against FIXED books between rebuilds; when
