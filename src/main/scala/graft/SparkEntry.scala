@@ -114,6 +114,9 @@ import graft.queries.Catalog
   *    batch scores only its cells' members — graph == vs13;
   *    Streams.maintainKnnGraphState is the continuous loop over a
   *    cid-partitioned graph table, rewriting only touched partitions);
+  *    q46 dense time-grid resampling with LOCF gap-fill (generated
+  *    grid, grid-bounded carry-forward window — never a data-sized
+  *    window);
   *    mm04 perceptual near-dup (banded 64-bit
   *    signature + exact Hamming verify) + pp19 its incremental twin,
   *    mm05 content-defined chunk dedup (rolling-hash boundaries) + pp21

@@ -1053,6 +1053,64 @@ object Relational {
     graft.operators.KmvSketch.estimated(merged, k).orderBy($"l_returnflag")
   }
 
+  /** q46 — dense time-grid resampling with LOCF gap-fill: the reporting
+    * op q15's sparse hourly rollup cannot express — EVERY 15-minute bin of
+    * the fixed window appears for every event type, empty bins carry
+    * count 0 and the LAST OBSERVED bin sum forward (null before the
+    * first observation). The grid is GENERATED, not scanned: types ×
+    * 2880 bins = dimension-sized, built driver-free from `spark.range`;
+    * the corpus contributes one combinable groupBy; the grid left-joins
+    * the aggregates (broadcast — the grid is tiny and the agg is
+    * group-count-sized); the carry-forward window is PARTITIONED BY
+    * TYPE over grid rows only — bounded by the GRID, never the data, so
+    * the plan survives any corpus size that keeps the reporting window
+    * fixed. Bins are epoch-second BIGINTs end to end (timestamp→long is
+    * an epoch floor on both engines — no timezone or format surface
+    * anywhere). */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val binSec = 900L // 15 min — fine enough that real gaps exist
+    val start = 1704067200L // 2024-01-01T00:00:00Z
+    val nBins = 2880L // 30 days
+    val ev = events(s, d)
+    val agg = ev
+      .select($"event_type",
+        (($"ts".cast("long") - start).cast("long")).as("off"), $"value")
+      .filter($"off" >= 0 && $"off" < nBins * binSec)
+      .withColumn("bin_sec", lit(start) + expr(s"off div $binSec") * binSec)
+      .groupBy($"event_type", $"bin_sec")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("bin_sum"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(s.range(nBins).select((lit(start) + $"id" * binSec).as("bin_sec")))
+    val w = Window.partitionBy($"event_type").orderBy($"bin_sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(agg), Seq("event_type", "bin_sec"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("filled_sum", last($"bin_sum", ignoreNulls = true).over(w))
+      .select($"event_type", $"bin_sec", $"n_events", $"bin_sum", $"filled_sum")
+      .orderBy($"event_type", $"bin_sec")
+  }
+  private val q46Sql =
+    s"""WITH ev AS (SELECT event_type,
+       |    (epoch_us(ts) // 1000000) - 1704067200 AS off, value
+       |  FROM events),
+       |a AS (SELECT event_type,
+       |    1704067200 + (off // 900) * 900 AS bin_sec,
+       |    COUNT(*) AS n_events, ${dsumSql("value")} AS bin_sum
+       |  FROM ev WHERE off >= 0 AND off < 2880 * 900
+       |  GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |grid AS (SELECT t.event_type, 1704067200 + i.range * 900 AS bin_sec
+       |  FROM types t CROSS JOIN range(0, 2880) i),
+       |j AS (SELECT g.event_type, g.bin_sec,
+       |    CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events, a.bin_sum
+       |  FROM grid g LEFT JOIN a USING (event_type, bin_sec))
+       |SELECT event_type, CAST(bin_sec AS BIGINT) AS bin_sec, n_events, bin_sum,
+       |  last_value(bin_sum IGNORE NULLS) OVER (PARTITION BY event_type
+       |    ORDER BY bin_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS filled_sum
+       |FROM j ORDER BY event_type, bin_sec""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q01_agg_pricing", "grouped agg w/ exact decimal sums (A1/A2)", q01, Some(q01Sql)),
     Q("q02_filter_project", "pushdown filter + pruned projection (P1/P4)", q02, Some(q02Sql)),
@@ -1100,5 +1158,6 @@ object Relational {
     Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),
     Q("q45_kmv_distinct", "KMV bottom-k distinct sketch: mergeable bounded-buffer cardinality estimate per group, integer-exact and oracle-replayed (vs q28's exact shuffle)", q45, Some(q45Sql)),
     Q("pp23_incremental_sketch", "incremental distinct-sketch maintenance: standing bottom-k merged row-locally with the batch sketch (exact under overlap), estimate == q45", pp23, Some(q45Sql)),
+    Q("q46_gapfill_locf", "dense time-grid resampling: generated 15-min bins x types, empty bins at count 0 with last-observed sum carried forward (grid-bounded window, never the data)", q46, Some(q46Sql)),
   )
 }
