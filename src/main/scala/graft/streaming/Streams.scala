@@ -1004,6 +1004,105 @@ object Streams {
         maintainKnnGraphState(b, cents, postingsTable, graphTable, k))
       .start()
 
+  /** DELETION PROPAGATION — the right-to-be-forgotten job every
+    * production training-data pipeline needs and most engines bolt on
+    * late: given a set of vector ids, leave the whole maintained vector
+    * state (postings, PQ codes, cell sums, kNN graph) EXACTLY as if
+    * those vectors had never arrived — while keeping the ids GUARDED so
+    * an at-least-once upstream redelivering a forgotten row cannot
+    * resurrect it (ids are rewritten as TOMBSTONES, sentinel cid −2
+    * with empty payload: behind the guard's id probe like the −1
+    * zero-norm sentinel, invisible to every cid ≥ 0 consumer; ids never
+    * seen also tombstone, which forward-blocks in-flight arrivals of a
+    * forgotten user). Deliberately run-rarely and O(corpus) — deletion
+    * requests batch up against compliance deadlines, and this is the
+    * same cost class as the rebuild jobs — EXCEPT the graph repair,
+    * which recomputes only the cells the deleted vectors occupied
+    * (dynamic partition overwrite; a cell whose edge set empties has
+    * its partition directory removed — the one case dynamic overwrite
+    * cannot express).
+    *
+    * Crash contract (write order is the argument): the three REPAIRS
+    * (graph, codes, sums) are pure functions of (CURRENT postings
+    * content, ids) — the postings swap, which destroys the
+    * which-cells-did-the-deleted-rows-occupy recovery information, goes
+    * LAST. A crash anywhere before it: re-run, every repair recomputes
+    * byte-identically. A crash after it: the job had already completed
+    * every repair. Single-maintenance-loop contract: call BETWEEN
+    * advances. */
+  def forgetVectorState(spark: SparkSession, ids: DataFrame,
+      postingsTable: String, codesTable: Option[String] = None,
+      sumsTable: Option[String] = None, graphTable: Option[String] = None,
+      graphK: Int = 3): Unit =
+    tryRead(spark, postingsTable).foreach { p0 =>
+      val p = p0.localCheckpoint(true)
+      val idsC = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+      forgetRepairs(spark, p, idsC, codesTable, sumsTable, graphTable, graphK)
+      val tombstones = idsC.select(lit(-2L).as("cid"), col("vec_id"),
+        lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
+      // the USING join floats the key column to the front; re-project to
+      // the canonical (cid, vec_id, q, nrm) order the maintainers write
+      graft.operators.MergeWriter.overwriteAtomic(
+        p.join(idsC, Seq("vec_id"), "left_anti")
+          .select(col("cid"), col("vec_id"), col("q"), col("nrm"))
+          .unionByName(tombstones),
+        postingsTable)
+    }
+
+  /** The repair half of [[forgetVectorState]] — exposed for the
+    * crash-simulation spec (a repair landed, the postings swap did not;
+    * the re-run must converge). */
+  private[graft] def forgetRepairs(spark: SparkSession, p: DataFrame,
+      idsC: DataFrame, codesTable: Option[String], sumsTable: Option[String],
+      graphTable: Option[String], graphK: Int): Unit = {
+    val keptReal = p.filter(col("cid") >= 0)
+      .join(idsC, Seq("vec_id"), "left_anti").localCheckpoint(true)
+    graphTable.foreach { gt =>
+      val touched = p.filter(col("cid") >= 0)
+        .join(idsC, Seq("vec_id"), "left_semi")
+        .select(col("cid")).distinct().localCheckpoint(true)
+      if (!touched.isEmpty) {
+        val repaired = graft.queries.VectorOps.knnGraph(
+          keptReal.join(touched, Seq("cid"), "left_semi"), graphK)
+          .localCheckpoint(true)
+        if (!repaired.isEmpty)
+          repaired.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid").parquet(gt)
+        // cells whose edge set emptied (0 or 1 members left): dynamic
+        // overwrite cannot clear a partition it writes no rows for
+        val emptied = touched.join(repaired.select(col("cid")).distinct(),
+            Seq("cid"), "left_anti")
+          .collect().map(_.getLong(0))
+        emptied.foreach { c =>
+          val dir = java.nio.file.Path.of(gt, s"cid=$c")
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+            finally walk.close()
+          }
+        }
+      }
+    }
+    codesTable.foreach { ct =>
+      tryRead(spark, ct).foreach { c0 =>
+        val c = c0.localCheckpoint(true)
+        val tomb = idsC.select(lit(-2L).as("cid"), col("vec_id"),
+          lit(Array.empty[Long]).as("codes"))
+        graft.operators.MergeWriter.overwriteAtomic(
+          c.join(idsC, Seq("vec_id"), "left_anti")
+            .select(col("cid"), col("vec_id"), col("codes"))
+            .unionByName(tomb), ct)
+      }
+    }
+    sumsTable.foreach { st =>
+      graft.operators.MergeWriter.overwriteAtomic(
+        ivfSumsDelta(keptReal, Long.MinValue), st)
+    }
+  }
+
   /** The PQ codebook REBUILD→SWAP — the FOURTH quantizer lifecycle
     * closed (IVF centroids, BPE merges, SQ bounds, now PQ books): pp14's
     * advance encodes against FIXED books between rebuilds; when

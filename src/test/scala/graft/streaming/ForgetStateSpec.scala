@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.queries.VectorOps
+
+/** Deletion propagation: after forgetVectorState, every maintained
+  * vector table must equal a from-scratch build over the corpus WITHOUT
+  * the forgotten ids — with the ids tombstoned (redelivery AND future
+  * ingest blocked), the job idempotent, and a crash between the repairs
+  * and the postings swap repaired by re-running. */
+class ForgetStateSpec extends AnyFunSuite with SparkSpec {
+
+  test("forget == from-scratch without the ids; tombstones block re-ingest; idempotent; crash converges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("forget").toString
+    val (postT, sumsT, codesT) = (s"$root/post", s"$root/sums", s"$root/codes")
+    val (postG, graphT) = (s"$root/postg", s"$root/graph")
+
+    val e0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val zeroId = 999999L
+    val all = e0 :+ (zeroId -> Seq.fill(e0.head._2.length)(0.0f))
+    def df(b: Seq[(Long, Seq[Float])]) = b.toDF("vec_id", "embedding")
+    val normedAll = VectorOps.normed(df(all)).localCheckpoint(true)
+    val cents = VectorOps.ivfCentroids(normedAll).localCheckpoint(true)
+    val book = VectorOps.pqBookRows(normedAll)
+
+    for (b <- Seq(all.take(200), all.drop(200))) {
+      Streams.maintainIvfState(df(b), cents, postT, sumsT)
+      Streams.maintainPqCodes(df(b), cents, book, codesT)
+      Streams.maintainKnnGraphState(df(b), cents, postG, graphT)
+    }
+
+    // forget: every 7th real id, plus the zero-norm sentinel, plus an
+    // id never seen (forward-blocks an in-flight arrival)
+    val neverSeen = 3000000L
+    val forgot = e0.map(_._1).filter(_ % 7 == 0).toSet + zeroId + neverSeen
+    val fDf = forgot.toSeq.toDF("vec_id")
+    Streams.forgetVectorState(spark, fDf, postT, Some(codesT), Some(sumsT))
+    Streams.forgetVectorState(spark, fDf, postG, graphTable = Some(graphT))
+
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    val remNormed = VectorOps.normed(df(remaining)).localCheckpoint(true)
+    val remAssigned = VectorOps.assignCells(remNormed, cents).localCheckpoint(true)
+
+    def realPost(t: String) = spark.read.parquet(t).filter($"cid" >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPost = remAssigned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(realPost(postT) == wantPost, "postings != from-scratch without the ids")
+    assert(realPost(postG) == wantPost, "graph-family postings drifted")
+
+    val wantCodes = VectorOps.pqCodesPostings(remNormed, cents, VectorOps.pqOf(book))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(spark.read.parquet(codesT).filter($"cid" >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      == wantCodes, "codes != from-scratch without the ids")
+
+    assert(Streams.ivfSumsSnapshot(spark, sumsT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      == VectorOps.cellDimSums(remAssigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet,
+      "sums != from-scratch without the ids")
+
+    def graphRows() = Streams.knnGraphSnapshot(spark, graphT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    val wantGraph = VectorOps.knnGraph(remAssigned, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    assert(graphRows() == wantGraph, "graph != from-scratch without the ids")
+
+    // tombstones: forgotten ids sit at cid −2 in both postings tables
+    // and the codes table — and block BOTH redelivery and fresh ingest
+    val tombs = spark.read.parquet(postT).filter($"cid" === -2L)
+      .collect().map(_.getLong(1)).toSet
+    assert(tombs == forgot, "tombstone set != forgotten set")
+    val someForgot = forgot.filter(_ != neverSeen).take(5).toSeq
+    val reIngest = df(all.filter(t => someForgot.contains(t._1)) ++
+      Seq(neverSeen -> e0.head._2))
+    Streams.maintainIvfState(reIngest, cents, postT, sumsT)
+    Streams.maintainPqCodes(reIngest, cents, book, codesT)
+    Streams.maintainKnnGraphState(reIngest, cents, postG, graphT)
+    assert(realPost(postT) == wantPost && realPost(postG) == wantPost
+      && graphRows() == wantGraph, "a forgotten id re-entered the state")
+
+    // idempotent re-run
+    Streams.forgetVectorState(spark, fDf, postT, Some(codesT), Some(sumsT))
+    assert(realPost(postT) == wantPost)
+
+    // crash: repairs landed, postings swap lost — re-running the full
+    // job converges to the same end state
+    val root2 = Files.createTempDirectory("forget-crash").toString
+    val (postT2, sumsT2, codesT2) = (s"$root2/post", s"$root2/sums", s"$root2/codes")
+    for (b <- Seq(all.take(200), all.drop(200))) {
+      Streams.maintainIvfState(df(b), cents, postT2, sumsT2)
+      Streams.maintainPqCodes(df(b), cents, book, codesT2)
+    }
+    val p2 = spark.read.parquet(postT2).localCheckpoint(true)
+    Streams.forgetRepairs(spark, p2,
+      fDf.select($"vec_id").distinct().localCheckpoint(true),
+      Some(codesT2), Some(sumsT2), None, 3)
+    Streams.forgetVectorState(spark, fDf, postT2, Some(codesT2), Some(sumsT2))
+    assert(realPost(postT2) == wantPost, "crash replay diverged")
+    assert(spark.read.parquet(codesT2).filter($"cid" >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      == wantCodes)
+  }
+}
