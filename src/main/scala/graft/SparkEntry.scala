@@ -116,11 +116,13 @@ import graft.queries.Catalog
   *    cid-partitioned graph table, rewriting only touched partitions);
   *    q46 dense time-grid resampling with LOCF gap-fill (generated
   *    grid, grid-bounded carry-forward window — never a data-sized
-  *    window); Streams.forgetVectorState, deletion propagation over the
-  *    maintained vector state (right-to-be-forgotten: postings / codes
-  *    / sums / graph left as if the ids never arrived, ids tombstoned
-  *    cid −2 so redelivery AND future ingest stay blocked, graph
-  *    repaired per touched cell);
+  *    window); Streams.forgetVectorState + Streams.forgetDedupState,
+  *    deletion propagation (right-to-be-forgotten) over the maintained
+  *    vector and text-dedup state: postings / codes / sums / graph and
+  *    band-index / shingles / pairs left as if the ids never arrived,
+  *    ids tombstoned (cid −2 / null-text doc rows) so redelivery AND
+  *    future ingest stay blocked, graph repaired per touched cell,
+  *    ghost buckets (band keys only forgotten docs held) deleted;
   *    mm04 perceptual near-dup (banded 64-bit
   *    signature + exact Hamming verify) + pp19 its incremental twin,
   *    mm05 content-defined chunk dedup (rolling-hash boundaries) + pp21

@@ -571,6 +571,10 @@ object Streams {
       pairsTable: String, shingleTable: String, labelsTable: String,
       bucketTable: String, remapTable: String, docTable: String): Unit = {
     val fresh = freshAgainst(batch, docTable)
+    // a fully-guarded redelivery must be a true no-op — without this an
+    // at-least-once upstream litters every standing table with empty
+    // part files on each replay
+    if (fresh.isEmpty) return
     val freshBands = graft.queries.TextOps.bandIndex(fresh).localCheckpoint(true)
     advanceBandIndex(fresh, freshBands, indexTable, pairsTable, shingleTable)
     advanceClusterState(fresh, freshBands, labelsTable, bucketTable, remapTable)
@@ -588,6 +592,81 @@ object Streams {
         maintainDedupState(b, indexTable, pairsTable, shingleTable,
           labelsTable, bucketTable, remapTable, docTable))
       .start()
+
+  /** Delete every row of `table` whose `on` column(s) match an id,
+    * preserving the table's column order (a USING join floats its key). */
+  private def deleteByIds(spark: SparkSession, table: String,
+      idsC: DataFrame, on: Seq[String]): Unit =
+    tryRead(spark, table).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val kept = on.foldLeft(t)((acc, c) =>
+        acc.join(idsC.withColumnRenamed("doc_id", c), Seq(c), "left_anti"))
+      graft.operators.MergeWriter.overwriteAtomic(
+        kept.select(t0.columns.map(col).toIndexedSeq: _*), table)
+    }
+
+  /** DELETION PROPAGATION for the text-dedup family —
+    * [[forgetVectorState]]'s document-side sibling: given doc ids,
+    * remove every trace of their CONTENT from the maintained state
+    * while keeping the ids guarded. The pair-flow state (band index,
+    * shingle store, duplicate pairs) deletes EXACTLY — it is
+    * id-granular and pairwise, so removing a doc's rows leaves
+    * precisely the state a from-scratch ingest of the remaining corpus
+    * builds. The doc store is rewritten with the forgotten ids'
+    * text NULLED (the content IS the thing a deletion request is
+    * about) — the id stays, so redelivery and future re-ingest of a
+    * forgotten doc are both no-ops, and never-seen ids forward-block.
+    *
+    * Cluster-flow semantics, stated honestly: the forgotten docs'
+    * LABEL rows delete (they vanish from every snapshot), and GHOST
+    * BUCKETS — band keys whose only members were forgotten — delete
+    * too (computed before the index shrinks), so a forgotten doc's
+    * bands can never again merge strangers. What deletion does NOT do
+    * is SPLIT a component the forgotten doc once bridged: the
+    * remaining members keep their historical merge (conservative
+    * over-grouping — the compliance obligation is removing the
+    * subject's data, not re-deriving everyone else's grouping; an
+    * exact split-repair is a component-local rebuild, the run-rarely
+    * class). Crash contract: every step is a pure idempotent function
+    * of (its table's current content, ids) — re-run to repair; the doc
+    * store, whose rewrite nulls the recoverable content, goes last. */
+  def forgetDedupState(spark: SparkSession, ids: DataFrame,
+      indexTable: String, pairsTable: String, shingleTable: String,
+      labelsTable: String, bucketTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    // ghost buckets: bkeys held ONLY by forgotten docs — derived from
+    // the index BEFORE it shrinks
+    val ghosts = tryRead(spark, indexTable).map { idx0 =>
+      // the bucket table's key is the advance's composite band:key string
+      val idx = idx0.localCheckpoint(true)
+        .select(col("doc_id"),
+          concat_ws(":", col("band"), col("bkey")).as("bucket"))
+      idx.join(idsC, Seq("doc_id"), "left_semi").select(col("bucket"))
+        .join(idx.join(idsC, Seq("doc_id"), "left_anti").select(col("bucket")),
+          Seq("bucket"), "left_anti")
+        .distinct().localCheckpoint(true)
+    }
+    deleteByIds(spark, indexTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, shingleTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
+    deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
+    ghosts.foreach { g =>
+      tryRead(spark, bucketTable).foreach { b0 =>
+        val b = b0.localCheckpoint(true)
+        graft.operators.MergeWriter.overwriteAtomic(
+          b.join(g, Seq("bucket"), "left_anti")
+            .select(b0.columns.map(col).toIndexedSeq: _*), bucketTable)
+      }
+    }
+    tryRead(spark, docTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val tomb = idsC.select(col("doc_id"),
+        lit(null).cast("string").as("text"))
+      graft.operators.MergeWriter.overwriteAtomic(
+        t.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb), docTable)
+    }
+  }
 
   /** The current clustering under the maintained tables — (doc_id,
     * cluster_id, cluster_size), dd06's exact shape: one remap hop over

@@ -111,4 +111,83 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
       == wantCodes)
   }
+
+  test("forgetDedupState: pair-flow == from-scratch ingest of the remaining corpus; text nulled; no ghost buckets; re-ingest blocked; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def tables(root: String) = (s"$root/index", s"$root/pairs", s"$root/shingles",
+      s"$root/labels", s"$root/buckets", s"$root/remap", s"$root/docs")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+
+    val root = java.nio.file.Files.createTempDirectory("forget-dedup").toString
+    val (idxT, prT, shT, lbT, bkT, rmT, docT) = tables(root)
+    for (b <- Seq(all.take(200), all.drop(200)))
+      Streams.maintainDedupState(df(b), idxT, prT, shT, lbT, bkT, rmT, docT)
+
+    val neverSeen = 3000000L
+    val forgot = all.map(_._1).filter(_ % 5 == 0).toSet + neverSeen
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.forgetDedupState(spark, fDf, idxT, prT, shT, lbT, bkT, docT)
+
+    // pair-flow state == a from-scratch ingest of the remaining corpus
+    // through the same maintainer
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    val root2 = java.nio.file.Files.createTempDirectory("forget-dedup-ref").toString
+    val (idxR, prR, shR, lbR, bkR, rmR, docR) = tables(root2)
+    Streams.maintainDedupState(df(remaining), idxR, prR, shR, lbR, bkR, rmR, docR)
+    def rowsOf(t: String, cols: Seq[String]) =
+      spark.read.parquet(t).select(cols.map(col): _*)
+        .collect().map(_.toSeq.toList).toSet
+    assert(rowsOf(idxT, Seq("doc_id", "band", "bkey"))
+      == rowsOf(idxR, Seq("doc_id", "band", "bkey")), "band index drifted")
+    assert(rowsOf(shT, Seq("doc_id", "sz", "h"))
+      == rowsOf(shR, Seq("doc_id", "sz", "h")), "shingle store drifted")
+    assert(rowsOf(prT, Seq("d1", "d2")) == rowsOf(prR, Seq("d1", "d2")),
+      "pair set drifted")
+    assert(rowsOf(prT, Seq("d1", "d2")).nonEmpty, "no pairs survive — vacuous")
+
+    // the content is GONE, the guard is not: forgotten ids sit in the
+    // doc store with null text (never-seen id included)
+    val store = spark.read.parquet(docT)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    forgot.foreach(id => assert(store.get(id).contains(None),
+      s"forgotten doc $id text not nulled (or id missing)"))
+    assert(remaining.forall(t => store(t._1).contains(t._2)))
+
+    // labels: forgotten ids gone from the snapshot; every remaining doc
+    // still labeled exactly once
+    val snap = Streams.clusterSnapshot(spark, lbT, rmT)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(snap.map(_._1).toSet == remaining.map(_._1).toSet,
+      "label snapshot != remaining docs")
+
+    // no ghost buckets: every bucket row's key is still held by some
+    // surviving doc's index row
+    val liveBuckets = spark.read.parquet(idxT)
+      .select(concat_ws(":", $"band", $"bkey").as("bucket"))
+      .collect().map(_.getString(0)).toSet
+    val bucketRows = spark.read.parquet(bkT)
+      .select($"bucket").collect().map(_.getString(0)).toSet
+    assert(bucketRows.subsetOf(liveBuckets),
+      "ghost bucket survives a fully-forgotten band key")
+
+    // re-ingest of forgotten docs (and the never-seen id) is a no-op on
+    // every table
+    val before = Seq(idxT, prT, shT, lbT, bkT, docT)
+      .map(t => t -> graft.SparkSpec.dataFiles(t)).toMap
+    Streams.maintainDedupState(
+      df(all.filter(t => forgot.contains(t._1)).take(10) ++
+        Seq(neverSeen -> "resurrected text")),
+      idxT, prT, shT, lbT, bkT, rmT, docT)
+    before.foreach { case (t, sig) =>
+      assert(graft.SparkSpec.dataFiles(t) == sig, s"re-ingest advanced $t")
+    }
+
+    // idempotent re-run
+    Streams.forgetDedupState(spark, fDf, idxT, prT, shT, lbT, bkT, docT)
+    assert(rowsOf(prT, Seq("d1", "d2")) == rowsOf(prR, Seq("d1", "d2")))
+  }
 }
