@@ -646,10 +646,11 @@ object Streams {
           Seq("bucket"), "left_anti")
         .distinct().localCheckpoint(true)
     }
-    deleteByIds(spark, indexTable, idsC, Seq("doc_id"))
-    deleteByIds(spark, shingleTable, idsC, Seq("doc_id"))
-    deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
-    deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
+    // bucket rows delete BEFORE the index shrinks: the ghost set is
+    // derived from the forgotten docs' index rows, so a crash after the
+    // index deletion would make a re-run compute an empty ghost set and
+    // strand the ghost buckets forever — this order keeps every step
+    // re-runnable from its own inputs
     ghosts.foreach { g =>
       tryRead(spark, bucketTable).foreach { b0 =>
         val b = b0.localCheckpoint(true)
@@ -658,6 +659,10 @@ object Streams {
             .select(b0.columns.map(col).toIndexedSeq: _*), bucketTable)
       }
     }
+    deleteByIds(spark, indexTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, shingleTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
+    deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
     tryRead(spark, docTable).foreach { t0 =>
       val t = t0.localCheckpoint(true)
       val tomb = idsC.select(col("doc_id"),
