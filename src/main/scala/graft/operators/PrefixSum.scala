@@ -92,9 +92,16 @@ object PrefixSum {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col(groupCol), col("__offset"))
     val w = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(order: _*)
+    // no broadcast hint, unlike [[runningTotal]]: its offsets frame is
+    // partitions-sized (always tiny), this one is fragment-count-sized —
+    // ≈ groups at high group cardinality, where forcing a broadcast of
+    // millions of offset rows would be the bottleneck. AQE broadcasts
+    // when it measures small (the common case) and shuffle-joins
+    // otherwise; the running totals are already computed per fragment,
+    // so the join's partitioning is free to differ.
     parted
       .withColumn("__local", sum(col(valueCol).cast("long")).over(w))
-      .join(broadcast(offsets), Seq("__pid", groupCol))
+      .join(offsets, Seq("__pid", groupCol))
       .withColumn(outCol, col("__local") + col("__offset"))
       .drop("__pid", "__local", "__offset")
   }
