@@ -99,10 +99,18 @@ object PrefixSum {
     // when it measures small (the common case) and shuffle-joins
     // otherwise; the running totals are already computed per fragment,
     // so the join's partitioning is free to differ.
+    //
+    // NULL-SAFE (<=>) on the group column: groupBy and the windows treat
+    // NULL as one group, so a plain equi-join here would silently DROP
+    // every null-group row (null keys never match) — the offsets side is
+    // renamed so the join condition can say <=> without ambiguity.
+    val offs = offsets
+      .withColumnRenamed("__pid", "__opid")
+      .withColumnRenamed(groupCol, "__ogrp")
     parted
       .withColumn("__local", sum(col(valueCol).cast("long")).over(w))
-      .join(offsets, Seq("__pid", groupCol))
+      .join(offs, col("__pid") === col("__opid") && col(groupCol) <=> col("__ogrp"))
       .withColumn(outCol, col("__local") + col("__offset"))
-      .drop("__pid", "__local", "__offset")
+      .drop("__pid", "__opid", "__ogrp", "__local", "__offset")
   }
 }

@@ -63,12 +63,15 @@ object KmvSketch {
 
   /** Per-`group` bottom-k sketch of `hash` (a BIGINT uniform hash, e.g.
     * [[graft.functions.HashExpressions.md5Fold32]]). Output: (group,
-    * hs: array<long> sorted ascending, ≤ k distinct). */
+    * hs: array<long> sorted ascending, ≤ k distinct, k) — the build-time
+    * k rides WITH the sketch so [[estimated]] can reject a mismatched k
+    * instead of silently mis-estimating (a larger k would mark saturated
+    * sketches unsaturated and return the buffer size as an exact count). */
   def sketch(df: DataFrame, group: String, hash: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1, got $k")
     val fn = udaf(new MinKDistinctAgg(k), Encoders.scalaLong)
     df.groupBy(col(group)).agg(fn(hash.cast("long")).as("kmv"))
-      .select(col(group), col("kmv.hs").as("hs"))
+      .select(col(group), col("kmv.hs").as("hs"), lit(k).as("k"))
   }
 
   /** Merge two sketch columns (sorted ascending, ≤ k): union, dedup,
@@ -83,10 +86,26 @@ object KmvSketch {
   /** The estimate columns over a [[sketch]] result: n_kept (buffer
     * fill), kth_min (the k-th minimum; the largest kept hash), and
     * est_distinct — exact when unsaturated, (k−1)·2³² / kth otherwise,
-    * BIGINT end to end. */
-  def estimated(sketched: DataFrame, k: Int): DataFrame =
+    * BIGINT end to end.
+    *
+    * k is VALIDATED, not trusted: if the frame carries [[sketch]]'s `k`
+    * column it must equal the parameter, and size(hs) must be ≤ k — a
+    * mismatch raises instead of mis-estimating (the failure mode being a
+    * too-large k reading a saturated buffer as an exact count). Frames
+    * built via [[merged]] carry no k column; the size guard still
+    * catches a too-small k there. */
+  def estimated(sketched: DataFrame, k: Int): DataFrame = {
+    val carriedOk =
+      if (sketched.columns.contains("k")) col("k") === lit(k) else lit(true)
+    val guarded = when(carriedOk && size(col("hs")) <= k,
+        size(col("hs")).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"KmvSketch.estimated: k=$k does not match the sketch's build k ("),
+        (if (sketched.columns.contains("k")) col("k")
+         else size(col("hs"))).cast("string"), lit(")"))))
     sketched
-      .withColumn("n_kept", size(col("hs")).cast("long"))
+      .withColumn("n_kept", guarded)
+      .drop("k")
       .withColumn("kth_min",
         when(col("n_kept") > 0, element_at(col("hs"), size(col("hs"))))
           .otherwise(lit(0L)))
@@ -96,4 +115,5 @@ object KmvSketch {
           // across the integer boundary the oracle's `//` floors to
           .otherwise(expr(s"${(k - 1L) * 4294967296L}L div greatest(kth_min, 1L)")))
       .drop("hs")
+  }
 }

@@ -813,10 +813,13 @@ object Streams {
     // cell ids — probe joins, pair joins and cell sums all match cid ≥ 0
     // — so sentinel rows are dead weight to every query and live only
     // for the guard's id probe.
+    // pinned so the isEmpty probe and the write/union share ONE
+    // evaluation of the guard-anti-join plan (batch-bounded rows)
     val rejects = freshRaw
       .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(lit(-1L).as("cid"), col("vec_id"),
         lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
+      .localCheckpoint(true)
     if (fresh.isEmpty) {
       if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
       return
@@ -933,8 +936,11 @@ object Streams {
       .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(lit(-1L).as("cid"), col("vec_id"),
         lit(Array.empty[Long]).as("codes"))
+    // pinned: the emptiness probe would otherwise re-run the encode plan
+    // a second time for the write
     val out = graft.queries.VectorOps.pqCodesPostings(fresh, cents, pq)
       .unionByName(rejects)
+      .localCheckpoint(true)
     if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
   }
 
@@ -968,6 +974,7 @@ object Streams {
     val out = fresh.select(col("vec_id"),
         graft.queries.VectorOps.sqCodes(col("q"), vmin, vdiff).as("codes"))
       .unionByName(rejects)
+      .localCheckpoint(true)
     if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
   }
 
@@ -1044,10 +1051,14 @@ object Streams {
       .getOrElse(batch)
       .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
     val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
+    // both pinned: the isEmpty probes would otherwise re-run the
+    // anti-join / multi-join advance plans a second time for the writes,
+    // doubling the advance's stated per-batch compute
     val rejects = freshRaw
       .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(lit(-1L).as("cid"), col("vec_id"),
         lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
+      .localCheckpoint(true)
     if (fresh.isEmpty) {
       if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
       return
@@ -1058,6 +1069,7 @@ object Streams {
       .getOrElse(assigned.limit(0))
     val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
       standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
+      .localCheckpoint(true)
     if (!touchedRows.isEmpty)
       touchedRows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1158,14 +1170,19 @@ object Streams {
         val emptied = touched.join(repaired.select(col("cid")).distinct(),
             Seq("cid"), "left_anti")
           .collect().map(_.getLong(0))
-        emptied.foreach { c =>
-          val dir = java.nio.file.Path.of(gt, s"cid=$c")
-          if (java.nio.file.Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            val walk = java.nio.file.Files.walk(dir)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
-            finally walk.close()
+        // Hadoop FS, not java.nio: the table path may carry a scheme
+        // (file:, hdfs://, s3a://) where nio's Files.exists is false and
+        // the delete would silently no-op — leaving a forgotten vector's
+        // edges readable via knnGraphSnapshot. Same failure-by-return-value
+        // contract as MergeWriter.overwriteAtomic.
+        if (emptied.nonEmpty) {
+          val base = new org.apache.hadoop.fs.Path(gt)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptied.foreach { c =>
+            val dir = new org.apache.hadoop.fs.Path(base, s"cid=$c")
+            if (fs.exists(dir) && !fs.delete(dir, true))
+              throw new java.io.IOException(
+                s"forgetRepairs: delete of emptied graph partition $dir failed")
           }
         }
       }
@@ -2006,7 +2023,9 @@ object Streams {
       .getOrElse(arrived)
     val fresh = graft.queries.SampleOps.budgetFrame(fresh0).localCheckpoint(true)
     if (fresh.isEmpty) return
-    val eligible = budgetDelta(fresh, eligTable, budget)
+    // pinned: the emptiness probe would otherwise re-run the cut-join
+    // delta plan a second time for the write
+    val eligible = budgetDelta(fresh, eligTable, budget).localCheckpoint(true)
     if (!eligible.isEmpty) eligible.write.mode("append").parquet(eligTable)
     fresh.select(col("doc_id")).write.mode("append").parquet(docTable)
   }

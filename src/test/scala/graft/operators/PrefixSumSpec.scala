@@ -66,6 +66,23 @@ class PrefixSumSpec extends AnyFunSuite with SparkSpec {
     assert(distributedBy(Seq.empty, 2) == Seq.empty)
   }
 
+  test("grouped: NULL group values are one group and keep their running totals") {
+    import spark.implicits._
+    // a plain equi-join on the group column would silently DROP every
+    // null-group row (null keys never match); the null-safe join keeps
+    // them, running-totaled as one group like groupBy/window treat them
+    val rows = Seq((Some("a"), 1L, 10L), (None, 1L, 1L), (None, 3L, 2L),
+      (Some("a"), 2L, 5L), (None, 2L, 4L))
+    val out = PrefixSum.runningTotalBy(
+        rows.toDF("g", "k", "v").repartition(3), "g", Seq("k"), "v", "run")
+      .select($"g", $"k", $"run")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1.getOrElse(""), t._2))
+    assert(out == Seq(
+      (None, 1L, 1L), (None, 2L, 5L), (None, 3L, 7L),
+      (Some("a"), 1L, 10L), (Some("a"), 2L, 15L)))
+  }
+
   test("grouped: a big group spans partitions instead of sorting in one task") {
     import spark.implicits._
     // 2000 rows, ONE group: the naive PARTITION BY g window would put all

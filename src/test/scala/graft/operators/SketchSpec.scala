@@ -66,6 +66,21 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(merged == whole, "merge of overlapping shard sketches drifted from the whole-corpus sketch")
   }
 
+  test("estimated rejects a k that differs from the sketch's build k instead of mis-estimating") {
+    // k=64 over a k=16 sketch would read every saturated buffer (16 kept)
+    // as an unsaturated exact count of 16 — the carried k makes it raise
+    val sk = KmvSketch.sketch(hashed((1L to 500L).map(("g", _)), 4), "g", col("h"), 16)
+    val ex = intercept[Throwable] {
+      KmvSketch.estimated(sk, 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("does not match the sketch's build k")),
+      s"expected the k-mismatch raise, got: ${messages(ex).mkString(" | ")}")
+    // matching k still estimates
+    assert(KmvSketch.estimated(sk, 16).collect().nonEmpty)
+  }
+
   test("plan: bounded buffers combine map-side — no window, no distinct-value shuffle") {
     val df = KmvSketch.estimated(
       KmvSketch.sketch(hashed((1L to 5000L).map(("g", _)), 8), "g", col("h"), 64), 64)
