@@ -1795,6 +1795,61 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** vs20 — metadata-FILTERED ANN search: IVF top-k where the candidate
+    * set is restricted by a metadata predicate (label ∈ {1,2,3}) — the
+    * filtered-search mode every production vector store serves ("nearest
+    * English documents", "nearest images from this license pool") and
+    * the first thing a RAG stack asks of an index. Spark-first shape:
+    * the filter column lives ON the postings row (written at ingest, as
+    * a production postings table would), so the predicate is applied
+    * BEFORE assignment/scoring and reaches the PARQUET SCAN as a pushed
+    * filter (PlanSpec pins PushedFilters) — at 100 TB that is row-group
+    * skipping on the postings files, and the scored-pair volume drops
+    * from Σ|probed cell| to Σ|probed cell ∩ filter|, proportional to the
+    * filter's selectivity. The quantizer stays trained on the FULL
+    * corpus (a filter is a query-time decision; re-training per
+    * predicate would be absurd), queries come from the unfiltered
+    * corpus, and the probe decisions are identical to vs06's — only the
+    * candidate lists shrink. Same integer-exact scoring, oracle-replayed
+    * end to end. */
+  private def vs20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = embeddings(s, d)
+    val e = normed(raw)
+    val cents = ivfCentroids(e)
+    // the predicate prunes BEFORE quantization/assignment — one corpus
+    // scan with the label filter pushed down; non-matching vectors are
+    // never assigned, never shuffled, never scored
+    val postings = assignCells(normed(raw.filter($"label".isin(1, 2, 3))), cents)
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    ivfSearch(postings, queries, cents, nProbe = 2, k = 3)
+  }
+  private val vs20Sql = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, label, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos
+       |  FROM n CROSS JOIN c WHERE n.label IN (1, 2, 3)),
+       |a AS (SELECT vec_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |p0 AS (SELECT n.vec_id AS query_id, n.q, n.nrm, c.cid, ${dot("n", "c")} AS pcos
+       |  FROM n CROSS JOIN c WHERE n.vec_id >= 10 AND n.vec_id < 20),
+       |p AS (SELECT query_id, cid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, cid) AS rn FROM p0) WHERE rn <= 2),
+       |s AS (SELECT p.query_id, p.cid, a.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM p JOIN a ON p.cid = a.cid AND a.vec_id <> p.query_id
+       |       JOIN n x ON x.vec_id = p.query_id
+       |       JOIN n y ON y.vec_id = a.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The kNN-graph ADVANCE kernel shared by pp24's gate and any
     * maintained deployment: given the standing postings, the standing
     * graph (vs13's top-k edge rows) and a batch's postings, produce the
@@ -1897,6 +1952,7 @@ object VectorOps {
     Q("vs17_pq_trained_search", "train-then-deploy: one per-subspace Lloyd iteration, then vs08's encode + ADC search under the trained books (codebook swapped as data)", vs17, Some(vs17Sql)),
     Q("vs18_ivfpq_residual", "residual IVF-PQ (the FAISS IVFPQ encoding): codes over x - c(x) residuals, per-probed-cell query distance tables, ADC top-5", vs18, Some(vs18Sql)),
     Q("vs19_graph_search", "graph-expansion ANN: two id-keyed hops over the standing kNN graph, exact-cosine rescore, top-5 (candidate volume degree^h, cell-size independent)", vs19, Some(vs19Sql)),
+    Q("vs20_filtered_ann", "metadata-filtered ANN: IVF top-3 over label-predicate-pruned postings (filter pushed to the scan, scored pairs proportional to selectivity)", vs20, Some(vs20Sql)),
     Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),

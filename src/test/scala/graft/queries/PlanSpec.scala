@@ -386,6 +386,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vs20: the metadata filter reaches the postings-side parquet scan; vs06's search contract holds") {
+    val d = df("vs20_filtered_ann")
+    d.collect()
+    // the label predicate is pushed into a parquet scan (at 100 TB:
+    // row-group skipping on the postings files) — non-matching vectors
+    // are pruned before assignment, never quantized or shuffled
+    val scans = fileScans(d)
+    assert(scans.exists(_.metadata("PushedFilters").contains("In(label")),
+      s"label filter not pushed: ${scans.map(_.metadata("PushedFilters"))}")
+    // and the search keeps vs06's shape: bounded top-k aggregator, the
+    // only window is per-query probe selection
+    val ns = nodes(d)
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    val windows = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
+  }
+
   test("vs07: assignment is row-local — no vector ever shipped; sums combine map-side; zero windows") {
     val d = df("vs07_kmeans_step")
     d.collect()
