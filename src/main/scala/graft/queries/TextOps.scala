@@ -1323,6 +1323,143 @@ object TextOps {
       |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_rate,
       |  (CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) <= 0.5 AS keep
       |FROM d ORDER BY doc_id""".stripMargin
+  /** The FIXED reference corpus ta17/pp25 train their LM on: English
+    * documents from the id-prefix slice. Frozen by definition — a CCNet
+    * deployment trains the reference model ONCE on a curated corpus
+    * (Wikipedia) and scores the stream against it; making the reference
+    * a function of the stream would re-score history on every arrival.
+    * Being a pure predicate, it pushes to the documents scan, so the
+    * reference derivation reads the reference slice only. */
+  private def refLmCounts(docs: DataFrame): DataFrame =
+    bigramCounts(docs.filter(col("lang") === "en" && col("doc_id") < 100L))
+
+  /** Per-doc integer "surprise" score under the fixed reference LM —
+    * ta17's scoring kernel, shared with pp25's advance (one definition,
+    * the gates cannot drift). For each doc: Σ over its bigrams of
+    * m · ((10000·T) div (n_ref + 1)) — the log-free inverse-probability
+    * surrogate (ta13's rational-idf trick, Laplace-smoothed so unseen
+    * transitions score the maximum bucket): integer-exact, so the score
+    * and every bucket cut hash cross-engine, where a literal log-space
+    * perplexity would be engine-divergent FP (production swaps in the
+    * log map per-row on the same plan). Higher = rarer under the
+    * reference = less reference-like. One corpus scan → per-(doc,
+    * bigram) rollup; the reference join is bigram-keyed, NOT broadcast
+    * (ta12's argument: a reference LM table is artifact-bounded but can
+    * be Wikipedia-bigram-sized; AQE will broadcast if it measures
+    * small); T is a 1-row broadcast. Docs with < 2 tokens have no
+    * bigrams and are absent (ta10/ta12's convention). */
+  private[graft] def refSurprise(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val t = ref.agg(sum(col("n")).as("t"))
+    docs.select(col("doc_id"), col("source"),
+        explode(Text.wordNGrams(Text.tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("source"), col("bigram"))
+      .agg(count(lit(1)).as("m"))
+      .join(ref, Seq("bigram"), "left")
+      .crossJoin(broadcast(t))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m") * expr("(10000 * t) div (coalesce(n, 0L) + 1)"))
+        .as("score"))
+  }
+
+  /** The per-source head/middle/tail assembly over a scored frame —
+    * ta17's suffix, shared verbatim with pp25 so full and incremental
+    * bucketing cannot drift. Ranks WITHOUT the per-source window the
+    * naive NTILE would use: `NTILE(3) OVER (PARTITION BY source ORDER BY
+    * score)` sorts each source's documents in ONE task — at 100 TB a
+    * dominant source (one web domain holding a third of the corpus) is a
+    * straggler no cluster size absorbs. Instead the rank is a
+    * DISTRIBUTED running count ([[graft.operators.PrefixSum
+    * .runningTotalBy]] — the two-level scan: a big source SPANS range
+    * partitions, only (partition, source) summary rows ever funnel), and
+    * the bucket is a row-local comparison against the source's NTILE cut
+    * sizes (sources-bounded broadcast). The cut arithmetic mirrors
+    * SQL NTILE(3) exactly: the first n mod 3 buckets take one extra
+    * row. */
+  private[graft] def refBuckets(scored: DataFrame): DataFrame = {
+    val ranked = graft.operators.PrefixSum.runningTotalBy(
+      scored.withColumn("one", lit(1L)),
+      "source", Seq("score", "doc_id"), "one", "rank").drop("one")
+    val sizes = scored.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    ranked.join(broadcast(sizes), Seq("source"))
+      .withColumn("__s1", expr("nd div 3 + if(nd % 3 >= 1, 1, 0)"))
+      .withColumn("__s2", expr("2 * (nd div 3) + if(nd % 3 >= 1, 1, 0) + if(nd % 3 >= 2, 1, 0)"))
+      .withColumn("bucket",
+        when(col("rank") <= col("__s1"), lit("head"))
+          .when(col("rank") <= col("__s2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("source"), col("score"), col("rank"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ta17 — reference-LM perplexity bucketing (the CCNet pipeline op):
+    * every document scored for "surprise" under a bigram LM trained on a
+    * FIXED curated reference corpus ([[refLmCounts]] — frozen by
+    * definition, like CCNet's Wikipedia model), then cut per source into
+    * head/middle/tail terciles of reference-likeness — the buckets CCNet
+    * publishes and quality-stratified sampling draws from. Scoring is
+    * [[refSurprise]] (integer-exact, oracle-replayed); bucketing is
+    * [[refBuckets]] (distributed rank, no per-source single-task sort).
+    * Cites the reference repo only for scale norms: this is a
+    * training-pipeline addition beyond its ETL scope. */
+  private def ta17(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    refBuckets(refSurprise(docs, refLmCounts(docs)))
+  }
+  private val ta17Sql =
+    """WITH a AS (SELECT doc_id, source, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+      |b AS (SELECT doc_id, source, lang, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
+      |ref AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b
+      |        WHERE lang = 'en' AND doc_id < 100 GROUP BY bigram),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM ref),
+      |m AS (SELECT doc_id, source, bigram, COUNT(*) AS m FROM b GROUP BY doc_id, source, bigram),
+      |sc AS (SELECT m.doc_id, m.source,
+      |    CAST(SUM(m.m * ((10000 * t.t) // (COALESCE(ref.n, 0) + 1))) AS BIGINT) AS score
+      |  FROM m LEFT JOIN ref USING (bigram) CROSS JOIN t
+      |  GROUP BY m.doc_id, m.source),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM sc GROUP BY source),
+      |rk AS (SELECT sc.*, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY sc.source ORDER BY sc.score, sc.doc_id) AS BIGINT) AS rank FROM sc),
+      |cut AS (SELECT rk.*, sz.nd,
+      |    (sz.nd // 3) + (CASE WHEN sz.nd % 3 >= 1 THEN 1 ELSE 0 END) AS s1,
+      |    2 * (sz.nd // 3) + (CASE WHEN sz.nd % 3 >= 1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN sz.nd % 3 >= 2 THEN 1 ELSE 0 END) AS s2
+      |  FROM rk JOIN sz USING (source))
+      |SELECT doc_id, source, score, rank,
+      |  CASE WHEN rank <= s1 THEN 'head' WHEN rank <= s2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM cut ORDER BY doc_id""".stripMargin
+
+  /** pp25 — INCREMENTAL perplexity bucketing, ta17's twin: the CCNet
+    * deployment shape. The reference LM is FROZEN ([[refLmCounts]] — the
+    * whole reason incremental scoring is sound: a stream-dependent
+    * reference would re-score history on every arrival), so a document's
+    * SCORE is immutable once computed: the standing state is the scored
+    * table itself, advanced by scoring ONLY the batch (batch-sized
+    * rollup + reference join) and appending. Re-bucketing is rank-only
+    * work over the scores table — (doc_id, source, score) rows, never
+    * the text — because a new arrival shifts its source's tercile cuts
+    * for everyone (inherent to quantile buckets, not to this plan).
+    * Result must equal ta17 over the full corpus — the oracle is ta17's,
+    * verbatim. */
+  private def pp25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("ppx:"), $"doc_id".cast("string"))) % 5 === 0
+    // frozen reference + standing scores as parquet session tables (pp04
+    // treatment): the gate times the ADVANCE — batch scoring + re-rank —
+    // not the 80%-corpus derivation
+    val stand = QueryUtils.standingDir(s, "pp25", d) { dir =>
+      refLmCounts(docs).write.parquet(s"$dir/ref")
+      refSurprise(docs.filter(!isNew), s.read.parquet(s"$dir/ref"))
+        .write.parquet(s"$dir/scores")
+    }
+    val ref = s.read.parquet(s"$stand/ref")
+    refBuckets(
+      s.read.parquet(s"$stand/scores")
+        .unionByName(refSurprise(docs.filter(isNew), ref)))
+  }
+
   /** ta13 — per-document keyword extraction: top-3 terms by an
     * INTEGER-EXACT tf·idf surrogate, `score = tf · ((10000·N) div df)` —
     * the log-free rational idf (a production log-idf is a trivial FP map
@@ -2697,5 +2834,7 @@ object TextOps {
     Q("pp18_incremental_bpe", "incremental BPE: standing vocab counts advanced additively per batch, segmentation retrained from the merged counts, encode == ta14", pp18, Some(ta14Sql)),
     Q("ta15_quality_classifier", "learned quality filter: fixed-point linear scorer over five integer features, row-local inference, verdict per doc", ta15, Some(ta15Sql)),
     Q("ta16_rule_filter", "Gopher/C4-style rule battery: five named integer-exact rules with per-rule attribution, fully row-local (zero-exchange map)", ta16, Some(ta16Sql)),
+    Q("ta17_ref_perplexity", "CCNet-style reference-LM bucketing: integer surprise score under a frozen reference bigram LM, per-source head/middle/tail terciles via distributed rank (no per-source window sort)", ta17, Some(ta17Sql)),
+    Q("pp25_incremental_perplexity", "incremental perplexity bucketing: frozen reference LM, immutable standing scores advanced per batch, rank-only re-bucketing — buckets == ta17", pp25, Some(ta17Sql)),
   )
 }

@@ -404,6 +404,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
   }
 
+  test("ta17: reference slice prunes at the scan; no per-source data-sized window (distributed NTILE)") {
+    val d = df("ta17_ref_perplexity")
+    d.collect()
+    // the frozen-reference predicate reaches the documents scan — the
+    // reference LM derivation reads the reference slice only
+    val scans = fileScans(d)
+    assert(scans.exists { s =>
+      val p = s.metadata("PushedFilters")
+      p.contains("EqualTo(lang,en)") && p.contains("LessThan(doc_id,100)")
+    }, s"reference predicates not pushed: ${scans.map(_.metadata("PushedFilters"))}")
+    // bucketing ranks via the two-level scan: every window either runs
+    // partition-local (__pid in its keys) or sees only (partition,
+    // source) SUMMARY rows — a NTILE/row_number window partitioned by
+    // source over the scored documents themselves would be the
+    // single-task-per-source straggler this plan exists to avoid
+    val windows = nodes(d).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val childCols = w.child.output.map(_.name).toSet
+      assert(parts.contains("__pid") || !childCols.contains("doc_id"),
+        s"data-sized window partitioned by $parts over $childCols")
+    }
+  }
+
   test("vs07: assignment is row-local — no vector ever shipped; sums combine map-side; zero windows") {
     val d = df("vs07_kmeans_step")
     d.collect()
