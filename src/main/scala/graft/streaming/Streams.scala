@@ -673,6 +673,70 @@ object Streams {
     }
   }
 
+  /** DELETION PROPAGATION for the COUNTS-shaped family (vocabulary /
+    * bigram LM) — and the cheapest member of the forget family, because
+    * additive state is DECREMENTABLE: a forgotten doc's exact
+    * contribution is recomputed from its stored text and appended as
+    * NEGATIVE delta rows, so the count tables are repaired by an
+    * O(deleted)-sized append instead of the O(corpus) rewrite the
+    * vector/dedup families pay. After the job, [[vocabSnapshot]] /
+    * [[lmSnapshot]] equal a from-scratch build over the surviving
+    * corpus (net-zero keys are filtered at read and dropped at
+    * compaction), the ids are tombstoned in the doc store (text NULLED,
+    * id kept — redelivery and future re-ingest of a forgotten doc are
+    * no-ops, never-seen ids forward-block), and the decrement itself is
+    * redelivery-safe by the SAME mechanism as every advance: the rows
+    * ride a deterministic negative batch_key, −(min forgotten-and-
+    * still-present doc_id) − 1 — unique against every positive ingest
+    * key, unique across forget jobs (their still-present sets are
+    * disjoint, so their mins differ), and a crash-replay appends
+    * byte-identical rows under the same key, which the snapshots'
+    * (batch_key, key) dedup collapses.
+    *
+    * Crash contract (write order is the argument): the decrements are a
+    * pure function of (CURRENT doc store, ids); the doc-store swap —
+    * which nulls the text the decrements are recomputed from — goes
+    * LAST. Crash before the swap: re-run recomputes the same gone set,
+    * appends the same rows under the same key, dedup collapses. Crash
+    * after: gone is empty, the appends no-op, the swap is idempotent.
+    * [[compactVocab]]/[[compactLm]] treat a negative key as COMMITTED
+    * only once its doc's text is null in the store (the swap is the
+    * commit witness), so folding can never destroy the dedup evidence a
+    * pending replay still needs. Single-maintenance-loop contract: call
+    * BETWEEN advances, like every forget/compact job here. */
+  def forgetCountState(spark: SparkSession, ids: DataFrame, docTable: String,
+      vocabTable: Option[String] = None, lmTable: Option[String] = None): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    // contributions still recoverable: forgotten ids whose text has not
+    // been nulled yet (a re-run or an overlapping second request skips
+    // already-forgotten docs — the double-decrement guard)
+    val gone = store
+      .map(_.filter(col("text").isNotNull).join(idsC, Seq("doc_id"), "left_semi"))
+      .map(_.localCheckpoint(true))
+      .filter(!_.isEmpty)
+    gone.foreach { g =>
+      val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
+      vocabTable.foreach { vt =>
+        vocabDelta(g, forgetKey)
+          .select(col("batch_key"), col("tok"),
+            (-col("df")).as("df"), (-col("cf")).as("cf"))
+          .write.mode("append").parquet(vt)
+      }
+      lmTable.foreach { lt =>
+        lmDelta(g, forgetKey)
+          .select(col("batch_key"), col("bigram"), (-col("n")).as("n"))
+          .write.mode("append").parquet(lt)
+      }
+    }
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
+
   /** The current clustering under the maintained tables — (doc_id,
     * cluster_id, cluster_size), dd06's exact shape: one remap hop over
     * the written labels (duplicate label rows from redelivered batches
@@ -1430,7 +1494,9 @@ object Streams {
   private def compactDeltas(spark: SparkSession, table: String,
       keys: Seq[String], sums: Seq[String],
       guardTable: String, guardIdCol: String,
-      mins: Seq[String] = Nil): Unit =
+      mins: Seq[String] = Nil,
+      tombstoneIds: Option[DataFrame] = None,
+      dropZeroKeys: Boolean = false): Unit =
     tryRead(spark, table).foreach { t0 =>
       val t = t0.localCheckpoint(true)
       val guard = tryRead(spark, guardTable)
@@ -1438,9 +1504,22 @@ object Streams {
         .getOrElse(emptyDf(spark, "__gid" -> org.apache.spark.sql.types.LongType))
       // distinct keys in the table are O(batches) — probe the guard with
       // them (one pruned id scan), never the other way around
-      val tKeys = t.select(col("batch_key")).distinct()
-      val committedKeys = tKeys
+      val tKeys = t.select(col("batch_key")).distinct().localCheckpoint(true)
+      val posCommitted = tKeys
         .join(guard, tKeys("batch_key") === col("__gid"), "left_semi")
+      // a NEGATIVE key is a forgetCountState decrement, committed only
+      // once its witness doc (id −key−1) has null text in the doc store
+      // (`tombstoneIds`, passed by the text-flow compactors) — folding an
+      // UNCOMMITTED forget would destroy the (batch_key, key) dedup
+      // evidence a crash-replay of the forget job still needs, exactly
+      // the reason positive keys wait for the guard
+      val negCommitted = tombstoneIds match {
+        case Some(tids) => tKeys.join(
+          tids.select((-col(tids.columns.head) - 1L).as("batch_key")),
+          Seq("batch_key"), "left_semi")
+        case None => tKeys.limit(0)
+      }
+      val committedKeys = posCommitted.unionByName(negCommitted)
         .localCheckpoint(true)
       val reserved = col("batch_key") === Long.MinValue
       val committed = t.filter(reserved).unionByName(
@@ -1451,10 +1530,17 @@ object Streams {
       // both are associative+commutative, which is all batch_key-tagged
       // delta folding requires
       val aggs = sums.map(c => sum(col(c)).as(c)) ++ mins.map(c => min(col(c)).as(c))
-      val folded = committed.dropDuplicates("batch_key" +: keys)
+      val folded0 = committed.dropDuplicates("batch_key" +: keys)
         .groupBy(keys.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .select(lit(Long.MinValue).as("batch_key") +: (keys ++ sums ++ mins).map(col): _*)
+      // a key whose committed decrements netted every sum to zero is a
+      // from-scratch absence — drop it so the table stays O(live keys)
+      // (only for pure-sum flows; keeper-carrying tables keep their rows)
+      val folded =
+        if (dropZeroKeys && mins.isEmpty)
+          folded0.filter(sums.map(c => col(c) =!= 0L).reduce(_ || _))
+        else folded0
       graft.operators.MergeWriter.overwriteAtomic(
         folded.unionByName(pending), table)
     }
@@ -1661,9 +1747,11 @@ object Streams {
       .start()
 
   /** The current top-100 vocabulary under the maintained delta table —
-    * ta07's exact shape over every doc that has arrived. Duplicate delta
-    * rows from redelivered batches collapse on (batch_key, tok) before
-    * the sum. */
+    * ta07's exact shape over every doc that has arrived AND NOT been
+    * forgotten. Duplicate delta rows from redelivered batches collapse
+    * on (batch_key, tok) before the sum; tokens whose net count
+    * [[forgetCountState]]'s decrements drove to zero are filtered (a
+    * from-scratch build over the survivors has no row for them). */
   def vocabSnapshot(spark: SparkSession, vocabTable: String,
       topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.types._
@@ -1673,16 +1761,22 @@ object Streams {
           "df" -> LongType, "cf" -> LongType))
         .dropDuplicates("batch_key", "tok")
         .groupBy(col("tok"))
-        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf")),
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+        .filter(col("cf") > 0),
       topN)
   }
 
   /** Compact the vocabulary deltas to one row per token; `docTable` is
-    * the flow's guard. */
+    * the flow's guard, and its null-text tombstones are the commit
+    * witness for [[forgetCountState]] decrement keys (net-zero tokens
+    * drop at the fold). */
   def compactVocab(spark: SparkSession, vocabTable: String,
       docTable: String): Unit =
     compactDeltas(spark, vocabTable, Seq("tok"), Seq("df", "cf"),
-      docTable, "doc_id")
+      docTable, "doc_id",
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))),
+      dropZeroKeys = true)
 
   /** The TOKENIZER-lifecycle rebuild, text-side twin of
     * [[rebuildIvfState]]: retrain the BPE segmentation from the
@@ -2151,8 +2245,12 @@ object Streams {
 
   /** The current top-100 bigram LM (with KN continuation counts) under
     * the maintained delta table — ta09's exact shape over every doc that
-    * has arrived. Duplicate delta rows from redelivered batches collapse
-    * on (batch_key, bigram) before the sum. */
+    * has arrived AND NOT been forgotten. Duplicate delta rows from
+    * redelivered batches collapse on (batch_key, bigram) before the sum;
+    * net-zero bigrams from [[forgetCountState]]'s decrements are
+    * filtered BEFORE the KN continuation window — a zero-count bigram
+    * left in place would still inflate its right word's
+    * distinct-left-context count. */
   def lmSnapshot(spark: SparkSession, lmTable: String,
       topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2160,16 +2258,22 @@ object Streams {
       tryRead(spark, lmTable).getOrElse(emptyDf(spark,
           "batch_key" -> LongType, "bigram" -> StringType, "n" -> LongType))
         .dropDuplicates("batch_key", "bigram")
-        .groupBy(col("bigram")).agg(sum(col("n")).as("n")),
+        .groupBy(col("bigram")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0),
       topN)
   }
 
   /** Compact the LM deltas to one row per bigram; `docTable` is the
-    * flow's guard. */
+    * flow's guard, and its null-text tombstones are the commit witness
+    * for [[forgetCountState]] decrement keys (net-zero bigrams drop at
+    * the fold). */
   def compactLm(spark: SparkSession, lmTable: String,
       docTable: String): Unit =
     compactDeltas(spark, lmTable, Seq("bigram"), Seq("n"),
-      docTable, "doc_id")
+      docTable, "doc_id",
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))),
+      dropZeroKeys = true)
 
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's

@@ -112,6 +112,115 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
       == wantCodes)
   }
 
+  test("forgetCountState: vocab+LM == from-scratch over survivors; replay dedups; pending decrements survive compaction; re-ingest blocked; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two crafted docs with corpus-unique tokens (ids % 5 == 0, so they
+    // are forgotten below): their tokens/bigrams must net to ZERO and
+    // vanish from every snapshot — the non-vacuousness witness
+    val all = (graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      ++ Seq(1000005L -> "zzzghosttoken zzzghosttoken zzzothertok",
+        1000010L -> "zzzlonely zzzghosttoken")).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+
+    val root = Files.createTempDirectory("forget-counts").toString
+    val (vocT, docV) = (s"$root/vocab", s"$root/docsv")
+    val (lmT, docL) = (s"$root/lm", s"$root/docsl")
+    for (b <- Seq(all.take(200), all.drop(200))) {
+      Streams.maintainVocabState(df(b), vocT, docV)
+      Streams.maintainLmState(df(b), lmT, docL)
+    }
+
+    val neverSeen = 3000000L
+    val forgot = all.map(_._1).filter(_ % 5 == 0).toSet + neverSeen
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.forgetCountState(spark, fDf, docV, vocabTable = Some(vocT))
+    Streams.forgetCountState(spark, fDf, docL, lmTable = Some(lmT))
+
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    def vocabWant() = graft.queries.TextOps.vocabTop(
+        graft.queries.TextOps.vocabCounts(df(remaining)))
+      .collect().map(_.toSeq.toList).toList
+    def lmWant() = graft.queries.TextOps.lmTop(
+        graft.queries.TextOps.bigramCounts(df(remaining)))
+      .collect().map(_.toSeq.toList).toList
+    def vocabGot() = Streams.vocabSnapshot(spark, vocT)
+      .collect().map(_.toSeq.toList).toList
+    def lmGot() = Streams.lmSnapshot(spark, lmT)
+      .collect().map(_.toSeq.toList).toList
+    assert(vocabGot() == vocabWant(), "vocab snapshot != from-scratch over survivors")
+    assert(lmGot() == lmWant(), "LM snapshot != from-scratch over survivors")
+
+    // non-vacuous: some token existed only in forgotten docs (its net
+    // count is zero and it must be invisible)
+    val goneDocs = all.filter(t => forgot.contains(t._1))
+    val zeroToks = graft.queries.TextOps.vocabCounts(df(goneDocs))
+      .join(graft.queries.TextOps.vocabCounts(df(remaining)), Seq("tok"), "left_anti")
+    assert(!zeroToks.isEmpty, "no token hit net zero — test is vacuous")
+
+    // the decrement is one negative key, O(deleted) rows appended
+    val negKeys = spark.read.parquet(vocT).select($"batch_key")
+      .filter($"batch_key" < 0).distinct().collect().map(_.getLong(0)).toSet
+    assert(negKeys.size == 1 && negKeys.head == -goneDocs.map(_._1).min - 1)
+
+    // crash-replay: the SAME decrement rows land again under the same
+    // key — the snapshots' (batch_key, key) dedup collapses them
+    val goneDf = df(goneDocs)
+    Streams.vocabDelta(goneDf, negKeys.head)
+      .select($"batch_key", $"tok", (-$"df").as("df"), (-$"cf").as("cf"))
+      .write.mode("append").parquet(vocT)
+    assert(vocabGot() == vocabWant(), "replayed decrement double-counted")
+
+    // re-ingest of forgotten docs (and the never-seen id) is a no-op
+    Streams.maintainVocabState(
+      df(goneDocs.take(10) ++ Seq(neverSeen -> "resurrected text")), vocT, docV)
+    Streams.maintainLmState(
+      df(goneDocs.take(10) ++ Seq(neverSeen -> "resurrected text")), lmT, docL)
+    assert(vocabGot() == vocabWant() && lmGot() == lmWant(),
+      "a forgotten doc re-entered the counts")
+
+    // compaction folds the committed decrement (doc store tombstoned =
+    // the commit witness): one reserved key, no net-zero rows, equal
+    Streams.compactVocab(spark, vocT, docV)
+    Streams.compactLm(spark, lmT, docL)
+    assert(vocabGot() == vocabWant() && lmGot() == lmWant(), "compaction drifted")
+    val keysAfter = spark.read.parquet(vocT).select($"batch_key")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(keysAfter == Set(Long.MinValue), s"unfolded keys survive: $keysAfter")
+    assert(spark.read.parquet(vocT).filter($"cf" === 0L && $"df" === 0L).count() == 0,
+      "net-zero token rows survived compaction")
+
+    // idempotent re-run after everything
+    Streams.forgetCountState(spark, fDf, docV, vocabTable = Some(vocT))
+    assert(vocabGot() == vocabWant())
+
+    // PENDING protection: decrements appended but the doc swap lost —
+    // compaction must NOT fold them (the commit witness is absent), and
+    // re-running the forget must converge via dedup
+    val root2 = Files.createTempDirectory("forget-counts-crash").toString
+    val (vocT2, docV2) = (s"$root2/vocab", s"$root2/docs")
+    for (b <- Seq(all.take(200), all.drop(200)))
+      Streams.maintainVocabState(df(b), vocT2, docV2)
+    Streams.vocabDelta(goneDf.filter($"doc_id" =!= neverSeen), negKeys.head)
+      .select($"batch_key", $"tok", (-$"df").as("df"), (-$"cf").as("cf"))
+      .write.mode("append").parquet(vocT2)
+    Streams.compactVocab(spark, vocT2, docV2)
+    val pendingKeys = spark.read.parquet(vocT2).select($"batch_key")
+      .filter($"batch_key" < 0 && $"batch_key" =!= Long.MinValue)
+      .distinct().count()
+    assert(pendingKeys == 1, "uncommitted decrement was folded — dedup evidence destroyed")
+    Streams.forgetCountState(spark, fDf, docV2, vocabTable = Some(vocT2))
+    assert(Streams.vocabSnapshot(spark, vocT2)
+      .collect().map(_.toSeq.toList).toList == vocabWant(),
+      "crash replay diverged")
+    Streams.compactVocab(spark, vocT2, docV2)
+    assert(Streams.vocabSnapshot(spark, vocT2)
+      .collect().map(_.toSeq.toList).toList == vocabWant(),
+      "post-replay compaction drifted")
+  }
+
   test("forgetDedupState: pair-flow == from-scratch ingest of the remaining corpus; text nulled; no ghost buckets; re-ingest blocked; idempotent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
