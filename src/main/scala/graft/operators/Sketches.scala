@@ -63,15 +63,17 @@ object KmvSketch {
 
   /** Per-`group` bottom-k sketch of `hash` (a BIGINT uniform hash, e.g.
     * [[graft.functions.HashExpressions.md5Fold32]]). Output: (group,
-    * hs: array<long> sorted ascending, ≤ k distinct, k) — the build-time
-    * k rides WITH the sketch so [[estimated]] can reject a mismatched k
-    * instead of silently mis-estimating (a larger k would mark saturated
-    * sketches unsaturated and return the buffer size as an exact count). */
+    * hs: array<long> sorted ascending, ≤ k distinct, __kmv_k) — the
+    * build-time k rides WITH the sketch (under a collision-proof name a
+    * caller's own `k` column can't shadow) so [[estimated]] can reject a
+    * mismatched k instead of silently mis-estimating (a larger k would
+    * mark saturated sketches unsaturated and return the buffer size as
+    * an exact count). */
   def sketch(df: DataFrame, group: String, hash: Column, k: Int): DataFrame = {
     require(k > 1, s"KMV needs k > 1, got $k")
     val fn = udaf(new MinKDistinctAgg(k), Encoders.scalaLong)
     df.groupBy(col(group)).agg(fn(hash.cast("long")).as("kmv"))
-      .select(col(group), col("kmv.hs").as("hs"), lit(k).as("k"))
+      .select(col(group), col("kmv.hs").as("hs"), lit(k).as("__kmv_k"))
   }
 
   /** Merge two sketch columns (sorted ascending, ≤ k): union, dedup,
@@ -88,24 +90,30 @@ object KmvSketch {
     * est_distinct — exact when unsaturated, (k−1)·2³² / kth otherwise,
     * BIGINT end to end.
     *
-    * k is VALIDATED, not trusted: if the frame carries [[sketch]]'s `k`
-    * column it must equal the parameter, and size(hs) must be ≤ k — a
-    * mismatch raises instead of mis-estimating (the failure mode being a
-    * too-large k reading a saturated buffer as an exact count). Frames
-    * built via [[merged]] carry no k column; the size guard still
-    * catches a too-small k there. */
+    * k is VALIDATED, not trusted, with two SEPARATE failure modes so the
+    * raise names the actual defect: (1) the frame carries [[sketch]]'s
+    * `__kmv_k` column and it differs from the parameter — the message
+    * prints the sketch's build k (the failure mode being a too-large k
+    * reading a saturated buffer as an exact count); (2) size(hs) > k —
+    * an overflowed buffer, reachable on [[merged]] frames (which carry
+    * no build k) estimated with a too-small k, or on a corrupted
+    * k-matching frame — the message prints the buffer size. */
   def estimated(sketched: DataFrame, k: Int): DataFrame = {
-    val carriedOk =
-      if (sketched.columns.contains("k")) col("k") === lit(k) else lit(true)
-    val guarded = when(carriedOk && size(col("hs")) <= k,
-        size(col("hs")).cast("long"))
+    val overflow = when(size(col("hs")) <= k, size(col("hs")).cast("long"))
       .otherwise(raise_error(concat(
-        lit(s"KmvSketch.estimated: k=$k does not match the sketch's build k ("),
-        (if (sketched.columns.contains("k")) col("k")
-         else size(col("hs"))).cast("string"), lit(")"))))
+        lit("KmvSketch.estimated: sketch buffer holds "),
+        size(col("hs")).cast("string"),
+        lit(s" hashes > k=$k — built or merged with a larger k"))))
+    val guarded =
+      if (sketched.columns.contains("__kmv_k"))
+        when(col("__kmv_k") =!= lit(k), raise_error(concat(
+          lit(s"KmvSketch.estimated: k=$k does not match the sketch's build k ("),
+          col("__kmv_k").cast("string"), lit(")"))).cast("long"))
+          .otherwise(overflow)
+      else overflow
     sketched
       .withColumn("n_kept", guarded)
-      .drop("k")
+      .drop("__kmv_k")
       .withColumn("kth_min",
         when(col("n_kept") > 0, element_at(col("hs"), size(col("hs"))))
           .otherwise(lit(0L)))

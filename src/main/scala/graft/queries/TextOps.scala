@@ -1347,7 +1347,17 @@ object TextOps {
     * (ta12's argument: a reference LM table is artifact-bounded but can
     * be Wikipedia-bigram-sized; AQE will broadcast if it measures
     * small); T is a 1-row broadcast. Docs with < 2 tokens have no
-    * bigrams and are absent (ta10/ta12's convention). */
+    * bigrams and are absent (ta10/ta12's convention).
+    *
+    * Overflow bound (ta13's idf-surrogate discipline): each bigram term
+    * is ≤ 10⁴·T (the unseen-transition maximum), so a doc with B
+    * bigram occurrences sums to ≤ 10⁴·T·B — overflow-free in BIGINT
+    * while T·B < 2⁶³/10⁴ ≈ 9.2·10¹⁴. A Wikipedia-scale reference
+    * (T ≈ 10⁹) is safe for docs up to ~900k bigrams; a web-corpus-sized
+    * reference (T ≈ 10¹¹) needs docs under ~9k bigrams — past that,
+    * drop the 10⁴ scale factor or pre-chunk long docs (ta11) before
+    * scoring; a production log-space scorer (FP, per-row map on the same
+    * plan) has no such bound. */
   private[graft] def refSurprise(docs: DataFrame, ref: DataFrame): DataFrame = {
     val t = ref.agg(sum(col("n")).as("t"))
     docs.select(col("doc_id"), col("source"),
@@ -1445,12 +1455,21 @@ object TextOps {
   private def pp25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val isNew = QueryUtils.hex8(concat(lit("ppx:"), $"doc_id".cast("string"))) % 5 === 0
+    // the reference slice is EXCLUDED from the batch by definition: the
+    // deployment story is a reference LM trained strictly BEFORE the
+    // stream, so reference docs are pre-stream corpus members — the
+    // standing state (ref + scores) derives from !isNew only, and
+    // refLmCounts(!isNew) == refLmCounts(full corpus) because the ref
+    // slice is a subset of !isNew (oracle equality with ta17 holds with
+    // no assumption about which docs land in a batch)
+    val isRef = $"lang" === "en" && $"doc_id" < 100L
+    val isNew = QueryUtils.hex8(concat(lit("ppx:"), $"doc_id".cast("string"))) % 5 === 0 &&
+      !isRef
     // frozen reference + standing scores as parquet session tables (pp04
     // treatment): the gate times the ADVANCE — batch scoring + re-rank —
     // not the 80%-corpus derivation
     val stand = QueryUtils.standingDir(s, "pp25", d) { dir =>
-      refLmCounts(docs).write.parquet(s"$dir/ref")
+      refLmCounts(docs.filter(!isNew)).write.parquet(s"$dir/ref")
       refSurprise(docs.filter(!isNew), s.read.parquet(s"$dir/ref"))
         .write.parquet(s"$dir/scores")
     }

@@ -688,8 +688,8 @@ object Streams {
     * redelivery-safe by the SAME mechanism as every advance: the rows
     * ride a deterministic negative batch_key, −(min forgotten-and-
     * still-present doc_id) − 1 — unique against every positive ingest
-    * key, unique across forget jobs (their still-present sets are
-    * disjoint, so their mins differ), and a crash-replay appends
+    * key, unique across COMPLETED forget jobs (their still-present sets
+    * are disjoint, so their mins differ), and a crash-replay appends
     * byte-identical rows under the same key, which the snapshots'
     * (batch_key, key) dedup collapses.
     *
@@ -703,7 +703,26 @@ object Streams {
     * only once its doc's text is null in the store (the swap is the
     * commit witness), so folding can never destroy the dedup evidence a
     * pending replay still needs. Single-maintenance-loop contract: call
-    * BETWEEN advances, like every forget/compact job here. */
+    * BETWEEN advances, like every forget/compact job here.
+    *
+    * CRASHED-then-OVERLAPPING requests need one more step: a job that
+    * crashed before its swap leaves PENDING decrement rows whose witness
+    * doc is still live. A later, DIFFERENT request containing that
+    * witness would (a) possibly derive the SAME key (same min over a
+    * different gone set — the snapshots' (batch_key, key) dedup would
+    * then mix the two row sets nondeterministically) and (b) tombstone
+    * the witness with its OWN swap, which would commit the crashed job's
+    * decrements for docs this request never tombstoned — counts would
+    * drift below a from-scratch build. So before appending, the job
+    * ROLLS BACK every pending negative key whose witness is in this
+    * request's gone set: the crashed job's swap never ran (the swap is
+    * atomic), so its appended rows are its ONLY effect, and deleting
+    * them is a clean rollback; a committed key's witness has null text,
+    * is never in `gone`, and is never touched. Re-running the crashed
+    * request afterward recomputes its gone set against the new store
+    * (minus this job's tombstones) and re-forgets what remains. The
+    * rollback is an O(table) rewrite, paid only when a conflicting
+    * pending key actually exists (the probe is O(batches) keys). */
   def forgetCountState(spark: SparkSession, ids: DataFrame, docTable: String,
       vocabTable: Option[String] = None, lmTable: Option[String] = None): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
@@ -717,6 +736,26 @@ object Streams {
       .filter(!_.isEmpty)
     gone.foreach { g =>
       val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
+      // rollback of conflicting PENDING decrements (see Scaladoc): any
+      // negative key whose witness doc (-key-1) is in this gone set
+      // belongs to a forget job that crashed before its swap — delete
+      // its rows before our append can collide with or falsely commit
+      // them. Long.MinValue is the compactor's reserved fold key, never
+      // a witness key.
+      val witnessKeys = g
+        .select((-col("doc_id") - 1L).as("batch_key"))
+        .filter(col("batch_key") =!= Long.MinValue)
+        .localCheckpoint(true)
+      Seq(vocabTable, lmTable).flatten.foreach { tb =>
+        tryRead(spark, tb).foreach { t0 =>
+          val t = t0.localCheckpoint(true)
+          val conflicted = t.join(witnessKeys, Seq("batch_key"), "left_semi")
+            .localCheckpoint(true)
+          if (!conflicted.isEmpty)
+            graft.operators.MergeWriter.overwriteAtomic(
+              t.join(witnessKeys, Seq("batch_key"), "left_anti"), tb)
+        }
+      }
       vocabTable.foreach { vt =>
         vocabDelta(g, forgetKey)
           .select(col("batch_key"), col("tok"),

@@ -81,6 +81,20 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(KmvSketch.estimated(sk, 16).collect().nonEmpty)
   }
 
+  test("estimated raises the OVERFLOW message (buffer size) on a merged frame estimated with a too-small k") {
+    import spark.implicits._
+    // merged frames carry no build k — the size guard is the only net,
+    // and its message must name the buffer size, not claim a build k
+    val big = KmvSketch.sketch(hashed((1L to 500L).map(("g", _)), 4), "g", col("h"), 64)
+      .select($"g", $"hs") // what a merge pipeline carries
+    val ex = intercept[Throwable] { KmvSketch.estimated(big, 16).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("sketch buffer holds") && m.contains("64") && m.contains("k=16")),
+      s"expected the overflow raise naming the buffer size, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("plan: bounded buffers combine map-side — no window, no distinct-value shuffle") {
     val df = KmvSketch.estimated(
       KmvSketch.sketch(hashed((1L to 5000L).map(("g", _)), 8), "g", col("h"), 64), 64)

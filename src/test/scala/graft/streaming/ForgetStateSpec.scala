@@ -221,6 +221,54 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
       "post-replay compaction drifted")
   }
 
+  test("forgetCountState: crashed forget + OVERLAPPING different request rolls back pending rows — no key mixing, no foreign commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // five docs with disjoint token sets so any drift is visible per doc
+    val all = Seq(
+      10L -> "alpha alpha beta",
+      11L -> "beta gamma",
+      12L -> "delta delta delta",
+      13L -> "epsilon alpha",
+      14L -> "zeta zeta")
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    def want(ids: Set[Long]) = graft.queries.TextOps.vocabTop(
+        graft.queries.TextOps.vocabCounts(df(all.filter(t => ids(t._1)))))
+      .collect().map(_.toSeq.toList).toList
+
+    val root = Files.createTempDirectory("forget-overlap").toString
+    val (vocT, docT) = (s"$root/vocab", s"$root/docs")
+    Streams.maintainVocabState(df(all), vocT, docT)
+    def got() = Streams.vocabSnapshot(spark, vocT)
+      .collect().map(_.toSeq.toList).toList
+
+    // job 1 CRASHES before its swap: gone G1 = {10, 12}, key −10−1 = −11
+    // — decrements for doc 12's tokens are now pending in the table
+    Streams.vocabDelta(df(all.filter(t => Set(10L, 12L)(t._1))), -11L)
+      .select($"batch_key", $"tok", (-$"df").as("df"), (-$"cf").as("cf"))
+      .write.mode("append").parquet(vocT)
+
+    // job 2: a DIFFERENT overlapping request {10, 13} — same min ⇒ same
+    // key without the rollback; its swap tombstones 10 (job 1's witness)
+    Streams.forgetCountState(spark, Seq(10L, 13L).toDF("doc_id"), docT,
+      vocabTable = Some(vocT))
+
+    // job 1's pending rows must be GONE (rolled back), so the snapshot
+    // is exactly from-scratch over {11, 12, 14} — doc 12 undecremented
+    assert(got() == want(Set(11L, 12L, 14L)),
+      "overlapping forget mixed or leaked the crashed job's decrements")
+    // compaction with witness 10 tombstoned must not commit anything
+    // beyond job 2's own decrements
+    Streams.compactVocab(spark, vocT, docT)
+    assert(got() == want(Set(11L, 12L, 14L)),
+      "compaction committed the crashed job's foreign decrements")
+
+    // the crashed request re-run to completion: gone is now just {12}
+    Streams.forgetCountState(spark, Seq(10L, 12L).toDF("doc_id"), docT,
+      vocabTable = Some(vocT))
+    assert(got() == want(Set(11L, 14L)), "re-run of the crashed request diverged")
+  }
+
   test("forgetDedupState: pair-flow == from-scratch ingest of the remaining corpus; text nulled; no ghost buckets; re-ingest blocked; idempotent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
