@@ -1479,6 +1479,106 @@ object TextOps {
         .unionByName(refSurprise(docs.filter(isNew), ref)))
   }
 
+  /** ta18's fixed query workload — literal, driver-bounded (the shape a
+    * decontamination audit or an exploration session submits: tens of
+    * queries, never corpus-scale). Query 3 carries a corpus-OOV term
+    * ('watermark') to pin the semantics: an unseen term has no tf row
+    * and contributes nothing — it must not zero or NULL the query's
+    * scores. */
+  private[queries] val TA18_QUERIES: Seq[(Long, String)] = Seq(
+    1L -> "vector index scan",
+    2L -> "customer order join",
+    3L -> "stream window watermark",
+    4L -> "hash",
+    5L -> "slow query filter sort")
+  private val TA18_K = 10
+
+  /** ta18 — lexical (BM25-family) top-k retrieval: the non-vector half
+    * of similarity search, and the first tool a decontamination audit or
+    * corpus-exploration session reaches for. Each query's tokens are
+    * scored against every document containing them with an INTEGER-EXACT
+    * Okapi BM25 surrogate (k1 = 6/5, b = 3/4 as exact rationals;
+    * reference scope: Robertson & Zaragoza 2009 — the reference repo has
+    * no retrieval op):
+    *
+    *   idf  = (10⁴·N) div df                     (ta13's rational idf)
+    *   tfn  = (44·tf·adl·10⁴) div (20·tf·adl + 6·adl + 18·dl)
+    *   term = (idf · tfn) div 10⁴,   adl = max(L div N, 1)
+    *
+    * — the exact k1/b algebra multiplied through by 20·adl, so one floor
+    * division per (doc, term) replays bit-for-bit in DuckDB (a
+    * production log-idf is a per-row FP map on the same plan, ta13's
+    * argument). Overflow bounds: tfn ≤ 22·10⁴ needs tf·adl < 2·10¹⁴;
+    * idf·tfn ≤ 2.2·10⁸·N needs N < 4·10¹⁰ — both comfortably past any
+    * real corpus (contrast [[refSurprise]]'s tighter T·B bound).
+    *
+    * 100 TB shape: ONE corpus tokenize+rollup builds the per-(doc, tok)
+    * tf table (the persisted tokenizer-output table in production —
+    * ta15's argument); doc lengths and the N/L scalars are rollups OF
+    * that table, never a second scan. The query token set (driver-
+    * bounded) broadcasts and PRUNES tf before anything else, so every
+    * downstream join carries Σ_t df(t) posting rows — the work any
+    * retrieval engine pays — not the corpus; df for the query terms is a
+    * rollup of the PRUNED frame. Per-query top-k is
+    * [[graft.operators.GroupedTopK.topK]]: bounded buffer, map-side
+    * combined, no window, ties broken (score DESC, doc_id ASC). */
+  private def ta18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val tf = docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // one corpus rollup feeds dl, df, and scoring
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
+    val q = TA18_QUERIES.toDF("query_id", "qtext")
+      .select($"query_id", explode(array_distinct(Text.tokens($"qtext"))).as("tok"))
+    val qtoks = q.select($"tok").distinct()
+    val ptf = tf.join(broadcast(qtoks), Seq("tok"))
+    val dfq = ptf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val term = expr(
+      "(((10000 * n) div df) * ((44 * tf * greatest(l div n, 1) * 10000) div " +
+        "(20 * tf * greatest(l div n, 1) + 6 * greatest(l div n, 1) + 18 * dl))) div 10000")
+    val scored = ptf
+      .join(broadcast(dfq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .join(broadcast(q), Seq("tok"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum(term).as("score"))
+    graft.operators.GroupedTopK
+      .topK(scored.select($"query_id", $"score", $"doc_id"),
+        "query_id", "score", "doc_id", TA18_K)
+      .select($"query_id", $"rank", $"id".as("doc_id"),
+        $"v".cast("long").as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+  private val ta18Sql = {
+    val values = TA18_QUERIES
+      .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(ts) AS tok FROM a) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl),
+       |q AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |        unnest(list_distinct(list_filter(string_split(qtext, ' '), x -> x <> ''))) AS tok
+       |      FROM (VALUES $values) AS t(query_id, qtext)),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |       WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(SUM((((10000 * st.n) // df.df) *
+       |      ((44 * tf.tf * GREATEST(st.l // st.n, 1) * 10000) //
+       |       (20 * tf.tf * GREATEST(st.l // st.n, 1)
+       |        + 6 * GREATEST(st.l // st.n, 1) + 18 * dl.dl))) // 10000) AS BIGINT) AS score
+       |  FROM tf JOIN df USING (tok) JOIN q USING (tok)
+       |  JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+       |FROM r WHERE rank <= $TA18_K ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ta13 — per-document keyword extraction: top-3 terms by an
     * INTEGER-EXACT tf·idf surrogate, `score = tf · ((10000·N) div df)` —
     * the log-free rational idf (a production log-idf is a trivial FP map
@@ -1697,7 +1797,24 @@ object TextOps {
     * gate upstream already rejected them). */
   private def ta15(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = documents(s, d)
+    val feats = qualityFeatures(documents(s, d))
+    val score = TA15_WEIGHTS.map { case (f, w) => col(f) * lit(w) }
+      .reduce(_ + _)
+    feats
+      .withColumn("score", score)
+      .withColumn("keep", $"score" >= TA15_THRESHOLD)
+      .orderBy($"doc_id")
+  }
+
+  /** The five integer quality features ta15 scores and ta19 TRAINS on —
+    * one definition, so inference and training cannot drift. Output:
+    * (doc_id, diversity_pm, top_share_pm, dup2_pm, rare_pm, len_cap);
+    * docs with < 2 tokens have no bigram row and are absent (ta12's
+    * convention). Plan shape documented at [[ta15]]. */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
       .select($"doc_id", Text.tokens($"text").as("ts"))
       .localCheckpoint(true) // one corpus scan feeds both rollups
     val tstat = toks.select($"doc_id", explode($"ts").as("tok"))
@@ -1715,19 +1832,13 @@ object TextOps {
       .agg(sum($"m").as("n_bigrams"),
         (sum($"m") - count(lit(1))).as("n_dup2"),
         sum(when($"n" <= 2L, $"m").otherwise(0L)).as("n_rare"))
-    val feats = tstat.join(dstat, Seq("doc_id"))
+    tstat.join(dstat, Seq("doc_id"))
       .select($"doc_id",
         expr("(1000 * n_distinct) div n_tokens").as("diversity_pm"),
         expr("(1000 * n_top) div n_tokens").as("top_share_pm"),
         expr("(1000 * n_dup2) div n_bigrams").as("dup2_pm"),
         expr("(1000 * n_rare) div n_bigrams").as("rare_pm"),
         least($"n_tokens", lit(500L)).as("len_cap"))
-    val score = TA15_WEIGHTS.map { case (f, w) => col(f) * lit(w) }
-      .reduce(_ + _)
-    feats
-      .withColumn("score", score)
-      .withColumn("keep", $"score" >= TA15_THRESHOLD)
-      .orderBy($"doc_id")
   }
   private val ta15Sql = {
     val score = TA15_WEIGHTS
@@ -1775,8 +1886,18 @@ object TextOps {
     * never by an accidental NULL). */
   private def ta16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    ruleVerdicts(documents(s, d)).orderBy($"doc_id")
+  }
+
+  /** ta16's rule battery as a reusable frame (no output ordering) —
+    * shared with ta19, whose weak-supervision labels are exactly these
+    * verdicts (one definition, the label source cannot drift from the
+    * audited filter). */
+  private[graft] def ruleVerdicts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     def cb(c: Column): Column = coalesce(c, lit(false))
-    documents(s, d)
+    docs
       .withColumn("t", Text.tokens($"text"))
       .select($"doc_id",
         size($"t").as("n"),
@@ -1796,7 +1917,6 @@ object TextOps {
         Seq("r_len", "r_word_len", "r_diversity", "r_top_share", "r_stopword")
           .map(r => when(col(r), 0).otherwise(1)).reduce(_ + _))
       .withColumn("keep", $"n_failed" === 0)
-      .orderBy($"doc_id")
   }
   private val ta16Sql =
     """WITH f AS (SELECT doc_id,
@@ -1822,6 +1942,152 @@ object TextOps {
       |   + CASE WHEN r_stopword THEN 0 ELSE 1 END) AS n_failed,
       |  (r_len AND r_word_len AND r_diversity AND r_top_share AND r_stopword) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** ta19's feature order — the five [[qualityFeatures]] columns plus the
+    * bias; shared with [[graft.streaming.Streams.rebuildClassifierState]]
+    * so the deployed weight table's row order is the trainer's. */
+  private[graft] val TA19_FEATURES: Seq[String] =
+    Seq("diversity_pm", "top_share_pm", "dup2_pm", "rare_pm", "len_cap", "bias")
+  private[queries] val TA19_ITERS = 3
+
+  /** The fixed-point batch-perceptron trainer kernel, shared by ta19 and
+    * [[graft.streaming.Streams.rebuildClassifierState]]: starting from
+    * w = 0, each iteration aggregates the INTEGER gradient Σ y·x over
+    * the currently-misclassified rows (margin y·(w·x) ≤ 0 — ties count
+    * as errors, so iteration 0 updates on every row) and adds it to w.
+    * Input: a (features..., y ∈ {+1,−1}) frame; a bias column (lit 1)
+    * is appended here. Returns (iter, weight vector AFTER iter updates,
+    * n misclassified UNDER that vector) for iter 0..k.
+    *
+    * This is vs16's lifecycle shape applied to model fitting: k
+    * DRIVER-BOUNDED iterations, each ONE combinable aggregation over the
+    * feature table (localCheckpointed — the corpus-sized feature
+    * derivation runs once) plus a 1-row collect; no per-row driver loop,
+    * no weight broadcast (weights enter as literals in the filter
+    * expression). Integer-exact end to end, so every iterate replays
+    * bit-for-bit in the oracle (a production trainer swaps in an
+    * FP learning rate / averaged perceptron on the same plan). Overflow:
+    * |w_j| ≤ k·N·10³ and the margin ≤ 6·10³·|w|, overflow-free in
+    * BIGINT while k·N < 1.5·10¹² — any real corpus at k ≤ 10. */
+  private[graft] def perceptronIterates(
+      data: DataFrame, k: Int): Seq[(Long, Seq[Long], Long)] = {
+    val d = data.withColumn("bias", lit(1L)).localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, Seq[Long], Long)]
+    var w = Seq.fill(TA19_FEATURES.size)(0L)
+    for (i <- 0 to k) {
+      val margin = TA19_FEATURES.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }.reduce(_ + _)
+      val mis = d.filter(col("y") * margin <= 0)
+      val aggs = TA19_FEATURES.map(c => sum(col(c) * col("y")).as(c)) :+
+        count(lit(1)).as("n")
+      val row = mis.agg(aggs.head, aggs.tail: _*).head()
+      out += ((i.toLong, w, row.getLong(TA19_FEATURES.size)))
+      if (i < k)
+        w = w.zipWithIndex.map { case (wj, j) =>
+          wj + (if (row.isNullAt(j)) 0L else row.getLong(j)) }
+    }
+    out.result()
+  }
+
+  /** ta19 — quality-classifier TRAINING, the missing half of ta15's
+    * inference (ta15 deploys a literal weight table; this fits one): a
+    * fixed-point batch perceptron over the SAME five integer features
+    * ([[qualityFeatures]] — shared definition), weakly supervised by
+    * ta16's rule verdicts ([[ruleVerdicts]] — the Gopher-style battery
+    * acts as the labeling function, the standard bootstrap when no human
+    * labels exist; reference scope: quality-classifier distillation à la
+    * GPT-3/CCNet appendix pipelines). Output: every iterate's weight
+    * vector + its misclassification count, so the full training
+    * trajectory — not just the final model — is oracle-replayed. The
+    * training set is the feature-bearing docs (≥ 2 tokens) inner-joined
+    * to their verdicts; the gate's corpus-sized work is the feature
+    * derivation, after which each iteration is one combinable rollup
+    * ([[perceptronIterates]]'s contract). */
+  private def ta19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val data = qualityFeatures(docs).join(
+      ruleVerdicts(docs).select($"doc_id",
+        when($"keep", 1L).otherwise(-1L).as("y")),
+      Seq("doc_id"))
+    perceptronIterates(data, TA19_ITERS)
+      .map { case (i, w, n) => (i, w(0), w(1), w(2), w(3), w(4), w(5), n) }
+      .toDF("iter", "w_diversity_pm", "w_top_share_pm", "w_dup2_pm",
+        "w_rare_pm", "w_len_cap", "w_bias", "n_misclassified")
+      .orderBy($"iter")
+  }
+  private val ta19Sql = {
+    val mg = "(wd*diversity_pm + wt*top_share_pm + w2*dup2_pm" +
+      " + wr*rare_pm + wl*len_cap + wb)"
+    val iters = (1 to TA19_ITERS + 1).map { i =>
+      s"""s$i AS (SELECT COALESCE(CAST(SUM(y*diversity_pm) AS BIGINT), 0) AS gd,
+         |    COALESCE(CAST(SUM(y*top_share_pm) AS BIGINT), 0) AS gt,
+         |    COALESCE(CAST(SUM(y*dup2_pm) AS BIGINT), 0) AS g2,
+         |    COALESCE(CAST(SUM(y*rare_pm) AS BIGINT), 0) AS gr,
+         |    COALESCE(CAST(SUM(y*len_cap) AS BIGINT), 0) AS gl,
+         |    COALESCE(CAST(SUM(y) AS BIGINT), 0) AS gb,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM d CROSS JOIN e${i - 1} WHERE y * $mg <= 0)""".stripMargin +
+        (if (i <= TA19_ITERS)
+          s""",
+             |e$i AS (SELECT wd+gd AS wd, wt+gt AS wt, w2+g2 AS w2,
+             |  wr+gr AS wr, wl+gl AS wl, wb+gb AS wb
+             |  FROM e${i - 1} CROSS JOIN s$i)""".stripMargin
+         else "")
+    }.mkString(",\n")
+    val rows = (0 to TA19_ITERS).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter, wd AS w_diversity_pm,
+         |  wt AS w_top_share_pm, w2 AS w_dup2_pm, wr AS w_rare_pm,
+         |  wl AS w_len_cap, wb AS w_bias, s${i + 1}.n AS n_misclassified
+         |FROM e$i CROSS JOIN s${i + 1}""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(ts) AS tok FROM a) GROUP BY 1, 2),
+       |tstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS n_top
+       |  FROM tc GROUP BY 1),
+       |b AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
+       |m AS (SELECT doc_id, bigram, COUNT(*) AS m FROM b GROUP BY 1, 2),
+       |lm AS (SELECT bigram, CAST(SUM(m) AS BIGINT) AS n FROM m GROUP BY 1),
+       |dstat AS (SELECT m.doc_id, CAST(SUM(m.m) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(m.m) - COUNT(*) AS BIGINT) AS n_dup2,
+       |    CAST(SUM(CASE WHEN lm.n <= 2 THEN m.m ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM m JOIN lm USING (bigram) GROUP BY 1),
+       |f AS (SELECT tstat.doc_id,
+       |    (1000 * n_distinct) // n_tokens AS diversity_pm,
+       |    (1000 * n_top) // n_tokens AS top_share_pm,
+       |    (1000 * n_dup2) // n_bigrams AS dup2_pm,
+       |    (1000 * n_rare) // n_bigrams AS rare_pm,
+       |    least(n_tokens, 500) AS len_cap
+       |  FROM tstat JOIN dstat ON tstat.doc_id = dstat.doc_id),
+       |rf AS (SELECT doc_id,
+       |    len(t) AS n,
+       |    coalesce(list_sum([len(x) for x in t]), 0) AS sl,
+       |    len(list_distinct(t)) AS nd,
+       |    coalesce(list_max([len(list_filter(t, y -> y = x))
+       |                       for x in list_distinct(t)]), 0) AS ntop,
+       |    len(list_filter(t, x -> x = 'the' OR x = 'a')) AS nstop
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |        FROM documents)),
+       |rr AS (SELECT doc_id,
+       |    (coalesce(n >= 25 AND n <= 100000, false)
+       |     AND coalesce(sl >= n * 3 AND sl <= n * 10, false)
+       |     AND coalesce(nd * 2 >= n, false)
+       |     AND coalesce(ntop * 8 <= n, false)
+       |     AND coalesce(nstop >= 2, false)) AS keep
+       |  FROM rf),
+       |d AS (SELECT f.doc_id, diversity_pm, top_share_pm, dup2_pm, rare_pm,
+       |    len_cap, CAST(1 AS BIGINT) AS bias,
+       |    CAST(CASE WHEN rr.keep THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM f JOIN rr ON f.doc_id = rr.doc_id),
+       |e0 AS (SELECT CAST(0 AS BIGINT) AS wd, CAST(0 AS BIGINT) AS wt,
+       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS wr,
+       |  CAST(0 AS BIGINT) AS wl, CAST(0 AS BIGINT) AS wb),
+       |$iters
+       |$rows
+       |ORDER BY iter""".stripMargin
+  }
 
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
@@ -2855,5 +3121,7 @@ object TextOps {
     Q("ta16_rule_filter", "Gopher/C4-style rule battery: five named integer-exact rules with per-rule attribution, fully row-local (zero-exchange map)", ta16, Some(ta16Sql)),
     Q("ta17_ref_perplexity", "CCNet-style reference-LM bucketing: integer surprise score under a frozen reference bigram LM, per-source head/middle/tail terciles via distributed rank (no per-source window sort)", ta17, Some(ta17Sql)),
     Q("pp25_incremental_perplexity", "incremental perplexity bucketing: frozen reference LM, immutable standing scores advanced per batch, rank-only re-bucketing — buckets == ta17", pp25, Some(ta17Sql)),
+    Q("ta18_bm25_topk", "lexical BM25 top-k retrieval: integer-exact Okapi scoring over the (doc, tok) tf rollup, broadcast query terms prune before any join, bounded-buffer per-query top-k (no window)", ta18, Some(ta18Sql)),
+    Q("ta19_classifier_train", "quality-classifier TRAINING: fixed-point batch perceptron over ta15's five features, weakly supervised by ta16's rule verdicts — every iterate's weight vector + error count oracle-replayed", ta19, Some(ta19Sql)),
   )
 }

@@ -1842,6 +1842,30 @@ object Streams {
     graft.operators.MergeWriter.overwriteAtomic(seg, segTable)
   }
 
+  /** The CLASSIFIER-lifecycle rebuild — the train-then-deploy twin of
+    * [[rebuildBpeState]]/[[rebuildIvfState]] for the quality-filter
+    * family: refit ta19's fixed-point batch perceptron
+    * ([[graft.queries.TextOps.perceptronIterates]] — k driver-bounded
+    * combinable rollups over the feature table, corpus scale enters only
+    * through the features a pipeline already computes) and atomically
+    * swap the deployable weight table: (feature, weight) rows — the
+    * literal-table shape ta15's inference consumes, closing the
+    * train → deploy loop. `featsTable` rows carry the five
+    * [[graft.queries.TextOps.qualityFeatures]] columns plus
+    * y ∈ {+1, −1} (e.g. ta16 rule verdicts as weak supervision).
+    * Crash-safe like every rebuild here: the pass is a pure function of
+    * the feature table, so a re-run after a crash mid-swap recomputes
+    * the identical weights (idempotence spec-pinned). */
+  def rebuildClassifierState(spark: SparkSession, featsTable: String,
+      weightsTable: String, iters: Int = 3): Unit =
+    tryRead(spark, featsTable).foreach { d =>
+      import spark.implicits._
+      val last = graft.queries.TextOps.perceptronIterates(d, iters).last
+      graft.operators.MergeWriter.overwriteAtomic(
+        graft.queries.TextOps.TA19_FEATURES.zip(last._2)
+          .toDF("feature", "weight"), weightsTable)
+    }
+
   /** pp16's continuous twin: CONTINUOUS domain-mix maintenance — the
     * sampling-side member of the additive-counts family (vocab, LM,
     * sums). Standing tables: `countsTable` (batch_key, source, n — per-

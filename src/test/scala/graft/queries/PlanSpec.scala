@@ -404,6 +404,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(windows.size == 1, s"expected only the probe-selection window, got ${windows.size}")
   }
 
+  test("ta18: query terms broadcast and prune; per-query top-k is a bounded aggregate (no window); text never rides an exchange") {
+    val d = df("ta18_bm25_topk")
+    d.collect()
+    val ns = nodes(d)
+    // the driver-bounded query-token set, the df dim, the N/L scalars,
+    // and the query fan-out all broadcast — the only shuffled frames are
+    // the tf/dl rollups and the (query, doc) score rollup
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+      "query-side dims did not broadcast")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "per-query top-k fell back to a window")
+    assert(ns.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "bounded-buffer top-k aggregate missing")
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("text"), s"exchange ships the document body: $p"))
+  }
+
   test("ta17: reference slice prunes at the scan; no per-source data-sized window (distributed NTILE)") {
     val d = df("ta17_ref_perplexity")
     d.collect()

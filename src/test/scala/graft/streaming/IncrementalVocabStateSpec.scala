@@ -134,4 +134,34 @@ class IncrementalVocabStateSpec extends AnyFunSuite with SparkSpec {
     Streams.rebuildBpeState(spark, vocT, segT, merges = 5)
     assert(seg() == got, "rebuild re-run is not idempotent")
   }
+
+  test("rebuildClassifierState: weights == the trainer kernel's final iterate; deployable shape; idempotent re-run") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("clf-rebuild").toString
+    val (featT, wT) = (s"$root/feats", s"$root/weights")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    // the maintained feature table a pipeline would keep current:
+    // qualityFeatures + ta16 weak labels
+    val feats = graft.queries.TextOps.qualityFeatures(docs).join(
+      graft.queries.TextOps.ruleVerdicts(docs)
+        .select($"doc_id", when($"keep", 1L).otherwise(-1L).as("y")),
+      Seq("doc_id"))
+    feats.write.parquet(featT)
+
+    Streams.rebuildClassifierState(spark, featT, wT, iters = 3)
+    def weights() = spark.read.parquet(wT)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = weights()
+    val wantLast = graft.queries.TextOps
+      .perceptronIterates(spark.read.parquet(featT), 3).last._2
+    assert(got == graft.queries.TextOps.TA19_FEATURES.zip(wantLast).toMap,
+      "deployed weights != the trainer kernel's final iterate")
+    // non-vacuous: training moved at least one weight off zero
+    assert(got.values.exists(_ != 0L), "trainer was a no-op")
+    // idempotent re-run (crash between swap and caller bookkeeping)
+    Streams.rebuildClassifierState(spark, featT, wT, iters = 3)
+    assert(weights() == got, "rebuild re-run is not idempotent")
+  }
 }
