@@ -1330,7 +1330,7 @@ object TextOps {
     * a function of the stream would re-score history on every arrival.
     * Being a pure predicate, it pushes to the documents scan, so the
     * reference derivation reads the reference slice only. */
-  private def refLmCounts(docs: DataFrame): DataFrame =
+  private[graft] def refLmCounts(docs: DataFrame): DataFrame =
     bigramCounts(docs.filter(col("lang") === "en" && col("doc_id") < 100L))
 
   /** Per-doc integer "surprise" score under the fixed reference LM —

@@ -736,26 +736,7 @@ object Streams {
       .filter(!_.isEmpty)
     gone.foreach { g =>
       val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
-      // rollback of conflicting PENDING decrements (see Scaladoc): any
-      // negative key whose witness doc (-key-1) is in this gone set
-      // belongs to a forget job that crashed before its swap — delete
-      // its rows before our append can collide with or falsely commit
-      // them. Long.MinValue is the compactor's reserved fold key, never
-      // a witness key.
-      val witnessKeys = g
-        .select((-col("doc_id") - 1L).as("batch_key"))
-        .filter(col("batch_key") =!= Long.MinValue)
-        .localCheckpoint(true)
-      Seq(vocabTable, lmTable).flatten.foreach { tb =>
-        tryRead(spark, tb).foreach { t0 =>
-          val t = t0.localCheckpoint(true)
-          val conflicted = t.join(witnessKeys, Seq("batch_key"), "left_semi")
-            .localCheckpoint(true)
-          if (!conflicted.isEmpty)
-            graft.operators.MergeWriter.overwriteAtomic(
-              t.join(witnessKeys, Seq("batch_key"), "left_anti"), tb)
-        }
-      }
+      rollbackPendingForgets(spark, Seq(vocabTable, lmTable).flatten, g)
       vocabTable.foreach { vt =>
         vocabDelta(g, forgetKey)
           .select(col("batch_key"), col("tok"),
@@ -772,6 +753,74 @@ object Streams {
     graft.operators.MergeWriter.overwriteAtomic(
       store.map(_.join(idsC, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
+
+  /** Rollback of conflicting PENDING forget decrements (the
+    * crashed-then-overlapping contract in [[forgetCountState]]'s
+    * Scaladoc, shared with [[forgetMixState]]): delete, from each delta
+    * table, every negative batch key whose witness doc (−key−1) is in
+    * this request's still-present gone set — such a key belongs to a
+    * forget job that crashed before its swap (a COMMITTED key's witness
+    * is tombstoned and can never be in `gone`), its appended rows are
+    * its only effect, and leaving them would let this request's key
+    * collide with them or its swap falsely commit them. Long.MinValue
+    * is the compactor's reserved fold key, never a witness key. The
+    * O(table) rewrite is paid only when a conflicting pending key
+    * actually exists. */
+  private def rollbackPendingForgets(spark: SparkSession,
+      tables: Seq[String], gone: DataFrame): Unit = {
+    val witnessKeys = gone
+      .select((-col("doc_id") - 1L).as("batch_key"))
+      .filter(col("batch_key") =!= Long.MinValue)
+      .localCheckpoint(true)
+    tables.foreach { tb =>
+      tryRead(spark, tb).foreach { t0 =>
+        val t = t0.localCheckpoint(true)
+        val conflicted = t.join(witnessKeys, Seq("batch_key"), "left_semi")
+          .localCheckpoint(true)
+        if (!conflicted.isEmpty)
+          graft.operators.MergeWriter.overwriteAtomic(
+            t.join(witnessKeys, Seq("batch_key"), "left_anti"), tb)
+      }
+    }
+  }
+
+  /** DELETION PROPAGATION for the domain-mix family — the additive-state
+    * forget ([[forgetCountState]]'s mechanism verbatim, counts keyed by
+    * source instead of token): a forgotten doc's per-source contribution
+    * is exactly one count, recomputed from its stored (doc_id, source)
+    * row and appended as a NEGATIVE delta under the deterministic
+    * forget key −(min forgotten-and-still-present doc_id) − 1. After the
+    * job, [[mixCountsSnapshot]]/[[mixRatesSnapshot]] equal a
+    * from-scratch build over the survivors (net-zero sources filter at
+    * read and drop at compaction), the ids are tombstoned in the doc
+    * store (source NULLED, id kept — redelivery and re-ingest blocked,
+    * never-seen ids forward-block), and the crashed-then-overlapping
+    * contract is covered by [[rollbackPendingForgets]]. Write order and
+    * crash/replay semantics are [[forgetCountState]]'s verbatim: the
+    * decrements are a pure function of (current doc store, ids), the
+    * store swap goes LAST and is [[compactMix]]'s commit witness. */
+  def forgetMixState(spark: SparkSession, ids: DataFrame, docTable: String,
+      countsTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val gone = store
+      .map(_.filter(col("source").isNotNull).join(idsC, Seq("doc_id"), "left_semi"))
+      .map(_.localCheckpoint(true))
+      .filter(!_.isEmpty)
+    gone.foreach { g =>
+      val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
+      rollbackPendingForgets(spark, Seq(countsTable), g)
+      mixDelta(g, forgetKey)
+        .select(col("batch_key"), col("source"), (-col("n")).as("n"))
+        .write.mode("append").parquet(countsTable)
+    }
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("source"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source")).unionByName(tomb))
         .getOrElse(tomb),
       docTable)
   }
@@ -1914,13 +1963,16 @@ object Streams {
 
   /** The current folded per-source counts under the maintained delta
     * table. Duplicate delta rows from redelivered batches collapse on
-    * (batch_key, source) before the sum. */
+    * (batch_key, source) before the sum; sources whose net count
+    * [[forgetMixState]]'s decrements drove to zero are filtered (a
+    * from-scratch build over the survivors has no row for them). */
   def mixCountsSnapshot(spark: SparkSession, countsTable: String): DataFrame = {
     import org.apache.spark.sql.types._
     tryRead(spark, countsTable).getOrElse(emptyDf(spark,
         "batch_key" -> LongType, "source" -> StringType, "n" -> LongType))
       .dropDuplicates("batch_key", "source")
       .groupBy(col("source")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
   }
 
   /** The current sampling rates under the maintained counts — the exact
@@ -1929,11 +1981,16 @@ object Streams {
     graft.queries.SampleOps.mixRates(mixCountsSnapshot(spark, countsTable))
 
   /** Compact the mix deltas to one row per source; `docTable` is the
-    * flow's guard. */
+    * flow's guard, and its null-source tombstones are the commit witness
+    * for [[forgetMixState]] decrement keys (net-zero sources drop at the
+    * fold). */
   def compactMix(spark: SparkSession, countsTable: String,
       docTable: String): Unit =
     compactDeltas(spark, countsTable, Seq("source"), Seq("n"),
-      docTable, "doc_id")
+      docTable, "doc_id",
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("source").isNull).select(col("doc_id"))),
+      dropZeroKeys = true)
 
   /** pp17's continuous twin: CONTINUOUS exact-dedup maintenance — the
     * (canon_hash, raw_hash)-granular stats table advanced additively per
@@ -2337,6 +2394,121 @@ object Streams {
       tombstoneIds = tryRead(spark, docTable)
         .map(_.filter(col("text").isNull).select(col("doc_id"))),
       dropZeroKeys = true)
+
+  /** The once-offline REFERENCE-LM build for the perplexity score family
+    * (pp25/ta17's frozen model): derive the reference bigram counts from
+    * the curated slice of `docs` and atomically swap the table every
+    * [[maintainScoreState]] advance scores against. Run BEFORE the
+    * stream starts (the whole family's soundness rests on the reference
+    * being frozen — [[graft.queries.TextOps]] ta17 Scaladoc); re-running
+    * it on the same corpus recomputes the identical table. */
+  def buildRefState(docs: DataFrame, refTable: String): Unit =
+    graft.operators.MergeWriter.overwriteAtomic(
+      graft.queries.TextOps.refLmCounts(docs), refTable)
+
+  /** pp25's continuous twin: CONTINUOUS perplexity-score maintenance —
+    * the CHEAPEST maintainer in the standing-state family, because the
+    * frozen reference makes a document's score IMMUTABLE once computed:
+    * the standing state IS the scored table, advanced by scoring ONLY
+    * the batch against the reference ([[graft.queries.TextOps
+    * .refSurprise]] — batch-sized rollup + bigram-keyed ref join) and
+    * appending. Nothing is ever updated, rewritten, or recomputed from
+    * text after the advance, so the doc-store guard is IDS-ONLY (unlike
+    * the counts family, whose forget decrements need the stored text).
+    * Bucket assignment is deliberately NOT maintained — a new arrival
+    * shifts its source's tercile cuts for everyone (inherent to quantile
+    * buckets), so [[scoreSnapshot]] re-ranks at read over (doc_id,
+    * source, score) rows, never the text (pp25's rank-only argument).
+    *
+    * At-least-once safety is the [[maintainVocabState]] contract: guard
+    * appended LAST, scored rows ride the batch's deterministic
+    * `batch_key` (min doc_id), a crash-replay appends byte-identical
+    * rows (the reference is frozen — same inputs, same scores), and the
+    * snapshot's (batch_key, doc_id) dedup collapses them. Docs with
+    * < 2 tokens score no row but still enter the guard (ta17's
+    * absent-doc convention, and redelivery stays blocked). */
+  def maintainScoreState(batch: DataFrame, refTable: String,
+      scoresTable: String, docTable: String): Unit = {
+    val spark = batch.sparkSession
+    val arrived = batch.select(col("doc_id"), col("source"), col("text"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"), max(col("text")).as("text"))
+    val fresh = tryRead(spark, docTable)
+      .map(e => arrived.join(
+        pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(arrived)
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    scoreDelta(fresh, spark.read.parquet(refTable), batchKey)
+      .write.mode("append").parquet(scoresTable)
+    fresh.select(col("doc_id")).write.mode("append").parquet(docTable)
+  }
+
+  /** The scored rows of one batch — the exact rows [[maintainScoreState]]
+    * appends, shared with the crash-simulation spec (same drift-pinning
+    * reason as [[vocabDelta]]). */
+  private[graft] def scoreDelta(fresh: DataFrame, ref: DataFrame,
+      batchKey: Long): DataFrame =
+    graft.queries.TextOps.refSurprise(fresh, ref)
+      .select(lit(batchKey).as("batch_key"), col("doc_id"),
+        col("source"), col("score"))
+
+  /** [[maintainScoreState]] as a foreachBatch sink over a (doc_id,
+    * source, text) document stream. */
+  def scoreStateStream(docs: DataFrame, refTable: String,
+      scoresTable: String, docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainScoreState(b, refTable, scoresTable, docTable))
+      .start()
+
+  /** The current head/middle/tail bucketing under the maintained scores
+    * — ta17's exact shape over every doc that has arrived AND NOT been
+    * forgotten: duplicate scored rows from redelivered batches collapse
+    * on (batch_key, doc_id), then the rank-only bucket assembly
+    * ([[graft.queries.TextOps.refBuckets]] — distributed rank, no
+    * per-source window sort) runs over the id/source/score rows. */
+  def scoreSnapshot(spark: SparkSession, scoresTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.queries.TextOps.refBuckets(
+      tryRead(spark, scoresTable).getOrElse(emptyDf(spark,
+          "batch_key" -> LongType, "doc_id" -> LongType,
+          "source" -> StringType, "score" -> LongType))
+        .dropDuplicates("batch_key", "doc_id")
+        .select(col("doc_id"), col("source"), col("score")))
+  }
+
+  /** DELETION PROPAGATION for the score family — the SIMPLEST forget
+    * member: scores are per-doc and immutable (nothing aggregates them,
+    * nothing derives from them), so forgetting is exact row deletion
+    * plus the id guard. Scores delete FIRST (idempotent pure rewrite —
+    * snapshots are correct immediately), then the ids append to the
+    * guard (blocks future ingest of never-seen forgotten ids;
+    * already-seen ids are guarded since their advance). A crash between
+    * the two re-runs to convergence. Re-bucketing needs no repair at
+    * all: [[scoreSnapshot]] re-ranks at read, so the survivors'
+    * head/middle/tail simply re-cut (pp25's rank-only argument). */
+  def forgetScoreState(spark: SparkSession, ids: DataFrame,
+      scoresTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteByIds(spark, scoresTable, idsC, Seq("doc_id"))
+    appendNewBy(idsC, docTable, "doc_id")
+  }
+
+  /** Compact the scored rows: collapse redelivery duplicates (the rows
+    * are byte-identical by the frozen-reference argument, so dropping
+    * them never destroys replay-dedup evidence — a replay re-appends an
+    * identical row and the snapshot dedup collapses it again) and
+    * repack. */
+  def compactScores(spark: SparkSession, scoresTable: String,
+      partitions: Int = 8): Unit =
+    tryRead(spark, scoresTable).foreach { t =>
+      graft.operators.MergeWriter.overwriteAtomic(
+        t.localCheckpoint(true).dropDuplicates("batch_key", "doc_id")
+          .repartition(partitions), scoresTable)
+    }
 
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's

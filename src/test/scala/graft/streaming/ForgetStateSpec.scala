@@ -221,6 +221,72 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
       "post-replay compaction drifted")
   }
 
+  test("forgetMixState: counts+rates == from-scratch over survivors; net-zero source invisible; replay dedups; compaction folds; re-ingest blocked; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two crafted docs carry a corpus-unique source and both are
+    // forgotten (ids % 5 == 0): the source must net to ZERO and vanish
+    // from every snapshot — the non-vacuousness witness
+    val all = (graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      ++ Seq(1000005L -> "zzonly", 1000010L -> "zzonly")).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "source")
+
+    val root = Files.createTempDirectory("forget-mix").toString
+    val (cntT, docT) = (s"$root/counts", s"$root/docs")
+    for (b <- Seq(all.take(200), all.drop(200)))
+      Streams.maintainMixState(df(b), cntT, docT)
+
+    val neverSeen = 3000000L
+    val forgot = all.map(_._1).filter(_ % 5 == 0).toSet + neverSeen
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.forgetMixState(spark, fDf, docT, cntT)
+
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    def countsWant() = df(remaining).groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def countsGot() = Streams.mixCountsSnapshot(spark, cntT)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def ratesGot() = Streams.mixRatesSnapshot(spark, cntT)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def ratesWant() = graft.queries.SampleOps.mixRates(
+        df(remaining).groupBy($"source").agg(count(lit(1)).as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(countsGot() == countsWant(), "mix counts != from-scratch over survivors")
+    assert(ratesGot() == ratesWant(), "mix rates != from-scratch over survivors")
+    assert(!countsGot().exists(_._1 == "zzonly"), "net-zero source still visible")
+
+    // crash-replay of the decrement dedups under its key
+    val goneDocs = all.filter(t => forgot.contains(t._1))
+    val negKey = -goneDocs.map(_._1).min - 1L
+    Streams.mixDelta(df(goneDocs), negKey)
+      .select($"batch_key", $"source", (-$"n").as("n"))
+      .write.mode("append").parquet(cntT)
+    assert(countsGot() == countsWant(), "replayed decrement double-counted")
+
+    // re-ingest of forgotten docs (and the never-seen id) is a no-op
+    Streams.maintainMixState(
+      df(goneDocs.take(10) ++ Seq(neverSeen -> "resurrected")), cntT, docT)
+    assert(countsGot() == countsWant(), "a forgotten doc re-entered the counts")
+
+    // compaction folds the committed decrement (null-source tombstones =
+    // the commit witness): reserved key only, no net-zero rows
+    Streams.compactMix(spark, cntT, docT)
+    assert(countsGot() == countsWant() && ratesGot() == ratesWant(),
+      "compaction drifted")
+    val keysAfter = spark.read.parquet(cntT).select($"batch_key")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(keysAfter == Set(Long.MinValue), s"unfolded keys survive: $keysAfter")
+    assert(spark.read.parquet(cntT).filter($"n" === 0L).count() == 0,
+      "net-zero source rows survived compaction")
+
+    // idempotent re-run
+    Streams.forgetMixState(spark, fDf, docT, cntT)
+    assert(countsGot() == countsWant())
+  }
+
   test("forgetCountState: crashed forget + OVERLAPPING different request rolls back pending rows — no key mixing, no foreign commit") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

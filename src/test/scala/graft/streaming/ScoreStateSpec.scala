@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The perplexity-score standing-state family (ta17/pp25's continuous
+  * twin): immutable scores under a frozen reference, advanced append-only
+  * per batch, re-bucketed rank-only at read, forgotten by exact row
+  * deletion. Snapshot must equal ta17's bucketing over exactly the
+  * arrived-and-not-forgotten docs at every step. */
+class ScoreStateSpec extends AnyFunSuite with SparkSpec {
+
+  test("score maintainer: snapshot == ta17 over arrivals; replay dedups; redelivery no-op; forget == survivors; re-ingest blocked; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"lang", $"text").localCheckpoint(true)
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    def df(b: Seq[(Long, String, String, String)]) =
+      b.toDF("doc_id", "source", "lang", "text")
+    val root = Files.createTempDirectory("score-state").toString
+    val (refT, scT, docT) = (s"$root/ref", s"$root/scores", s"$root/docs")
+
+    // the once-offline frozen reference (ta17's refLmCounts over the
+    // curated slice) — built BEFORE any batch arrives
+    Streams.buildRefState(docs, refT)
+    val ref = spark.read.parquet(refT).localCheckpoint(true)
+    def want(b: Seq[(Long, String, String, String)]) =
+      graft.queries.TextOps.refBuckets(
+          graft.queries.TextOps.refSurprise(df(b), ref))
+        .collect().map(_.toSeq.toList).toList
+    def got() = Streams.scoreSnapshot(spark, scT)
+      .collect().map(_.toSeq.toList).toList
+
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainScoreState(df(b), refT, scT, docT)
+    assert(got() == want(all), "snapshot != ta17 bucketing over the arrivals")
+
+    // crash replay: the SAME scored rows land again under the same key
+    // (frozen reference ⇒ byte-identical) — the snapshot dedup collapses
+    val b2 = all.drop(150)
+    Streams.scoreDelta(df(b2), ref, b2.map(_._1).min)
+      .write.mode("append").parquet(scT)
+    assert(got() == want(all), "replayed scored rows double-counted")
+
+    // redelivery of a whole already-seen batch is a no-op
+    Streams.maintainScoreState(df(all.take(150)), refT, scT, docT)
+    assert(got() == want(all), "redelivered batch re-scored")
+
+    // compaction collapses the replay duplicates, snapshot-invariant
+    Streams.compactScores(spark, scT)
+    assert(got() == want(all), "compaction drifted")
+    assert(spark.read.parquet(scT).groupBy($"batch_key", $"doc_id")
+      .count().filter($"count" > 1).isEmpty, "duplicate rows survived compaction")
+
+    // forget: every 5th doc plus a never-seen id (forward-block)
+    val neverSeen = 3000000L
+    val forgot = all.map(_._1).filter(_ % 5 == 0).toSet + neverSeen
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.forgetScoreState(spark, fDf, scT, docT)
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    assert(got() == want(remaining), "forget != ta17 over the survivors")
+
+    // re-ingest of forgotten docs (and the never-seen id) is a no-op
+    Streams.maintainScoreState(
+      df(all.filter(t => forgot.contains(t._1)).take(10)
+        :+ ((neverSeen, "srcX", "en", "resurrected text"))),
+      refT, scT, docT)
+    assert(got() == want(remaining), "a forgotten doc re-entered the scores")
+
+    // idempotent re-run
+    Streams.forgetScoreState(spark, fDf, scT, docT)
+    assert(got() == want(remaining), "forget re-run diverged")
+  }
+}
