@@ -42,7 +42,8 @@ object Bench {
         "pp12_incremental_containment_index", "pp13_incremental_lm",
         "pp14_incremental_pq", "pp18_incremental_bpe",
         "pp19_incremental_perceptual", "pp20_incremental_sq",
-        "pp21_incremental_chunks")) {
+        "pp21_incremental_chunks", "pp22_incremental_budget",
+        "pp25_incremental_perplexity", "pp26_incremental_bm25")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>
@@ -63,12 +64,21 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes — time just
     // those (local iteration aid; driver leaves it unset = full catalog).
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    val names0 = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(ps) =>
         val prefixes = ps.split(",").toSeq
         SparkEntry.queries.keys.toSeq.sorted
           .filter(n => prefixes.exists(n.startsWith))
       case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated name prefixes to DROP —
+    // the A/B lever for suite-growth adjudication (run the same binary
+    // with and without a round's new gates; driver leaves it unset).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",").toSeq
+        names0.filterNot(n => prefixes.exists(n.startsWith))
+      case None => names0
     }
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val results = names.map { name =>

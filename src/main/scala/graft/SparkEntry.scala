@@ -137,7 +137,27 @@ import graft.queries.Catalog
   *    retrain-and-swap — the fourth quantizer lifecycle after
   *    IVF/BPE/SQ), vs19 graph-expansion ANN (two id-keyed hops over the
   *    standing vs13 kNN graph + exact-cosine rescore — candidate volume
-  *    degree^h per query, cell-size independent)
+  *    degree^h per query, cell-size independent); ta17 CCNet-style
+  *    reference-LM perplexity bucketing (integer surprise under a FROZEN
+  *    reference bigram LM, per-source terciles by distributed rank — no
+  *    per-source window sort) + pp25 its incremental twin (immutable
+  *    standing scores, rank-only re-bucket) + Streams.buildRefState /
+  *    maintainScoreState / scoreSnapshot / forgetScoreState (the score
+  *    family's offline build, continuous advance, and forget members);
+  *    vs20 metadata-filtered ANN (label predicate pushed to the postings
+  *    scan — selectivity-proportional work, quantizer stays
+  *    full-corpus-trained); Streams.forgetCountState (negative-delta
+  *    O(deleted) forget for vocab/LM counts, doc-store tombstone as the
+  *    compaction commit witness, crashed-then-overlapping requests
+  *    rolled back) + Streams.forgetMixState (the same mechanism for the
+  *    domain-mix counts, null-source tombstones); ta18 lexical BM25
+  *    top-k retrieval (integer-exact Okapi scoring over the (doc, tok)
+  *    tf rollup, broadcast query terms prune first, bounded-buffer
+  *    per-query top-k); ta19 quality-classifier TRAINING (fixed-point
+  *    batch perceptron over ta15's features, ta16 verdicts as weak
+  *    supervision, full trajectory oracle-replayed) +
+  *    Streams.rebuildClassifierState (the train→deploy weight-table
+  *    swap ta15-style inference consumes)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

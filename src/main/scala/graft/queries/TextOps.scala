@@ -1522,12 +1522,26 @@ object TextOps {
     * rollup of the PRUNED frame. Per-query top-k is
     * [[graft.operators.GroupedTopK.topK]]: bounded buffer, map-side
     * combined, no window, ties broken (score DESC, doc_id ASC). */
-  private def ta18(s: SparkSession, d: String): DataFrame = {
+  private def ta18(s: SparkSession, d: String): DataFrame =
+    bm25TopK(tfRollup(documents(s, d)).localCheckpoint(true))
+
+  /** The (doc_id, tok, tf) rollup ta18 scores over — ONE corpus
+    * tokenize; per-doc rows, so the table is purely per-doc-derivable
+    * (the property [[graft.streaming.Streams.maintainTfState]]'s
+    * append-only advance and exact-deletion forget rest on). */
+  private[graft] def tfRollup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** ta18's scoring-and-retrieval suffix over a (doc_id, tok, tf) table —
+    * shared verbatim with pp26 and
+    * [[graft.streaming.Streams.bm25Snapshot]], so full, incremental, and
+    * continuously-maintained retrieval cannot drift. Caller
+    * localCheckpoints the tf frame if it is about to be scanned four
+    * times (dl, scalars, prune, scoring) from an expensive lineage. */
+  private[graft] def bm25TopK(tf: DataFrame): DataFrame = {
+    val s = tf.sparkSession
     import s.implicits._
-    val docs = documents(s, d)
-    val tf = docs.select($"doc_id", explode(Text.tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // one corpus rollup feeds dl, df, and scoring
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
     val q = TA18_QUERIES.toDF("query_id", "qtext")
@@ -1551,6 +1565,29 @@ object TextOps {
       .select($"query_id", $"rank", $"id".as("doc_id"),
         $"v".cast("long").as("score"))
       .orderBy($"query_id", $"rank")
+  }
+
+  /** pp26 — INCREMENTAL retrieval-index maintenance, ta18's twin: the
+    * standing state is the (doc_id, tok, tf) postings-source table
+    * itself — per-doc rows are computed once from each document and
+    * never change (ADDITIVE across doc-disjoint batches in the strongest
+    * sense: no fold at all), so the advance is one batch-sized
+    * tokenize+rollup appended to the standing table. The retrieval
+    * statistics a query needs (df, dl, N, L) are derived AT QUERY TIME
+    * from the standing table ([[bm25TopK]] — exactly what ta18 pays), so
+    * a new arrival is searchable immediately with corpus-consistent
+    * scores: nothing is rescanned, nothing staled. Result must equal
+    * ta18 over the full corpus — the oracle is ta18's, verbatim. */
+  private def pp26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("bm25:"), $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp26", d) { dir =>
+      tfRollup(docs.filter(!isNew)).write.parquet(s"$dir/tf")
+    }
+    bm25TopK(s.read.parquet(s"$stand/tf")
+      .unionByName(tfRollup(docs.filter(isNew)))
+      .localCheckpoint(true))
   }
   private val ta18Sql = {
     val values = TA18_QUERIES
@@ -3123,5 +3160,6 @@ object TextOps {
     Q("pp25_incremental_perplexity", "incremental perplexity bucketing: frozen reference LM, immutable standing scores advanced per batch, rank-only re-bucketing — buckets == ta17", pp25, Some(ta17Sql)),
     Q("ta18_bm25_topk", "lexical BM25 top-k retrieval: integer-exact Okapi scoring over the (doc, tok) tf rollup, broadcast query terms prune before any join, bounded-buffer per-query top-k (no window)", ta18, Some(ta18Sql)),
     Q("ta19_classifier_train", "quality-classifier TRAINING: fixed-point batch perceptron over ta15's five features, weakly supervised by ta16's rule verdicts — every iterate's weight vector + error count oracle-replayed", ta19, Some(ta19Sql)),
+    Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
   )
 }

@@ -2510,6 +2510,85 @@ object Streams {
           .repartition(partitions), scoresTable)
     }
 
+  /** pp26's continuous twin: CONTINUOUS retrieval-index maintenance —
+    * the standing (doc_id, tok, tf) postings-source table ta18/pp26
+    * search over, advanced by one batch-sized tokenize+rollup append.
+    * Per-doc rows never change (each is a pure function of its own
+    * document), so there is no fold, no delta key, and no standing read:
+    * redelivery duplicates are byte-identical rows [[tfSnapshot]]
+    * collapses on (doc_id, tok). The doc store is the guard (appended
+    * LAST, vocab-family contract) and keeps the text for audit; nothing
+    * is ever recomputed from it. Query-time statistics (df, dl, N, L)
+    * derive from the standing table inside [[bm25Snapshot]], so every
+    * arrival is searchable immediately with corpus-consistent scores. */
+  def maintainTfState(batch: DataFrame, tfTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    graft.queries.TextOps.tfRollup(fresh).write.mode("append").parquet(tfTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** [[maintainTfState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def tfStateStream(docs: DataFrame, tfTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainTfState(b, tfTable, docTable))
+      .start()
+
+  /** The current (doc_id, tok, tf) table under the maintained appends —
+    * redelivery duplicates (byte-identical by construction) collapse on
+    * (doc_id, tok). */
+  def tfSnapshot(spark: SparkSession, tfTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, tfTable).getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "tok" -> StringType, "tf" -> LongType))
+      .dropDuplicates("doc_id", "tok")
+  }
+
+  /** BM25 retrieval over the maintained table — ta18's exact results
+    * over every doc that has arrived AND NOT been forgotten (the scoring
+    * suffix is [[graft.queries.TextOps.bm25TopK]], shared verbatim). */
+  def bm25Snapshot(spark: SparkSession, tfTable: String): DataFrame =
+    graft.queries.TextOps.bm25TopK(
+      tfSnapshot(spark, tfTable).localCheckpoint(true))
+
+  /** DELETION PROPAGATION for the retrieval family — exact like the
+    * score family's: tf rows are per-doc and never aggregated at rest
+    * (df/dl/N/L are query-time derivations), so forgetting is row
+    * deletion plus the doc-store tombstone (text NULLED — the rows AND
+    * the recoverable content both go; id kept, so redelivery and
+    * re-ingest stay blocked, never-seen ids forward-block). Deletion
+    * first (snapshots correct immediately), tombstone swap last; both
+    * idempotent, a crash between re-runs to convergence. Every derived
+    * statistic self-repairs at query time: the survivors' df/dl/N/L are
+    * simply what [[bm25Snapshot]] computes next. */
+  def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
+      docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteByIds(spark, tfTable, idsC, Seq("doc_id"))
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
+
+  /** Compact the tf appends: collapse redelivery duplicates
+    * (byte-identical rows — dropping them never destroys replay
+    * evidence) and repack. */
+  def compactTf(spark: SparkSession, tfTable: String,
+      partitions: Int = 8): Unit =
+    tryRead(spark, tfTable).foreach { t =>
+      graft.operators.MergeWriter.overwriteAtomic(
+        t.localCheckpoint(true).dropDuplicates("doc_id", "tok")
+          .repartition(partitions), tfTable)
+    }
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The retrieval-index standing-state family (ta18/pp26's continuous
+  * twin): the (doc_id, tok, tf) table advanced append-only per batch,
+  * BM25 searched with query-time statistics, forgotten by exact row
+  * deletion. Search must equal ta18 over exactly the
+  * arrived-and-not-forgotten docs at every step. */
+class TfStateSpec extends AnyFunSuite with SparkSpec {
+
+  test("tf maintainer: bm25 == ta18 over arrivals; replay dedups; redelivery no-op; forget == survivors; re-ingest blocked; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    def want(b: Seq[(Long, String)]) = graft.queries.TextOps.bm25TopK(
+        graft.queries.TextOps.tfRollup(df(b)).localCheckpoint(true))
+      .collect().map(_.toSeq.toList).toList
+
+    val root = Files.createTempDirectory("tf-state").toString
+    val (tfT, docT) = (s"$root/tf", s"$root/docs")
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainTfState(df(b), tfT, docT)
+    def got() = Streams.bm25Snapshot(spark, tfT)
+      .collect().map(_.toSeq.toList).toList
+    assert(got() == want(all), "maintained bm25 != ta18 over the arrivals")
+    assert(got().nonEmpty, "no results — vacuous")
+
+    // crash replay: byte-identical tf rows land again, dedup collapses
+    graft.queries.TextOps.tfRollup(df(all.drop(150)))
+      .write.mode("append").parquet(tfT)
+    assert(got() == want(all), "replayed tf rows double-counted")
+
+    // redelivery of an already-seen batch is a no-op
+    Streams.maintainTfState(df(all.take(150)), tfT, docT)
+    assert(got() == want(all), "redelivered batch re-rolled")
+
+    // compaction collapses the duplicates, snapshot-invariant
+    Streams.compactTf(spark, tfT)
+    assert(got() == want(all), "compaction drifted")
+    assert(spark.read.parquet(tfT).groupBy($"doc_id", $"tok")
+      .count().filter($"count" > 1).isEmpty, "duplicate rows survived compaction")
+
+    // forget: every 5th doc plus a never-seen id (forward-block)
+    val neverSeen = 3000000L
+    val forgot = all.map(_._1).filter(_ % 5 == 0).toSet + neverSeen
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.forgetTfState(spark, fDf, tfT, docT)
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    assert(got() == want(remaining), "forget != ta18 over the survivors")
+    // text nulled, ids kept
+    assert(spark.read.parquet(docT).filter($"text".isNull)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == forgot,
+      "tombstone set != forgotten set")
+
+    // re-ingest of forgotten docs (and the never-seen id) is a no-op
+    Streams.maintainTfState(
+      df(all.filter(t => forgot.contains(t._1)).take(10)
+        :+ (neverSeen -> "resurrected text")), tfT, docT)
+    assert(got() == want(remaining), "a forgotten doc re-entered the index")
+
+    // idempotent re-run
+    Streams.forgetTfState(spark, fDf, tfT, docT)
+    assert(got() == want(remaining), "forget re-run diverged")
+  }
+}
