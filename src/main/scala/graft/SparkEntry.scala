@@ -157,7 +157,11 @@ import graft.queries.Catalog
   *    batch perceptron over ta15's features, ta16 verdicts as weak
   *    supervision, full trajectory oracle-replayed) +
   *    Streams.rebuildClassifierState (the train→deploy weight-table
-  *    swap ta15-style inference consumes)
+  *    swap ta15-style inference consumes); pp26 incremental retrieval
+  *    index (standing per-doc (doc, tok, tf) rows, one batch-sized
+  *    rollup per advance, query-time stats — results == ta18) +
+  *    Streams.maintainTfState / bm25Snapshot / forgetTfState (the
+  *    retrieval family's continuous and forget members)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

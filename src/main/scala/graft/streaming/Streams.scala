@@ -1780,17 +1780,110 @@ object Streams {
   }
 
   /** Compact the span count deltas to one row per span hash; `docTable`
-    * is the flow's guard. */
+    * is the flow's guard, and its null-text tombstones are the commit
+    * witness for [[forgetSpanState]] decrement keys (net-zero spans drop
+    * at the fold). */
   def compactSpanCounts(spark: SparkSession, countsTable: String,
       docTable: String): Unit =
-    compactDeltas(spark, countsTable, Seq("h"), Seq("nd"), docTable, "doc_id")
+    compactDeltas(spark, countsTable, Seq("h"), Seq("nd"), docTable, "doc_id",
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))),
+      dropZeroKeys = true)
 
   /** Compact the span report deltas to one row per doc; `docTable` is
     * the flow's guard. */
+  /** `docTable`'s null-text tombstones are the commit witness for
+    * [[forgetSpanState]] repair keys; a row whose sums BOTH net to zero
+    * is a fully-cancelled crossing delta and drops at the fold (a real
+    * doc row always carries n_spans > 0). */
   def compactSpanReport(spark: SparkSession, reportTable: String,
       docTable: String): Unit =
     compactDeltas(spark, reportTable, Seq("doc_id"), Seq("n_spans", "n_dup_spans"),
-      docTable, "doc_id")
+      docTable, "doc_id",
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))),
+      dropZeroKeys = true)
+
+  /** DELETION PROPAGATION for the span-dedup family — the first forget
+    * with a CROSS-DOC repair: removing a document can flip a span it
+    * shared from shared back to UNIQUE, which changes the REMAINING
+    * holder's report (its n_dup_spans counted that span). The job is
+    * O(deleted + affected), never a corpus re-scan:
+    *
+    *  - counts decrement exactly like [[forgetCountState]]: the
+    *    forgotten docs' span hashes are RE-DERIVED FROM THEIR STORED
+    *    TEXT (never from the grams table — the grams rows are deleted
+    *    by this very job, and a crash between that deletion and the
+    *    doc-store swap must leave a re-run able to recompute identical
+    *    decrements; the text survives until the swap, which goes LAST),
+    *    negated, and appended under the forget key;
+    *  - the shared→unique crossings are the spans whose folded nd minus
+    *    the gone count is EXACTLY 1 (nd ≥ 2 follows); each crossing
+    *    span's one remaining holder gets a (0, −1) report delta per
+    *    crossing span — the inverse of [[maintainSpanState]]'s
+    *    unique→shared crossing rows, batch-bounded broadcasts on the
+    *    same two standing layouts;
+    *  - the forgotten docs' own grams and report rows delete exactly
+    *    (id-granular); [[spanSnapshot]]'s n_dup_spans > 0 filter drops
+    *    remaining docs whose last dup span just went unique — matching
+    *    spanDedup's dup-docs-only shape over the survivors.
+    *
+    * Crash/replay: [[rollbackPendingForgets]] clears this key's (or an
+    * overlapping crashed job's) partial appends, the decrement fold
+    * excludes the forget key, every delete is idempotent, and the
+    * tombstone swap (the compaction commit witness) goes last —
+    * forgetCountState's contract verbatim. */
+  def forgetSpanState(spark: SparkSession, ids: DataFrame,
+      gramsTable: String, countsTable: String, reportTable: String,
+      docTable: String): Unit = {
+    import org.apache.spark.sql.types._
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val gone = store
+      .map(_.filter(col("text").isNotNull).join(idsC, Seq("doc_id"), "left_semi"))
+      .map(_.localCheckpoint(true))
+      .filter(!_.isEmpty)
+    gone.foreach { g =>
+      val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
+      rollbackPendingForgets(spark, Seq(countsTable, reportTable), g)
+      val goneIds = g.select(col("doc_id")).localCheckpoint(true)
+      // gone span hashes from TEXT (see Scaladoc), per-doc-distinct
+      val goneCnt = graft.queries.TextOps.spanStore(g)
+        .groupBy(col("h")).agg(count(lit(1)).as("gone_nd"))
+        .localCheckpoint(true)
+      // folded standing counts for the touched spans only, BEFORE this
+      // key's decrement lands (rollback above cleared any partial run)
+      val folded = tryRead(spark, countsTable).getOrElse(emptyDf(spark,
+          "batch_key" -> LongType, "h" -> LongType, "nd" -> LongType))
+        .filter(col("batch_key") =!= forgetKey)
+        .join(broadcast(goneCnt.select(col("h"))), Seq("h"), "left_semi")
+        .dropDuplicates("batch_key", "h")
+        .groupBy(col("h")).agg(sum(col("nd")).as("nd"))
+      val crossing = goneCnt.join(folded, Seq("h"))
+        .filter(col("nd") - col("gone_nd") === 1L)
+        .select(col("h")).localCheckpoint(true)
+      goneCnt
+        .select(lit(forgetKey).as("batch_key"), col("h"),
+          (-col("gone_nd")).as("nd"))
+        .write.mode("append").parquet(countsTable)
+      tryRead(spark, gramsTable).foreach { grams =>
+        grams.join(goneIds, Seq("doc_id"), "left_anti")
+          .join(broadcast(crossing), Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("__k"))
+          .select(lit(forgetKey).as("batch_key"), col("doc_id"),
+            lit(0L).as("n_spans"), (-col("__k")).as("n_dup_spans"))
+          .write.mode("append").parquet(reportTable)
+      }
+      deleteByIds(spark, gramsTable, idsC, Seq("doc_id"))
+      deleteByIds(spark, reportTable, idsC, Seq("doc_id"))
+    }
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
 
   /** pp07's continuous twin: CONTINUOUS vocabulary maintenance — the
     * counts-shaped member of the standing-state family, and the simplest

@@ -287,6 +287,84 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
     assert(countsGot() == countsWant())
   }
 
+  test("forgetSpanState: report == spanDedup over survivors; shared→unique crossing repaired; net-zero span folds; re-ingest blocked; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // crafted docs pin the two crossing cases the repair exists for:
+    // A (survivor) shares its ONLY span with B (forgotten) — after the
+    // forget the span is unique again and A must VANISH from the
+    // snapshot (n_dup_spans 1 → 0); C and D (both forgotten) share a
+    // corpus-unique span that must net to zero in the counts
+    val span1 = (1 to 8).map(i => s"qq$i").mkString(" ")
+    val span2 = (1 to 8).map(i => s"rr$i").mkString(" ")
+    val all = (graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      ++ Seq(1000001L -> span1, 1000005L -> span1,
+        1000010L -> span2, 1000015L -> span2)).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+
+    val root = Files.createTempDirectory("forget-span").toString
+    val (grT, cnT, rpT, docT) = (s"$root/grams", s"$root/counts",
+      s"$root/report", s"$root/docs")
+    for (b <- Seq(all.take(200), all.drop(200)))
+      Streams.maintainSpanState(df(b), grT, cnT, rpT, docT)
+
+    val neverSeen = 3000000L
+    val forgot = all.map(_._1).filter(_ % 5 == 0).toSet + neverSeen
+    assert(forgot(1000005L) && forgot(1000010L) && forgot(1000015L)
+      && !forgot(1000001L), "crafted crossing ids landed on the wrong side")
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.forgetSpanState(spark, fDf, grT, cnT, rpT, docT)
+
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    def want() = graft.queries.TextOps.spanDedup(df(remaining))
+      .collect().map(_.toSeq.toList).toList
+    def got() = Streams.spanSnapshot(spark, rpT)
+      .collect().map(_.toSeq.toList).toList
+    assert(got() == want(), "span report != spanDedup over the survivors")
+    assert(!got().exists(_.head == 1000001L),
+      "survivor of a shared→unique crossing still reported as dup'd")
+
+    // grams of forgotten docs deleted; survivors' grams intact
+    val gramIds = spark.read.parquet(grT).select($"doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(gramIds.intersect(forgot).isEmpty, "forgotten grams survive")
+    assert(gramIds(1000001L), "survivor grams deleted")
+
+    // re-ingest of forgotten docs (and the never-seen id) is a no-op
+    Streams.maintainSpanState(
+      df(all.filter(t => forgot.contains(t._1)).take(10)
+        ++ Seq(neverSeen -> span2)), grT, cnT, rpT, docT)
+    assert(got() == want(), "a forgotten doc re-entered the span state")
+
+    // compaction folds the committed repair (tombstones = the witness):
+    // reserved key only, the C/D span's net-zero count row dropped
+    Streams.compactSpanCounts(spark, cnT, docT)
+    Streams.compactSpanReport(spark, rpT, docT)
+    assert(got() == want(), "compaction drifted")
+    assert(spark.read.parquet(cnT).select($"batch_key").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(Long.MinValue))
+    val span2h = graft.queries.TextOps.spanStore(Seq(1L -> span2).toDF("doc_id", "text"))
+      .select($"h").head().getLong(0)
+    assert(spark.read.parquet(cnT).filter($"h" === span2h).isEmpty,
+      "net-zero span count row survived compaction")
+
+    // a later advance over the repaired state still equals from-scratch:
+    // a NEW doc re-shares A's span — A must come back as dup'd
+    val late = Seq(2000003L -> span1)
+    Streams.maintainSpanState(df(late), grT, cnT, rpT, docT)
+    assert(got() == graft.queries.TextOps.spanDedup(df(remaining ++ late))
+      .collect().map(_.toSeq.toList).toList,
+      "post-forget advance diverged from from-scratch")
+    assert(got().exists(_.head == 1000001L), "re-shared span not re-dup'd")
+
+    // idempotent re-run
+    Streams.forgetSpanState(spark, fDf, grT, cnT, rpT, docT)
+    assert(got() == graft.queries.TextOps.spanDedup(df(remaining ++ late))
+      .collect().map(_.toSeq.toList).toList, "forget re-run diverged")
+  }
+
   test("forgetCountState: crashed forget + OVERLAPPING different request rolls back pending rows — no key mixing, no foreign commit") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
