@@ -2140,15 +2140,98 @@ object Streams {
           "raw_hash" -> StringType, "n" -> LongType, "keeper_id" -> LongType))
         .dropDuplicates("batch_key", "canon_hash", "raw_hash")
         .groupBy(col("canon_hash"), col("raw_hash"))
-        .agg(sum(col("n")).as("n"), min(col("keeper_id")).as("keeper_id")))
+        .agg(sum(col("n")).as("n"), min(col("keeper_id")).as("keeper_id"))
+        // (canon, raw) cells [[forgetExactDedupState]]'s decrements drove
+        // to zero must not count as raw variants — a from-scratch build
+        // over the survivors has no row for them
+        .filter(col("n") > 0))
   }
 
   /** Compact the dedup deltas to one row per (canon, raw); `docTable` is
-    * the flow's guard. */
+    * the flow's guard, and its null-text tombstones are the commit
+    * witness for [[forgetExactDedupState]] decrement keys. (Keeper-
+    * carrying tables keep netted-zero rows at the fold — the snapshot's
+    * n > 0 filter hides them.) */
   def compactDedup(spark: SparkSession, statsTable: String,
       docTable: String): Unit =
     compactDeltas(spark, statsTable, Seq("canon_hash", "raw_hash"), Seq("n"),
-      docTable, "doc_id", mins = Seq("keeper_id"))
+      docTable, "doc_id", mins = Seq("keeper_id"),
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))))
+
+  /** DELETION PROPAGATION for the exact-dedup stats family —
+    * [[forgetChunkState]]'s pattern on (canon, raw) cells: per-cell n
+    * decrements recomputed from the forgotten docs' stored text
+    * (negative deltas, min-neutral keeper), and cells whose current
+    * keeper is forgotten get their keeper recomputed over the surviving
+    * members — every member of a (canon, raw) cell is a byte-identical
+    * document, so the new keeper is the min surviving id with that raw
+    * hash, named by ONE O(corpus) hash pass over the surviving store
+    * (run-rarely class) pruned to the affected cells, then patched in
+    * place. `unicode` must match the flow's per-deployment constant
+    * (the two canonicalizers hash different cell spaces). Crash/order
+    * contract identical to [[forgetChunkState]]: rollback, affected on
+    * the pre-decrement fold, patch from the pre-append checkpoint,
+    * decrement append, tombstone swap LAST as the compaction commit
+    * witness. */
+  def forgetExactDedupState(spark: SparkSession, ids: DataFrame,
+      statsTable: String, docTable: String,
+      unicode: Boolean = false): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val gone = store
+      .map(_.filter(col("text").isNotNull).join(idsC, Seq("doc_id"), "left_semi"))
+      .map(_.localCheckpoint(true))
+      .filter(!_.isEmpty)
+    gone.foreach { g =>
+      val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
+      rollbackPendingForgets(spark, Seq(statsTable), g)
+      val goneIds = g.select(col("doc_id")).localCheckpoint(true)
+      val dec = dedupDelta(g, forgetKey, unicode).localCheckpoint(true)
+      val stats = tryRead(spark, statsTable).map(_.localCheckpoint(true))
+      val affected = stats.map { t =>
+        t.filter(col("batch_key") =!= forgetKey)
+          .join(broadcast(dec.select(col("canon_hash"), col("raw_hash"))),
+            Seq("canon_hash", "raw_hash"), "left_semi")
+          .dropDuplicates("batch_key", "canon_hash", "raw_hash")
+          .groupBy(col("canon_hash"), col("raw_hash"))
+          .agg(min(col("keeper_id")).as("k"))
+          .join(goneIds.withColumnRenamed("doc_id", "k"), Seq("k"), "left_semi")
+          .select(col("canon_hash"), col("raw_hash")).localCheckpoint(true)
+      }.getOrElse(emptyDf(spark,
+        "canon_hash" -> org.apache.spark.sql.types.StringType,
+        "raw_hash" -> org.apache.spark.sql.types.StringType))
+      if (!affected.isEmpty) {
+        val survivors = store.get.filter(col("text").isNotNull)
+          .join(idsC, Seq("doc_id"), "left_anti")
+        val newKeep = graft.queries.TextOps.canonRawStats(survivors, unicode)
+          .join(broadcast(affected), Seq("canon_hash", "raw_hash"), "left_semi")
+          .select(col("canon_hash"), col("raw_hash"),
+            col("keeper_id").as("__nk"))
+        stats.foreach { t =>
+          val patched = t
+            .join(broadcast(affected.withColumn("__aff", lit(true))),
+              Seq("canon_hash", "raw_hash"), "left")
+            .join(broadcast(newKeep), Seq("canon_hash", "raw_hash"), "left")
+            .withColumn("keeper_id",
+              when(col("__aff").isNotNull,
+                coalesce(col("__nk"), lit(Long.MaxValue)))
+                .otherwise(col("keeper_id")))
+            .select(t.columns.map(col).toIndexedSeq: _*)
+          graft.operators.MergeWriter.overwriteAtomic(patched, statsTable)
+        }
+      }
+      dec.select(col("batch_key"), col("canon_hash"), col("raw_hash"),
+          (-col("n")).as("n"), lit(Long.MaxValue).as("keeper_id"))
+        .write.mode("append").parquet(statsTable)
+    }
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
 
   /** mm04's continuous twin: CONTINUOUS perceptual-dedup maintenance,
     * and the mm family's first standing-state member. Standing tables,
@@ -2207,6 +2290,52 @@ object Streams {
       pairsTable: String): DataFrame =
     tryRead(spark, pairsTable).getOrElse(emptyPerceptualPairs(spark))
       .distinct()
+
+  /** DELETION PROPAGATION for the perceptual family — exact like the
+    * score/tf forgets, because every standing row is id-granular: the
+    * forgotten docs' signature rows and every pair row either side of
+    * which they are delete, leaving precisely the state a from-scratch
+    * ingest of the survivors builds (a pair of two survivors was scored
+    * from their signatures alone — the forgotten doc contributed
+    * nothing to it). The doc store is rewritten with the ids' text
+    * NULLED last (redelivery and re-ingest blocked, never-seen ids
+    * forward-block); every step is an idempotent pure function of
+    * (current table, ids), so a crash anywhere re-runs to
+    * convergence. */
+  def forgetPerceptualState(spark: SparkSession, ids: DataFrame,
+      sigTable: String, pairsTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteByIds(spark, sigTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
+
+  /** DELETION PROPAGATION for the containment-index family — the same
+    * exact id-granular class as [[forgetPerceptualState]]: shingle-store
+    * rows, probe rows, and pair rows involving the forgotten ids delete;
+    * surviving pairs were computed from surviving stores only. Text
+    * nulled last, same crash contract. */
+  def forgetContainmentState(spark: SparkSession, ids: DataFrame,
+      storeTable: String, probeTable: String, pairsTable: String,
+      docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteByIds(spark, storeTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, probeTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
 
   private def emptySigStore(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2283,11 +2412,104 @@ object Streams {
         col("keeper_id"))
 
   /** Compact the chunk deltas to one row per digest; `docTable` is the
-    * flow's guard. */
+    * flow's guard, and its null-text tombstones are the commit witness
+    * for [[forgetChunkState]] decrement keys. (Keeper-carrying tables
+    * keep their netted-zero rows at the fold — the snapshot's
+    * n_docs ≥ 2 filter hides them.) */
   def compactChunks(spark: SparkSession, statsTable: String,
       docTable: String): Unit =
     compactDeltas(spark, statsTable, Seq("digest"), Seq("n_occ", "n_docs"),
-      docTable, "doc_id", mins = Seq("clen", "keeper_id"))
+      docTable, "doc_id", mins = Seq("clen", "keeper_id"),
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))))
+
+  /** DELETION PROPAGATION for the chunk-dedup family — additive counts
+    * plus the family's first MIN-REPAIR: per-digest (n_occ, n_docs)
+    * decrement exactly like [[forgetCountState]] (recomputed from the
+    * forgotten docs' stored text, appended as negative deltas whose
+    * keeper column is the min-neutral Long.MaxValue; clen carries its
+    * true value — chunks with one digest are byte-identical, so every
+    * row agrees), but keeper_id is a MIN and a min cannot be RAISED by
+    * appends: digests whose current keeper is a forgotten doc need
+    * their keeper recomputed over the surviving holders, which only a
+    * re-chunk of the surviving store can name — ONE O(corpus) pass
+    * (the run-rarely class the vector-family forgets already pay),
+    * pruned to the affected digests after chunking, followed by an
+    * in-place patch of the stats rows (sums untouched, committed/
+    * pending keys preserved). Digests with no surviving holder patch
+    * to Long.MaxValue and net to zero counts — invisible behind the
+    * snapshot's n_docs ≥ 2 filter. Crash contract: decrements derive
+    * from text (nulled only by the final swap), the affected set is
+    * computed on the PRE-decrement fold after [[rollbackPendingForgets]]
+    * (a completed patch makes the re-run's affected set empty), and
+    * every step is idempotent — forgetCountState's contract plus one
+    * rewrite. Single-maintenance-loop contract as everywhere: no
+    * concurrent advance. */
+  def forgetChunkState(spark: SparkSession, ids: DataFrame,
+      statsTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val gone = store
+      .map(_.filter(col("text").isNotNull).join(idsC, Seq("doc_id"), "left_semi"))
+      .map(_.localCheckpoint(true))
+      .filter(!_.isEmpty)
+    gone.foreach { g =>
+      val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
+      rollbackPendingForgets(spark, Seq(statsTable), g)
+      val goneIds = g.select(col("doc_id")).localCheckpoint(true)
+      val dec = chunkDelta(g, forgetKey).localCheckpoint(true)
+      val stats = tryRead(spark, statsTable).map(_.localCheckpoint(true))
+      // digests whose CURRENT keeper is forgotten, on the pre-decrement
+      // fold (rollback above cleared any partial run of this key)
+      val affected = stats.map { t =>
+        t.filter(col("batch_key") =!= forgetKey)
+          .join(broadcast(dec.select(col("digest"))), Seq("digest"), "left_semi")
+          .dropDuplicates("batch_key", "digest")
+          .groupBy(col("digest")).agg(min(col("keeper_id")).as("k"))
+          .join(goneIds.withColumnRenamed("doc_id", "k"), Seq("k"), "left_semi")
+          .select(col("digest")).localCheckpoint(true)
+      }.getOrElse(emptyDf(spark,
+        "digest" -> org.apache.spark.sql.types.StringType))
+      // patch BEFORE the decrement append: the patch rewrites the table
+      // from the pre-append checkpoint, so appending first would lose
+      // the decrement rows; a crash between patch and append re-runs
+      // with an empty affected set (keepers already patched) and just
+      // re-appends
+      if (!affected.isEmpty) {
+        // the run-rarely pass: re-chunk the SURVIVING store, name each
+        // affected digest's new min holder, patch rows in place
+        val survivors = store.get.filter(col("text").isNotNull)
+          .join(idsC, Seq("doc_id"), "left_anti")
+        val newKeep = graft.operators.Multimodal.cdcChunks(
+            survivors.withColumn("blob", encode(col("text"), "UTF-8")),
+            "doc_id", "blob")
+          .join(broadcast(affected), Seq("digest"), "left_semi")
+          .groupBy(col("digest")).agg(min(col("doc_id")).as("__nk"))
+        stats.foreach { t =>
+          val patched = t
+            .join(broadcast(affected.withColumn("__aff", lit(true))),
+              Seq("digest"), "left")
+            .join(broadcast(newKeep), Seq("digest"), "left")
+            .withColumn("keeper_id",
+              when(col("__aff").isNotNull,
+                coalesce(col("__nk"), lit(Long.MaxValue)))
+                .otherwise(col("keeper_id")))
+            .select(t.columns.map(col).toIndexedSeq: _*)
+          graft.operators.MergeWriter.overwriteAtomic(patched, statsTable)
+        }
+      }
+      dec.select(col("batch_key"), col("digest"), (-col("n_occ")).as("n_occ"),
+          (-col("n_docs")).as("n_docs"), col("clen"),
+          lit(Long.MaxValue).as("keeper_id"))
+        .write.mode("append").parquet(statsTable)
+    }
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
 
   private def emptyChunkStats(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2416,6 +2638,33 @@ object Streams {
       graft.operators.MergeWriter.overwriteAtomic(
         live.unionByName(pending), eligTable)
     }
+
+  /** DELETION PROPAGATION for the token-budget family: the forgotten
+    * docs' journal rows delete (id-granular, exact) and the ids append
+    * to the guard (re-ingest blocked, never-seen ids forward-block; the
+    * guard is ids-only — nothing in this flow is recomputed from text).
+    * The kept prefix and cut markers are DERIVED snapshots, so they
+    * self-repair at the next read: freeing a kept doc's tokens refills
+    * the budget from the journal's next rows — including journaled docs
+    * past the old cut that a compaction has not yet folded away.
+    *
+    * Stated honestly (the family's only-shrinks eligibility trade,
+    * cf. [[forgetDedupState]]'s cluster-split honesty): docs that were
+    * dropped AT ARRIVAL (past the then-current cut, never journaled) or
+    * already folded away by [[compactBudget]] are NOT resurrected — the
+    * post-forget snapshot equals sa10 over the surviving JOURNALED
+    * docs, which under-fills the budget relative to a from-scratch run
+    * over the survivors exactly when an eviction has discarded a doc
+    * the freed budget would now admit. A deployment that needs exact
+    * refill keeps the journal uncompacted (the journal then holds every
+    * arrival and the equality is exact); the compliance obligation —
+    * the subject's rows gone, the ids blocked — holds either way. */
+  def forgetBudgetState(spark: SparkSession, ids: DataFrame,
+      eligTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteByIds(spark, eligTable, idsC, Seq("doc_id"))
+    appendNewBy(idsC, docTable, "doc_id")
+  }
 
   /** pp13's continuous twin: CONTINUOUS bigram-LM maintenance — the
     * second counts-shaped member of the standing-state family, with
