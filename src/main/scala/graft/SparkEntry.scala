@@ -161,7 +161,15 @@ import graft.queries.Catalog
   *    index (standing per-doc (doc, tok, tf) rows, one batch-sized
   *    rollup per advance, query-time stats — results == ta18) +
   *    Streams.maintainTfState / bm25Snapshot / forgetTfState (the
-  *    retrieval family's continuous and forget members)
+  *    retrieval family's continuous and forget members); pp27
+  *    incremental classifier training (per-doc feature halves + labels
+  *    maintained, LM derived at read, retrain == ta19) +
+  *    Streams.maintainFeatureState / trainingSnapshot /
+  *    forgetFeatureState; round-12 forget-matrix completion:
+  *    Streams.forgetSpanState (shared→unique crossing repair),
+  *    forgetPerceptualState, forgetContainmentState, forgetChunkState +
+  *    forgetExactDedupState (min-keeper repair over surviving holders),
+  *    forgetBudgetState (journal deletion, budget refills at read)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -1849,6 +1849,17 @@ object TextOps {
     * docs with < 2 tokens have no bigram row and are absent (ta12's
     * convention). Plan shape documented at [[ta15]]. */
   private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
+    val (tstat, m) = qualityDeltas(docs)
+    qualityFeaturesFrom(tstat, m)
+  }
+
+  /** The PER-DOC halves of the quality-feature pipeline — each row a
+    * pure function of its own document (the property pp27's standing
+    * tables and [[graft.streaming.Streams.maintainFeatureState]]'s
+    * append-only advance and exact-deletion forget rest on): the token
+    * stats (doc_id, n_tokens, n_distinct, n_top) and the (doc_id,
+    * bigram, m) rollup. One tokenize feeds both. */
+  private[graft] def qualityDeltas(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs
@@ -1863,6 +1874,20 @@ object TextOps {
       .select($"doc_id", explode(Text.wordNGrams($"ts", 2)).as("bigram"))
       .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("m"))
       .localCheckpoint(true) // LM rollup + join back (ta12's shape)
+    (tstat, m)
+  }
+
+  /** The CORPUS-LEVEL assembly over the per-doc halves: the LM fold
+    * (the one quantity that shifts as the corpus grows — which is WHY
+    * features are derived at read in the incremental flow, never
+    * stored), the dstat join-back, and the per-mille feature columns.
+    * Shared verbatim by ta15/ta19 (via [[qualityFeatures]]) and pp27's
+    * standing-table read, so batch and incremental features cannot
+    * drift. */
+  private[graft] def qualityFeaturesFrom(tstat: DataFrame,
+      m: DataFrame): DataFrame = {
+    val s = tstat.sparkSession
+    import s.implicits._
     val lm = m.groupBy($"bigram").agg(sum($"m").as("n"))
     val dstat = m.join(lm, Seq("bigram"))
       .groupBy($"doc_id")
@@ -2043,15 +2068,63 @@ object TextOps {
   private def ta19(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val data = qualityFeatures(docs).join(
-      ruleVerdicts(docs).select($"doc_id",
-        when($"keep", 1L).otherwise(-1L).as("y")),
-      Seq("doc_id"))
+    perceptronReport(qualityFeatures(docs).join(
+      ruleLabels(docs), Seq("doc_id")))
+  }
+
+  /** ta16's verdicts as ta19/pp27's weak-supervision labels — (doc_id,
+    * y ∈ {+1, −1}), row-local per doc. */
+  private[graft] def ruleLabels(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    ruleVerdicts(docs).select($"doc_id",
+      when($"keep", 1L).otherwise(-1L).as("y"))
+  }
+
+  /** The training-trajectory report over a (features, y) frame —
+    * ta19's output shape, shared verbatim with pp27 so batch and
+    * incremental training cannot drift. */
+  private[graft] def perceptronReport(data: DataFrame): DataFrame = {
+    val s = data.sparkSession
+    import s.implicits._
     perceptronIterates(data, TA19_ITERS)
       .map { case (i, w, n) => (i, w(0), w(1), w(2), w(3), w(4), w(5), n) }
       .toDF("iter", "w_diversity_pm", "w_top_share_pm", "w_dup2_pm",
         "w_rare_pm", "w_len_cap", "w_bias", "n_misclassified")
       .orderBy($"iter")
+  }
+
+  /** pp27 — INCREMENTAL classifier training, ta19's twin: the standing
+    * state is the PER-DOC halves of the feature pipeline —
+    * [[qualityDeltas]]'s token stats and (doc, bigram) rollup plus
+    * [[ruleLabels]]'s verdicts, every row a pure function of its own
+    * document, so the advance is one batch-sized tokenize appended to
+    * three tables and each document's text is scanned ONCE ever. The
+    * corpus-level quantity that SHIFTS as the corpus grows — the LM
+    * behind rare_pm — is deliberately derived AT READ from the standing
+    * rollup ([[qualityFeaturesFrom]], shared verbatim with ta19's
+    * path), never stored: storing features would stale every doc's
+    * rare_pm on every arrival. Retraining is [[perceptronIterates]]
+    * over the derived frame — driver-bounded rollups, no text. Result
+    * must equal ta19 over the full corpus — the oracle is ta19's,
+    * verbatim. */
+  private def pp27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("clf:"), $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp27", d) { dir =>
+      val (tstat, m) = qualityDeltas(docs.filter(!isNew))
+      tstat.write.parquet(s"$dir/tstat")
+      m.write.parquet(s"$dir/m")
+      ruleLabels(docs.filter(!isNew)).write.parquet(s"$dir/labels")
+    }
+    val (bt, bm) = qualityDeltas(docs.filter(isNew))
+    val data = qualityFeaturesFrom(
+        s.read.parquet(s"$stand/tstat").unionByName(bt),
+        s.read.parquet(s"$stand/m").unionByName(bm))
+      .join(s.read.parquet(s"$stand/labels")
+        .unionByName(ruleLabels(docs.filter(isNew))), Seq("doc_id"))
+    perceptronReport(data)
   }
   private val ta19Sql = {
     val mg = "(wd*diversity_pm + wt*top_share_pm + w2*dup2_pm" +
@@ -3161,5 +3234,6 @@ object TextOps {
     Q("ta18_bm25_topk", "lexical BM25 top-k retrieval: integer-exact Okapi scoring over the (doc, tok) tf rollup, broadcast query terms prune before any join, bounded-buffer per-query top-k (no window)", ta18, Some(ta18Sql)),
     Q("ta19_classifier_train", "quality-classifier TRAINING: fixed-point batch perceptron over ta15's five features, weakly supervised by ta16's rule verdicts — every iterate's weight vector + error count oracle-replayed", ta19, Some(ta19Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
+    Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )
 }

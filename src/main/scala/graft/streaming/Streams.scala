@@ -2931,6 +2931,86 @@ object Streams {
           .repartition(partitions), tfTable)
     }
 
+  /** pp27's continuous twin: CONTINUOUS training-data maintenance for
+    * the quality-classifier family. Standing tables: `tstatTable`
+    * (per-doc token stats), `mTable` (per-doc (doc, bigram, m) rollup),
+    * `labelsTable` (per-doc weak-supervision verdicts) — every row a
+    * pure function of its own document (the tf-family additivity:
+    * no fold, no delta key, byte-identical redelivery rows the
+    * snapshot collapses by doc id), advanced by ONE batch tokenize, so
+    * each document's text is scanned once ever. The corpus-level LM
+    * behind rare_pm derives AT READ in [[trainingSnapshot]] — stored
+    * features would stale on every arrival. Doc store is the guard
+    * (appended LAST, text kept for audit). */
+  def maintainFeatureState(batch: DataFrame, tstatTable: String,
+      mTable: String, labelsTable: String, docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val (tstat, m) = graft.queries.TextOps.qualityDeltas(fresh)
+    tstat.write.mode("append").parquet(tstatTable)
+    m.write.mode("append").parquet(mTable)
+    graft.queries.TextOps.ruleLabels(fresh)
+      .write.mode("append").parquet(labelsTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** [[maintainFeatureState]] as a foreachBatch sink over a (doc_id,
+    * text) document stream. */
+  def featureStateStream(docs: DataFrame, tstatTable: String,
+      mTable: String, labelsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainFeatureState(b, tstatTable, mTable, labelsTable, docTable))
+      .start()
+
+  /** The current (features, y) training frame under the maintained
+    * tables — exactly what ta19's trainer (and
+    * [[rebuildClassifierState]]'s refit) consumes: features assembled
+    * at read through [[graft.queries.TextOps.qualityFeaturesFrom]]
+    * (shared verbatim with the batch path), labels joined doc-keyed.
+    * Redelivery duplicates collapse per doc / (doc, bigram). */
+  def trainingSnapshot(spark: SparkSession, tstatTable: String,
+      mTable: String, labelsTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tstat = tryRead(spark, tstatTable).getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "n_tokens" -> LongType,
+        "n_distinct" -> LongType, "n_top" -> LongType))
+      .dropDuplicates("doc_id")
+    val m = tryRead(spark, mTable).getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "bigram" -> StringType, "m" -> LongType))
+      .dropDuplicates("doc_id", "bigram")
+    val labels = tryRead(spark, labelsTable).getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "y" -> LongType))
+      .dropDuplicates("doc_id")
+    graft.queries.TextOps.qualityFeaturesFrom(tstat, m)
+      .join(labels, Seq("doc_id"))
+  }
+
+  /** DELETION PROPAGATION for the training-data family — exact
+    * deletion like the tf family's (per-doc rows, never aggregated at
+    * rest), with the notable property that the CORPUS-LEVEL effect is
+    * still exact: deleting a doc's (doc, bigram) rows changes the LM
+    * every OTHER doc's rare_pm is computed against, and because
+    * features derive at read, every survivor's features self-repair at
+    * the next [[trainingSnapshot]] — no cross-doc repair job at all.
+    * Text nulled last, same crash contract as [[forgetTfState]]. */
+  def forgetFeatureState(spark: SparkSession, ids: DataFrame,
+      tstatTable: String, mTable: String, labelsTable: String,
+      docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteByIds(spark, tstatTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, mTable, idsC, Seq("doc_id"))
+    deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text")).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
+
   /** Incremental document ingest (S1's streaming shape): new files landing
     * in a directory become extraction rows continuously — the reference's
     * "drop new PDFs in the folder and re-run" loop without the re-run. */
