@@ -60,6 +60,64 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
     assert(seg == Set("real", "words", "here"))
   }
 
+  test("round-12 maintainers (score/tf/feature) survive NULL/empty text and empty batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("degen-batch12").toString
+    // a frozen reference for the score flow, from one real doc
+    Streams.buildRefState(
+      Seq((100L, "srcA", "en", "ref words in a row here"))
+        .toDF("doc_id", "source", "lang", "text"),
+      s"$root/ref")
+    val degenerate = Seq((0L, "srcA", null: String), (1L, "srcA", ""),
+      (2L, "srcA", "real words here")).toDF("doc_id", "source", "text")
+    val empty = degenerate.limit(0)
+    val allBad = Seq((3L, "srcA", null: String), (4L, "srcA", ""))
+      .toDF("doc_id", "source", "text")
+    for (b <- Seq(degenerate, empty, allBad)) {
+      Streams.maintainScoreState(b, s"$root/ref", s"$root/scores", s"$root/docsS")
+      Streams.maintainTfState(b.select($"doc_id", $"text"),
+        s"$root/tf", s"$root/docsT")
+      Streams.maintainFeatureState(b.select($"doc_id", $"text"),
+        s"$root/tstat", s"$root/m", s"$root/labels", s"$root/docsF")
+    }
+    // the real row advanced, degenerate rows broke nothing: the tf
+    // snapshot holds exactly the real doc's tokens, the score snapshot
+    // holds its (sole) scored row, the training frame its feature row
+    assert(Streams.tfSnapshot(spark, s"$root/tf")
+      .select($"tok").collect().map(_.getString(0)).toSet
+      == Set("real", "words", "here"))
+    assert(Streams.scoreSnapshot(spark, s"$root/scores")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Streams.trainingSnapshot(spark, s"$root/tstat", s"$root/m", s"$root/labels")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("round-12 forgets are no-ops (plus tombstones) over ABSENT state tables") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("degen-forget12").toString
+    val ids = Seq(7L, 8L).toDF("doc_id")
+    // nothing ever ingested: every forget must tolerate missing tables,
+    // write only its tombstones, and leave a readable (forward-blocking)
+    // doc store — a deletion request must never require prior arrivals
+    Streams.forgetScoreState(spark, ids, s"$root/sc", s"$root/d1")
+    Streams.forgetTfState(spark, ids, s"$root/tf", s"$root/d2")
+    Streams.forgetFeatureState(spark, ids, s"$root/ts", s"$root/m", s"$root/lb", s"$root/d3")
+    Streams.forgetSpanState(spark, ids, s"$root/gr", s"$root/cn", s"$root/rp", s"$root/d4")
+    Streams.forgetMixState(spark, ids, s"$root/d5", s"$root/mx")
+    Streams.forgetChunkState(spark, ids, s"$root/ch", s"$root/d6")
+    Streams.forgetExactDedupState(spark, ids, s"$root/xd", s"$root/d7")
+    Streams.forgetPerceptualState(spark, ids, s"$root/sg", s"$root/pp", s"$root/d8")
+    Streams.forgetContainmentState(spark, ids, s"$root/cs", s"$root/cp", s"$root/cq", s"$root/d9")
+    Streams.forgetBudgetState(spark, ids, s"$root/el", s"$root/d10")
+    for (d <- Seq("d1", "d2", "d3", "d4", "d6", "d7", "d8", "d9", "d10"))
+      assert(spark.read.parquet(s"$root/$d").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(7L, 8L),
+        s"doc store $d missing its forward-block tombstones")
+    // mix's doc store carries (doc_id, source)
+    assert(spark.read.parquet(s"$root/d5").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+  }
+
   test("vector-flow maintainer survives zero vectors and empty batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("degen-vec").toString
