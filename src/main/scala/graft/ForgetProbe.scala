@@ -49,10 +49,12 @@ object ForgetProbe {
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select($"doc_id", $"source", $"text").localCheckpoint(true)
     val n = docs.count()
-    // ~2% of ids, all from the base replica (ids < 10M): these are the
-    // MIN members of their cross-replica... no — replicas are
-    // token-disjoint; within the base replica the corpus's own duplicate
-    // groups have their keepers here, and low ids are keepers by min-ness
+    // ~2% of ids, all from the base replica (ids < 10M). The keeper-hit
+    // guarantee: every doc is the min holder of at least its own
+    // doc-unique chunks/cells, and the base replica additionally holds
+    // the min ids of the corpus's own duplicate groups — so the
+    // min-repair classes below always have a nonempty affected set and
+    // actually pay their repair pass
     val forgetIds = docs.filter($"doc_id" < 10000000L)
       .filter($"doc_id" % 50L === 0L)
       .select($"doc_id").localCheckpoint(true)

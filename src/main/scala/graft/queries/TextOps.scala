@@ -2010,7 +2010,7 @@ object TextOps {
     * so the deployed weight table's row order is the trainer's. */
   private[graft] val TA19_FEATURES: Seq[String] =
     Seq("diversity_pm", "top_share_pm", "dup2_pm", "rare_pm", "len_cap", "bias")
-  private[queries] val TA19_ITERS = 3
+  private[graft] val TA19_ITERS = 3
 
   /** The fixed-point batch-perceptron trainer kernel, shared by ta19 and
     * [[graft.streaming.Streams.rebuildClassifierState]]: starting from

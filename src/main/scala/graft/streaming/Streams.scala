@@ -351,9 +351,12 @@ object Streams {
     else guard.filter(col(idCol).between(b.get(0), b.get(1)))
   }
 
-  private def freshAgainst(batch: DataFrame, docTable: String): DataFrame = {
-    val arrived = batch.select(col("doc_id"), col("text"))
-      .groupBy(col("doc_id")).agg(max(col("text")).as("text"))
+  private def freshAgainst(batch: DataFrame, docTable: String,
+      cols: Seq[String] = Seq("text")): DataFrame = {
+    // in-batch duplicates collapse deterministically (max per column)
+    val aggs = cols.map(c => max(col(c)).as(c))
+    val arrived = batch.select((col("doc_id") +: cols.map(col)): _*)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     tryRead(batch.sparkSession, docTable)
       .map(e => arrived.join(
         pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
@@ -595,6 +598,23 @@ object Streams {
 
   /** Delete every row of `table` whose `on` column(s) match an id,
     * preserving the table's column order (a USING join floats its key). */
+  /** The doc-store tombstone swap every forget member ends with: keep
+    * the survivors' rows, NULL `nulledCol` for the forgotten ids (id
+    * kept — redelivery and future re-ingest stay blocked, never-seen
+    * ids forward-block). Always LAST in a forget job: the swap is the
+    * compaction commit witness, and it destroys the content decrements
+    * recompute from. */
+  private def tombstoneSwap(store: Option[DataFrame], idsC: DataFrame,
+      docTable: String, nulledCol: String): Unit = {
+    val tomb = idsC.select(col("doc_id"),
+      lit(null).cast("string").as(nulledCol))
+    graft.operators.MergeWriter.overwriteAtomic(
+      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col(nulledCol)).unionByName(tomb))
+        .getOrElse(tomb),
+      docTable)
+  }
+
   private def deleteByIds(spark: SparkSession, table: String,
       idsC: DataFrame, on: Seq[String]): Unit =
     tryRead(spark, table).foreach { t0 =>
@@ -663,14 +683,8 @@ object Streams {
     deleteByIds(spark, shingleTable, idsC, Seq("doc_id"))
     deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
     deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
-    tryRead(spark, docTable).foreach { t0 =>
-      val t = t0.localCheckpoint(true)
-      val tomb = idsC.select(col("doc_id"),
-        lit(null).cast("string").as("text"))
-      graft.operators.MergeWriter.overwriteAtomic(
-        t.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb), docTable)
-    }
+    tombstoneSwap(tryRead(spark, docTable).map(_.localCheckpoint(true)),
+      idsC, docTable, "text")
   }
 
   /** DELETION PROPAGATION for the COUNTS-shaped family (vocabulary /
@@ -749,12 +763,7 @@ object Streams {
           .write.mode("append").parquet(lt)
       }
     }
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** Rollback of conflicting PENDING forget decrements (the
@@ -777,12 +786,17 @@ object Streams {
       .localCheckpoint(true)
     tables.foreach { tb =>
       tryRead(spark, tb).foreach { t0 =>
-        val t = t0.localCheckpoint(true)
-        val conflicted = t.join(witnessKeys, Seq("batch_key"), "left_semi")
+        // cheap probe first — a column-pruned O(batches)-keys scan; the
+        // table is materialized and rewritten ONLY when a conflicting
+        // pending key actually exists (the rare crash-overlap path)
+        val conflicted = t0.select(col("batch_key")).distinct()
+          .join(witnessKeys, Seq("batch_key"), "left_semi")
           .localCheckpoint(true)
-        if (!conflicted.isEmpty)
+        if (!conflicted.isEmpty) {
+          val t = t0.localCheckpoint(true)
           graft.operators.MergeWriter.overwriteAtomic(
-            t.join(witnessKeys, Seq("batch_key"), "left_anti"), tb)
+            t.join(broadcast(conflicted), Seq("batch_key"), "left_anti"), tb)
+        }
       }
     }
   }
@@ -817,12 +831,7 @@ object Streams {
         .select(col("batch_key"), col("source"), (-col("n")).as("n"))
         .write.mode("append").parquet(countsTable)
     }
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("source"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("source")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "source")
   }
 
   /** The current clustering under the maintained tables — (doc_id,
@@ -1829,10 +1838,15 @@ object Streams {
     *    spanDedup's dup-docs-only shape over the survivors.
     *
     * Crash/replay: [[rollbackPendingForgets]] clears this key's (or an
-    * overlapping crashed job's) partial appends, the decrement fold
-    * excludes the forget key, every delete is idempotent, and the
-    * tombstone swap (the compaction commit witness) goes last —
-    * forgetCountState's contract verbatim. */
+    * overlapping crashed job's) partial appends, the crossing fold is
+    * COMMITTED-ONLY (it excludes the forget key AND every pending
+    * negative key whose witness is still live — a foreign crashed
+    * forget's decrements must not fake a crossing, because crossing
+    * repairs, unlike count decrements, are not additively
+    * self-correcting under that job's re-run), every delete is
+    * idempotent, and the tombstone swap (the compaction commit witness)
+    * goes last — forgetCountState's contract plus the committed-only
+    * fold. */
   def forgetSpanState(spark: SparkSession, ids: DataFrame,
       gramsTable: String, countsTable: String, reportTable: String,
       docTable: String): Unit = {
@@ -1851,11 +1865,30 @@ object Streams {
       val goneCnt = graft.queries.TextOps.spanStore(g)
         .groupBy(col("h")).agg(count(lit(1)).as("gone_nd"))
         .localCheckpoint(true)
+      val counts0 = tryRead(spark, countsTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "h" -> LongType, "nd" -> LongType))
+      // the crossing decision folds COMMITTED state only: a negative key
+      // whose witness doc (−key−1) still has live text is a crashed
+      // forget's PENDING decrement (possibly rolled back or re-derived
+      // by its re-run) — summing it would let a foreign pending forget
+      // fake a shared→unique crossing whose repair rows then COMMIT when
+      // either job's swap tombstones a witness, permanently
+      // over-decrementing a survivor (counts decrements are additively
+      // self-correcting; crossing repairs are not). Same committed-only
+      // discipline compactDeltas applies via tombstoneIds; the probe is
+      // O(batches) keys against an id-pruned store read.
+      val pendingNeg = counts0.select(col("batch_key"))
+        .filter(col("batch_key") < 0 && col("batch_key") =!= Long.MinValue)
+        .distinct()
+        .withColumn("__wid", -col("batch_key") - 1L)
+        .join(store.get.filter(col("text").isNotNull)
+          .select(col("doc_id").as("__wid")), Seq("__wid"), "left_semi")
+        .select(col("batch_key")).localCheckpoint(true)
       // folded standing counts for the touched spans only, BEFORE this
       // key's decrement lands (rollback above cleared any partial run)
-      val folded = tryRead(spark, countsTable).getOrElse(emptyDf(spark,
-          "batch_key" -> LongType, "h" -> LongType, "nd" -> LongType))
+      val folded = counts0
         .filter(col("batch_key") =!= forgetKey)
+        .join(broadcast(pendingNeg), Seq("batch_key"), "left_anti")
         .join(broadcast(goneCnt.select(col("h"))), Seq("h"), "left_semi")
         .dropDuplicates("batch_key", "h")
         .groupBy(col("h")).agg(sum(col("nd")).as("nd"))
@@ -1877,12 +1910,7 @@ object Streams {
       deleteByIds(spark, gramsTable, idsC, Seq("doc_id"))
       deleteByIds(spark, reportTable, idsC, Seq("doc_id"))
     }
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** pp07's continuous twin: CONTINUOUS vocabulary maintenance — the
@@ -1999,7 +2027,12 @@ object Streams {
     * the feature table, so a re-run after a crash mid-swap recomputes
     * the identical weights (idempotence spec-pinned). */
   def rebuildClassifierState(spark: SparkSession, featsTable: String,
-      weightsTable: String, iters: Int = 3): Unit =
+      weightsTable: String,
+      // defaulting to the SHARED constant, not a literal: a tuned
+      // TA19_ITERS must retune every deployment refit with it, or the
+      // deployed weights silently stop being the oracle-replayed final
+      // iterate
+      iters: Int = graft.queries.TextOps.TA19_ITERS): Unit =
     tryRead(spark, featsTable).foreach { d =>
       import spark.implicits._
       val last = graft.queries.TextOps.perceptronIterates(d, iters).last
@@ -2225,12 +2258,7 @@ object Streams {
           (-col("n")).as("n"), lit(Long.MaxValue).as("keeper_id"))
         .write.mode("append").parquet(statsTable)
     }
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** mm04's continuous twin: CONTINUOUS perceptual-dedup maintenance,
@@ -2308,12 +2336,7 @@ object Streams {
     deleteByIds(spark, sigTable, idsC, Seq("doc_id"))
     deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** DELETION PROPAGATION for the containment-index family — the same
@@ -2329,12 +2352,7 @@ object Streams {
     deleteByIds(spark, probeTable, idsC, Seq("doc_id"))
     deleteByIds(spark, pairsTable, idsC, Seq("d1", "d2"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   private def emptySigStore(spark: SparkSession): DataFrame = {
@@ -2503,12 +2521,7 @@ object Streams {
           lit(Long.MaxValue).as("keeper_id"))
         .write.mode("append").parquet(statsTable)
     }
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   private def emptyChunkStats(spark: SparkSession): DataFrame = {
@@ -2772,15 +2785,7 @@ object Streams {
   def maintainScoreState(batch: DataFrame, refTable: String,
       scoresTable: String, docTable: String): Unit = {
     val spark = batch.sparkSession
-    val arrived = batch.select(col("doc_id"), col("source"), col("text"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("source")).as("source"), max(col("text")).as("text"))
-    val fresh = tryRead(spark, docTable)
-      .map(e => arrived.join(
-        pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
-        Seq("doc_id"), "left_anti"))
-      .getOrElse(arrived)
-      .localCheckpoint(true)
+    val fresh = freshAgainst(batch, docTable, Seq("source", "text"))
     if (fresh.isEmpty) return
     val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
     scoreDelta(fresh, spark.read.parquet(refTable), batchKey)
@@ -2912,12 +2917,7 @@ object Streams {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     deleteByIds(spark, tfTable, idsC, Seq("doc_id"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** Compact the tf appends: collapse redelivery duplicates
@@ -3003,12 +3003,7 @@ object Streams {
     deleteByIds(spark, mTable, idsC, Seq("doc_id"))
     deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
-    val tomb = idsC.select(col("doc_id"), lit(null).cast("string").as("text"))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text")).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** Incremental document ingest (S1's streaming shape): new files landing

@@ -365,6 +365,62 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq.toList).toList, "forget re-run diverged")
   }
 
+  test("forgetSpanState: a crashed forget's PENDING decrement cannot fake a crossing for a witness-disjoint request") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A, B, C share one span (nd = 3). Job J1 forgets {B} and CRASHES
+    // right after its counts decrement (no deletes, no swap). Job J2
+    // then forgets {C} — B is NOT in J2's request, so the rollback
+    // (witness-keyed) leaves J1's pending rows; a fold that summed them
+    // would see nd 3−1 = 2, detect a FALSE shared→unique crossing, and
+    // permanently over-decrement A once J2's swap commits. The
+    // committed-only fold must keep the snapshot exact after J2, after
+    // J1's re-run (where the crossing IS real), and after compaction.
+    val span1 = (1 to 8).map(i => s"pp$i").mkString(" ")
+    val all = (graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      ++ Seq(1000001L -> span1, 1000002L -> span1, 1000003L -> span1))
+      .sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val root = Files.createTempDirectory("forget-span-pending").toString
+    val (grT, cnT, rpT, docT) = (s"$root/grams", s"$root/counts",
+      s"$root/report", s"$root/docs")
+    Streams.maintainSpanState(df(all), grT, cnT, rpT, docT)
+
+    def got() = Streams.spanSnapshot(spark, rpT)
+      .collect().map(_.toSeq.toList).toList
+    def want(ids: Set[Long]) = graft.queries.TextOps.spanDedup(
+        df(all.filter(t => !ids(t._1))))
+      .collect().map(_.toSeq.toList).toList
+
+    // J1 crash: its counts decrement lands under key −1000002−1
+    graft.queries.TextOps.spanStore(df(Seq(1000002L -> span1)))
+      .groupBy($"h").agg((-count(lit(1))).as("nd"))
+      .select(lit(-1000003L).as("batch_key"), $"h", $"nd")
+      .write.mode("append").parquet(cnT)
+
+    // J2: witness-disjoint request {C}
+    Streams.forgetSpanState(spark, Seq(1000003L).toDF("doc_id"),
+      grT, cnT, rpT, docT)
+    assert(got() == want(Set(1000003L)),
+      "a pending foreign decrement faked a crossing")
+    assert(got().exists(_.head == 1000001L),
+      "survivor A lost its dup status while B is still present")
+
+    // J1 re-run to completion: NOW the crossing is real (A alone holds)
+    Streams.forgetSpanState(spark, Seq(1000002L).toDF("doc_id"),
+      grT, cnT, rpT, docT)
+    assert(got() == want(Set(1000002L, 1000003L)), "J1's re-run diverged")
+    assert(!got().exists(_.head == 1000001L),
+      "A still reported dup'd after both sharers are gone")
+
+    // compaction (both witnesses tombstoned) commits exactly this state
+    Streams.compactSpanCounts(spark, cnT, docT)
+    Streams.compactSpanReport(spark, rpT, docT)
+    assert(got() == want(Set(1000002L, 1000003L)), "compaction drifted")
+  }
+
   test("forgetCountState: crashed forget + OVERLAPPING different request rolls back pending rows — no key mixing, no foreign commit") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
