@@ -1533,18 +1533,31 @@ object TextOps {
     docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
 
-  /** ta18's scoring-and-retrieval suffix over a (doc_id, tok, tf) table —
-    * shared verbatim with pp26 and
+  /** ta18's scoring-and-retrieval suffix over a (doc_id, tok, tf) table
+    * with the gate's fixed workload — shared verbatim with pp26 and
     * [[graft.streaming.Streams.bm25Snapshot]], so full, incremental, and
-    * continuously-maintained retrieval cannot drift. Caller
+    * continuously-maintained retrieval cannot drift. */
+  private[graft] def bm25TopK(tf: DataFrame): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
+    bm25TopK(tf, TA18_QUERIES.toDF("query_id", "qtext"), TA18_K)
+  }
+
+  /** Lexical BM25 top-k retrieval as a LIBRARY operator: score any
+    * (query_id, qtext) workload against a (doc_id, tok, tf) table —
+    * ta18's integer-exact Okapi scoring (algebra and overflow bounds in
+    * ta18's Scaladoc) with the same plan shape: the query token set is
+    * assumed driver-bounded (it broadcasts and prunes the tf table
+    * before any other join), statistics derive from the tf table, and
+    * the per-query top-k is the bounded-buffer aggregator. Caller
     * localCheckpoints the tf frame if it is about to be scanned four
     * times (dl, scalars, prune, scoring) from an expensive lineage. */
-  private[graft] def bm25TopK(tf: DataFrame): DataFrame = {
+  def bm25TopK(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val s = tf.sparkSession
     import s.implicits._
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
-    val q = TA18_QUERIES.toDF("query_id", "qtext")
+    val q = queries
       .select($"query_id", explode(array_distinct(Text.tokens($"qtext"))).as("tok"))
     val qtoks = q.select($"tok").distinct()
     val ptf = tf.join(broadcast(qtoks), Seq("tok"))
@@ -1561,7 +1574,7 @@ object TextOps {
       .agg(sum(term).as("score"))
     graft.operators.GroupedTopK
       .topK(scored.select($"query_id", $"score", $"doc_id"),
-        "query_id", "score", "doc_id", TA18_K)
+        "query_id", "score", "doc_id", k)
       .select($"query_id", $"rank", $"id".as("doc_id"),
         $"v".cast("long").as("score"))
       .orderBy($"query_id", $"rank")

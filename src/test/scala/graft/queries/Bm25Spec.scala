@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The library form of BM25 retrieval: any (query_id, qtext) workload,
+  * any k — scalar-replayed against a hand-computable corpus so the
+  * Okapi algebra (k1 = 6/5, b = 3/4, rational idf, floor-average doc
+  * length) is pinned independently of the gate's oracle. */
+class Bm25Spec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("bm25TopK(tf, queries, k): scalar-replayed scores, OOV terms inert, k honored, ties break on doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "apple banana apple",   // tf(apple)=2, dl=3
+      2L -> "apple cherry",         // tf(apple)=1, dl=2
+      3L -> "banana banana cherry", // dl=3
+      4L -> "date")                 // dl=1
+      .toDF("doc_id", "text")
+    val tf = TextOps.tfRollup(docs).localCheckpoint(true)
+    val queries = Seq(10L -> "apple zzz-oov", 20L -> "banana").toDF("query_id", "qtext")
+    val got = TextOps.bm25TopK(tf, queries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+    // scalar replay: N=4, L=9, adl = max(9 div 4, 1) = 2
+    // term(tf, dl, df) = ((10000*4) div df) * ((44*tf*2*10000) div (20*tf*2 + 6*2 + 18*dl)) div 10000
+    def term(tfv: Long, dl: Long, df: Long): Long =
+      ((10000L * 4 / df) * ((44 * tfv * 2 * 10000L) / (20 * tfv * 2 + 6 * 2 + 18 * dl))) / 10000L
+    // query 10 ("apple" df=2; "zzz-oov" has no tf rows and must be inert)
+    val q10 = Seq(1L -> term(2, 3, 2), 2L -> term(1, 2, 2))
+      .sortBy { case (id, s) => (-s, id) }
+    // query 20 ("banana" df=2)
+    val q20 = Seq(1L -> term(1, 3, 2), 3L -> term(2, 3, 2))
+      .sortBy { case (id, s) => (-s, id) }
+    val want =
+      q10.zipWithIndex.map { case ((id, s), i) => (10L, i + 1, id, s) } ++
+      q20.zipWithIndex.map { case ((id, s), i) => (20L, i + 1, id, s) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+
+    // k truncates: k=1 keeps only each query's top row
+    assert(TextOps.bm25TopK(tf, queries, k = 1).count() == 2)
+
+    // equal-scoring docs tie-break by ascending doc_id: two identical
+    // docs score identically for their shared term
+    val tie = TextOps.tfRollup(
+      Seq(5L -> "kiwi", 6L -> "kiwi").toDF("doc_id", "text"))
+    val ranked = TextOps.bm25TopK(tie,
+      Seq(1L -> "kiwi").toDF("query_id", "qtext"), k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(ranked.toSeq == Seq((1, 5L), (2, 6L)), s"tie-break broke: ${ranked.toSeq}")
+  }
+}
