@@ -2902,6 +2902,13 @@ object Streams {
     graft.queries.TextOps.bm25TopK(
       tfSnapshot(spark, tfTable).localCheckpoint(true))
 
+  /** [[bm25Snapshot]] for an arbitrary (query_id, qtext) workload and
+    * k — the library serving path over maintained state. */
+  def bm25Snapshot(spark: SparkSession, tfTable: String,
+      queries: DataFrame, k: Int): DataFrame =
+    graft.queries.TextOps.bm25TopK(
+      tfSnapshot(spark, tfTable).localCheckpoint(true), queries, k)
+
   /** DELETION PROPAGATION for the retrieval family — exact like the
     * score family's: tf rows are per-doc and never aggregated at rest
     * (df/dl/N/L are query-time derivations), so forgetting is row
