@@ -2868,11 +2868,27 @@ object Streams {
     * is ever recomputed from it. Query-time statistics (df, dl, N, L)
     * derive from the standing table inside [[bm25Snapshot]], so every
     * arrival is searchable immediately with corpus-consistent scores. */
+  /** The tf table's partition-bucket count — a table-creation constant
+    * (like the dedup flow's canonicalizer mode: every writer and reader
+    * of one table must agree). The table is PARTITIONED BY
+    * pt = doc_id mod this, so [[forgetTfState]] rewrites only the
+    * partitions holding forgotten ids: the forget's rewrite volume is
+    * min(|ids|, TF_PARTITIONS)/TF_PARTITIONS of the table instead of
+    * all of it — the kNN-graph family's touched-partition treatment
+    * applied to the retrieval family. Size it so that bound bites at
+    * the deployment's typical forget-request size (a 100-id GDPR batch
+    * against 64 partitions still touches most of them; raise the
+    * constant with corpus size — partitions should stay several files
+    * each, not thousands). */
+  private[graft] val TF_PARTITIONS = 64
+
   def maintainTfState(batch: DataFrame, tfTable: String,
       docTable: String): Unit = {
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
-    graft.queries.TextOps.tfRollup(fresh).write.mode("append").parquet(tfTable)
+    graft.queries.TextOps.tfRollup(fresh)
+      .withColumn("pt", pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(tfTable)
     fresh.write.mode("append").parquet(docTable)
   }
 
@@ -2887,11 +2903,12 @@ object Streams {
 
   /** The current (doc_id, tok, tf) table under the maintained appends —
     * redelivery duplicates (byte-identical by construction) collapse on
-    * (doc_id, tok). */
+    * (doc_id, tok); the partition column stays internal. */
   def tfSnapshot(spark: SparkSession, tfTable: String): DataFrame = {
     import org.apache.spark.sql.types._
     tryRead(spark, tfTable).getOrElse(emptyDf(spark,
         "doc_id" -> LongType, "tok" -> StringType, "tf" -> LongType))
+      .select(col("doc_id"), col("tok"), col("tf"))
       .dropDuplicates("doc_id", "tok")
   }
 
@@ -2914,28 +2931,72 @@ object Streams {
     * (df/dl/N/L are query-time derivations), so forgetting is row
     * deletion plus the doc-store tombstone (text NULLED — the rows AND
     * the recoverable content both go; id kept, so redelivery and
-    * re-ingest stay blocked, never-seen ids forward-block). Deletion
-    * first (snapshots correct immediately), tombstone swap last; both
-    * idempotent, a crash between re-runs to convergence. Every derived
-    * statistic self-repairs at query time: the survivors' df/dl/N/L are
-    * simply what [[bm25Snapshot]] computes next. */
+    * re-ingest stay blocked, never-seen ids forward-block). The table
+    * is [[TF_PARTITIONS]]-bucketed on doc_id, so the deletion touches
+    * ONLY the partitions holding forgotten ids: a partition-pruned
+    * scan, a dynamic partition overwrite of the survivors, and a
+    * scheme-safe FS delete of any partition the forget emptied (the
+    * kNN-graph forget's treatment — dynamic overwrite cannot clear a
+    * partition it writes no rows for). Deletion first (snapshots
+    * correct immediately), tombstone swap last; both idempotent, a
+    * crash between re-runs to convergence. Every derived statistic
+    * self-repairs at query time: the survivors' df/dl/N/L are simply
+    * what [[bm25Snapshot]] computes next. */
   def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
       docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    deleteByIds(spark, tfTable, idsC, Seq("doc_id"))
+    tryRead(spark, tfTable).foreach { t0 =>
+      val pts = idsC
+        .select(pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)).as("pt"))
+        .distinct().collect().map(_.getLong(0)) // ≤ TF_PARTITIONS values
+      val surviving = t0.filter(col("pt").isin(pts: _*))
+        .join(idsC, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("tok"), col("tf"),
+          col("pt").cast("long").as("pt"))
+        .localCheckpoint(true)
+      if (!surviving.isEmpty)
+        surviving.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pt").parquet(tfTable)
+      val written = surviving.select(col("pt")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val emptied = pts.filterNot(written)
+      if (emptied.nonEmpty) {
+        // Hadoop FS, not java.nio (the table path may carry a scheme —
+        // forgetRepairs' contract), failure surfaced by return value
+        val base = new org.apache.hadoop.fs.Path(tfTable)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { p =>
+          val dir = new org.apache.hadoop.fs.Path(base, s"pt=$p")
+          if (fs.exists(dir) && !fs.delete(dir, true))
+            throw new java.io.IOException(
+              s"forgetTfState: delete of emptied tf partition $dir failed")
+        }
+      }
+    }
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** Compact the tf appends: collapse redelivery duplicates
     * (byte-identical rows — dropping them never destroys replay
-    * evidence) and repack. */
+    * evidence) and repack each bucket to one file set, preserving the
+    * [[TF_PARTITIONS]] layout (a dynamic overwrite per partition;
+    * content-preserving, so a crash mid-compaction leaves a readable
+    * mix of compacted and uncompacted partitions and a re-run
+    * converges). The `partitions` arg is accepted for signature parity
+    * with the other compactors but the bucket layout governs. */
   def compactTf(spark: SparkSession, tfTable: String,
       partitions: Int = 8): Unit =
     tryRead(spark, tfTable).foreach { t =>
-      graft.operators.MergeWriter.overwriteAtomic(
-        t.localCheckpoint(true).dropDuplicates("doc_id", "tok")
-          .repartition(partitions), tfTable)
+      t.localCheckpoint(true)
+        .select(col("doc_id"), col("tok"), col("tf"),
+          col("pt").cast("long").as("pt"))
+        .dropDuplicates("doc_id", "tok")
+        .repartition(col("pt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pt").parquet(tfTable)
     }
 
   /** pp27's continuous twin: CONTINUOUS training-data maintenance for

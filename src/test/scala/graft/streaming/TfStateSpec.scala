@@ -70,4 +70,48 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
     Streams.forgetTfState(spark, fDf, tfT, docT)
     assert(got() == want(remaining), "forget re-run diverged")
   }
+
+  test("forgetTfState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val root = Files.createTempDirectory("tf-parts").toString
+    val (tfT, docT) = (s"$root/tf", s"$root/docs")
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainTfState(df(b), tfT, docT)
+
+    // per-partition file inventory: (relative path, length, mtime)
+    def inventory(): Map[String, Set[(String, Long, Long)]] = {
+      val base = new java.io.File(tfT)
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pt="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet
+        }.toMap
+    }
+    val before = inventory()
+    assert(before.size > 1, "only one partition materialized — pin is vacuous")
+
+    val victim = 10L
+    Streams.forgetTfState(spark, Seq(victim).toDF("doc_id"), tfT, docT)
+    val after = inventory()
+    val touched = s"pt=${victim % Streams.TF_PARTITIONS}"
+    before.keys.filterNot(_ == touched).foreach { d =>
+      assert(after(d) == before(d),
+        s"untouched partition $d rewritten by a single-doc forget")
+    }
+    assert(after(touched) != before(touched),
+      "the victim's partition was not rewritten")
+    // and the snapshot is exact over the survivors
+    assert(Streams.bm25Snapshot(spark, tfT)
+      .collect().map(_.toSeq.toList).toList
+      == graft.queries.TextOps.bm25TopK(
+        graft.queries.TextOps.tfRollup(
+          df(all.filter(_._1 != victim))).localCheckpoint(true))
+      .collect().map(_.toSeq.toList).toList,
+      "partition-pruned forget drifted from from-scratch")
+  }
 }
