@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *
   *  - negative-delta decrement: `forgetCountState` (vocab) — O(deleted)
   *    recompute + append; the table is never rewritten;
-  *  - exact id-granular deletion: `forgetTfState` — one O(table) rewrite
-  *    of the per-doc rows plus the tombstone swap;
+  *  - exact id-granular deletion: `forgetTfState` — a partition-pruned
+  *    rewrite of only the buckets holding forgotten ids plus the
+  *    tombstone swap (this probe's doc_id %% 50 sample touches the 32
+  *    even of 64 buckets, so the measured number reflects a half-table
+  *    rewrite; a small forget request touches proportionally less);
   *  - decrement + min-repair: `forgetChunkState` — O(deleted) decrement
   *    plus ONE O(corpus) re-chunk pruned to the affected digests (paid
   *    only because keepers were hit — the probe's id choice guarantees

@@ -1557,8 +1557,12 @@ object TextOps {
     import s.implicits._
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
+    // distinct (query, tok) pairs: a duplicated workload row (or a
+    // repeated term across two rows of one query) must not multiply the
+    // scoring join and inflate sum(term)
     val q = queries
       .select($"query_id", explode(array_distinct(Text.tokens($"qtext"))).as("tok"))
+      .distinct()
     val qtoks = q.select($"tok").distinct()
     val ptf = tf.join(broadcast(qtoks), Seq("tok"))
     val dfq = ptf.groupBy($"tok").agg(count(lit(1)).as("df"))

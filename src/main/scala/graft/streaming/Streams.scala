@@ -615,6 +615,27 @@ object Streams {
       docTable)
   }
 
+  /** Delete the named partition directories of a partitioned table —
+    * the companion every dynamic partition overwrite needs for
+    * partitions it writes NO rows for (dynamic overwrite cannot clear
+    * them). Hadoop FS, not java.nio: the table path may carry a scheme
+    * (file:, hdfs://, s3a://) where nio's Files.exists is false and the
+    * delete would silently no-op — leaving forgotten rows readable.
+    * Failure surfaces by return value (MergeWriter.overwriteAtomic's
+    * contract). */
+  private def deleteEmptiedPartitions(spark: SparkSession, table: String,
+      partitionCol: String, values: Seq[Long]): Unit =
+    if (values.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(table)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      values.foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$v")
+        if (fs.exists(dir) && !fs.delete(dir, true))
+          throw new java.io.IOException(
+            s"delete of emptied partition $dir failed")
+      }
+    }
+
   private def deleteByIds(spark: SparkSession, table: String,
       idsC: DataFrame, on: Seq[String]): Unit =
     tryRead(spark, table).foreach { t0 =>
@@ -1331,21 +1352,7 @@ object Streams {
         val emptied = touched.join(repaired.select(col("cid")).distinct(),
             Seq("cid"), "left_anti")
           .collect().map(_.getLong(0))
-        // Hadoop FS, not java.nio: the table path may carry a scheme
-        // (file:, hdfs://, s3a://) where nio's Files.exists is false and
-        // the delete would silently no-op — leaving a forgotten vector's
-        // edges readable via knnGraphSnapshot. Same failure-by-return-value
-        // contract as MergeWriter.overwriteAtomic.
-        if (emptied.nonEmpty) {
-          val base = new org.apache.hadoop.fs.Path(gt)
-          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          emptied.foreach { c =>
-            val dir = new org.apache.hadoop.fs.Path(base, s"cid=$c")
-            if (fs.exists(dir) && !fs.delete(dir, true))
-              throw new java.io.IOException(
-                s"forgetRepairs: delete of emptied graph partition $dir failed")
-          }
-        }
+        deleteEmptiedPartitions(spark, gt, "cid", emptied.toSeq)
       }
     }
     codesTable.foreach { ct =>
@@ -2857,17 +2864,6 @@ object Streams {
           .repartition(partitions), scoresTable)
     }
 
-  /** pp26's continuous twin: CONTINUOUS retrieval-index maintenance —
-    * the standing (doc_id, tok, tf) postings-source table ta18/pp26
-    * search over, advanced by one batch-sized tokenize+rollup append.
-    * Per-doc rows never change (each is a pure function of its own
-    * document), so there is no fold, no delta key, and no standing read:
-    * redelivery duplicates are byte-identical rows [[tfSnapshot]]
-    * collapses on (doc_id, tok). The doc store is the guard (appended
-    * LAST, vocab-family contract) and keeps the text for audit; nothing
-    * is ever recomputed from it. Query-time statistics (df, dl, N, L)
-    * derive from the standing table inside [[bm25Snapshot]], so every
-    * arrival is searchable immediately with corpus-consistent scores. */
   /** The tf table's partition-bucket count — a table-creation constant
     * (like the dedup flow's canonicalizer mode: every writer and reader
     * of one table must agree). The table is PARTITIONED BY
@@ -2879,9 +2875,28 @@ object Streams {
     * the deployment's typical forget-request size (a 100-id GDPR batch
     * against 64 partitions still touches most of them; raise the
     * constant with corpus size — partitions should stay several files
-    * each, not thousands). */
+    * each, not thousands).
+    *
+    * The LAYOUT is part of the contract from the table's first write: a
+    * pre-existing FLAT tf table must be migrated (read + rewrite
+    * partitioned) BEFORE the first partitioned advance — once pt= dirs
+    * exist, Spark's partition discovery silently ignores data files at
+    * the table root, so mixing layouts loses the flat rows from every
+    * read with no error anywhere. */
   private[graft] val TF_PARTITIONS = 64
 
+  /** pp26's continuous twin: CONTINUOUS retrieval-index maintenance —
+    * the standing (doc_id, tok, tf) postings-source table ta18/pp26
+    * search over, advanced by one batch-sized tokenize+rollup append
+    * (per-bucket under the [[TF_PARTITIONS]] layout).
+    * Per-doc rows never change (each is a pure function of its own
+    * document), so there is no fold, no delta key, and no standing read:
+    * redelivery duplicates are byte-identical rows [[tfSnapshot]]
+    * collapses on (doc_id, tok). The doc store is the guard (appended
+    * LAST, vocab-family contract) and keeps the text for audit; nothing
+    * is ever recomputed from it. Query-time statistics (df, dl, N, L)
+    * derive from the standing table inside [[bm25Snapshot]], so every
+    * arrival is searchable immediately with corpus-consistent scores. */
   def maintainTfState(batch: DataFrame, tfTable: String,
       docTable: String): Unit = {
     val fresh = freshAgainst(batch, docTable)
@@ -2941,7 +2956,18 @@ object Streams {
     * correct immediately), tombstone swap last; both idempotent, a
     * crash between re-runs to convergence. Every derived statistic
     * self-repairs at query time: the survivors' df/dl/N/L are simply
-    * what [[bm25Snapshot]] computes next. */
+    * what [[bm25Snapshot]] computes next.
+    *
+    * Commit window, stated honestly (shared with every dynamic
+    * partition overwrite in this file, the kNN-graph family included):
+    * Spark's dynamic overwrite commits each partition by
+    * delete-then-rename, so a hard crash INSIDE that window can lose a
+    * touched partition's surviving rows — unlike
+    * `MergeWriter.overwriteAtomic`, which keeps a backup across its
+    * swap. The window is per-touched-partition and milliseconds wide;
+    * a deployment that cannot accept it runs the table on a
+    * transactional format whose multi-file commit closes it, on the
+    * same layout and code path. */
   def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
       docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
@@ -2960,19 +2986,8 @@ object Streams {
           .partitionBy("pt").parquet(tfTable)
       val written = surviving.select(col("pt")).distinct()
         .collect().map(_.getLong(0)).toSet
-      val emptied = pts.filterNot(written)
-      if (emptied.nonEmpty) {
-        // Hadoop FS, not java.nio (the table path may carry a scheme —
-        // forgetRepairs' contract), failure surfaced by return value
-        val base = new org.apache.hadoop.fs.Path(tfTable)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { p =>
-          val dir = new org.apache.hadoop.fs.Path(base, s"pt=$p")
-          if (fs.exists(dir) && !fs.delete(dir, true))
-            throw new java.io.IOException(
-              s"forgetTfState: delete of emptied tf partition $dir failed")
-        }
-      }
+      deleteEmptiedPartitions(spark, tfTable, "pt",
+        pts.filterNot(written).toSeq)
     }
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
@@ -2981,11 +2996,13 @@ object Streams {
   /** Compact the tf appends: collapse redelivery duplicates
     * (byte-identical rows — dropping them never destroys replay
     * evidence) and repack each bucket to one file set, preserving the
-    * [[TF_PARTITIONS]] layout (a dynamic overwrite per partition;
-    * content-preserving, so a crash mid-compaction leaves a readable
-    * mix of compacted and uncompacted partitions and a re-run
-    * converges). The `partitions` arg is accepted for signature parity
-    * with the other compactors but the bucket layout governs. */
+    * [[TF_PARTITIONS]] layout. Content-preserving, so a crash BETWEEN
+    * partition commits leaves a readable mix of compacted and
+    * uncompacted partitions and a re-run converges — but the dynamic
+    * overwrite's per-partition delete-then-rename window applies here
+    * too ([[forgetTfState]]'s commit-window note). The `partitions` arg
+    * is accepted for signature parity with the other compactors but the
+    * bucket layout governs. */
   def compactTf(spark: SparkSession, tfTable: String,
       partitions: Int = 8): Unit =
     tryRead(spark, tfTable).foreach { t =>

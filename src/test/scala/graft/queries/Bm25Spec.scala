@@ -42,6 +42,14 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     // k truncates: k=1 keeps only each query's top row
     assert(TextOps.bm25TopK(tf, queries, k = 1).count() == 2)
 
+    // a duplicated workload row must not inflate scores: same results
+    // as the deduped workload, bit for bit
+    val dupQueries = queries.unionByName(
+      Seq(10L -> "apple zzz-oov").toDF("query_id", "qtext"))
+    assert(TextOps.bm25TopK(tf, dupQueries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      == got.toSeq, "duplicate workload rows multiplied the scoring join")
+
     // equal-scoring docs tie-break by ascending doc_id: two identical
     // docs score identically for their shared term
     val tie = TextOps.tfRollup(

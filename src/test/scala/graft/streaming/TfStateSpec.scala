@@ -33,9 +33,15 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
     assert(got() == want(all), "maintained bm25 != ta18 over the arrivals")
     assert(got().nonEmpty, "no results — vacuous")
 
-    // crash replay: byte-identical tf rows land again, dedup collapses
+    // crash replay: byte-identical tf rows land again THROUGH THE
+    // PARTITIONED WRITE the maintainer uses (a raw root-level append
+    // would land beside the pt= dirs, where Spark's partition discovery
+    // silently ignores it — the pin would be vacuous), dedup collapses
     graft.queries.TextOps.tfRollup(df(all.drop(150)))
-      .write.mode("append").parquet(tfT)
+      .withColumn("pt", pmod($"doc_id", lit(Streams.TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(tfT)
+    assert(spark.read.parquet(tfT).groupBy($"doc_id", $"tok").count()
+      .filter($"count" > 1).count() > 0, "replay rows did not land — pin vacuous")
     assert(got() == want(all), "replayed tf rows double-counted")
 
     // redelivery of an already-seen batch is a no-op
