@@ -55,4 +55,122 @@ object MergeWriter {
     must(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst), "publish staging")
     if (fs.exists(bak)) must(fs.delete(bak, true), "drop backup")
   }
+
+  private val PartStageSuffix = ".pstaging"
+  private val PartManifest = "_GRAFT_COMMIT"
+
+  private def must(ok: Boolean, what: String, path: String): Unit =
+    if (!ok) throw new java.io.IOException(
+      s"overwritePartitionsAtomic: $what failed for $path")
+
+  private def fsOf(df: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      df.sparkContext.hadoopConfiguration)
+
+  /** Per-partition atomic overwrite for a `partCol=<v>`-layout parquet
+    * table — [[overwriteAtomic]]'s stage-then-publish discipline applied
+    * per partition, replacing Spark's dynamic partition overwrite (whose
+    * per-partition delete-then-rename commit can lose a touched
+    * partition's surviving rows on a hard crash inside the window).
+    * `touched` is the job's full intent: a touched value with staged
+    * rows is REPLACED, a touched value with NO staged rows is DELETED
+    * (the emptied-partition case dynamic overwrite cannot express — it
+    * writes no rows there, so it cannot clear the directory), and an
+    * untouched partition is never read or written. The manifest —
+    * written into the stage directory and made visible by an atomic
+    * rename — is the commit point: before it exists the table is
+    * untouched and a crash discards the stage; after it exists the
+    * publish is an idempotent roll-forward (each partition is either
+    * still staged, mid-swap, or already published — all three re-run to
+    * the same end state), completed by [[repairPartitionedTable]].
+    * Crash visibility, stated honestly: between a mid-publish crash and
+    * the repair, readers can see a touched partition ABSENT — the same
+    * transient [[overwriteAtomic]] has mid-swap — but no row is ever
+    * LOST: the staged copy persists until its rename lands. Single
+    * writer per table (the forget/compact jobs' standing
+    * single-maintenance-loop contract); callers that derive `rows` from
+    * the table itself must run [[repairPartitionedTable]] BEFORE that
+    * read, or a pending crashed publish reads as missing rows. */
+  def overwritePartitionsAtomic(rows: DataFrame, table: String,
+      partCol: String, touched: Seq[Long]): Unit = {
+    val spark = rows.sparkSession
+    repairPartitionedTable(spark, table, partCol)
+    if (touched.isEmpty) return
+    val fs = fsOf(spark, table)
+    val stage = new org.apache.hadoop.fs.Path(table + PartStageSuffix)
+    rows.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    val lines = touched.distinct.map { v =>
+      val has = fs.exists(
+        new org.apache.hadoop.fs.Path(stage, s"$partCol=$v"))
+      s"$v\t${if (has) "data" else "empty"}"
+    }
+    // manifest lands by RENAME — a crash mid-write leaves only the .tmp,
+    // which the pre-commit recovery path discards with the stage
+    val tmp = new org.apache.hadoop.fs.Path(stage, PartManifest + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    must(fs.rename(tmp, new org.apache.hadoop.fs.Path(stage, PartManifest)),
+      "commit manifest", table)
+    publishStaged(fs, table, partCol)
+  }
+
+  /** Recover a partitioned table from a crashed
+    * [[overwritePartitionsAtomic]]: a stage WITHOUT a manifest never
+    * committed (the table is untouched — drop the stage); a stage WITH
+    * a manifest committed (roll the publish forward to completion).
+    * Runs automatically at the next overwrite of the same table; expose
+    * it at deployment startup (and before any maintenance op that READS
+    * the table to derive its own rewrite) so a crash heals at the first
+    * opportunity rather than the next overwrite. No-op when no stage
+    * exists — one existence probe. */
+  def repairPartitionedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, partCol: String): Unit = {
+    val fs = fsOf(spark, table)
+    val stage = new org.apache.hadoop.fs.Path(table + PartStageSuffix)
+    if (!fs.exists(stage)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, PartManifest)))
+      publishStaged(fs, table, partCol)
+    else must(fs.delete(stage, true), "discard uncommitted stage", table)
+  }
+
+  /** The roll-forward half: execute the manifest's intent, idempotently.
+    * For a `data` partition still in the stage: delete the current
+    * directory (if any), rename the staged one in; a partition already
+    * renamed in by a prior crashed pass has no staged copy left and is
+    * skipped (its current directory IS the staged data). For an `empty`
+    * partition: delete the current directory. Stage dir dropped last —
+    * by then every staged partition has been renamed out, so the drop
+    * removes only write metadata. */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, partCol: String): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(table + PartStageSuffix)
+    val manifest = new org.apache.hadoop.fs.Path(stage, PartManifest)
+    val in = fs.open(manifest)
+    val lines = try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toVector
+    finally in.close()
+    val tableDir = new org.apache.hadoop.fs.Path(table)
+    if (!fs.exists(tableDir)) must(fs.mkdirs(tableDir), "create table dir", table)
+    lines.foreach { line =>
+      val Array(v, kind) = line.split("\t", 2)
+      val cur = new org.apache.hadoop.fs.Path(tableDir, s"$partCol=$v")
+      val stg = new org.apache.hadoop.fs.Path(stage, s"$partCol=$v")
+      kind match {
+        case "data" =>
+          if (fs.exists(stg)) {
+            if (fs.exists(cur)) must(fs.delete(cur, true),
+              s"clear partition $partCol=$v", table)
+            must(fs.rename(stg, cur), s"publish partition $partCol=$v", table)
+          }
+        case "empty" =>
+          if (fs.exists(cur)) must(fs.delete(cur, true),
+            s"drop emptied partition $partCol=$v", table)
+        case other => throw new java.io.IOException(
+          s"overwritePartitionsAtomic: corrupt manifest line '$line' for $table ($other)")
+      }
+    }
+    must(fs.delete(stage, true), "drop published stage", table)
+  }
 }

@@ -353,10 +353,17 @@ object Streams {
 
   private def freshAgainst(batch: DataFrame, docTable: String,
       cols: Seq[String] = Seq("text")): DataFrame = {
-    // in-batch duplicates collapse deterministically (max per column)
-    val aggs = cols.map(c => max(col(c)).as(c))
+    // in-batch duplicates collapse deterministically to ONE of the
+    // arriving rows: lexicographic max over the struct of all payload
+    // columns, then re-expanded — never a per-column max, which with
+    // multiple columns could synthesize a (source, text) combination
+    // existing in neither input row; single-column callers get exactly
+    // the old max(col) (struct ordering degenerates to the field's, and
+    // a null field sorts below every value like max's null-skipping)
     val arrived = batch.select((col("doc_id") +: cols.map(col)): _*)
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(cols.map(col): _*)).as("__row"))
+      .select((col("doc_id") +: cols.map(c => col(s"__row.$c").as(c))): _*)
     tryRead(batch.sparkSession, docTable)
       .map(e => arrived.join(
         pruneToBatchRange(e.select("doc_id"), batch, "doc_id"),
@@ -599,42 +606,40 @@ object Streams {
   /** Delete every row of `table` whose `on` column(s) match an id,
     * preserving the table's column order (a USING join floats its key). */
   /** The doc-store tombstone swap every forget member ends with: keep
-    * the survivors' rows, NULL `nulledCol` for the forgotten ids (id
-    * kept — redelivery and future re-ingest stay blocked, never-seen
-    * ids forward-block). Always LAST in a forget job: the swap is the
+    * the survivors' rows unchanged, NULL `nulledCol` for the forgotten
+    * ids (id kept — redelivery and future re-ingest stay blocked,
+    * never-seen ids forward-block with every payload column null). The
+    * store's FULL column set is preserved — survivors keep all columns
+    * byte-identical, and a forgotten row keeps its other columns; a
+    * store whose forget contract destroys MORE than one content column
+    * must call once per column (each swap is idempotent and
+    * order-free). Always LAST in a forget job: the swap is the
     * compaction commit witness, and it destroys the content decrements
     * recompute from. */
-  private def tombstoneSwap(store: Option[DataFrame], idsC: DataFrame,
+  private[graft] def tombstoneSwap(store: Option[DataFrame], idsC: DataFrame,
       docTable: String, nulledCol: String): Unit = {
-    val tomb = idsC.select(col("doc_id"),
-      lit(null).cast("string").as(nulledCol))
-    graft.operators.MergeWriter.overwriteAtomic(
-      store.map(_.join(idsC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col(nulledCol)).unionByName(tomb))
-        .getOrElse(tomb),
-      docTable)
-  }
-
-  /** Delete the named partition directories of a partitioned table —
-    * the companion every dynamic partition overwrite needs for
-    * partitions it writes NO rows for (dynamic overwrite cannot clear
-    * them). Hadoop FS, not java.nio: the table path may carry a scheme
-    * (file:, hdfs://, s3a://) where nio's Files.exists is false and the
-    * delete would silently no-op — leaving forgotten rows readable.
-    * Failure surfaces by return value (MergeWriter.overwriteAtomic's
-    * contract). */
-  private def deleteEmptiedPartitions(spark: SparkSession, table: String,
-      partitionCol: String, values: Seq[Long]): Unit =
-    if (values.nonEmpty) {
-      val base = new org.apache.hadoop.fs.Path(table)
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      values.foreach { v =>
-        val dir = new org.apache.hadoop.fs.Path(base, s"$partitionCol=$v")
-        if (fs.exists(dir) && !fs.delete(dir, true))
-          throw new java.io.IOException(
-            s"delete of emptied partition $dir failed")
-      }
+    val out = store match {
+      case Some(s) =>
+        val order = s.columns.toIndexedSeq
+        require(order.contains("doc_id") && order.contains(nulledCol),
+          s"tombstoneSwap: store at $docTable lacks doc_id/$nulledCol " +
+            s"(has ${order.mkString(",")})")
+        val kept = s.join(idsC, Seq("doc_id"), "left_anti")
+        val tombed = s.join(idsC, Seq("doc_id"), "left_semi")
+          .withColumn(nulledCol,
+            lit(null).cast(s.schema(nulledCol).dataType))
+        val unseen = order.filterNot(_ == "doc_id").foldLeft(
+            idsC.join(s.select("doc_id"), Seq("doc_id"), "left_anti")) {
+          (acc, c) => acc.withColumn(c, lit(null).cast(s.schema(c).dataType))
+        }
+        kept.select(order.map(col): _*)
+          .unionByName(tombed.select(order.map(col): _*))
+          .unionByName(unseen.select(order.map(col): _*))
+      case None =>
+        idsC.select(col("doc_id"), lit(null).cast("string").as(nulledCol))
     }
+    graft.operators.MergeWriter.overwriteAtomic(out, docTable)
+  }
 
   private def deleteByIds(spark: SparkSession, table: String,
       idsC: DataFrame, on: Seq[String]): Unit =
@@ -1210,21 +1215,28 @@ object Streams {
     * batch against its own cells only ([[graft.queries.VectorOps
     * .knnGraphAdvanceTouched]] — stored edges stand in for every
     * standing-standing pair) and rewrites JUST the touched cid
-    * partitions (dynamic partition overwrite): per-batch write volume
-    * is O(touched cells' graph rows) = O(affected), never the graph.
+    * partitions ([[graft.operators.MergeWriter.overwritePartitionsAtomic]]
+    * — per-partition stage-then-publish, no delete-then-rename commit
+    * window): per-batch write volume is O(touched cells' graph rows) =
+    * O(affected), never the graph.
     * Write order: graph partitions first, then the guard-moving
     * postings append. Crash between the two: the batch is unguarded, a
     * replay recomputes the SAME touched partitions — the advance is
     * idempotent because stored edges referencing batch ids are dropped
     * and re-derived inside the kernel — and the second overwrite is
-    * byte-equivalent. A touched cell's edge set never shrinks to empty
-    * (members are never removed), so dynamic overwrite cannot strand a
-    * stale partition. Per-batch compute Σ_touched
+    * byte-equivalent. A crash INSIDE the publish rolls forward at the
+    * next advance's entry repair, before any standing read. A touched
+    * cell's edge set never shrinks to empty (members are never
+    * removed), so the advance's intent never deletes a partition.
+    * Per-batch compute Σ_touched
     * |cell∩standing|·|cell∩batch| — the incremental cost the pp24 gate
     * states, vs vs13's Σ|cell|² rescan. */
   def maintainKnnGraphState(batch: DataFrame, cents: DataFrame,
       postingsTable: String, graphTable: String, k: Int = 3): Unit = {
     val spark = batch.sparkSession
+    // heal any crashed partition publish BEFORE the snapshot read below —
+    // a pending committed stage reads as a missing partition otherwise
+    graft.operators.MergeWriter.repairPartitionedTable(spark, graphTable, "cid")
     val postings = tryRead(spark, postingsTable)
     val freshRaw = postings
       .map(p => batch.join(
@@ -1252,10 +1264,14 @@ object Streams {
     val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
       standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
       .localCheckpoint(true)
-    if (!touchedRows.isEmpty)
-      touchedRows.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(graphTable)
+    if (!touchedRows.isEmpty) {
+      // touched cells are batch-bounded (≤ nlist, the driver-bounded
+      // centroid table) — the collect is codebook-sized by construction
+      val touchedCids = touchedRows.select(col("cid").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        touchedRows, graphTable, "cid", touchedCids)
+    }
     assigned.unionByName(rejects).write.mode("append").parquet(postingsTable)
   }
 
@@ -1296,9 +1312,9 @@ object Streams {
     * requests batch up against compliance deadlines, and this is the
     * same cost class as the rebuild jobs — EXCEPT the graph repair,
     * which recomputes only the cells the deleted vectors occupied
-    * (dynamic partition overwrite; a cell whose edge set empties has
-    * its partition directory removed — the one case dynamic overwrite
-    * cannot express).
+    * ([[graft.operators.MergeWriter.overwritePartitionsAtomic]]; a cell
+    * whose edge set empties stages no rows, so the atomic publish
+    * removes its partition directory).
     *
     * Crash contract (write order is the argument): the three REPAIRS
     * (graph, codes, sums) are pure functions of (CURRENT postings
@@ -1342,17 +1358,13 @@ object Streams {
       if (!touched.isEmpty) {
         val repaired = graft.queries.VectorOps.knnGraph(
           keptReal.join(touched, Seq("cid"), "left_semi"), graphK)
-          .localCheckpoint(true)
-        if (!repaired.isEmpty)
-          repaired.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cid").parquet(gt)
-        // cells whose edge set emptied (0 or 1 members left): dynamic
-        // overwrite cannot clear a partition it writes no rows for
-        val emptied = touched.join(repaired.select(col("cid")).distinct(),
-            Seq("cid"), "left_anti")
-          .collect().map(_.getLong(0))
-        deleteEmptiedPartitions(spark, gt, "cid", emptied.toSeq)
+        // every touched cell is in the intent: a cell whose edge set
+        // emptied (0 or 1 members left) stages no rows, so the atomic
+        // publish DELETES its partition — the case dynamic overwrite
+        // could not express and the old path FS-deleted separately
+        graft.operators.MergeWriter.overwritePartitionsAtomic(
+          repaired, gt, "cid",
+          touched.collect().map(_.getLong(0)).toIndexedSeq)
       }
     }
     codesTable.foreach { ct =>
@@ -2899,6 +2911,11 @@ object Streams {
     * arrival is searchable immediately with corpus-consistent scores. */
   def maintainTfState(batch: DataFrame, tfTable: String,
       docTable: String): Unit = {
+    // heal any crashed partition publish before appending: a pending
+    // committed stage would otherwise overwrite this append's files
+    // when a later op rolls it forward
+    graft.operators.MergeWriter.repairPartitionedTable(
+      batch.sparkSession, tfTable, "pt")
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
     graft.queries.TextOps.tfRollup(fresh)
@@ -2949,27 +2966,30 @@ object Streams {
     * re-ingest stay blocked, never-seen ids forward-block). The table
     * is [[TF_PARTITIONS]]-bucketed on doc_id, so the deletion touches
     * ONLY the partitions holding forgotten ids: a partition-pruned
-    * scan, a dynamic partition overwrite of the survivors, and a
-    * scheme-safe FS delete of any partition the forget emptied (the
-    * kNN-graph forget's treatment — dynamic overwrite cannot clear a
-    * partition it writes no rows for). Deletion first (snapshots
-    * correct immediately), tombstone swap last; both idempotent, a
-    * crash between re-runs to convergence. Every derived statistic
-    * self-repairs at query time: the survivors' df/dl/N/L are simply
-    * what [[bm25Snapshot]] computes next.
+    * scan, then a per-partition ATOMIC stage-then-publish of the
+    * survivors ([[graft.operators.MergeWriter.overwritePartitionsAtomic]]
+    * — a partition the forget emptied stages no rows and is deleted by
+    * the same publish). Deletion first (snapshots correct immediately),
+    * tombstone swap last; both idempotent, a crash between re-runs to
+    * convergence. Every derived statistic self-repairs at query time:
+    * the survivors' df/dl/N/L are simply what [[bm25Snapshot]] computes
+    * next.
     *
-    * Commit window, stated honestly (shared with every dynamic
-    * partition overwrite in this file, the kNN-graph family included):
-    * Spark's dynamic overwrite commits each partition by
-    * delete-then-rename, so a hard crash INSIDE that window can lose a
-    * touched partition's surviving rows — unlike
-    * `MergeWriter.overwriteAtomic`, which keeps a backup across its
-    * swap. The window is per-touched-partition and milliseconds wide;
-    * a deployment that cannot accept it runs the table on a
-    * transactional format whose multi-file commit closes it, on the
-    * same layout and code path. */
+    * Crash contract: the old dynamic-overwrite delete-then-rename
+    * commit window (a hard crash there could LOSE a touched partition's
+    * surviving rows) is closed — survivors persist in the stage until
+    * their rename lands, and a mid-publish crash rolls forward at this
+    * job's (or any tf maintenance op's) entry repair. Between a crash
+    * and that repair a reader can see a touched partition absent — the
+    * same transient `overwriteAtomic` has mid-swap — never lost rows
+    * after it. */
   def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
       docTable: String): Unit = {
+    // heal any crashed partition publish BEFORE reading the table the
+    // survivors derive from — a pending committed stage reads as a
+    // missing partition otherwise, and its rows would be dropped as
+    // forgotten
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     tryRead(spark, tfTable).foreach { t0 =>
       val pts = idsC
@@ -2979,15 +2999,10 @@ object Streams {
         .join(idsC, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("tok"), col("tf"),
           col("pt").cast("long").as("pt"))
-        .localCheckpoint(true)
-      if (!surviving.isEmpty)
-        surviving.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("pt").parquet(tfTable)
-      val written = surviving.select(col("pt")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      deleteEmptiedPartitions(spark, tfTable, "pt",
-        pts.filterNot(written).toSeq)
+      // a forgotten partition with no survivors stages no rows and is
+      // DELETED by the atomic publish; untouched partitions never move
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        surviving, tfTable, "pt", pts.toIndexedSeq)
     }
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
@@ -2996,25 +3011,28 @@ object Streams {
   /** Compact the tf appends: collapse redelivery duplicates
     * (byte-identical rows — dropping them never destroys replay
     * evidence) and repack each bucket to one file set, preserving the
-    * [[TF_PARTITIONS]] layout. Content-preserving, so a crash BETWEEN
-    * partition commits leaves a readable mix of compacted and
-    * uncompacted partitions and a re-run converges — but the dynamic
-    * overwrite's per-partition delete-then-rename window applies here
-    * too ([[forgetTfState]]'s commit-window note). The `partitions` arg
-    * is accepted for signature parity with the other compactors but the
+    * [[TF_PARTITIONS]] layout. Content-preserving and atomic per
+    * partition ([[graft.operators.MergeWriter.overwritePartitionsAtomic]]
+    * — a mid-publish crash leaves a readable mix of compacted and
+    * uncompacted partitions plus a staged remainder the entry repair
+    * rolls forward; no row is ever lost). The `partitions` arg is
+    * accepted for signature parity with the other compactors but the
     * bucket layout governs. */
   def compactTf(spark: SparkSession, tfTable: String,
-      partitions: Int = 8): Unit =
-    tryRead(spark, tfTable).foreach { t =>
-      t.localCheckpoint(true)
-        .select(col("doc_id"), col("tok"), col("tf"),
-          col("pt").cast("long").as("pt"))
-        .dropDuplicates("doc_id", "tok")
-        .repartition(col("pt"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("pt").parquet(tfTable)
+      partitions: Int = 8): Unit = {
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
+    tryRead(spark, tfTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val pts = t.select(col("pt").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq // ≤ TF_PARTITIONS values
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        t.select(col("doc_id"), col("tok"), col("tf"),
+            col("pt").cast("long").as("pt"))
+          .dropDuplicates("doc_id", "tok")
+          .repartition(col("pt")),
+        tfTable, "pt", pts)
     }
+  }
 
   /** pp27's continuous twin: CONTINUOUS training-data maintenance for
     * the quality-classifier family. Standing tables: `tstatTable`

@@ -77,4 +77,31 @@ class ScoreStateSpec extends AnyFunSuite with SparkSpec {
     Streams.forgetScoreState(spark, fDf, scT, docT)
     assert(got() == want(remaining), "forget re-run diverged")
   }
+
+  test("conflicting in-batch duplicate rows collapse to ONE arriving row, never a synthesized (source, text) combination") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("score-dup").toString
+    val (refT, scT, docT) = (s"$root/ref", s"$root/scores", s"$root/docs")
+    val refDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"lang", $"text")
+    Streams.buildRefState(refDocs, refT)
+    val ref = spark.read.parquet(refT).localCheckpoint(true)
+
+    // per-column max would synthesize (src_b, "zz zz zz") — a row that
+    // arrived in NEITHER duplicate; the struct max picks (src_b, "aa aa")
+    val batch = Seq(
+      (7L, "src_b", "en", "aa aa"),
+      (7L, "src_a", "en", "zz zz zz")).toDF("doc_id", "source", "lang", "text")
+    Streams.maintainScoreState(batch, refT, scT, docT)
+    val scored = spark.read.parquet(scT)
+      .select($"doc_id", $"source", $"score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(scored.length == 1, s"expected one scored row, got ${scored.toList}")
+    val wantRow = graft.queries.TextOps.refSurprise(
+        Seq((7L, "src_b", "aa aa")).toDF("doc_id", "source", "text"), ref)
+      .select($"doc_id", $"source", $"score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(scored.toList == wantRow.toList,
+      "duplicate collapse scored a text against a source it never arrived with")
+  }
 }
