@@ -169,7 +169,14 @@ import graft.queries.Catalog
   *    Streams.forgetSpanState (shared→unique crossing repair),
   *    forgetPerceptualState, forgetContainmentState, forgetChunkState +
   *    forgetExactDedupState (min-keeper repair over surviving holders),
-  *    forgetBudgetState (journal deletion, budget refills at read)
+  *    forgetBudgetState (journal deletion, budget refills at read);
+  *    vs21 OPQ-permuted PQ training (variance-balancing dimension
+  *    reallocation — rank round-robin under an exact integer
+  *    comparator, the deterministic core of non-parametric OPQ — then
+  *    vs16's Lloyd body verbatim on the permuted layout) + vs22 its
+  *    train→deploy search (row-local query permute, vs08's encode/ADC
+  *    kernel unchanged — the (permutation, books) artifact pair swaps
+  *    in as data)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -1464,9 +1464,12 @@ object VectorOps {
     books
   }
 
-  private def vs16(s: SparkSession, d: String): DataFrame = {
+  /** The vs16 training gate body over an already-prepared (vec_id, q)
+    * frame — shared verbatim with vs21, whose only difference is that
+    * `e` arrives DIMENSION-PERMUTED (the OPQ reallocation): one kernel,
+    * two layouts, the gates cannot drift. */
+  private def pqTrainOutput(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
-    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
     val book = pqBookRows(e)
     if (book.isEmpty)
       return e.select($"vec_id".as("sp"), $"vec_id".as("code"),
@@ -1498,6 +1501,12 @@ object VectorOps {
       .orderBy($"sp", $"code", $"dim")
   }
 
+  private def vs16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqTrainOutput(s,
+      normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true))
+  }
+
   /** One oracle-side Lloyd iteration over the per-subspace books —
     * shared by vs16Sql (3 iterations) and vs17Sql (1 + search). */
   private def pqIterSql(j: Int, prevList: String, prevLong: String) =
@@ -1517,12 +1526,40 @@ object VectorOps {
        |  FROM $prevLong p LEFT JOIN s$j x ON x.s = p.s AND x.code = p.code AND x.i = p.i),
        |cb$j AS (SELECT s, code, list(c ORDER BY i) AS cq FROM u$j GROUP BY s, code)""".stripMargin
 
-  private val vs16Sql = {
+  /** The CTE chain ending in `n` — the raw normed frame the PQ oracle
+    * chains consume. [[opqNSql]] produces an `n` of the same shape but
+    * dimension-permuted; everything downstream is shared verbatim. */
+  private val pqRawNSql =
+    s"""q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0)""".stripMargin
+
+  /** `n` as the OPQ-PERMUTED frame: per-dim variance comparator
+    * N·Σq² − (Σq)² exact in DECIMAL(18,0) factors (never reaches the output),
+    * dims ranked (variance DESC, dim ASC), rank r placed at position
+    * (r % 8)·8 + r//8 — the round-robin balanced reallocation. The
+    * permutation derivation is replayed here so the oracle and the
+    * Spark side must agree on every rank tie and every placement. */
+  private val opqNSql =
+    s"""q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n0 AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |vd AS (SELECT vec_id, unnest(range(1, 65)) AS i, q FROM n0),
+       |vstat AS (SELECT i,
+       |    CAST(COUNT(*) AS DECIMAL(18,0)) * CAST(SUM(q[i] * q[i]) AS DECIMAL(18,0))
+       |  - CAST(SUM(q[i]) AS DECIMAL(18,0)) * CAST(SUM(q[i]) AS DECIMAL(18,0)) AS vk
+       |  FROM vd GROUP BY i),
+       |pr AS (SELECT i AS d, ROW_NUMBER() OVER (ORDER BY vk DESC, i) - 1 AS r FROM vstat),
+       |pm AS (SELECT (r % 8) * 8 + (r // 8) + 1 AS np, d FROM pr),
+       |px AS (SELECT n0.vec_id, pm.np, n0.q[pm.d] AS v FROM n0 CROSS JOIN pm),
+       |n AS (SELECT vec_id, list(v ORDER BY np) AS q FROM px GROUP BY vec_id)""".stripMargin
+
+  /** The vs16 oracle body over whichever `n` the prefix built — shared
+    * by vs16Sql (raw) and vs21Sql (permuted). */
+  private def pqTrainSqlFrom(nSql: String) = {
     def iter(j: Int, prevList: String, prevLong: String) =
       pqIterSql(j, prevList, prevLong)
-    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
-       |n AS (SELECT vec_id, q FROM q
-       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+    s"""WITH $nSql,
        |sub AS (SELECT unnest(range(0, 8)) AS s),
        |cb0 AS (SELECT sub.s, n.vec_id AS code,
        |    [n.q[sub.s * 8 + i] for i in range(1, 9)] AS cq
@@ -1546,6 +1583,8 @@ object VectorOps {
        |ORDER BY sp, code, dim""".stripMargin
   }
 
+  private val vs16Sql = pqTrainSqlFrom(pqRawNSql)
+
   /** vs17 — TRAIN → DEPLOY, composed: one Lloyd iteration per subspace
     * ([[trainPqBooks]] at iters = 1 — the cheap periodic-retrain
     * cadence) and then vs08's encode + ADC search under the TRAINED
@@ -1558,9 +1597,10 @@ object VectorOps {
     * Trained codewords can collide (two codes converging to the same
     * subvector); ties break first-minimum-in-book-order on both
     * engines, so even degenerate books encode identically. */
-  private def vs17(s: SparkSession, d: String): DataFrame = {
+  /** The vs17 train→deploy body over an already-prepared (vec_id, q)
+    * frame — shared verbatim with vs22 (the permuted layout). */
+  private def pqTrainedSearchOutput(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
-    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
     val book = pqBookRows(e)
     if (book.isEmpty)
       return e.select($"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
@@ -1578,10 +1618,16 @@ object VectorOps {
         (-$"v").cast("long").as("adist"))
       .orderBy($"query_id", $"rank")
   }
-  private val vs17Sql =
-    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
-       |n AS (SELECT vec_id, q FROM q
-       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+
+  private def vs17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqTrainedSearchOutput(s,
+      normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true))
+  }
+  /** The vs17 oracle body over whichever `n` the prefix built — shared
+    * by vs17Sql (raw) and vs22Sql (permuted). */
+  private def pqTrainedSearchSqlFrom(nSql: String) =
+    s"""WITH $nSql,
        |sub AS (SELECT unnest(range(0, 8)) AS s),
        |cb0 AS (SELECT sub.s, n.vec_id AS code,
        |    [n.q[sub.s * 8 + i] for i in range(1, 9)] AS cq
@@ -1607,6 +1653,99 @@ object VectorOps {
        |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  private val vs17Sql = pqTrainedSearchSqlFrom(pqRawNSql)
+
+  /** The OPQ-style dimension reallocation (Ge, He, Ke, Sun, "Optimized
+    * Product Quantization", CVPR 2013 — the NON-PARAMETRIC family):
+    * product quantization's reconstruction error depends on how the
+    * dimensions are SPLIT into subspaces — a subspace stuck with all
+    * the high-variance dimensions overwhelms its 64 codewords while a
+    * low-variance subspace wastes its budget. OPQ fixes the split by
+    * learning an orthogonal transform; this engine implements the
+    * integer-exact deterministic core of that idea — a learned
+    * PERMUTATION (the simplest orthogonal matrix) that BALANCES
+    * variance across subspaces: rank dimensions by corpus variance
+    * (exact comparator N·Σq² − (Σq)² in exact DECIMAL — never divided,
+    * never floating), deal them round-robin (rank r → subspace r mod 8,
+    * slot r div 8), so each subspace receives one dimension from every
+    * variance octile. The full rotation is a float eigendecomposition
+    * that cannot hash-replay cross-engine; the permutation preserves
+    * integer exactness end to end, costs NOTHING at serving time (a
+    * row-local projection fused into the encode — zero exchanges, no
+    * extra state beyond the 64-entry map, itself driver-sized like the
+    * books), and composes with every existing PQ kernel and maintainer
+    * unchanged: permute at ingest, then train/encode/search are
+    * verbatim vs16/vs08. Returned as newPos -> srcDim (position p of
+    * the permuted vector takes source dimension perm(p)). */
+  private[graft] def opqPerm(e: DataFrame): IndexedSeq[Int] = {
+    import org.apache.spark.sql.types.DecimalType
+    // DECIMAL(18,0) factors: DuckDB's decimal multiply caps the result
+    // precision at 38, so 18+18 is the widest cross-engine-exact choice;
+    // bounds N ≤ 10⁶, Σq² ≤ 10¹⁴, Σq ≤ 10¹⁰ all fit with headroom
+    val dec = DecimalType(18, 0)
+    val stats = e.select(posexplode(col("q")).as(Seq("d0", "v")))
+      .groupBy(col("d0"))
+      .agg((count(lit(1)).cast(dec) * sum(col("v") * col("v")).cast(dec)
+          - sum(col("v")).cast(dec) * sum(col("v")).cast(dec)).as("vk"))
+      .collect()
+      .map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
+    val m = 8
+    require(stats.length % m == 0,
+      s"opqPerm: ${stats.length} dims not divisible into $m subspaces")
+    val slots = stats.length / m
+    val ranked = stats.sortWith { case ((d1, v1), (d2, v2)) =>
+      v1 > v2 || (v1 == v2 && d1 < d2) }
+    val perm = new Array[Int](stats.length)
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      perm((r % m) * slots + r / m) = d }
+    perm.toIndexedSeq
+  }
+
+  /** Row-local dimension permute: position p takes source dim perm(p) —
+    * a 64-getItem projection inside whole-stage codegen, no shuffle. */
+  private[graft] def opqPermute(e: DataFrame, perm: IndexedSeq[Int]): DataFrame =
+    e.select(col("vec_id"),
+      array(perm.map(d => col("q").getItem(d)): _*).as("q"))
+
+  /** vs21 — OPQ-PERMUTED PQ TRAINING: derive the variance-balancing
+    * permutation from the corpus ([[opqPerm]]), permute row-locally,
+    * then run vs16's training body VERBATIM on the permuted layout.
+    * Output dims are permuted positions; the oracle re-derives the
+    * permutation from scratch, so every variance tie, rank placement,
+    * Lloyd update, and member count must agree across engines. One
+    * corpus rollup (the variance pass) + one 64-row collect on top of
+    * vs16's cost; at 100 TB the variance pass rides the same scan the
+    * first Lloyd iteration needs and the permutation is trained once,
+    * swapped as data next to the books. */
+  private def vs21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    if (e0.isEmpty)
+      return e0.select($"vec_id".as("sp"), $"vec_id".as("code"),
+        $"vec_id".as("dim"), $"vec_id".as("c"), $"vec_id".as("n_members"))
+        .limit(0)
+    pqTrainOutput(s, opqPermute(e0, opqPerm(e0)).localCheckpoint(true))
+  }
+  private val vs21Sql = pqTrainSqlFrom(opqNSql)
+
+  /** vs22 — OPQ TRAIN → DEPLOY: vs17's one-iteration train + encode +
+    * ADC search, under the learned permutation. The permutation costs
+    * nothing at query time — queries permute row-locally before their
+    * distance table is built, candidates are already stored permuted —
+    * so the serving path is byte-for-byte vs08's kernel with a
+    * different literal layout. Proves the OPQ artifact pair
+    * (permutation, books) swaps in as data exactly like vs17 proved
+    * for the books alone. */
+  private def vs22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    if (e0.isEmpty)
+      return e0.select($"vec_id".as("query_id"), $"vec_id".as("neighbor_id"),
+        lit(1).as("rank"), lit(0L).as("adist")).limit(0)
+    pqTrainedSearchOutput(s, opqPermute(e0, opqPerm(e0)).localCheckpoint(true))
+  }
+  private val vs22Sql = pqTrainedSearchSqlFrom(opqNSql)
 
   /** vs18 — RESIDUAL IVF-PQ (FAISS IVFPQ's actual encoding): vs09 codes
     * the raw vector; production IVFPQ codes the RESIDUAL x − c(x) against
@@ -1953,6 +2092,8 @@ object VectorOps {
     Q("vs18_ivfpq_residual", "residual IVF-PQ (the FAISS IVFPQ encoding): codes over x - c(x) residuals, per-probed-cell query distance tables, ADC top-5", vs18, Some(vs18Sql)),
     Q("vs19_graph_search", "graph-expansion ANN: two id-keyed hops over the standing kNN graph, exact-cosine rescore, top-5 (candidate volume degree^h, cell-size independent)", vs19, Some(vs19Sql)),
     Q("vs20_filtered_ann", "metadata-filtered ANN: IVF top-3 over label-predicate-pruned postings (filter pushed to the scan, scored pairs proportional to selectivity)", vs20, Some(vs20Sql)),
+    Q("vs21_opq_train", "OPQ-permuted PQ training: variance-balancing dimension reallocation (rank round-robin, exact integer comparator) then vs16's Lloyd training on the permuted layout", vs21, Some(vs21Sql)),
+    Q("vs22_opq_search", "OPQ train-then-deploy: learned permutation + one-iteration books, row-local query permute, vs08's encode + ADC search unchanged", vs22, Some(vs22Sql)),
     Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
