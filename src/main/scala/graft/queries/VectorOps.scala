@@ -1705,8 +1705,30 @@ object VectorOps {
   /** Row-local dimension permute: position p takes source dim perm(p) —
     * a 64-getItem projection inside whole-stage codegen, no shuffle. */
   private[graft] def opqPermute(e: DataFrame, perm: IndexedSeq[Int]): DataFrame =
-    e.select(col("vec_id"),
-      array(perm.map(d => col("q").getItem(d)): _*).as("q"))
+    e.select(col("vec_id"), opqCol(perm).as("q"))
+
+  /** The permuted `q` as a Column — shared by every OPQ consumer so the
+    * layout cannot drift between encode, query, and training sides. */
+  private[graft] def opqCol(perm: IndexedSeq[Int]): Column =
+    array(perm.map(d => col("q").getItem(d)): _*)
+
+  /** [[pqCodesPostings]] under the OPQ layout: cell ASSIGNMENT stays in
+    * RAW space (the coarse quantizer is untouched by the reallocation —
+    * probing must keep matching it), only the PQ encode sees the
+    * permuted vector. */
+  private[graft] def opqCodesPostings(vecs: DataFrame, cents: DataFrame,
+      pq: Pq, perm: IndexedSeq[Int]): DataFrame =
+    assignCells(vecs, cents)
+      .select(col("cid"), col("vec_id"), pq.codes(opqCol(perm)).as("codes"))
+
+  /** [[pqQueries]] under the OPQ layout: the probe columns (qq, qn) stay
+    * raw — cell probing is raw-space — while the ADC distance table is
+    * built over the permuted query. */
+  private[graft] def opqQueries(e: DataFrame, pq: Pq,
+      perm: IndexedSeq[Int]): DataFrame =
+    e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"), pq.dtab(opqCol(perm)).as("dtab"))
 
   /** vs21 — OPQ-PERMUTED PQ TRAINING: derive the variance-balancing
     * permutation from the corpus ([[opqPerm]]), permute row-locally,

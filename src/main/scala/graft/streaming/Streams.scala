@@ -1110,7 +1110,24 @@ object Streams {
     * the books are TRAINED values rather than rows cut from a frame.
     * Same guard/redelivery/sentinel contract. */
   def maintainPqCodesTrained(batch: DataFrame, cents: DataFrame,
-      pq: graft.queries.VectorOps.Pq, codesTable: String): Unit = {
+      pq: graft.queries.VectorOps.Pq, codesTable: String): Unit =
+    advanceCodes(batch, codesTable)(fresh =>
+      graft.queries.VectorOps.pqCodesPostings(fresh, cents, pq))
+
+  /** [[maintainPqCodesTrained]] under an OPQ (permutation, books)
+    * artifact pair — the post-[[rebuildOpqState]] era's advance. The
+    * permutation changes ONLY the encode column (cell assignment stays
+    * raw-space); guard/redelivery/sentinel contract identical. */
+  def maintainOpqCodes(batch: DataFrame, cents: DataFrame,
+      perm: IndexedSeq[Int], pq: graft.queries.VectorOps.Pq,
+      codesTable: String): Unit =
+    advanceCodes(batch, codesTable)(fresh =>
+      graft.queries.VectorOps.opqCodesPostings(fresh, cents, pq, perm))
+
+  /** The guard/normalize/reject/append skeleton every codes-table
+    * advance shares — the encoder is the only per-family difference. */
+  private def advanceCodes(batch: DataFrame, codesTable: String)(
+      encode: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val freshRaw = tryRead(spark, codesTable)
       .map(p => batch.join(
@@ -1125,7 +1142,7 @@ object Streams {
         lit(Array.empty[Long]).as("codes"))
     // pinned: the emptiness probe would otherwise re-run the encode plan
     // a second time for the write
-    val out = graft.queries.VectorOps.pqCodesPostings(fresh, cents, pq)
+    val out = encode(fresh)
       .unionByName(rejects)
       .localCheckpoint(true)
     if (!out.isEmpty) out.write.mode("append").parquet(codesTable)
@@ -1432,6 +1449,79 @@ object Streams {
         Some(pq)
       }
     }
+
+  /** The OPQ REBUILD→SWAP — [[rebuildPqState]] with the dimension
+    * reallocation trained alongside the books ([[graft.queries.VectorOps
+    * .opqPerm]]'s variance-balancing round-robin over the STANDING
+    * postings): derive the permutation from the corpus, train the books
+    * on the permuted layout (init = first-64 permuted subvectors, the
+    * vs21 convention), re-encode every standing vector, swap the codes
+    * table, and persist the permutation as a (pos, src_dim) table —
+    * the second half of the artifact pair a restarted deployment reads
+    * back through [[opqPermSnapshot]]. Sentinels carry (guard must not
+    * move). Crash contract = rebuildPqState's: two swaps, no cross-table
+    * transaction, but the whole pass is a pure id-stable function of
+    * (postings content, iters) — re-running repairs any crash between
+    * them byte-identically. Write order: codes FIRST, perm table last —
+    * search consumers take (perm, books) from the RETURN value or the
+    * perm table only after both landed; a crash between leaves the old
+    * perm table with new codes, and the re-run converges. One
+    * corpus-sized pass, the run-rarely cost the O(batch)
+    * [[maintainOpqCodes]] advances amortize. */
+  def rebuildOpqState(spark: SparkSession, postingsTable: String,
+      pqCodesTable: String, permTable: String, iters: Int = 1)
+      : Option[(IndexedSeq[Int], graft.queries.VectorOps.Pq)] =
+    tryRead(spark, postingsTable).flatMap { p0 =>
+      val p = p0.localCheckpoint(true)
+      val real = p.filter(col("cid") >= 0)
+        .select(col("cid"), col("vec_id"), col("q"))
+      if (real.isEmpty) None
+      else {
+        val perm = graft.queries.VectorOps.opqPerm(
+          real.select(col("vec_id"), col("q")))
+        val permuted = graft.queries.VectorOps.opqPermute(
+          real.select(col("vec_id"), col("q")), perm)
+        val initRows = permuted.orderBy(col("vec_id")).limit(64)
+          .collect().toIndexedSeq
+        val pq0 = graft.queries.VectorOps.pqOf(initRows)
+        val books = graft.queries.VectorOps.trainPqBooks(
+          permuted, pq0.books, pq0.subDims, pq0.nCodes, iters)
+        val pq = graft.queries.VectorOps.Pq(pq0.subDims, pq0.nCodes, books)
+        val codes = real.select(col("cid"), col("vec_id"),
+          pq.codes(graft.queries.VectorOps.opqCol(perm)).as("codes"))
+        val sentinels = p.filter(col("cid") < 0).select(col("cid"),
+          col("vec_id"), lit(Array.empty[Long]).as("codes"))
+        graft.operators.MergeWriter.overwriteAtomic(
+          codes.unionByName(sentinels), pqCodesTable)
+        graft.operators.MergeWriter.overwriteAtomic(
+          spark.createDataFrame(perm.zipWithIndex.map { case (d, pos) =>
+            (pos.toLong, d.toLong) }).toDF("pos", "src_dim"),
+          permTable)
+        Some((perm, pq))
+      }
+    }
+
+  /** The persisted permutation half of the OPQ artifact pair —
+    * driver-sized by construction (one row per dimension). */
+  def opqPermSnapshot(spark: SparkSession, permTable: String)
+      : Option[IndexedSeq[Int]] =
+    tryRead(spark, permTable).map(_.orderBy(col("pos")).collect()
+      .map(_.getLong(1).toInt).toIndexedSeq)
+
+  /** [[pqSearchSnapshotTrained]] under the OPQ layout: the query's ADC
+    * table is built over its permuted vector, probing stays raw-space,
+    * the candidates' stored codes are already permuted — vs22's read
+    * path over the maintained table. */
+  def opqSearchSnapshot(spark: SparkSession, codesTable: String,
+      queriesNormed: DataFrame, cents: DataFrame, perm: IndexedSeq[Int],
+      pq: graft.queries.VectorOps.Pq, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val postings = tryRead(spark, codesTable).getOrElse(emptyDf(spark,
+      "cid" -> LongType, "vec_id" -> LongType, "codes" -> ArrayType(LongType)))
+    graft.queries.VectorOps.ivfPqScore(postings,
+      graft.queries.VectorOps.opqQueries(queriesNormed, pq, perm),
+      cents, pq, k)
+  }
 
   /** The SQ asymmetric search (vs15's scorer) over the maintained codes
     * table — pp20's read path. */
