@@ -176,7 +176,14 @@ import graft.queries.Catalog
   *    vs16's Lloyd body verbatim on the permuted layout) + vs22 its
   *    train→deploy search (row-local query permute, vs08's encode/ADC
   *    kernel unchanged — the (permutation, books) artifact pair swaps
-  *    in as data)
+  *    in as data) + Streams.rebuildOpqState / maintainOpqCodes /
+  *    opqSearchSnapshot (the fifth rebuild-and-swap lifecycle; the
+  *    permutation persists as a table and round-trips); BM25 SERVING
+  *    path: Streams.maintainTfState dl overload + bm25ServeSnapshot
+  *    (maintained per-doc lengths; a query pays one streaming tf scan
+  *    + query-term postings + the compact dl table — the per-workload
+  *    corpus-sized dedup/dl shuffles are gone; scores == bm25Snapshot
+  *    exactly, ServeProbe measures both paths)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -1555,8 +1555,33 @@ object TextOps {
   def bm25TopK(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val s = tf.sparkSession
     import s.implicits._
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    bm25TopKWith(tf, tf.groupBy($"doc_id").agg(sum($"tf").as("dl")),
+      queries, k)
+  }
+
+  /** [[bm25TopK]] with the (doc_id, dl) lengths SUPPLIED instead of
+    * re-rolled from the tf table — the serving-path variant: dl is a
+    * pure per-doc function (additive in the tf-family sense), so a
+    * deployment maintains it append-only next to the tf table
+    * ([[graft.streaming.Streams.maintainTfState]]'s dl overload) and a
+    * query then pays Σ_t df(t) posting rows plus ONE compact dl-table
+    * scan (2 columns, one row per doc) — never the corpus-sized
+    * tf rollup this call otherwise re-derives per workload. Exactly
+    * equal to [[bm25TopK]] whenever `dl` matches the tf table's rollup
+    * (the maintained-state spec pins it); the scoring suffix below is
+    * shared verbatim, so the two paths cannot drift. */
+  def bm25TopKWith(tf: DataFrame, dl: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
     val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
+    // (doc, tok) dedup sits AFTER the query-term prune below (it
+    // commutes with the tok filter): a maintained tf table's redelivery
+    // duplicates are byte-identical rows, and deduping the PRUNED frame
+    // keeps the only corpus-sized work in this path a single streaming
+    // scan — a pre-prune dedup would shuffle the whole table per
+    // workload. No-op (one tiny aggregate over Σ_t df(t) rows) when the
+    // input is already unique, as the gate path's rollup is.
     // distinct (query, tok) pairs: a duplicated workload row (or a
     // repeated term across two rows of one query) must not multiply the
     // scoring join and inflate sum(term)
@@ -1565,6 +1590,7 @@ object TextOps {
       .distinct()
     val qtoks = q.select($"tok").distinct()
     val ptf = tf.join(broadcast(qtoks), Seq("tok"))
+      .dropDuplicates("doc_id", "tok")
     val dfq = ptf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val term = expr(
       "(((10000 * n) div df) * ((44 * tf * greatest(l div n, 1) * 10000) div " +

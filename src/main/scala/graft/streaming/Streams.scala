@@ -3014,6 +3014,33 @@ object Streams {
     fresh.write.mode("append").parquet(docTable)
   }
 
+  /** [[maintainTfState]] with the SERVING-PATH doc-length table
+    * maintained alongside: dl = Σ tf per doc is a pure per-doc function
+    * (the tf-family additivity), so it appends from the SAME batch
+    * tokenize — each document is still scanned once ever — under the
+    * same [[TF_PARTITIONS]] bucketing. A query then derives df from the
+    * query-term-pruned postings and N/L from this compact 2-column
+    * table ([[bm25ServeSnapshot]]), never re-rolling the corpus-sized
+    * tf table per workload. Crash between the two appends: the guard
+    * has not moved, the replay re-appends byte-identical rows to both,
+    * and the snapshots' per-doc dedups collapse them. */
+  def maintainTfState(batch: DataFrame, tfTable: String, dlTable: String,
+      docTable: String): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
+    graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val rolled = graft.queries.TextOps.tfRollup(fresh).localCheckpoint(true)
+    rolled
+      .withColumn("pt", pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(tfTable)
+    rolled.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("pt", pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(dlTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
   /** [[maintainTfState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def tfStateStream(docs: DataFrame, tfTable: String,
@@ -3047,6 +3074,38 @@ object Streams {
       queries: DataFrame, k: Int): DataFrame =
     graft.queries.TextOps.bm25TopK(
       tfSnapshot(spark, tfTable).localCheckpoint(true), queries, k)
+
+  /** The current (doc_id, dl) lengths under the maintained appends —
+    * redelivery duplicates collapse per doc; the partition column stays
+    * internal. */
+  def dlSnapshot(spark: SparkSession, dlTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    tryRead(spark, dlTable).getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "dl" -> LongType))
+      .select(col("doc_id"), col("dl"))
+      .dropDuplicates("doc_id")
+  }
+
+  /** BM25 retrieval over maintained state through the SERVING path: the
+    * raw tf table streams through ONE scan into the broadcast
+    * query-term prune (redelivery duplicates collapse AFTER the prune —
+    * they commute with the tok filter), df derives from the pruned
+    * postings, and lengths/N/L come from the maintained dl table — so
+    * per workload this pays one streaming scan + Σ_t df(t) posting rows
+    * + one compact 2-column table, never the corpus-wide dedup and dl
+    * ROLLUP SHUFFLES [[bm25Snapshot]] re-runs per call. Scores are
+    * EXACTLY [[bm25Snapshot]]'s (shared scoring suffix; the dl table
+    * equals the tf rollup by the maintainer's construction —
+    * spec-pinned). */
+  def bm25ServeSnapshot(spark: SparkSession, tfTable: String,
+      dlTable: String, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tfRaw = tryRead(spark, tfTable).getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "tok" -> StringType, "tf" -> LongType))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    graft.queries.TextOps.bm25TopKWith(tfRaw,
+      dlSnapshot(spark, dlTable).localCheckpoint(true), queries, k)
+  }
 
   /** DELETION PROPAGATION for the retrieval family — exact like the
     * score family's: tf rows are per-doc and never aggregated at rest
@@ -3096,6 +3155,46 @@ object Streams {
     }
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
+  }
+
+  /** [[forgetTfState]] with the serving-path dl table: dl rows are
+    * per-doc and id-granular exactly like tf rows, so the same
+    * partition-pruned exact deletion applies — dl first, then the tf
+    * deletion and the tombstone swap (still LAST). A crash between
+    * re-runs to convergence like every step here. */
+  def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
+      dlTable: String, docTable: String): Unit = {
+    graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    tryRead(spark, dlTable).foreach { d0 =>
+      val pts = idsC
+        .select(pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)).as("pt"))
+        .distinct().collect().map(_.getLong(0))
+      val surviving = d0.filter(col("pt").isin(pts.toIndexedSeq: _*))
+        .join(idsC, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("dl"), col("pt").cast("long").as("pt"))
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        surviving, dlTable, "pt", pts.toIndexedSeq)
+    }
+    forgetTfState(spark, idsC, tfTable, docTable)
+  }
+
+  /** [[compactTf]]'s dl-table sibling: collapse redelivery duplicates
+    * per doc and repack, atomic per partition. */
+  def compactTf(spark: SparkSession, tfTable: String,
+      dlTable: String): Unit = {
+    compactTf(spark, tfTable)
+    graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
+    tryRead(spark, dlTable).foreach { d0 =>
+      val d = d0.localCheckpoint(true)
+      val pts = d.select(col("pt").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        d.select(col("doc_id"), col("dl"), col("pt").cast("long").as("pt"))
+          .dropDuplicates("doc_id")
+          .repartition(col("pt")),
+        dlTable, "pt", pts)
+    }
   }
 
   /** Compact the tf appends: collapse redelivery duplicates

@@ -118,6 +118,42 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(7L, 8L))
   }
 
+  test("round-13 members (dl serving tables, OPQ lifecycle) survive degenerate input") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("degen-batch13").toString
+    val degenerate = Seq((0L, null: String), (1L, ""), (2L, "real words here"))
+      .toDF("doc_id", "text")
+    for (b <- Seq(degenerate, degenerate.limit(0),
+        Seq((3L, null: String), (4L, "")).toDF("doc_id", "text")))
+      Streams.maintainTfState(b, s"$root/tf", s"$root/dl", s"$root/docsT")
+    // the real row advanced both tables; serve == derived over them
+    assert(Streams.dlSnapshot(spark, s"$root/dl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    val w = Seq((0L, "real missingtok")).toDF("query_id", "qtext")
+    assert(Streams.bm25ServeSnapshot(spark, s"$root/tf", s"$root/dl", w, 3)
+        .collect().map(_.toSeq.toList).toList
+      == Streams.bm25Snapshot(spark, s"$root/tf", w, 3)
+        .collect().map(_.toSeq.toList).toList)
+    // serve over ABSENT tables: readable empty result, no throw
+    assert(Streams.bm25ServeSnapshot(spark, s"$root/absent-tf",
+      s"$root/absent-dl", w, 3).count() == 0)
+    // dl-overload forget over absent dl table: tombstones land, no throw
+    Streams.forgetTfState(spark, Seq(7L).toDF("doc_id"),
+      s"$root/tf2", s"$root/dl2", s"$root/docsT2")
+    assert(spark.read.parquet(s"$root/docsT2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+
+    // OPQ lifecycle over absent / sentinel-only postings: None, no write
+    assert(Streams.rebuildOpqState(spark, s"$root/absent-post",
+      s"$root/codes0", s"$root/perm0").isEmpty)
+    Seq((-1L, 900L, Seq.empty[Long], 0.0))
+      .toDF("cid", "vec_id", "q", "nrm").write.parquet(s"$root/postSent")
+    assert(Streams.rebuildOpqState(spark, s"$root/postSent",
+      s"$root/codes1", s"$root/perm1").isEmpty)
+    assert(Streams.opqPermSnapshot(spark, s"$root/perm1").isEmpty,
+      "a rebuild that trained nothing must not write a permutation")
+  }
+
   test("vector-flow maintainer survives zero vectors and empty batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("degen-vec").toString

@@ -77,6 +77,60 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
     assert(got() == want(remaining), "forget re-run diverged")
   }
 
+  test("serving path: maintained dl table gives EXACTLY the derived-stats scores through ingest, replay, forget, and compaction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val workload = Seq((0L, all.head._2.split(' ').take(3).mkString(" ")),
+      (1L, "beta gamma nosuchtokenanywhere")).toDF("query_id", "qtext")
+
+    val root = Files.createTempDirectory("tf-serve").toString
+    val (tfT, dlT, docT) = (s"$root/tf", s"$root/dl", s"$root/docs")
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainTfState(df(b), tfT, dlT, docT)
+    def derived() = Streams.bm25Snapshot(spark, tfT, workload, 4)
+      .collect().map(_.toSeq.toList).toList
+    def served() = Streams.bm25ServeSnapshot(spark, tfT, dlT, workload, 4)
+      .collect().map(_.toSeq.toList).toList
+    assert(served() == derived(), "serving path != derived-stats path")
+    assert(served().nonEmpty, "no results — vacuous")
+
+    // crash replay: byte-identical rows land again in BOTH tables
+    val rolled = graft.queries.TextOps.tfRollup(df(all.drop(150)))
+      .localCheckpoint(true)
+    rolled.withColumn("pt", pmod($"doc_id", lit(Streams.TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(tfT)
+    rolled.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      .withColumn("pt", pmod($"doc_id", lit(Streams.TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(dlT)
+    assert(served() == derived(), "replayed rows drifted the serving path")
+
+    // forget through the dl overload: both tables pruned, equality holds
+    val forgot = all.map(_._1).filter(_ % 7 == 0).toSet
+    Streams.forgetTfState(spark, forgot.toSeq.toDF("doc_id"), tfT, dlT, docT)
+    assert(spark.read.parquet(dlT).filter($"doc_id".isin(forgot.toSeq: _*))
+      .isEmpty, "forgotten dl rows survived")
+    assert(served() == derived(), "serving path != derived path after forget")
+    val wantRemaining = graft.queries.TextOps.bm25TopK(
+      graft.queries.TextOps.tfRollup(df(all.filterNot(t => forgot(t._1))))
+        .localCheckpoint(true), workload, 4)
+      .collect().map(_.toSeq.toList).toList
+    assert(served() == wantRemaining, "serve != from-scratch over survivors")
+
+    // compaction of both tables is snapshot-invariant
+    Streams.compactTf(spark, tfT, dlT)
+    assert(served() == wantRemaining, "compaction drifted the serving path")
+    assert(spark.read.parquet(dlT).groupBy($"doc_id").count()
+      .filter($"count" > 1).isEmpty, "duplicate dl rows survived compaction")
+
+    // idempotent forget re-run
+    Streams.forgetTfState(spark, forgot.toSeq.toDF("doc_id"), tfT, dlT, docT)
+    assert(served() == wantRemaining, "forget re-run diverged")
+  }
+
   test("forgetTfState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
