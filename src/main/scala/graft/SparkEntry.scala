@@ -178,7 +178,12 @@ import graft.queries.Catalog
   *    kernel unchanged — the (permutation, books) artifact pair swaps
   *    in as data) + Streams.rebuildOpqState / maintainOpqCodes /
   *    opqSearchSnapshot (the fifth rebuild-and-swap lifecycle; the
-  *    permutation persists as a table and round-trips); BM25 SERVING
+  *    permutation persists as a table and round-trips) + pp28
+  *    incremental OPQ (the era contract as a gate: artifacts trained
+  *    on the standing slice and persisted, increment encoded under
+  *    them row-locally — the oracle replays the era split, the first
+  *    incremental gate whose artifacts depend on their training
+  *    corpus); BM25 SERVING
   *    path: Streams.maintainTfState dl overload + bm25ServeSnapshot
   *    (maintained per-doc lengths; a query pays one streaming tf scan
   *    + query-term postings + the compact dl table — the per-workload

@@ -1508,12 +1508,14 @@ object VectorOps {
   }
 
   /** One oracle-side Lloyd iteration over the per-subspace books —
-    * shared by vs16Sql (3 iterations) and vs17Sql (1 + search). */
-  private def pqIterSql(j: Int, prevList: String, prevLong: String) =
+    * shared by vs16Sql (3 iterations), vs17Sql (1 + search), and
+    * pp28Sql (1 iteration over the STANDING slice, `src` = "psn"). */
+  private def pqIterSql(j: Int, prevList: String, prevLong: String,
+      src: String = "n") =
     s"""t$j AS (SELECT n.vec_id, n.q, c.s, c.code,
        |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
        |                   for i in range(1, 9)]) AS BIGINT) AS dist
-       |  FROM n CROSS JOIN $prevList c),
+       |  FROM $src n CROSS JOIN $prevList c),
        |a$j AS (SELECT vec_id, q, s, code FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
        |  FROM t$j) WHERE rn = 1),
@@ -1610,13 +1612,21 @@ object VectorOps {
     val enc = e.select($"vec_id", pq.codes($"q").as("codes"))
     val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select($"vec_id".as("query_id"), pq.dtab($"q").as("dtab"))
-    val scored = broadcast(queries).join(enc, $"query_id" =!= $"vec_id")
-      .select($"query_id", (-pq.adist($"dtab", $"codes")).cast("double").as("nd"),
-        $"vec_id")
-    graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", 5)
-      .select($"query_id", $"id".as("neighbor_id"), $"rank",
-        (-$"v").cast("long").as("adist"))
-      .orderBy($"query_id", $"rank")
+    adcTopK(enc, queries, pq, 5)
+  }
+
+  /** The flat ADC search suffix (vs08/vs17's shape, no IVF pruning) —
+    * shared by vs17/vs22 and pp28 so the scoring cannot drift. */
+  private def adcTopK(enc: DataFrame, queries: DataFrame, pq: Pq,
+      k: Int): DataFrame = {
+    val scored = broadcast(queries).join(enc, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        (-pq.adist(col("dtab"), col("codes"))).cast("double").as("nd"),
+        col("vec_id"))
+    graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        (-col("v")).cast("long").as("adist"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   private def vs17(s: SparkSession, d: String): DataFrame = {
@@ -1768,6 +1778,113 @@ object VectorOps {
     pqTrainedSearchOutput(s, opqPermute(e0, opqPerm(e0)).localCheckpoint(true))
   }
   private val vs22Sql = pqTrainedSearchSqlFrom(opqNSql)
+
+  /** pp28 — INCREMENTAL OPQ maintenance: the artifact-ERA contract
+    * [[graft.streaming.Streams.rebuildOpqState]]'s lifecycle runs
+    * under, as a catalog gate. The STANDING slice trains the
+    * (permutation, books) pair — the last rebuild's artifacts,
+    * PERSISTED as parquet tables (perm as (pos, src_dim), books in
+    * long form, plus the standing slice's codes) and read back for the
+    * advance, the production shape — and the increment encodes under
+    * them UNCHANGED: new arrivals are searchable immediately, at the
+    * approximation of the era's artifacts, exactly how FAISS serves
+    * between retrains. Unlike pp14 (whose fixed first-64 book is
+    * split-independent, so its oracle is vs09's verbatim), OPQ
+    * artifacts DEPEND on their training corpus — so this gate's oracle
+    * replays the era split explicitly: permutation and books derive
+    * from the standing slice, encode and search run over the full
+    * corpus. Advance cost: one row-local encode of the increment (the
+    * permute is 64 getItems fused into the same projection); nothing
+    * standing is touched. */
+  private def pp28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    def emptyOut = e.select($"vec_id".as("query_id"),
+      $"vec_id".as("neighbor_id"), lit(1).as("rank"), lit(0L).as("adist"))
+      .limit(0)
+    val isNew = QueryUtils.hex8(concat(lit("opqc:"), $"vec_id".cast("string"))) % 5 === 0
+    val standing = e.filter(!isNew)
+    // no trainable era (no standing vector below the init-book cut):
+    // the oracle's cb0 is empty and every downstream join vanishes
+    if (standing.filter($"vec_id" < 64).isEmpty) return emptyOut
+    val stand = QueryUtils.standingDir(s, "pp28", d) { dir =>
+      val perm = opqPerm(standing)
+      val pe = opqPermute(standing, perm).localCheckpoint(true)
+      val pq0 = pqOf(pqBookRows(pe))
+      val books = trainPqBooks(pe, pq0.books, pq0.subDims, pq0.nCodes, 1)
+      val pq = Pq(pq0.subDims, pq0.nCodes, books)
+      s.createDataFrame(perm.zipWithIndex.map { case (sd, pos) =>
+        (pos.toLong, sd.toLong) }).toDF("pos", "src_dim")
+        .write.parquet(s"$dir/perm")
+      s.createDataFrame(for {
+        (bk, sp) <- books.zipWithIndex
+        (cw, code) <- bk.zipWithIndex
+        (v, i0) <- cw.zipWithIndex
+      } yield (sp.toLong, code.toLong, i0.toLong, v)).toDF("sp", "code", "dim", "c")
+        .write.parquet(s"$dir/books")
+      standing.select($"vec_id", pq.codes(opqCol(perm)).as("codes"))
+        .write.parquet(s"$dir/codes")
+    }
+    val perm = s.read.parquet(s"$stand/perm").orderBy($"pos")
+      .collect().map(_.getLong(1).toInt).toIndexedSeq
+    val books = s.read.parquet(s"$stand/books").collect()
+      .groupBy(_.getLong(0)).toIndexedSeq.sortBy(_._1)
+      .map { case (_, spRows) =>
+        spRows.groupBy(_.getLong(1)).toIndexedSeq.sortBy(_._1)
+          .map { case (_, cw) =>
+            cw.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq }
+      }
+    val pq = Pq(books.head.head.length, books.head.length, books)
+    // the advance: encode ONLY the increment under the era's artifacts
+    val enc = s.read.parquet(s"$stand/codes")
+      .unionByName(e.filter(isNew)
+        .select($"vec_id", pq.codes(opqCol(perm)).as("codes")))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), pq.dtab(opqCol(perm)).as("dtab"))
+    adcTopK(enc, queries, pq, 5)
+  }
+  private val pp28Sql = {
+    val isNewSql = s"${QueryUtils.hex8Sql("'opqc:' || CAST(vec_id AS VARCHAR)")} % 5 = 0"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |sn AS (SELECT vec_id, q FROM n WHERE NOT ($isNewSql)),
+       |vd AS (SELECT vec_id, unnest(range(1, 65)) AS i, q FROM sn),
+       |vstat AS (SELECT i,
+       |    CAST(COUNT(*) AS DECIMAL(18,0)) * CAST(SUM(q[i] * q[i]) AS DECIMAL(18,0))
+       |  - CAST(SUM(q[i]) AS DECIMAL(18,0)) * CAST(SUM(q[i]) AS DECIMAL(18,0)) AS vk
+       |  FROM vd GROUP BY i),
+       |pr AS (SELECT i AS d, ROW_NUMBER() OVER (ORDER BY vk DESC, i) - 1 AS r FROM vstat),
+       |pm AS (SELECT (r % 8) * 8 + (r // 8) + 1 AS np, d FROM pr),
+       |px AS (SELECT n.vec_id, pm.np, n.q[pm.d] AS v FROM n CROSS JOIN pm),
+       |pn AS (SELECT vec_id, list(v ORDER BY np) AS q FROM px GROUP BY vec_id),
+       |psn AS (SELECT vec_id, q FROM pn WHERE NOT ($isNewSql)),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |cb0 AS (SELECT sub.s, psn.vec_id AS code,
+       |    [psn.q[sub.s * 8 + i] for i in range(1, 9)] AS cq
+       |  FROM psn CROSS JOIN sub WHERE psn.vec_id < 64),
+       |e0 AS (SELECT s, code, unnest(range(1, 9)) AS i, cq FROM cb0),
+       |f0 AS (SELECT s, code, i, cq[i] AS c FROM e0),
+       |${pqIterSql(1, "cb0", "f0", "psn")},
+       |es AS (SELECT n.vec_id, c.s, c.code,
+       |    CAST(list_sum([(n.q[c.s * 8 + i] - c.cq[i]) * (n.q[c.s * 8 + i] - c.cq[i])
+       |                   for i in range(1, 9)]) AS BIGINT) AS d
+       |  FROM pn n CROSS JOIN cb1 c),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |    FROM es) WHERE rn = 1),
+       |qt AS (SELECT vec_id AS query_id, s, code, d FROM es
+       |       WHERE vec_id >= 10 AND vec_id < 20),
+       |s2 AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+       |         CAST(SUM(qt.d) AS BIGINT) AS adist
+       |       FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+       |                       AND enc.vec_id <> qt.query_id
+       |       GROUP BY qt.query_id, enc.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank FROM s2)
+       |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** vs18 — RESIDUAL IVF-PQ (FAISS IVFPQ's actual encoding): vs09 codes
     * the raw vector; production IVFPQ codes the RESIDUAL x − c(x) against
@@ -2116,6 +2233,7 @@ object VectorOps {
     Q("vs20_filtered_ann", "metadata-filtered ANN: IVF top-3 over label-predicate-pruned postings (filter pushed to the scan, scored pairs proportional to selectivity)", vs20, Some(vs20Sql)),
     Q("vs21_opq_train", "OPQ-permuted PQ training: variance-balancing dimension reallocation (rank round-robin, exact integer comparator) then vs16's Lloyd training on the permuted layout", vs21, Some(vs21Sql)),
     Q("vs22_opq_search", "OPQ train-then-deploy: learned permutation + one-iteration books, row-local query permute, vs08's encode + ADC search unchanged", vs22, Some(vs22Sql)),
+    Q("pp28_incremental_opq", "incremental OPQ maintenance: (perm, books) trained on the standing slice and persisted, increment encoded under the era's artifacts row-locally, ADC search over standing + increment codes (oracle replays the era split)", pp28, Some(pp28Sql)),
     Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
