@@ -99,6 +99,21 @@ object MergeWriter {
     val fs = fsOf(spark, table)
     val stage = new org.apache.hadoop.fs.Path(table + PartStageSuffix)
     rows.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    // every staged partition must be in the intent: a value present in
+    // `rows` but missing from `touched` would stage, stay out of the
+    // manifest, and be silently destroyed when the published stage is
+    // dropped — fail BEFORE the manifest commits, with the table
+    // untouched, instead of returning success minus some rows
+    val staged = fs.listStatus(stage).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol=")).map(_.stripPrefix(s"$partCol="))
+    val touchedSet = touched.map(_.toString).toSet
+    val orphans = staged.filterNot(touchedSet)
+    if (orphans.nonEmpty) {
+      fs.delete(stage, true)
+      throw new java.io.IOException(
+        s"overwritePartitionsAtomic: staged partitions ${orphans.mkString(",")} " +
+          s"not in the touched intent for $table — rows and touched disagree")
+    }
     val lines = touched.distinct.map { v =>
       val has = fs.exists(
         new org.apache.hadoop.fs.Path(stage, s"$partCol=$v"))
@@ -154,7 +169,12 @@ object MergeWriter {
     val tableDir = new org.apache.hadoop.fs.Path(table)
     if (!fs.exists(tableDir)) must(fs.mkdirs(tableDir), "create table dir", table)
     lines.foreach { line =>
-      val Array(v, kind) = line.split("\t", 2)
+      // a tab-less line must hit the corrupt-manifest error below, not a
+      // MatchError from a failed destructuring
+      val parts = line.split("\t", 2)
+      if (parts.length != 2) throw new java.io.IOException(
+        s"overwritePartitionsAtomic: corrupt manifest line '$line' for $table (no tab)")
+      val Array(v, kind) = parts
       val cur = new org.apache.hadoop.fs.Path(tableDir, s"$partCol=$v")
       val stg = new org.apache.hadoop.fs.Path(stage, s"$partCol=$v")
       kind match {

@@ -1595,9 +1595,21 @@ object TextOps {
     val term = expr(
       "(((10000 * n) div df) * ((44 * tf * greatest(l div n, 1) * 10000) div " +
         "(20 * tf * greatest(l div n, 1) + 6 * greatest(l div n, 1) + 18 * dl))) div 10000")
+    // LEFT join + loud guard, not an inner join: a doc with tf rows but
+    // no dl row (a deployment that ingested through a non-dl path while
+    // serving through the maintained-dl one) would otherwise silently
+    // drop from scoring AFTER having inflated df — wrong results with no
+    // error anywhere. The guard costs one `when` over the pruned rows
+    // and can never fire on the gate path, whose dl is derived from the
+    // same tf frame.
+    val dlGuarded = when($"dl".isNull,
+      raise_error(concat(lit("bm25TopKWith: doc "), $"doc_id",
+        lit(" has tf rows but no dl row — tf and dl advanced inconsistently"))))
+      .otherwise($"dl").as("dl")
     val scored = ptf
       .join(broadcast(dfq), Seq("tok"))
-      .join(dl, Seq("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .withColumn("dl", dlGuarded)
       .crossJoin(broadcast(st))
       .join(broadcast(q), Seq("tok"))
       .groupBy($"query_id", $"doc_id")

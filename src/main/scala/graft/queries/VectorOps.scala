@@ -1542,19 +1542,27 @@ object VectorOps {
     * (r % 8)·8 + r//8 — the round-robin balanced reallocation. The
     * permutation derivation is replayed here so the oracle and the
     * Spark side must agree on every rank tie and every placement. */
-  private val opqNSql =
-    s"""q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
-       |n0 AS (SELECT vec_id, q FROM q
-       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
-       |vd AS (SELECT vec_id, unnest(range(1, 65)) AS i, q FROM n0),
+  /** The permutation-derivation CTE chunk, parameterized by which frame
+    * the variance derives FROM and which frame gets permuted (shared by
+    * [[opqNSql]] — both the full corpus — and pp28Sql, which derives
+    * from the STANDING slice but permutes the full corpus; one copy of
+    * the comparator and placement SQL, so the two cannot drift). */
+  private def opqPermCtes(deriveFrom: String, applyTo: String, out: String) =
+    s"""vd AS (SELECT vec_id, unnest(range(1, 65)) AS i, q FROM $deriveFrom),
        |vstat AS (SELECT i,
        |    CAST(COUNT(*) AS DECIMAL(18,0)) * CAST(SUM(q[i] * q[i]) AS DECIMAL(18,0))
        |  - CAST(SUM(q[i]) AS DECIMAL(18,0)) * CAST(SUM(q[i]) AS DECIMAL(18,0)) AS vk
        |  FROM vd GROUP BY i),
        |pr AS (SELECT i AS d, ROW_NUMBER() OVER (ORDER BY vk DESC, i) - 1 AS r FROM vstat),
        |pm AS (SELECT (r % 8) * 8 + (r // 8) + 1 AS np, d FROM pr),
-       |px AS (SELECT n0.vec_id, pm.np, n0.q[pm.d] AS v FROM n0 CROSS JOIN pm),
-       |n AS (SELECT vec_id, list(v ORDER BY np) AS q FROM px GROUP BY vec_id)""".stripMargin
+       |px AS (SELECT a.vec_id, pm.np, a.q[pm.d] AS v FROM $applyTo a CROSS JOIN pm),
+       |$out AS (SELECT vec_id, list(v ORDER BY np) AS q FROM px GROUP BY vec_id)""".stripMargin
+
+  private val opqNSql =
+    s"""q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n0 AS (SELECT vec_id, q FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |${opqPermCtes("n0", "n0", "n")}""".stripMargin
 
   /** The vs16 oracle body over whichever `n` the prefix built — shared
     * by vs16Sql (raw) and vs21Sql (permuted). */
@@ -1849,15 +1857,7 @@ object VectorOps {
        |n AS (SELECT vec_id, q FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
        |sn AS (SELECT vec_id, q FROM n WHERE NOT ($isNewSql)),
-       |vd AS (SELECT vec_id, unnest(range(1, 65)) AS i, q FROM sn),
-       |vstat AS (SELECT i,
-       |    CAST(COUNT(*) AS DECIMAL(18,0)) * CAST(SUM(q[i] * q[i]) AS DECIMAL(18,0))
-       |  - CAST(SUM(q[i]) AS DECIMAL(18,0)) * CAST(SUM(q[i]) AS DECIMAL(18,0)) AS vk
-       |  FROM vd GROUP BY i),
-       |pr AS (SELECT i AS d, ROW_NUMBER() OVER (ORDER BY vk DESC, i) - 1 AS r FROM vstat),
-       |pm AS (SELECT (r % 8) * 8 + (r // 8) + 1 AS np, d FROM pr),
-       |px AS (SELECT n.vec_id, pm.np, n.q[pm.d] AS v FROM n CROSS JOIN pm),
-       |pn AS (SELECT vec_id, list(v ORDER BY np) AS q FROM px GROUP BY vec_id),
+       |${opqPermCtes("sn", "n", "pn")},
        |psn AS (SELECT vec_id, q FROM pn WHERE NOT ($isNewSql)),
        |sub AS (SELECT unnest(range(0, 8)) AS s),
        |cb0 AS (SELECT sub.s, psn.vec_id AS code,

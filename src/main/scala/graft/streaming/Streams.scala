@@ -3050,6 +3050,18 @@ object Streams {
         maintainTfState(b, tfTable, docTable))
       .start()
 
+  /** The dl-maintaining [[maintainTfState]] overload as a foreachBatch
+    * sink — the stream a [[bm25ServeSnapshot]] deployment MUST ingest
+    * through: the 3-arg sink above never advances the dl table, and a
+    * tf row without its dl row is an ingest-contract violation the
+    * serve path fails loudly on (never silently drops). */
+  def tfStateStream(docs: DataFrame, tfTable: String, dlTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainTfState(b, tfTable, dlTable, docTable))
+      .start()
+
   /** The current (doc_id, tok, tf) table under the maintained appends —
     * redelivery duplicates (byte-identical by construction) collapse on
     * (doc_id, tok); the partition column stays internal. */
@@ -3132,27 +3144,33 @@ object Streams {
     * and that repair a reader can see a touched partition absent — the
     * same transient `overwriteAtomic` has mid-swap — never lost rows
     * after it. */
-  def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
-      docTable: String): Unit = {
-    // heal any crashed partition publish BEFORE reading the table the
-    // survivors derive from — a pending committed stage reads as a
-    // missing partition otherwise, and its rows would be dropped as
-    // forgotten
-    graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
-    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    tryRead(spark, tfTable).foreach { t0 =>
-      val pts = idsC
-        .select(pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)).as("pt"))
-        .distinct().collect().map(_.getLong(0)) // ≤ TF_PARTITIONS values
+  /** The partition-pruned exact deletion both tf-family tables share:
+    * heal any crashed publish FIRST (a pending committed stage reads as
+    * a missing partition otherwise, and its rows would be dropped as
+    * forgotten), then rewrite only the forgotten ids' pt buckets — a
+    * partition with no survivors stages no rows and is DELETED by the
+    * atomic publish; untouched partitions never move. */
+  private def deleteTfRows(spark: SparkSession, idsC: DataFrame,
+      pts: IndexedSeq[Long], table: String, valueCols: Seq[String]): Unit = {
+    graft.operators.MergeWriter.repairPartitionedTable(spark, table, "pt")
+    tryRead(spark, table).foreach { t0 =>
       val surviving = t0.filter(col("pt").isin(pts: _*))
         .join(idsC, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("tok"), col("tf"),
-          col("pt").cast("long").as("pt"))
-      // a forgotten partition with no survivors stages no rows and is
-      // DELETED by the atomic publish; untouched partitions never move
+        .select((col("doc_id") +: valueCols.map(col))
+          :+ col("pt").cast("long").as("pt"): _*)
       graft.operators.MergeWriter.overwritePartitionsAtomic(
-        surviving, tfTable, "pt", pts.toIndexedSeq)
+        surviving, table, "pt", pts)
     }
+  }
+
+  private def forgottenPts(idsC: DataFrame): IndexedSeq[Long] = idsC
+    .select(pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)).as("pt"))
+    .distinct().collect().map(_.getLong(0)).toIndexedSeq // ≤ TF_PARTITIONS
+
+  def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
+      docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    deleteTfRows(spark, idsC, forgottenPts(idsC), tfTable, Seq("tok", "tf"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
   }
@@ -3164,19 +3182,12 @@ object Streams {
     * re-runs to convergence like every step here. */
   def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
       dlTable: String, docTable: String): Unit = {
-    graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    tryRead(spark, dlTable).foreach { d0 =>
-      val pts = idsC
-        .select(pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)).as("pt"))
-        .distinct().collect().map(_.getLong(0))
-      val surviving = d0.filter(col("pt").isin(pts.toIndexedSeq: _*))
-        .join(idsC, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("dl"), col("pt").cast("long").as("pt"))
-      graft.operators.MergeWriter.overwritePartitionsAtomic(
-        surviving, dlTable, "pt", pts.toIndexedSeq)
-    }
-    forgetTfState(spark, idsC, tfTable, docTable)
+    val pts = forgottenPts(idsC)
+    deleteTfRows(spark, idsC, pts, dlTable, Seq("dl"))
+    deleteTfRows(spark, idsC, pts, tfTable, Seq("tok", "tf"))
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    tombstoneSwap(store, idsC, docTable, "text")
   }
 
   /** [[compactTf]]'s dl-table sibling: collapse redelivery duplicates

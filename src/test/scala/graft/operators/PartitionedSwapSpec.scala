@@ -92,6 +92,35 @@ class PartitionedSwapSpec extends AnyFunSuite with SparkSpec {
     assert(readAll(t) == Set((10L, 0L), (30L, 2L), (4L, 3L)), "repair re-run diverged")
   }
 
+  test("a staged partition missing from the touched intent fails loudly BEFORE the commit — table untouched, stage discarded") {
+    val root = Files.createTempDirectory("pswap").toString
+    val t = s"$root/t"
+    write(t, Seq((1L, 0L), (2L, 7L)))
+    // rows carry pt=7 but the intent only names pt=0: committing would
+    // later destroy pt=7's staged rows with the published stage
+    val e = intercept[java.io.IOException] {
+      MergeWriter.overwritePartitionsAtomic(
+        df(Seq((10L, 0L), (70L, 7L))), t, "pt", Seq(0L))
+    }
+    assert(e.getMessage.contains("not in the touched intent"))
+    assert(readAll(t) == Set((1L, 0L), (2L, 7L)), "table was touched despite the refusal")
+    assert(!Files.exists(Path.of(s"$t.pstaging")), "refused stage not discarded")
+  }
+
+  test("a corrupt manifest line (no tab) fails as the documented IOException, not a MatchError") {
+    val root = Files.createTempDirectory("pswap").toString
+    val t = s"$root/t"
+    write(t, Seq((1L, 0L)))
+    df(Seq((9L, 0L))).write.mode("overwrite").partitionBy("pt")
+      .parquet(s"$t.pstaging")
+    Files.write(Path.of(s"$t.pstaging", "_GRAFT_COMMIT"),
+      "0\n".getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] {
+      MergeWriter.repairPartitionedTable(spark, t, "pt")
+    }
+    assert(e.getMessage.contains("corrupt manifest line"))
+  }
+
   test("tf maintenance heals a crashed committed publish at entry — before deriving survivors (no rows misread as forgotten)") {
     import spark.implicits._
     val root = Files.createTempDirectory("pswap").toString

@@ -129,6 +129,23 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
     // idempotent forget re-run
     Streams.forgetTfState(spark, forgot.toSeq.toDF("doc_id"), tfT, dlT, docT)
     assert(served() == wantRemaining, "forget re-run diverged")
+
+    // a tf row with NO dl row (ingest through a non-dl path while
+    // serving through the maintained-dl one) must fail LOUDLY — the
+    // silent alternative inflates df then drops the doc from scoring.
+    // The stray doc's token must match the workload, or the prune
+    // removes it before the guard and the pin is vacuous
+    val strayId = 4000001L
+    graft.queries.TextOps.tfRollup(Seq((strayId, "beta beta")).toDF("doc_id", "text"))
+      .withColumn("pt", pmod($"doc_id", lit(Streams.TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(tfT)
+    val e = intercept[Exception] {
+      Streams.bm25ServeSnapshot(spark, tfT, dlT, workload, 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no dl row")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
   }
 
   test("forgetTfState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
