@@ -66,14 +66,15 @@ object ServeProbe {
     }
 
     val work = java.nio.file.Files.createTempDirectory("serve-probe").toString
-    val (tfT, dlT, docT) = (s"$work/tf", s"$work/dl", s"$work/docs")
+    val (tfT, dlT, tokT, docT) =
+      (s"$work/tf", s"$work/dl", s"$work/tok", s"$work/docs")
     // replica-interleaved batches (the guard-worst-case convention)
     val batches = (0 until nBatches).map(i =>
       docs.filter(pmod($"doc_id", lit(nBatches.toLong)) === i.toLong))
 
     batches.zipWithIndex.foreach { case (b, i) =>
       val t0 = System.nanoTime()
-      graft.streaming.Streams.maintainTfState(b, tfT, dlT, docT)
+      graft.streaming.Streams.maintainTfState(b, tfT, dlT, tokT, docT)
       val standing = spark.read.parquet(tfT).count()
       val pruned = spark.read.parquet(tfT)
         .join(broadcast(workload.select(
@@ -86,15 +87,22 @@ object ServeProbe {
       timeMin(s"serve_maintained batch=${i + 1}") {
         graft.streaming.Streams.bm25ServeSnapshot(spark, tfT, dlT, workload, 10).count()
       }
+      timeMin(s"serve_tok_bucketed batch=${i + 1}") {
+        graft.streaming.Streams.bm25ServeTokSnapshot(spark, tokT, dlT, workload, 10).count()
+      }
     }
 
-    // the two paths must agree bit-for-bit at final state
+    // the three paths must agree bit-for-bit at final state
     val a = graft.streaming.Streams.bm25Snapshot(spark, tfT, workload, 10)
       .collect().map(_.toSeq.toList).toList
     val b = graft.streaming.Streams
       .bm25ServeSnapshot(spark, tfT, dlT, workload, 10)
       .collect().map(_.toSeq.toList).toList
+    val c = graft.streaming.Streams
+      .bm25ServeTokSnapshot(spark, tokT, dlT, workload, 10)
+      .collect().map(_.toSeq.toList).toList
     require(a == b, "serving path diverged from derived path")
+    require(a == c, "tok-bucketed path diverged from derived path")
     println(s"AGREE rows=${a.length}")
     spark.stop()
   }

@@ -188,7 +188,14 @@ import graft.queries.Catalog
   *    (maintained per-doc lengths; a query pays one streaming tf scan
   *    + query-term postings + the compact dl table — the per-workload
   *    corpus-sized dedup/dl shuffles are gone; scores == bm25Snapshot
-  *    exactly, ServeProbe measures both paths)
+  *    exactly, ServeProbe measures both paths) + the TOK-BUCKETED
+  *    serving projection (maintainTfState tokTf overload +
+  *    bm25ServeTokSnapshot: tb = hash(tok) mod 64 partition layout, the
+  *    workload's buckets derived through the SAME Column, the serve
+  *    scan partition-prunes to |query-term buckets|/64 of the table —
+  *    the residual scan closed at the planner; doc-bucketed tf stays
+  *    the deletion-friendly source of truth, the tok copy's forget is
+  *    the documented O(table) layout trade)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -3041,6 +3041,52 @@ object Streams {
     fresh.write.mode("append").parquet(docTable)
   }
 
+  /** [[maintainTfState]] with BOTH serving artifacts: the dl table AND
+    * a TOKEN-BUCKETED projection of the tf rows (`tb` = hash(tok) mod
+    * [[TOK_TF_BUCKETS]]) — the retrieval-engine layout, where a query's
+    * term set selects a handful of `tb=` directories and the serve
+    * scan SKIPS every other bucket at the PLANNER (a pushed partition
+    * filter, not a streamed-and-dropped row filter). All three
+    * projections derive from the SAME batch tokenize (each document
+    * still scanned once ever); appends are O(batch) in both layouts
+    * (a batch's rows scatter across tok buckets, but their VOLUME is
+    * the batch's). The doc-bucketed tf table stays the SOURCE OF TRUTH
+    * (deletion-friendly: forgets prune to the ids' pt buckets); the
+    * tok-bucketed copy is a derived projection whose forget is an
+    * O(table) rewrite (its buckets cannot prune by doc — the classic
+    * layout trade, each table bucketed for ITS access path). */
+  def maintainTfState(batch: DataFrame, tfTable: String, dlTable: String,
+      tokTfTable: String, docTable: String): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
+    graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val rolled = graft.queries.TextOps.tfRollup(fresh).localCheckpoint(true)
+    rolled
+      .withColumn("pt", pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(tfTable)
+    rolled.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("pt", pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(dlTable)
+    rolled
+      .withColumn("tb", tokBucket(col("tok")))
+      .write.mode("append").partitionBy("tb").parquet(tokTfTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The tok-bucketed layout's bucket count and bucketing function —
+    * table-creation constants like [[TF_PARTITIONS]] (every writer and
+    * reader of one table must agree). The hash is the engine-universal
+    * md5 fold (`QueryUtils.hex8`), so the bucket of a token is the same
+    * expression on the ingest and the query side — the query-side
+    * bucket derivation runs the SAME Column, never a re-implementation
+    * that could drift. */
+  private[graft] val TOK_TF_BUCKETS = 64
+  private[graft] def tokBucket(tok: org.apache.spark.sql.Column) =
+    pmod(graft.queries.QueryUtils.hex8(tok), lit(TOK_TF_BUCKETS.toLong))
+
   /** [[maintainTfState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def tfStateStream(docs: DataFrame, tfTable: String,
@@ -3119,6 +3165,34 @@ object Streams {
       dlSnapshot(spark, dlTable).localCheckpoint(true), queries, k)
   }
 
+  /** [[bm25ServeSnapshot]] over the TOKEN-BUCKETED projection — the
+    * layout-pruned serve: the workload's term set (driver-bounded by
+    * the ta18 contract) derives its bucket values through the SAME
+    * [[tokBucket]] Column in one workload-sized job (never a
+    * re-implemented hash that could drift), and the serve scan then
+    * reads ONLY those `tb=` directories — a PLANNER-level partition
+    * prune, so [[bm25ServeSnapshot]]'s residual corpus-sized streaming
+    * scan drops to |matched buckets|/[[TOK_TF_BUCKETS]] of the table
+    * (≤ |query terms| buckets). Scores are EXACTLY the other paths'
+    * (shared suffix + the same dl guard; spec-pinned), because the
+    * dropped buckets contain no query-term postings by construction. */
+  def bm25ServeTokSnapshot(spark: SparkSession, tokTfTable: String,
+      dlTable: String, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val buckets = queries
+      .select(explode(array_distinct(
+        graft.functions.Text.tokens(col("qtext")))).as("tok"))
+      .select(tokBucket(col("tok")).as("tb")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val pruned = tryRead(spark, tokTfTable)
+      .map(_.filter(col("tb").isin(buckets: _*)))
+      .getOrElse(emptyDf(spark,
+        "doc_id" -> LongType, "tok" -> StringType, "tf" -> LongType))
+    graft.queries.TextOps.bm25TopKWith(
+      pruned.select(col("doc_id"), col("tok"), col("tf")),
+      dlSnapshot(spark, dlTable).localCheckpoint(true), queries, k)
+  }
+
   /** DELETION PROPAGATION for the retrieval family — exact like the
     * score family's: tf rows are per-doc and never aggregated at rest
     * (df/dl/N/L are query-time derivations), so forgetting is row
@@ -3188,6 +3262,54 @@ object Streams {
     deleteTfRows(spark, idsC, pts, tfTable, Seq("tok", "tf"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
+  }
+
+  /** [[forgetTfState]] with the tok-bucketed serving projection: the
+    * doc-bucketed tables prune to the ids' pt buckets as before; the
+    * tok-bucketed copy CANNOT prune by doc (its buckets are token
+    * hashes — the layout trade its Scaladoc states), so its rewrite is
+    * one O(table) anti-join over every live bucket — the exact-deletion
+    * class at the run-rarely cost, atomic per partition like every
+    * rewrite here. Order: projections first, tombstone swap LAST. */
+  def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
+      dlTable: String, tokTfTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val pts = forgottenPts(idsC)
+    deleteTfRows(spark, idsC, pts, dlTable, Seq("dl"))
+    deleteTfRows(spark, idsC, pts, tfTable, Seq("tok", "tf"))
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
+    tryRead(spark, tokTfTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val tbs = t.select(col("tb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq // ≤ TOK_TF_BUCKETS
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        t.join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("tok"), col("tf"),
+            col("tb").cast("long").as("tb")),
+        tokTfTable, "tb", tbs)
+    }
+    val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
+    tombstoneSwap(store, idsC, docTable, "text")
+  }
+
+  /** [[compactTf]] over all three tf-family tables: the doc-bucketed
+    * pair plus the tok-bucketed serving projection (dedup on
+    * (doc_id, tok) under its own layout). */
+  def compactTf(spark: SparkSession, tfTable: String, dlTable: String,
+      tokTfTable: String): Unit = {
+    compactTf(spark, tfTable, dlTable)
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
+    tryRead(spark, tokTfTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val tbs = t.select(col("tb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        t.select(col("doc_id"), col("tok"), col("tf"),
+            col("tb").cast("long").as("tb"))
+          .dropDuplicates("doc_id", "tok")
+          .repartition(col("tb")),
+        tokTfTable, "tb", tbs)
+    }
   }
 
   /** [[compactTf]]'s dl-table sibling: collapse redelivery duplicates

@@ -137,6 +137,17 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
     // serve over ABSENT tables: readable empty result, no throw
     assert(Streams.bm25ServeSnapshot(spark, s"$root/absent-tf",
       s"$root/absent-dl", w, 3).count() == 0)
+    assert(Streams.bm25ServeTokSnapshot(spark, s"$root/absent-tok",
+      s"$root/absent-dl", w, 3).count() == 0)
+    // the three-table maintainer under the same degenerate batches
+    for (b <- Seq(degenerate, degenerate.limit(0),
+        Seq((3L, null: String), (4L, "")).toDF("doc_id", "text")))
+      Streams.maintainTfState(b, s"$root/tf3", s"$root/dl3", s"$root/tok3",
+        s"$root/docsT3")
+    assert(Streams.bm25ServeTokSnapshot(spark, s"$root/tok3", s"$root/dl3",
+        w, 3).collect().map(_.toSeq.toList).toList
+      == Streams.bm25Snapshot(spark, s"$root/tf3", w, 3)
+        .collect().map(_.toSeq.toList).toList)
     // dl-overload forget over absent dl table: tombstones land, no throw
     Streams.forgetTfState(spark, Seq(7L).toDF("doc_id"),
       s"$root/tf2", s"$root/dl2", s"$root/docsT2")

@@ -148,6 +148,64 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
       s"wrong failure: ${messages(e).mkString(" | ")}")
   }
 
+  test("tok-bucketed serving layout: planner-level bucket prune, scores exact, forget and compaction hold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val workload = Seq((0L, all.head._2.split(' ').take(2).mkString(" ")),
+      (1L, "gamma nosuchtokenanywhere")).toDF("query_id", "qtext")
+
+    val root = Files.createTempDirectory("tf-tok").toString
+    val (tfT, dlT, tokT, docT) = (s"$root/tf", s"$root/dl", s"$root/tok", s"$root/docs")
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainTfState(df(b), tfT, dlT, tokT, docT)
+    def derived() = Streams.bm25Snapshot(spark, tfT, workload, 4)
+      .collect().map(_.toSeq.toList).toList
+    def servedTok() = Streams.bm25ServeTokSnapshot(spark, tokT, dlT, workload, 4)
+      .collect().map(_.toSeq.toList).toList
+    assert(servedTok() == derived(), "tok-bucketed serve != derived path")
+    assert(servedTok().nonEmpty, "no results — vacuous")
+
+    // the serve plan prunes the tok scan to the workload terms' buckets
+    // at the PLANNER: the FileSourceScan must carry a PartitionFilters
+    // entry on tb (an IN over the derived bucket values) — inputFiles
+    // can't pin this (it lists the relation before pruning), the scan
+    // node's own partition filters can
+    val buckets = workload
+      .select(explode(array_distinct(
+        graft.functions.Text.tokens($"qtext"))).as("tok"))
+      .select(pmod(graft.queries.QueryUtils.hex8($"tok"), lit(64L)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(buckets.size < 64, "workload hits every bucket — prune pin vacuous")
+    val scanLines = Streams.bm25ServeTokSnapshot(spark, tokT, dlT, workload, 4)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("PartitionFilters: [") && l.contains("tb#"))
+      .toSeq
+    assert(scanLines.nonEmpty, "no tb partition filter on any scan — bucket prune missing")
+    assert(scanLines.exists(_.contains(" IN (")),
+      s"tb partition filter is not the bucket IN list:\n${scanLines.mkString("\n")}")
+
+    // forget through the tok overload: all three projections pruned
+    val forgot = all.map(_._1).filter(_ % 9 == 0).toSet
+    Streams.forgetTfState(spark, forgot.toSeq.toDF("doc_id"), tfT, dlT, tokT, docT)
+    assert(spark.read.parquet(tokT).filter($"doc_id".isin(forgot.toSeq: _*))
+      .isEmpty, "forgotten rows survived in the tok projection")
+    val wantRemaining = graft.queries.TextOps.bm25TopK(
+      graft.queries.TextOps.tfRollup(df(all.filterNot(t => forgot(t._1))))
+        .localCheckpoint(true), workload, 4)
+      .collect().map(_.toSeq.toList).toList
+    assert(servedTok() == wantRemaining, "tok serve != from-scratch over survivors")
+
+    // three-table compaction is snapshot-invariant and dedups the copy
+    Streams.compactTf(spark, tfT, dlT, tokT)
+    assert(servedTok() == wantRemaining, "compaction drifted the tok serve")
+    assert(spark.read.parquet(tokT).groupBy($"doc_id", $"tok").count()
+      .filter($"count" > 1).isEmpty, "duplicate rows survived tok compaction")
+  }
+
   test("forgetTfState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
