@@ -195,7 +195,12 @@ import graft.queries.Catalog
   *    scan partition-prunes to |query-term buckets|/64 of the table —
   *    the residual scan closed at the planner; doc-bucketed tf stays
   *    the deletion-friendly source of truth, the tok copy's forget is
-  *    the documented O(table) layout trade)
+  *    the documented O(table) layout trade); ta20 count-min sketch
+  *    frequency estimation (4×1024 integer cells over md5-fold hash
+  *    rows — the mergeable frequency counterpart of q45's KMV
+  *    cardinality sketch: the shuffle carries cells, never the
+  *    vocabulary, and shard sketches ADD; top-20 true tokens probed,
+  *    one-sided estimates oracle- and spec-pinned)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

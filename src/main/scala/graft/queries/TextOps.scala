@@ -2254,6 +2254,65 @@ object TextOps {
        |ORDER BY iter""".stripMargin
   }
 
+  /** ta20 — COUNT-MIN SKETCH frequency estimation (Cormode &
+    * Muthukrishnan 2005): the mergeable frequency-sketch counterpart of
+    * q45's KMV cardinality sketch, and the way a 100 TB pipeline asks
+    * "how often does this token/URL/n-gram occur" WITHOUT paying the
+    * vocabulary shuffle — an exact per-token rollup shuffles one row
+    * per distinct key (the vocabulary IS the exchange at corpus scale),
+    * while the CMS rollup shuffles at most d·w = 4096 CELLS per map
+    * partition regardless of vocabulary size, and sketches of disjoint
+    * shards ADD (cells are plain sums — the mergeability that makes the
+    * sketch deployable across a fleet). Estimate = min over the d rows
+    * of the probed token's cell (one-sided: est ≥ true always, spec- and
+    * oracle-checked; error bound ε = e/w per row with the usual CMS
+    * guarantee). Integer-exact end to end: the d hash rows are the
+    * engine-universal md5 fold over a salted token ("cms<j>:<tok>"), so
+    * every cell count, probe bucket, and min replays bit-for-bit in
+    * DuckDB. The gate probes the corpus's exact top-20 tokens (cf DESC,
+    * tok — a total order) so the output pins the sketch against ground
+    * truth where collisions matter most. */
+  private val CMS_D = 4
+  private val CMS_W = 1024L
+  private def cmsBucket(j: Column, tok: Column): Column =
+    pmod(QueryUtils.hex8(concat(lit("cms"), j.cast("string"), lit(":"), tok)),
+      lit(CMS_W))
+  private def ta20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = documents(s, d)
+      .select(explode(Text.tokens($"text")).as("tok"))
+      .localCheckpoint(true)
+    val js = array((0 until CMS_D).map(lit): _*)
+    val cells = occ
+      .select($"tok", explode(js).as("j"))
+      .select($"j", cmsBucket($"j", $"tok").as("b"))
+      .groupBy($"j", $"b").agg(count(lit(1)).as("n"))
+    val top = occ.groupBy($"tok").agg(count(lit(1)).as("cf"))
+      .orderBy($"cf".desc, $"tok").limit(20)
+    val probes = top
+      .select($"tok", $"cf", explode(js).as("j"))
+      .select($"tok", $"cf", $"j", cmsBucket($"j", $"tok").as("b"))
+    probes.join(broadcast(cells), Seq("j", "b"))
+      .groupBy($"tok", $"cf").agg(min($"n").as("est"))
+      .orderBy($"cf".desc, $"tok")
+  }
+  private val ta20Sql = {
+    def bucket(tokExpr: String, jExpr: String) =
+      s"${QueryUtils.hex8Sql(s"'cms' || CAST($jExpr AS VARCHAR) || ':' || $tokExpr")} % 1024"
+    s"""WITH occ AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |cells AS (SELECT js.j, ${bucket("occ.tok", "js.j")} AS b, COUNT(*) AS n
+       |          FROM occ CROSS JOIN js GROUP BY 1, 2),
+       |top AS (SELECT tok, COUNT(*) AS cf FROM occ GROUP BY tok
+       |        ORDER BY cf DESC, tok LIMIT 20),
+       |pr AS (SELECT t.tok, t.cf, js.j, ${bucket("t.tok", "js.j")} AS b
+       |       FROM top t CROSS JOIN js)
+       |SELECT pr.tok, CAST(pr.cf AS BIGINT) AS cf, CAST(MIN(c.n) AS BIGINT) AS est
+       |FROM pr JOIN cells c ON c.j = pr.j AND c.b = pr.b
+       |GROUP BY pr.tok, pr.cf
+       |ORDER BY cf DESC, tok""".stripMargin
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -3288,6 +3347,7 @@ object TextOps {
     Q("pp25_incremental_perplexity", "incremental perplexity bucketing: frozen reference LM, immutable standing scores advanced per batch, rank-only re-bucketing — buckets == ta17", pp25, Some(ta17Sql)),
     Q("ta18_bm25_topk", "lexical BM25 top-k retrieval: integer-exact Okapi scoring over the (doc, tok) tf rollup, broadcast query terms prune before any join, bounded-buffer per-query top-k (no window)", ta18, Some(ta18Sql)),
     Q("ta19_classifier_train", "quality-classifier TRAINING: fixed-point batch perceptron over ta15's five features, weakly supervised by ta16's rule verdicts — every iterate's weight vector + error count oracle-replayed", ta19, Some(ta19Sql)),
+    Q("ta20_cms_counts", "count-min sketch frequency estimation: 4x1024 integer cells (md5-fold hash rows), shuffle carries cells not vocabulary, sketches of shards add; top-20 true tokens probed, est = min over rows (one-sided)", ta20, Some(ta20Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )

@@ -106,4 +106,42 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     PlanInspect.shuffles(df).map(_.child.output.map(_.name).toSet).foreach(p =>
       assert(!p.contains("h"), s"distinct-value stream crossed the shuffle: $p"))
   }
+
+  test("ta20 count-min sketch: estimates one-sided, rows conserve the occurrence total, shard sketches ADD") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // the gate output: est >= true count for every probed token
+    val out = graft.queries.Catalog.byName("ta20_cms_counts").fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20, "probe set wrong size")
+    out.foreach { case (tok, cf, est) =>
+      assert(est >= cf, s"CMS UNDER-estimated '$tok': $est < $cf") }
+
+    // the cells under the gate's own bucketing formula: every hash row
+    // must conserve the occurrence total, and the sketch over two
+    // disjoint shards must be the cell-wise SUM of the full corpus's
+    def cellsOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(graft.functions.Text.tokens($"text")).as("tok"))
+      .select($"tok", explode(array((0 until 4).map(lit): _*)).as("j"))
+      .select($"j", pmod(graft.queries.QueryUtils.hex8(
+        concat(lit("cms"), $"j".cast("string"), lit(":"), $"tok")),
+        lit(1024L)).as("b"))
+      .groupBy($"j", $"b").agg(count(lit(1)).as("n"))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val total = docs.select(explode(graft.functions.Text.tokens($"text")))
+      .count()
+    val full = cellsOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { j =>
+      assert(full.collect { case ((`j`, _), n) => n }.sum == total,
+        s"hash row $j does not conserve the occurrence total") }
+    val a = cellsOf(docs.filter($"doc_id" % 2 === 0)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = cellsOf(docs.filter($"doc_id" % 2 =!= 0)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == full, "shard sketches do not add to the full sketch")
+  }
 }
