@@ -200,7 +200,12 @@ import graft.queries.Catalog
   *    rows — the mergeable frequency counterpart of q45's KMV
   *    cardinality sketch: the shuffle carries cells, never the
   *    vocabulary, and shard sketches ADD; top-20 true tokens probed,
-  *    one-sided estimates oracle- and spec-pinned)
+  *    one-sided estimates oracle- and spec-pinned) + pp29 incremental
+  *    CMS (standing cells + vocab counts advanced from ONE batch
+  *    tokenize — cell additivity IS the incremental contract; probe ==
+  *    ta20) + Streams.maintainCmsState / cmsSnapshot / compactCms +
+  *    forgetCountState cmsTable (negative cell deltas — the sketch
+  *    member of the additive counts family, O(deleted) forget)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

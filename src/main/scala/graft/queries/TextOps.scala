@@ -2277,24 +2277,70 @@ object TextOps {
   private def cmsBucket(j: Column, tok: Column): Column =
     pmod(QueryUtils.hex8(concat(lit("cms"), j.cast("string"), lit(":"), tok)),
       lit(CMS_W))
+  private def cmsJs = array((0 until CMS_D).map(lit): _*)
+
+  /** The (j, b, n) sketch cells over a token-occurrence frame — ta20's
+    * build kernel, shared verbatim with the continuous maintainer
+    * ([[graft.streaming.Streams.maintainCmsState]]'s per-batch delta):
+    * cells are plain sums, so cells of doc-disjoint batches ADD — the
+    * additivity the incremental twin and the negative-delta forget
+    * rest on. */
+  private[graft] def cmsCellsFromTokens(occ: DataFrame): DataFrame =
+    occ.select(col("tok"), explode(cmsJs).as("j"))
+      .select(col("j"), cmsBucket(col("j"), col("tok")).as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("n"))
+
+  /** The probe half: estimate each top token's frequency from the
+    * cells (min over the d hash rows) — shared verbatim between ta20
+    * and the maintained-state snapshot, so the two cannot drift.
+    * `top` is (tok, cf) — driver-bounded by construction. */
+  private[graft] def cmsProbe(cells: DataFrame, top: DataFrame): DataFrame =
+    top.select(col("tok"), col("cf"), explode(cmsJs).as("j"))
+      .select(col("tok"), col("cf"), col("j"),
+        cmsBucket(col("j"), col("tok")).as("b"))
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("tok"), col("cf")).agg(min(col("n")).as("est"))
+      .orderBy(col("cf").desc, col("tok"))
+
   private def ta20(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val occ = documents(s, d)
       .select(explode(Text.tokens($"text")).as("tok"))
       .localCheckpoint(true)
-    val js = array((0 until CMS_D).map(lit): _*)
-    val cells = occ
-      .select($"tok", explode(js).as("j"))
-      .select($"j", cmsBucket($"j", $"tok").as("b"))
-      .groupBy($"j", $"b").agg(count(lit(1)).as("n"))
     val top = occ.groupBy($"tok").agg(count(lit(1)).as("cf"))
       .orderBy($"cf".desc, $"tok").limit(20)
-    val probes = top
-      .select($"tok", $"cf", explode(js).as("j"))
-      .select($"tok", $"cf", $"j", cmsBucket($"j", $"tok").as("b"))
-    probes.join(broadcast(cells), Seq("j", "b"))
-      .groupBy($"tok", $"cf").agg(min($"n").as("est"))
-      .orderBy($"cf".desc, $"tok")
+    cmsProbe(cmsCellsFromTokens(occ), top)
+  }
+
+  /** pp29 — INCREMENTAL CMS maintenance, ta20's twin: sketch cells are
+    * plain SUMS, so cells of doc-disjoint batches add — the strongest
+    * additivity after the tf family's (no fold semantics beyond +).
+    * Standing state = the cells table AND the vocabulary counts (pp07's
+    * rows — the exact-cf side the gate's probe needs; a deployment
+    * probing its own candidate keys maintains the cells alone); the
+    * advance is ONE batch tokenize feeding both. Result == ta20 over
+    * the full corpus — the oracle is ta20's, verbatim. Continuous twin
+    * [[graft.streaming.Streams.maintainCmsState]]. */
+  private def pp29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("cmsn:"), $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp29", d) { dir =>
+      val old = docs.filter(!isNew).localCheckpoint(true)
+      cmsCellsFromTokens(old.select(explode(Text.tokens($"text")).as("tok")))
+        .write.parquet(s"$dir/cells")
+      vocabCounts(old).select($"tok", $"cf").write.parquet(s"$dir/vocab")
+    }
+    val inc = docs.filter(isNew).localCheckpoint(true)
+    val cells = s.read.parquet(s"$stand/cells")
+      .unionByName(cmsCellsFromTokens(
+        inc.select(explode(Text.tokens($"text")).as("tok"))))
+      .groupBy($"j", $"b").agg(sum($"n").as("n"))
+    val top = s.read.parquet(s"$stand/vocab")
+      .unionByName(vocabCounts(inc).select($"tok", $"cf"))
+      .groupBy($"tok").agg(sum($"cf").as("cf"))
+      .orderBy($"cf".desc, $"tok").limit(20)
+    cmsProbe(cells, top)
   }
   private val ta20Sql = {
     def bucket(tokExpr: String, jExpr: String) =
@@ -2312,6 +2358,70 @@ object TextOps {
        |GROUP BY pr.tok, pr.cf
        |ORDER BY cf DESC, tok""".stripMargin
   }
+
+  /** ta21 — CMS-pruned EXACT heavy hitters over bigrams: every bigram
+    * with support > 1/1024 of all bigram occurrences, exactly, WITHOUT
+    * ever shuffling the n-gram vocabulary. The classic two-pass sketch
+    * pattern (Cormode & Muthukrishnan 2005 §4.1's point queries turned
+    * into a scan filter): an exact rollup's exchange carries one row
+    * per DISTINCT n-gram — at 100 TB the n-gram space dwarfs the token
+    * vocabulary and IS the shuffle — so instead (1) build the 4×1024
+    * CMS over bigram occurrences ([[cmsCellsFromTokens]] verbatim; the
+    * exchange carries ≤ d·w cells per map partition), then (2) re-scan
+    * and keep only occurrences ALL FOUR of whose cells clear the
+    * support threshold — four broadcast LEFT-SEMI joins against the
+    * ≤ d·w hot cells, entirely map-side — and exact-rollup the
+    * SURVIVORS. One-sidedness (est ≥ true) means no true heavy hitter
+    * is ever pruned; collision false positives die at the final exact
+    * HAVING. The exact shuffle therefore carries only occurrences of
+    * sketch-heavy bigrams (the heavy mass + ε·total collisions), never
+    * the vocabulary — shuffle volume is set by the support threshold,
+    * not by distinct-key count. Threshold integer-exact both sides
+    * (n·1024 > total — never divided); the oracle is the PLAIN exact
+    * rollup, equal by the one-sided guarantee. */
+  /** The prune pass: occurrences ALL of whose d cells clear the support
+    * threshold — four broadcast left-semi joins against the ≤ d·w hot
+    * cells, entirely map-side. One-sided: a true heavy hitter's cells
+    * are all ≥ its count, so it always survives (spec-pinned on a
+    * skewed fixture where the prune drops >90% of occurrences). */
+  private[graft] def cmsHeavyCandidates(occ: DataFrame,
+      total: DataFrame): DataFrame = {
+    val hot = cmsCellsFromTokens(occ)
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(1024L) > col("total"))
+      .localCheckpoint(true) // ≤ d·w rows, reused by all four semi joins
+    (0 until CMS_D).foldLeft(occ) { (df, j) =>
+      val hj = hot.filter(col("j") === j).select(col("b").as(s"b$j"))
+      df.join(broadcast(hj),
+        cmsBucket(lit(j), df("tok")) === col(s"b$j"), "left_semi")
+    }
+  }
+  /** Exact rollup over the candidate survivors + the exact HAVING that
+    * kills collision false positives — [[ta21]]'s tail, shared with the
+    * spec's fixture replay. */
+  private[graft] def cmsHeavyFinal(cand: DataFrame,
+      total: DataFrame): DataFrame =
+    cand.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(1024L) > col("total"))
+      .select(col("tok").as("bigram"), col("n"))
+      .orderBy(col("n").desc, col("bigram"))
+  private def ta21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = documents(s, d)
+      .select(explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("tok"))
+      .localCheckpoint(true)
+    val total = occ.agg(count(lit(1)).as("total"))
+    cmsHeavyFinal(cmsHeavyCandidates(occ, total), total)
+  }
+  private val ta21Sql =
+    """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+      |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
+      |c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS total FROM b)
+      |SELECT c.bigram, CAST(c.n AS BIGINT) AS n FROM c, t
+      |WHERE c.n * 1024 > t.total
+      |ORDER BY n DESC, bigram""".stripMargin
 
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
@@ -3348,6 +3458,8 @@ object TextOps {
     Q("ta18_bm25_topk", "lexical BM25 top-k retrieval: integer-exact Okapi scoring over the (doc, tok) tf rollup, broadcast query terms prune before any join, bounded-buffer per-query top-k (no window)", ta18, Some(ta18Sql)),
     Q("ta19_classifier_train", "quality-classifier TRAINING: fixed-point batch perceptron over ta15's five features, weakly supervised by ta16's rule verdicts — every iterate's weight vector + error count oracle-replayed", ta19, Some(ta19Sql)),
     Q("ta20_cms_counts", "count-min sketch frequency estimation: 4x1024 integer cells (md5-fold hash rows), shuffle carries cells not vocabulary, sketches of shards add; top-20 true tokens probed, est = min over rows (one-sided)", ta20, Some(ta20Sql)),
+    Q("pp29_incremental_cms", "incremental CMS maintenance: standing cells + vocab counts advanced by one batch tokenize (cells of doc-disjoint batches ADD), probe == ta20", pp29, Some(ta20Sql)),
+    Q("ta21_cms_heavy_hitters", "CMS-pruned exact heavy hitters over bigrams: sketch pass + four broadcast semi-join prunes, exact rollup over survivors only — the shuffle carries the heavy mass, never the n-gram vocabulary; one-sided sketch => result == plain exact rollup", ta21, Some(ta21Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )

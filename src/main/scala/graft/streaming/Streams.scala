@@ -764,7 +764,8 @@ object Streams {
     * rollback is an O(table) rewrite, paid only when a conflicting
     * pending key actually exists (the probe is O(batches) keys). */
   def forgetCountState(spark: SparkSession, ids: DataFrame, docTable: String,
-      vocabTable: Option[String] = None, lmTable: Option[String] = None): Unit = {
+      vocabTable: Option[String] = None, lmTable: Option[String] = None,
+      cmsTable: Option[String] = None): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     // contributions still recoverable: forgotten ids whose text has not
@@ -776,7 +777,8 @@ object Streams {
       .filter(!_.isEmpty)
     gone.foreach { g =>
       val forgetKey = -g.agg(min(col("doc_id"))).head().getLong(0) - 1L
-      rollbackPendingForgets(spark, Seq(vocabTable, lmTable).flatten, g)
+      rollbackPendingForgets(spark,
+        Seq(vocabTable, lmTable, cmsTable).flatten, g)
       vocabTable.foreach { vt =>
         vocabDelta(g, forgetKey)
           .select(col("batch_key"), col("tok"),
@@ -787,6 +789,11 @@ object Streams {
         lmDelta(g, forgetKey)
           .select(col("batch_key"), col("bigram"), (-col("n")).as("n"))
           .write.mode("append").parquet(lt)
+      }
+      cmsTable.foreach { ct =>
+        cmsDelta(g, forgetKey)
+          .select(col("batch_key"), col("j"), col("b"), (-col("n")).as("n"))
+          .write.mode("append").parquet(ct)
       }
     }
     tombstoneSwap(store, idsC, docTable, "text")
@@ -2054,6 +2061,85 @@ object Streams {
   private[graft] def vocabDelta(fresh: DataFrame, batchKey: Long): DataFrame =
     graft.queries.TextOps.vocabCounts(fresh)
       .select(lit(batchKey).as("batch_key"), col("tok"), col("df"), col("cf"))
+
+  /** The per-cell CMS delta rows of one batch — [[maintainCmsState]]'s
+    * append, the sketch member of the additive counts family (ta20's
+    * cell kernel verbatim). */
+  private[graft] def cmsDelta(fresh: DataFrame, batchKey: Long): DataFrame =
+    graft.queries.TextOps.cmsCellsFromTokens(
+      fresh.select(explode(graft.functions.Text.tokens(col("text"))).as("tok")))
+      .select(lit(batchKey).as("batch_key"), col("j"), col("b"), col("n"))
+
+  /** pp29's continuous twin: CONTINUOUS count-min-sketch maintenance —
+    * the SKETCH member of the additive counts family. TWO standing
+    * delta tables advance from ONE batch tokenize: the (batch_key, j,
+    * b, n) cells (the sketch — at most d·w live cells after compaction,
+    * regardless of vocabulary) and the (batch_key, tok, df, cf)
+    * vocabulary (the exact-cf probe side, [[maintainVocabState]]'s rows
+    * verbatim — a deployment that probes with its OWN candidate keys
+    * can skip it and maintain the cells alone). At-least-once contract
+    * = the vocab family's: guard appended LAST, deterministic batch
+    * key, byte-identical replay rows the snapshot's (batch_key, …)
+    * dedups collapse. Forget = [[forgetCountState]] with `cmsTable`
+    * (negative cell deltas recomputed from the stored text — O(deleted)
+    * like every counts member); compaction = [[compactCms]] +
+    * [[compactVocab]]. */
+  def maintainCmsState(batch: DataFrame, cellsTable: String,
+      vocabTable: String, docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable)
+    if (fresh.isEmpty) return
+    val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
+    cmsDelta(fresh, batchKey).write.mode("append").parquet(cellsTable)
+    vocabDelta(fresh, batchKey).write.mode("append").parquet(vocabTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** [[maintainCmsState]] as a foreachBatch sink over a (doc_id, text)
+    * document stream. */
+  def cmsStateStream(docs: DataFrame, cellsTable: String,
+      vocabTable: String, docTable: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainCmsState(b, cellsTable, vocabTable, docTable))
+      .start()
+
+  /** The current ta20 view under the maintained deltas — top-`topN`
+    * exact tokens probed against the summed cells, over every doc that
+    * has arrived AND NOT been forgotten. Net-zero cells and tokens
+    * (forget decrements) are filtered — a from-scratch build over the
+    * survivors has no row for them. */
+  def cmsSnapshot(spark: SparkSession, cellsTable: String,
+      vocabTable: String, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cells = tryRead(spark, cellsTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "j" -> IntegerType, "b" -> LongType,
+        "n" -> LongType))
+      .dropDuplicates("batch_key", "j", "b")
+      .groupBy(col("j"), col("b")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+    val top = tryRead(spark, vocabTable).getOrElse(emptyDf(spark,
+        "batch_key" -> LongType, "tok" -> StringType,
+        "df" -> LongType, "cf" -> LongType))
+      .dropDuplicates("batch_key", "tok")
+      .groupBy(col("tok")).agg(sum(col("cf")).as("cf"))
+      .filter(col("cf") > 0)
+      .orderBy(col("cf").desc, col("tok")).limit(topN)
+      .select(col("tok"), col("cf"))
+    graft.queries.TextOps.cmsProbe(cells, top)
+  }
+
+  /** Compact the CMS cell deltas to one row per (j, b) — at most d·w
+    * rows; `docTable` is the flow's guard, its null-text tombstones the
+    * commit witness for forget decrement keys (net-zero cells drop at
+    * the fold). */
+  def compactCms(spark: SparkSession, cellsTable: String,
+      docTable: String): Unit =
+    compactDeltas(spark, cellsTable, Seq("j", "b"), Seq("n"),
+      docTable, "doc_id",
+      tombstoneIds = tryRead(spark, docTable)
+        .map(_.filter(col("text").isNull).select(col("doc_id"))),
+      dropZeroKeys = true)
 
   /** [[maintainVocabState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */

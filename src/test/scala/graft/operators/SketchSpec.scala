@@ -144,4 +144,43 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == full, "shard sketches do not add to the full sketch")
   }
+
+  test("ta21 CMS-pruned heavy hitters: == exact rollup on the corpus; on a skewed fixture the prune drops >90% of occurrences yet every true heavy hitter survives") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // gate == the plain exact rollup (the one-sided guarantee, end to end)
+    val got = graft.queries.Catalog.byName("ta21_cms_heavy_hitters")
+      .fn(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
+    val occ = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.Text.wordNGrams(
+        graft.functions.Text.tokens($"text"), 2)).as("tok"))
+      .localCheckpoint(true)
+    val total = occ.count()
+    val exact = occ.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .filter($"n" * 1024L > total)
+      .orderBy($"n".desc, $"tok")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty, "no heavy hitters — vacuous")
+    assert(got.toSeq == exact.toSeq, "pruned result != exact rollup")
+
+    // skewed fixture: 1 heavy bigram (10k occurrences) + 6000 distinct
+    // singletons — the prune must drop >90% of the COLD occurrences
+    // (the scale claim: the exact shuffle carries the heavy mass, not
+    // the vocabulary) while the heavy hitter always survives
+    val fix = (Seq.fill(10000)("hot pair") ++
+      (0 until 6000).map(i => s"cold$i x$i")).toDF("tok")
+      .localCheckpoint(true)
+    val fTotal = fix.agg(count(lit(1)).as("total"))
+    val cand = graft.queries.TextOps.cmsHeavyCandidates(fix, fTotal)
+      .localCheckpoint(true)
+    val coldSurvivors = cand.filter($"tok" =!= "hot pair").count()
+    assert(coldSurvivors < 600L,
+      s"prune ineffective: $coldSurvivors of 6000 cold occurrences survived")
+    assert(cand.filter($"tok" === "hot pair").count() == 10000L,
+      "the heavy hitter's occurrences must ALL survive the prune (one-sidedness)")
+    val fGot = graft.queries.TextOps.cmsHeavyFinal(cand, fTotal)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(fGot.toSeq == Seq(("hot pair", 10000L)),
+      "fixture heavy hitter lost or a false positive survived the exact HAVING")
+  }
 }

@@ -154,6 +154,20 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$root/docsT2").select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(7L))
 
+    // CMS maintainer under the same degenerate batches; snapshot over
+    // absent tables readable; forget over absent cms tables tombstones
+    for (b <- Seq(degenerate, degenerate.limit(0),
+        Seq((3L, null: String), (4L, "")).toDF("doc_id", "text")))
+      Streams.maintainCmsState(b, s"$root/cells", s"$root/vocab", s"$root/docsC")
+    assert(Streams.cmsSnapshot(spark, s"$root/cells", s"$root/vocab")
+      .collect().map(_.getString(0)).toSet == Set("real", "words", "here"))
+    assert(Streams.cmsSnapshot(spark, s"$root/absent-c", s"$root/absent-v")
+      .count() == 0)
+    Streams.forgetCountState(spark, Seq(8L).toDF("doc_id"), s"$root/docsC2",
+      vocabTable = Some(s"$root/v2"), cmsTable = Some(s"$root/c2"))
+    assert(spark.read.parquet(s"$root/docsC2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(8L))
+
     // OPQ lifecycle over absent / sentinel-only postings: None, no write
     assert(Streams.rebuildOpqState(spark, s"$root/absent-post",
       s"$root/codes0", s"$root/perm0").isEmpty)
