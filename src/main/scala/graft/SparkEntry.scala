@@ -205,7 +205,12 @@ import graft.queries.Catalog
   *    tokenize — cell additivity IS the incremental contract; probe ==
   *    ta20) + Streams.maintainCmsState / cmsSnapshot / compactCms +
   *    forgetCountState cmsTable (negative cell deltas — the sketch
-  *    member of the additive counts family, O(deleted) forget)
+  *    member of the additive counts family, O(deleted) forget);
+  *    ta21/ta22 exact heavy hitters without a vocabulary shuffle —
+  *    ta21 two-pass (CMS hot-cell broadcast semi-join prune), ta22
+  *    one-pass (operators.MisraGries bounded mergeable summary as the
+  *    candidate set); both feed the shared exact tail, so the result
+  *    equals the plain rollup and the oracle is exact
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

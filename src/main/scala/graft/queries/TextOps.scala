@@ -2423,6 +2423,35 @@ object TextOps {
       |WHERE c.n * 1024 > t.total
       |ORDER BY n DESC, bigram""".stripMargin
 
+  /** ta22 — Misra–Gries-pruned exact heavy hitters: the same result as
+    * ta21, from a ONE-PASS bounded-memory candidate set instead of the
+    * CMS's sketch-then-rescan. [[graft.operators.MisraGries]] keeps
+    * ≤ 2048 counters with the deterministic undercount bound
+    * true − n/(k+1) ≤ mg ≤ true, so every bigram with support >
+    * total/1024 > total/2049 is GUARANTEED in the summary (the superset
+    * a prune needs) — one ObjectHashAggregate whose exchange carries
+    * ≤ maps·k counters, never the n-gram vocabulary. The ≤ k candidate
+    * items broadcast into a single left-semi prune feeding [[ta21]]'s
+    * shared exact tail ([[cmsHeavyFinal]]): the mg counts themselves
+    * (partitioning-dependent) never reach the output — the exact HAVING
+    * decides, so the result equals the plain exact rollup and the
+    * oracle is ta21's verbatim. Trade vs ta21: MG re-reads the corpus
+    * once less (summary and prune can share a cached scan) but its
+    * candidate set is k-bounded rather than ε-bounded — at a 1/1024
+    * support threshold both prunes are exact-superset, so the choice is
+    * pass count, not correctness. */
+  private def ta22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = documents(s, d)
+      .select(explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("tok"))
+      .localCheckpoint(true)
+    val total = occ.agg(count(lit(1)).as("total"))
+    val cand = graft.operators.MisraGries.summary(occ, $"tok", 2048)
+      .select($"item".as("tok"))
+    cmsHeavyFinal(
+      occ.join(broadcast(cand), Seq("tok"), "left_semi"), total)
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -3460,6 +3489,7 @@ object TextOps {
     Q("ta20_cms_counts", "count-min sketch frequency estimation: 4x1024 integer cells (md5-fold hash rows), shuffle carries cells not vocabulary, sketches of shards add; top-20 true tokens probed, est = min over rows (one-sided)", ta20, Some(ta20Sql)),
     Q("pp29_incremental_cms", "incremental CMS maintenance: standing cells + vocab counts advanced by one batch tokenize (cells of doc-disjoint batches ADD), probe == ta20", pp29, Some(ta20Sql)),
     Q("ta21_cms_heavy_hitters", "CMS-pruned exact heavy hitters over bigrams: sketch pass + four broadcast semi-join prunes, exact rollup over survivors only — the shuffle carries the heavy mass, never the n-gram vocabulary; one-sided sketch => result == plain exact rollup", ta21, Some(ta21Sql)),
+    Q("ta22_mg_heavy_hitters", "Misra-Gries-pruned exact heavy hitters: one-pass 2048-counter mergeable summary (undercount <= n/(k+1) under any merge tree) broadcasts the candidate set into a left-semi prune + exact rollup — same result as ta21, one fewer corpus pass", ta22, Some(ta21Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )
