@@ -2976,15 +2976,23 @@ object Streams {
     * rows (the reference is frozen — same inputs, same scores), and the
     * snapshot's (batch_key, doc_id) dedup collapses them. Docs with
     * < 2 tokens score no row but still enter the guard (ta17's
-    * absent-doc convention, and redelivery stays blocked). */
+    * absent-doc convention, and redelivery stays blocked). The table
+    * is [[TF_PARTITIONS]]-bucketed on doc_id from its first write, so
+    * [[forgetScoreState]] rewrites only touched partitions. */
   def maintainScoreState(batch: DataFrame, refTable: String,
       scoresTable: String, docTable: String): Unit = {
     val spark = batch.sparkSession
+    // heal any crashed partition publish before appending (a pending
+    // committed stage would otherwise overwrite this append's files
+    // when a later op rolls it forward — the tf-family entry contract)
+    graft.operators.MergeWriter.repairPartitionedTable(
+      spark, scoresTable, "pt")
     val fresh = freshAgainst(batch, docTable, Seq("source", "text"))
     if (fresh.isEmpty) return
     val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
     scoreDelta(fresh, spark.read.parquet(refTable), batchKey)
-      .write.mode("append").parquet(scoresTable)
+      .withColumn("pt", pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(scoresTable)
     fresh.select(col("doc_id")).write.mode("append").parquet(docTable)
   }
 
@@ -3025,17 +3033,22 @@ object Streams {
   /** DELETION PROPAGATION for the score family — the SIMPLEST forget
     * member: scores are per-doc and immutable (nothing aggregates them,
     * nothing derives from them), so forgetting is exact row deletion
-    * plus the id guard. Scores delete FIRST (idempotent pure rewrite —
-    * snapshots are correct immediately), then the ids append to the
-    * guard (blocks future ingest of never-seen forgotten ids;
-    * already-seen ids are guarded since their advance). A crash between
-    * the two re-runs to convergence. Re-bucketing needs no repair at
-    * all: [[scoreSnapshot]] re-ranks at read, so the survivors'
-    * head/middle/tail simply re-cut (pp25's rank-only argument). */
+    * plus the id guard. The table is [[TF_PARTITIONS]]-bucketed on
+    * doc_id (like the tf family), so the deletion rewrites ONLY the
+    * partitions holding forgotten ids — partition-pruned scan, atomic
+    * per-partition publish, rewrite volume min(|ids|, buckets)/buckets
+    * of the table. Scores delete FIRST (snapshots are correct
+    * immediately), then the ids append to the guard (blocks future
+    * ingest of never-seen forgotten ids; already-seen ids are guarded
+    * since their advance). A crash between the two re-runs to
+    * convergence. Re-bucketing needs no repair at all: [[scoreSnapshot]]
+    * re-ranks at read, so the survivors' head/middle/tail simply re-cut
+    * (pp25's rank-only argument). */
   def forgetScoreState(spark: SparkSession, ids: DataFrame,
       scoresTable: String, docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    deleteByIds(spark, scoresTable, idsC, Seq("doc_id"))
+    deleteDocPartitioned(spark, idsC, forgottenPts(idsC), scoresTable,
+      Seq("batch_key", "source", "score"))
     appendNewBy(idsC, docTable, "doc_id")
   }
 
@@ -3043,16 +3056,26 @@ object Streams {
     * are byte-identical by the frozen-reference argument, so dropping
     * them never destroys replay-dedup evidence — a replay re-appends an
     * identical row and the snapshot dedup collapses it again) and
-    * repack. */
-  def compactScores(spark: SparkSession, scoresTable: String,
-      partitions: Int = 8): Unit =
-    tryRead(spark, scoresTable).foreach { t =>
-      graft.operators.MergeWriter.overwriteAtomic(
-        t.localCheckpoint(true).dropDuplicates("batch_key", "doc_id")
-          .repartition(partitions), scoresTable)
+    * repack — per pt bucket, preserving the partitioned layout the
+    * forget's pruning rests on. */
+  def compactScores(spark: SparkSession, scoresTable: String): Unit = {
+    graft.operators.MergeWriter.repairPartitionedTable(
+      spark, scoresTable, "pt")
+    tryRead(spark, scoresTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val pts = t.select(col("pt").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq // ≤ TF_PARTITIONS
+      graft.operators.MergeWriter.overwritePartitionsAtomic(
+        t.select(col("batch_key"), col("doc_id"), col("source"),
+            col("score"), col("pt").cast("long").as("pt"))
+          .dropDuplicates("batch_key", "doc_id")
+          .repartition(col("pt")),
+        scoresTable, "pt", pts)
     }
+  }
 
-  /** The tf table's partition-bucket count — a table-creation constant
+  /** The doc-bucketed standing tables' partition count (tf/dl, the
+    * score table, the three feature tables) — a table-creation constant
     * (like the dedup flow's canonicalizer mode: every writer and reader
     * of one table must agree). The table is PARTITIONED BY
     * pt = doc_id mod this, so [[forgetTfState]] rewrites only the
@@ -3304,13 +3327,14 @@ object Streams {
     * and that repair a reader can see a touched partition absent — the
     * same transient `overwriteAtomic` has mid-swap — never lost rows
     * after it. */
-  /** The partition-pruned exact deletion both tf-family tables share:
-    * heal any crashed publish FIRST (a pending committed stage reads as
+  /** The partition-pruned exact deletion EVERY doc-bucketed standing
+    * table shares (tf, dl, scores, the feature tables): heal any
+    * crashed publish FIRST (a pending committed stage reads as
     * a missing partition otherwise, and its rows would be dropped as
     * forgotten), then rewrite only the forgotten ids' pt buckets — a
     * partition with no survivors stages no rows and is DELETED by the
     * atomic publish; untouched partitions never move. */
-  private def deleteTfRows(spark: SparkSession, idsC: DataFrame,
+  private def deleteDocPartitioned(spark: SparkSession, idsC: DataFrame,
       pts: IndexedSeq[Long], table: String, valueCols: Seq[String]): Unit = {
     graft.operators.MergeWriter.repairPartitionedTable(spark, table, "pt")
     tryRead(spark, table).foreach { t0 =>
@@ -3330,7 +3354,7 @@ object Streams {
   def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
       docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    deleteTfRows(spark, idsC, forgottenPts(idsC), tfTable, Seq("tok", "tf"))
+    deleteDocPartitioned(spark, idsC, forgottenPts(idsC), tfTable, Seq("tok", "tf"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
   }
@@ -3344,8 +3368,8 @@ object Streams {
       dlTable: String, docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     val pts = forgottenPts(idsC)
-    deleteTfRows(spark, idsC, pts, dlTable, Seq("dl"))
-    deleteTfRows(spark, idsC, pts, tfTable, Seq("tok", "tf"))
+    deleteDocPartitioned(spark, idsC, pts, dlTable, Seq("dl"))
+    deleteDocPartitioned(spark, idsC, pts, tfTable, Seq("tok", "tf"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
   }
@@ -3361,8 +3385,8 @@ object Streams {
       dlTable: String, tokTfTable: String, docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     val pts = forgottenPts(idsC)
-    deleteTfRows(spark, idsC, pts, dlTable, Seq("dl"))
-    deleteTfRows(spark, idsC, pts, tfTable, Seq("tok", "tf"))
+    deleteDocPartitioned(spark, idsC, pts, dlTable, Seq("dl"))
+    deleteDocPartitioned(spark, idsC, pts, tfTable, Seq("tok", "tf"))
     graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
     tryRead(spark, tokTfTable).foreach { t0 =>
       val t = t0.localCheckpoint(true)
@@ -3452,16 +3476,25 @@ object Streams {
     * each document's text is scanned once ever. The corpus-level LM
     * behind rare_pm derives AT READ in [[trainingSnapshot]] — stored
     * features would stale on every arrival. Doc store is the guard
-    * (appended LAST, text kept for audit). */
+    * (appended LAST, text kept for audit). All three tables are
+    * [[TF_PARTITIONS]]-bucketed on doc_id from their first write, so
+    * [[forgetFeatureState]] rewrites only touched partitions. */
   def maintainFeatureState(batch: DataFrame, tstatTable: String,
       mTable: String, labelsTable: String, docTable: String): Unit = {
+    val spark = batch.sparkSession
+    // heal any crashed partition publish on all three tables before
+    // appending (the tf-family entry contract)
+    Seq(tstatTable, mTable, labelsTable).foreach(t =>
+      graft.operators.MergeWriter.repairPartitionedTable(spark, t, "pt"))
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
+    def bucketed(df: DataFrame) = df.withColumn("pt",
+      pmod(col("doc_id"), lit(TF_PARTITIONS.toLong)))
     val (tstat, m) = graft.queries.TextOps.qualityDeltas(fresh)
-    tstat.write.mode("append").parquet(tstatTable)
-    m.write.mode("append").parquet(mTable)
-    graft.queries.TextOps.ruleLabels(fresh)
-      .write.mode("append").parquet(labelsTable)
+    bucketed(tstat).write.mode("append").partitionBy("pt").parquet(tstatTable)
+    bucketed(m).write.mode("append").partitionBy("pt").parquet(mTable)
+    bucketed(graft.queries.TextOps.ruleLabels(fresh))
+      .write.mode("append").partitionBy("pt").parquet(labelsTable)
     fresh.write.mode("append").parquet(docTable)
   }
 
@@ -3487,13 +3520,13 @@ object Streams {
     val tstat = tryRead(spark, tstatTable).getOrElse(emptyDf(spark,
         "doc_id" -> LongType, "n_tokens" -> LongType,
         "n_distinct" -> LongType, "n_top" -> LongType))
-      .dropDuplicates("doc_id")
+      .drop("pt").dropDuplicates("doc_id")
     val m = tryRead(spark, mTable).getOrElse(emptyDf(spark,
         "doc_id" -> LongType, "bigram" -> StringType, "m" -> LongType))
-      .dropDuplicates("doc_id", "bigram")
+      .drop("pt").dropDuplicates("doc_id", "bigram")
     val labels = tryRead(spark, labelsTable).getOrElse(emptyDf(spark,
         "doc_id" -> LongType, "y" -> LongType))
-      .dropDuplicates("doc_id")
+      .drop("pt").dropDuplicates("doc_id")
     graft.queries.TextOps.qualityFeaturesFrom(tstat, m)
       .join(labels, Seq("doc_id"))
   }
@@ -3505,16 +3538,46 @@ object Streams {
     * every OTHER doc's rare_pm is computed against, and because
     * features derive at read, every survivor's features self-repair at
     * the next [[trainingSnapshot]] — no cross-doc repair job at all.
-    * Text nulled last, same crash contract as [[forgetTfState]]. */
+    * All three tables are [[TF_PARTITIONS]]-bucketed on doc_id, so
+    * each deletion rewrites ONLY the forgotten ids' partitions
+    * (partition-pruned scan, atomic per-partition publish — the tf
+    * family's discipline). Text nulled last, same crash contract as
+    * [[forgetTfState]]. */
   def forgetFeatureState(spark: SparkSession, ids: DataFrame,
       tstatTable: String, mTable: String, labelsTable: String,
       docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
-    deleteByIds(spark, tstatTable, idsC, Seq("doc_id"))
-    deleteByIds(spark, mTable, idsC, Seq("doc_id"))
-    deleteByIds(spark, labelsTable, idsC, Seq("doc_id"))
+    val pts = forgottenPts(idsC)
+    deleteDocPartitioned(spark, idsC, pts, tstatTable,
+      Seq("n_tokens", "n_distinct", "n_top"))
+    deleteDocPartitioned(spark, idsC, pts, mTable, Seq("bigram", "m"))
+    deleteDocPartitioned(spark, idsC, pts, labelsTable, Seq("y"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
+  }
+
+  /** Compact the three feature tables: collapse redelivery duplicates
+    * (byte-identical per-doc rows) per pt bucket, preserving the
+    * partitioned layout [[forgetFeatureState]]'s pruning rests on. */
+  def compactFeatures(spark: SparkSession, tstatTable: String,
+      mTable: String, labelsTable: String): Unit = {
+    def one(table: String, keys: Seq[String], valueCols: Seq[String]): Unit = {
+      graft.operators.MergeWriter.repairPartitionedTable(spark, table, "pt")
+      tryRead(spark, table).foreach { t0 =>
+        val t = t0.localCheckpoint(true)
+        val pts = t.select(col("pt").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq // ≤ TF_PARTITIONS
+        graft.operators.MergeWriter.overwritePartitionsAtomic(
+          t.select((col("doc_id") +: valueCols.map(col))
+              :+ col("pt").cast("long").as("pt"): _*)
+            .dropDuplicates(keys)
+            .repartition(col("pt")),
+          table, "pt", pts)
+      }
+    }
+    one(tstatTable, Seq("doc_id"), Seq("n_tokens", "n_distinct", "n_top"))
+    one(mTable, Seq("doc_id", "bigram"), Seq("bigram", "m"))
+    one(labelsTable, Seq("doc_id"), Seq("y"))
   }
 
   /** Incremental document ingest (S1's streaming shape): new files landing

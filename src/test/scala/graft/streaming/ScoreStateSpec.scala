@@ -42,10 +42,15 @@ class ScoreStateSpec extends AnyFunSuite with SparkSpec {
     assert(got() == want(all), "snapshot != ta17 bucketing over the arrivals")
 
     // crash replay: the SAME scored rows land again under the same key
-    // (frozen reference ⇒ byte-identical) — the snapshot dedup collapses
+    // (frozen reference ⇒ byte-identical) THROUGH THE PARTITIONED WRITE
+    // the maintainer uses (a raw root-level append would be silently
+    // ignored by partition discovery — vacuous pin) — dedup collapses
     val b2 = all.drop(150)
     Streams.scoreDelta(df(b2), ref, b2.map(_._1).min)
-      .write.mode("append").parquet(scT)
+      .withColumn("pt", pmod($"doc_id", lit(Streams.TF_PARTITIONS.toLong)))
+      .write.mode("append").partitionBy("pt").parquet(scT)
+    assert(spark.read.parquet(scT).groupBy($"batch_key", $"doc_id").count()
+      .filter($"count" > 1).count() > 0, "replay rows did not land — pin vacuous")
     assert(got() == want(all), "replayed scored rows double-counted")
 
     // redelivery of a whole already-seen batch is a no-op
@@ -76,6 +81,54 @@ class ScoreStateSpec extends AnyFunSuite with SparkSpec {
     // idempotent re-run
     Streams.forgetScoreState(spark, fDf, scT, docT)
     assert(got() == want(remaining), "forget re-run diverged")
+  }
+
+  test("forgetScoreState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"lang", $"text").localCheckpoint(true)
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    def df(b: Seq[(Long, String, String, String)]) =
+      b.toDF("doc_id", "source", "lang", "text")
+    val root = Files.createTempDirectory("score-parts").toString
+    val (refT, scT, docT) = (s"$root/ref", s"$root/scores", s"$root/docs")
+    Streams.buildRefState(docs, refT)
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainScoreState(df(b), refT, scT, docT)
+
+    def inventory(): Map[String, Set[(String, Long, Long)]] = {
+      val base = new java.io.File(scT)
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pt="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet
+        }.toMap
+    }
+    val before = inventory()
+    assert(before.size > 1, "only one partition materialized — pin is vacuous")
+
+    val victim = 10L
+    Streams.forgetScoreState(spark, Seq(victim).toDF("doc_id"), scT, docT)
+    val after = inventory()
+    val touched = s"pt=${victim % Streams.TF_PARTITIONS}"
+    before.keys.filterNot(_ == touched).foreach { d =>
+      assert(after(d) == before(d),
+        s"untouched partition $d rewritten by a single-doc forget")
+    }
+    assert(after(touched) != before(touched),
+      "the victim's partition was not rewritten")
+    // and the snapshot is exact over the survivors
+    val ref = spark.read.parquet(refT).localCheckpoint(true)
+    assert(Streams.scoreSnapshot(spark, scT)
+      .collect().map(_.toSeq.toList).toList
+      == graft.queries.TextOps.refBuckets(
+        graft.queries.TextOps.refSurprise(
+          df(all.filter(_._1 != victim)), ref))
+      .collect().map(_.toSeq.toList).toList,
+      "partition-pruned forget drifted from from-scratch")
   }
 
   test("conflicting in-batch duplicate rows collapse to ONE arriving row, never a synthesized (source, text) combination") {
