@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical leg under ta21/ta22's scale claim — "the exact rollup's
+  * exchange carries the n-gram vocabulary; the pruned rollups carry the
+  * heavy mass" — measured where it actually bites: a corpus whose
+  * DISTINCT-BIGRAM count grows linearly with size (the testdata corpus
+  * has a fixed ~900-bigram vocabulary, so the claim is invisible
+  * there). Each synthetic doc carries one of 64 heavy phrases (support
+  * far above the 1/1024 threshold) plus `filler` id-salted unique
+  * tokens, so distinct bigrams ≈ nDocs·filler while the heavy result
+  * stays ~128 rows.
+  *
+  * Three plans produce the IDENTICAL result (asserted): EXACT (plain
+  * rollup + HAVING — partial agg emits one row per distinct bigram per
+  * map partition, the vocabulary IS the exchange), CMS (ta21's two-pass
+  * sketch prune), MG (ta22's one-pass Misra-Gries prune). For each:
+  * wall time (min of `runs`) and SHUFFLE RECORDS WRITTEN (listener sum
+  * over the job's stages — the direct measurement of what crossed the
+  * wire). COVERAGE.md records the table.
+  *
+  * Usage: `runMain graft.HeavyProbe [nDocs] [filler] [runs]`
+  * (defaults 200000, 30, 3). */
+object HeavyProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val filler = args.lift(1).map(_.toInt).getOrElse(30)
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    })
+
+    // heavy phrase h<g>A h<g>B ×4 + unique filler u<id>_1 … u<id>_m:
+    // heavy bigram support ≈ 7/(64·(8+filler)) per phrase, >> 1/1024
+    val work = java.nio.file.Files.createTempDirectory("heavy-probe").toString
+    spark.range(nDocs.toLong)
+      .select($"id".as("doc_id"), concat_ws(" ",
+        concat_ws(" ", array_repeat(
+          concat(lit("h"), pmod($"id", lit(64L)), lit("A h"),
+            pmod($"id", lit(64L)), lit("B")), 4)),
+        concat_ws(" ", transform(sequence(lit(1), lit(filler)),
+          j => concat(lit("u"), $"id", lit("_"), j)))).as("text"))
+      .write.parquet(s"$work/documents")
+    val docs = spark.read.parquet(s"$work/documents")
+
+    def occOf() = docs.select(explode(graft.functions.Text.wordNGrams(
+      graft.functions.Text.tokens($"text"), 2)).as("tok"))
+    println(s"PROF corpus nDocs=$nDocs filler=$filler " +
+      s"occurrences=${occOf().count()} distinct=${occOf().distinct().count()}")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def measure(label: String)(f: => DataFrame): Array[(String, Long)] = {
+      noop(f) // JIT/codegen warm pass
+      var recs = 0L
+      val ts = (1 to runs).map { _ =>
+        shuffled.set(0L)
+        val t0 = System.nanoTime
+        noop(f)
+        val dt = (System.nanoTime - t0) / 1e9
+        // listener events are async — give the bus a moment to drain
+        // before reading the counter (stage-completed events for a
+        // finished job land within milliseconds)
+        Thread.sleep(200)
+        recs = shuffled.get()
+        dt
+      }
+      println(f"PROF $label min=${ts.min}%.2f shuffle_records=$recs " +
+        s"runs=[${ts.map(t => f"$t%.2f").mkString(",")}]")
+      f.collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+
+    def exact(): DataFrame = {
+      val occ = occOf()
+      val total = occ.count()
+      occ.groupBy($"tok").agg(count(lit(1)).as("n"))
+        .filter($"n" * 1024L > total)
+        .select($"tok".as("bigram"), $"n")
+        .orderBy($"n".desc, $"bigram")
+    }
+    def cms(): DataFrame = {
+      val occ = occOf().localCheckpoint(true)
+      val total = occ.agg(count(lit(1)).as("total"))
+      graft.queries.TextOps.cmsHeavyFinal(
+        graft.queries.TextOps.cmsHeavyCandidates(occ, total), total)
+    }
+    def mg(): DataFrame = {
+      val occ = occOf().localCheckpoint(true)
+      val total = occ.agg(count(lit(1)).as("total"))
+      val cand = graft.operators.MisraGries.summary(occ, $"tok", 2048)
+        .select($"item".as("tok"))
+      graft.queries.TextOps.cmsHeavyFinal(
+        occ.join(broadcast(cand), Seq("tok"), "left_semi"), total)
+    }
+
+    val e = measure("exact_rollup")(exact())
+    val c = measure("cms_pruned")(cms())
+    val m = measure("mg_pruned")(mg())
+    require(e.toSeq == c.toSeq && e.toSeq == m.toSeq,
+      s"plans disagree: exact=${e.length} cms=${c.length} mg=${m.length} rows")
+    println(s"PROF agreement all_three_plans_identical rows=${e.length}")
+    spark.stop()
+  }
+}
