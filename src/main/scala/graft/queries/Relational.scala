@@ -903,6 +903,87 @@ object Relational {
       |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q47 — the SAME exact interpolated percentiles as q41, by HISTOGRAM
+    * SELECTION instead of a corpus sort: q41's documented weakness is
+    * the external window sort over every value row, single-reducer per
+    * group (3 sort partitions at any scale — the skew is inherent to
+    * sort-based order statistics). This plan never sorts the corpus:
+    *
+    *  1. ONE combinable rollup builds a per-(group, bucket) histogram,
+    *     bucket = floor(v) — monotone, bounded by the VALUE DOMAIN
+    *     (~10⁵ price buckets), not the row count; the exchange carries
+    *     touched buckets per map partition, and the cumulative-rank
+    *     window runs over the AGGREGATED histogram (≤ domain rows per
+    *     group), never the values.
+    *  2. The two target ranks per percentile (floor/ceil of p·(n−1))
+    *     locate their buckets by a range probe against that cumulative
+    *     table; a broadcast semi-join prunes the second scan to the
+    *     selected buckets only, and the within-bucket rank runs over
+    *     per-distinct-value counts of those buckets alone.
+    *
+    * Both passes' shuffles are domain-bounded; the only corpus-sized
+    * work is two scans. Interpolation is q41's formula verbatim on the
+    * same lo/hi doubles, so the result is bit-identical and the oracle
+    * is q41's. (For an unbounded value domain the bucket key becomes a
+    * coarser monotone quantization — same plan, wider pass-2 bucket.) */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    def pcts(valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      val vals = li.where(col(valueCol).isNotNull)
+        .select($"l_returnflag".as("g"), col(valueCol).cast("double").as("v"))
+        .withColumn("b", floor($"v").cast("long"))
+      val counts = vals.groupBy($"g").agg(count(lit(1)).as("n"))
+      val hist = vals.groupBy($"g", $"b").agg(count(lit(1)).as("c"))
+      val wB = Window.partitionBy($"g").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cb", coalesce(sum($"c").over(wB), lit(0L)))
+      def pos(p: Double) = lit(p) * ($"n" - lit(1L)).cast("double")
+      val targets = counts.select($"g", explode(array(ps.flatMap {
+          case (name, p) => Seq(
+            struct(lit(name).as("pname"), lit("lo").as("side"),
+              floor(pos(p)).cast("long").as("r")),
+            struct(lit(name).as("pname"), lit("hi").as("side"),
+              ceil(pos(p)).cast("long").as("r")))
+        }: _*)).as("t"))
+        .select($"g", $"t.pname", $"t.side", $"t.r")
+      val sel = targets.join(cum, Seq("g"))
+        .where($"r" >= $"cb" && $"r" < $"cb" + $"c")
+        .select($"g", $"pname", $"side", $"r", $"b", $"cb")
+        .localCheckpoint(true) // ≤ 2·|ps| rows per group
+      val selB = sel.select($"g", $"b").distinct()
+      val inB = vals.join(broadcast(selB), Seq("g", "b"), "left_semi")
+        .groupBy($"g", $"b", $"v").agg(count(lit(1)).as("vc"))
+      val wV = Window.partitionBy($"g", $"b").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = inB.withColumn("vcb", coalesce(sum($"vc").over(wV), lit(0L)))
+      val hit = sel.join(ranked, Seq("g", "b"))
+        .where($"r" >= $"cb" + $"vcb" && $"r" < $"cb" + $"vcb" + $"vc")
+        .select($"g", $"pname", $"side", $"v")
+      val frac = counts.select($"g", explode(array(ps.map { case (name, p) =>
+          struct(lit(name).as("pname"), (pos(p) - floor(pos(p))).as("fr"))
+        }: _*)).as("t"))
+        .select($"g", $"t.pname", $"t.fr")
+      val perP = hit.groupBy($"g", $"pname")
+        .agg(max(when($"side" === "lo", $"v")).as("lo"),
+          max(when($"side" === "hi", $"v")).as("hi"))
+        .join(frac, Seq("g", "pname"))
+        .select($"g", $"pname",
+          round($"lo" + ($"hi" - $"lo") * $"fr", 4).as("pv"))
+      perP.groupBy($"g")
+        .agg(ps.map { case (name, _) =>
+            max(when($"pname" === name, $"pv")).as(name)
+          }.head,
+          ps.map { case (name, _) =>
+            max(when($"pname" === name, $"pv")).as(name)
+          }.tail: _*)
+    }
+    pcts("l_quantity", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .join(pcts("l_extendedprice", Seq("price_p25" -> 0.25)), Seq("g"))
+      .select($"g".as("l_returnflag"), $"p50", $"p90", $"price_p25")
+      .orderBy($"l_returnflag")
+  }
+
   /** q42 — explicit GROUPING SETS (the rollup/cube generalization, §2.4):
     * two independent 1-D groupings plus the grand total in ONE pass —
     * Spark expands to a single Expand + aggregate, not N scans. */
@@ -1153,6 +1234,7 @@ object Relational {
     Q("q39_band_join", "same-user event pairs within 5 min (bucketed band join)", q39, Some(q39Sql)),
     Q("q40_unpivot", "wide day-of-week counts melted back to long form", q40, Some(q40Sql)),
     Q("q41_percentile", "exact interpolated percentiles per group", q41, Some(q41Sql)),
+    Q("q47_percentile_histogram", "the same exact percentiles WITHOUT a corpus sort: domain-bounded histogram rollup + cumulative-rank bucket location + bucket-pruned second pass — the plan that replaces q41's single-reducer-per-group external sort at scale", q47, Some(q41Sql)),
     Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
     Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
     Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),

@@ -1136,6 +1136,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "dup report must shuffle on the chunk digest")
   }
 
+  test("q47: histogram percentile — every window sits above an aggregate (never sorts value rows) and == q41 exactly") {
+    val d = df("q47_percentile_histogram")
+    val got = d.collect().map(_.toSeq.toList).toList
+    assert(got == df("q41_percentile").collect().map(_.toSeq.toList).toList,
+      "histogram selection drifted from the sort-based exact percentiles")
+    // the windows (cumulative bucket rank, within-bucket rank) must run
+    // over AGGREGATED frames: every WindowExec's subtree contains an
+    // aggregate between it and any scan — q41's corpus value sort is
+    // exactly what this plan exists to avoid
+    nodes(d).collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach { w =>
+        assert(nodes(w.child).exists(n =>
+          n.isInstanceOf[HashAggregateExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+          "a window runs directly over un-aggregated value rows")
+      }
+  }
+
   test("sa09: weighted draw is TakeOrderedAndProject — ticket fan-out row-local, no explode, no corpus sort") {
     val d = df("sa09_weighted_sample")
     d.collect()
