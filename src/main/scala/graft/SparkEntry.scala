@@ -210,7 +210,11 @@ import graft.queries.Catalog
   *    ta21 two-pass (CMS hot-cell broadcast semi-join prune), ta22
   *    one-pass (operators.MisraGries bounded mergeable summary as the
   *    candidate set); both feed the shared exact tail, so the result
-  *    equals the plain rollup and the oracle is exact
+  *    equals the plain rollup and the oracle is exact; pp30 the
+  *    incremental twin (maintained bigram cells replace the sketch
+  *    pass; threshold from row-conservation, no extra corpus scan);
+  *    q47 exact percentiles by histogram selection (domain-bounded
+  *    exchanges, no corpus sort — q41's scale successor, same oracle)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

@@ -2379,23 +2379,32 @@ object TextOps {
     * not by distinct-key count. Threshold integer-exact both sides
     * (n·1024 > total — never divided); the oracle is the PLAIN exact
     * rollup, equal by the one-sided guarantee. */
-  /** The prune pass: occurrences ALL of whose d cells clear the support
-    * threshold — four broadcast left-semi joins against the ≤ d·w hot
-    * cells, entirely map-side. One-sided: a true heavy hitter's cells
-    * are all ≥ its count, so it always survives (spec-pinned on a
-    * skewed fixture where the prune drops >90% of occurrences). */
-  private[graft] def cmsHeavyCandidates(occ: DataFrame,
-      total: DataFrame): DataFrame = {
-    val hot = cmsCellsFromTokens(occ)
-      .crossJoin(broadcast(total))
+  /** The hot cells of a (j, b, n) sketch under the 1/1024 support
+    * threshold (integer-exact: n·1024 > total, never divided) — ≤ d·w
+    * rows, checkpointed for reuse by the four semi joins. */
+  private[graft] def cmsHotCells(cells: DataFrame,
+      total: DataFrame): DataFrame =
+    cells.crossJoin(broadcast(total))
       .filter(col("n") * lit(1024L) > col("total"))
-      .localCheckpoint(true) // ≤ d·w rows, reused by all four semi joins
+      .localCheckpoint(true)
+
+  /** The prune pass: occurrences ALL of whose d cells are hot — four
+    * broadcast left-semi joins, entirely map-side. One-sided: a true
+    * heavy hitter's cells are all ≥ its count, so it always survives
+    * (spec-pinned on a skewed fixture where the prune drops >90% of
+    * cold occurrences). */
+  private[graft] def cmsPruneByHot(occ: DataFrame, hot: DataFrame): DataFrame =
     (0 until CMS_D).foldLeft(occ) { (df, j) =>
       val hj = hot.filter(col("j") === j).select(col("b").as(s"b$j"))
       df.join(broadcast(hj),
         cmsBucket(lit(j), df("tok")) === col(s"b$j"), "left_semi")
     }
-  }
+
+  /** ta21's candidate stage: sketch the occurrence frame, threshold the
+    * cells, prune. pp30 swaps the first step for MAINTAINED cells. */
+  private[graft] def cmsHeavyCandidates(occ: DataFrame,
+      total: DataFrame): DataFrame =
+    cmsPruneByHot(occ, cmsHotCells(cmsCellsFromTokens(occ), total))
   /** Exact rollup over the candidate survivors + the exact HAVING that
     * kills collision false positives — [[ta21]]'s tail, shared with the
     * spec's fixture replay. */
@@ -2406,11 +2415,14 @@ object TextOps {
       .filter(col("n") * lit(1024L) > col("total"))
       .select(col("tok").as("bigram"), col("n"))
       .orderBy(col("n").desc, col("bigram"))
+  /** One bigram-occurrence row per consecutive token pair — the frame
+    * ta21/ta22/pp30 sketch, prune, and exact-rollup. */
+  private def bigramOcc(docs: DataFrame): DataFrame =
+    docs.select(explode(Text.wordNGrams(Text.tokens(col("text")), 2))
+      .as("tok"))
   private def ta21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val occ = documents(s, d)
-      .select(explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("tok"))
-      .localCheckpoint(true)
+    val occ = bigramOcc(documents(s, d)).localCheckpoint(true)
     val total = occ.agg(count(lit(1)).as("total"))
     cmsHeavyFinal(cmsHeavyCandidates(occ, total), total)
   }
@@ -2442,14 +2454,43 @@ object TextOps {
     * pass count, not correctness. */
   private def ta22(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val occ = documents(s, d)
-      .select(explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("tok"))
-      .localCheckpoint(true)
+    val occ = bigramOcc(documents(s, d)).localCheckpoint(true)
     val total = occ.agg(count(lit(1)).as("total"))
     val cand = graft.operators.MisraGries.summary(occ, $"tok", 2048)
       .select($"item".as("tok"))
     cmsHeavyFinal(
       occ.join(broadcast(cand), Seq("tok"), "left_semi"), total)
+  }
+
+  /** pp30 — INCREMENTAL heavy hitters: ta21 with the sketch pass
+    * MAINTAINED instead of rebuilt. Standing state = the bigram CMS
+    * cells (cells of doc-disjoint batches ADD — pp29's additivity, over
+    * bigram occurrences); the advance is one batch-sized cell pass. At
+    * query time the hot set derives from the maintained cells with NO
+    * sketch scan — even the support threshold needs no corpus pass,
+    * because every hash row conserves the occurrence total
+    * (spec-pinned), so total = Σ row-0 cells. Only the exact
+    * verification pass (prune + rollup over the doc store, which every
+    * heavy-hitter query pays anyway) touches the corpus: the
+    * two-pass pattern becomes one-pass-per-query under maintenance.
+    * Oracle = ta21's verbatim (the one-sided guarantee is
+    * batch-composition-invariant). */
+  private def pp30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("hhn:"),
+      $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp30", d) { dir =>
+      cmsCellsFromTokens(bigramOcc(docs.filter(!isNew)))
+        .write.parquet(s"$dir/cells")
+    }
+    val cells = s.read.parquet(s"$stand/cells")
+      .unionByName(cmsCellsFromTokens(bigramOcc(docs.filter(isNew))))
+      .groupBy($"j", $"b").agg(sum($"n").as("n"))
+      .localCheckpoint(true)
+    val total = cells.filter($"j" === 0).agg(sum($"n").as("total"))
+    val occ = bigramOcc(docs).localCheckpoint(true)
+    cmsHeavyFinal(cmsPruneByHot(occ, cmsHotCells(cells, total)), total)
   }
 
   private val ta09Sql =
@@ -3490,6 +3531,7 @@ object TextOps {
     Q("pp29_incremental_cms", "incremental CMS maintenance: standing cells + vocab counts advanced by one batch tokenize (cells of doc-disjoint batches ADD), probe == ta20", pp29, Some(ta20Sql)),
     Q("ta21_cms_heavy_hitters", "CMS-pruned exact heavy hitters over bigrams: sketch pass + four broadcast semi-join prunes, exact rollup over survivors only — the shuffle carries the heavy mass, never the n-gram vocabulary; one-sided sketch => result == plain exact rollup", ta21, Some(ta21Sql)),
     Q("ta22_mg_heavy_hitters", "Misra-Gries-pruned exact heavy hitters: one-pass 2048-counter mergeable summary (undercount <= n/(k+1) under any merge tree) broadcasts the candidate set into a left-semi prune + exact rollup — same result as ta21, one fewer corpus pass", ta22, Some(ta21Sql)),
+    Q("pp30_incremental_heavy", "incremental heavy hitters: standing bigram CMS cells advanced per batch; the hot set AND the support threshold (row-conservation) derive from the maintained cells with no sketch scan — only the exact verification pass touches the corpus; result == ta21", pp30, Some(ta21Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )
