@@ -61,29 +61,37 @@ object HeavyProbe {
       .write.parquet(s"$work/documents")
     val docs = spark.read.parquet(s"$work/documents")
 
-    def occOf() = docs.select(explode(graft.functions.Text.wordNGrams(
-      graft.functions.Text.tokens($"text"), 2)).as("tok"))
+    def occOf() = graft.queries.TextOps.bigramOcc(docs)
     println(s"PROF corpus nDocs=$nDocs filler=$filler " +
       s"occurrences=${occOf().count()} distinct=${occOf().distinct().count()}")
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // listener events are async: poll the counter until it is stable
+    // across two reads — a fixed sleep can undercount on a loaded host
+    def drained(): Long = {
+      var prev = -1L
+      var cur = shuffled.get()
+      while (cur != prev) { Thread.sleep(100); prev = cur; cur = shuffled.get() }
+      cur
+    }
     def measure(label: String)(f: => DataFrame): Array[(String, Long)] = {
       noop(f) // JIT/codegen warm pass
-      var recs = 0L
-      val ts = (1 to runs).map { _ =>
-        shuffled.set(0L)
+      val measured = (1 to runs).map { _ =>
+        drained(); shuffled.set(0L)
         val t0 = System.nanoTime
         noop(f)
         val dt = (System.nanoTime - t0) / 1e9
-        // listener events are async — give the bus a moment to drain
-        // before reading the counter (stage-completed events for a
-        // finished job land within milliseconds)
-        Thread.sleep(200)
-        recs = shuffled.get()
-        dt
+        (dt, drained())
       }
-      println(f"PROF $label min=${ts.min}%.2f shuffle_records=$recs " +
+      val (ts, rs) = (measured.map(_._1), measured.map(_._2))
+      // the plans are deterministic, so per-run record counts must
+      // agree — a mismatch means dropped/leaked listener events and
+      // the measurement is not trustworthy
+      if (rs.distinct.size != 1)
+        println(s"PROF WARNING $label shuffle_records varied across " +
+          s"runs: ${rs.mkString(",")} — treat the count as unreliable")
+      println(f"PROF $label min=${ts.min}%.2f shuffle_records=${rs.max} " +
         s"runs=[${ts.map(t => f"$t%.2f").mkString(",")}]")
       f.collect().map(r => (r.getString(0), r.getLong(1)))
     }

@@ -38,9 +38,22 @@ object MergeWriter {
     * Parquet-on-filesystem stand-in for a transactional table format (the
     * offline environment has no Delta/Iceberg); the swap is the analog of
     * the reference's single-transaction commit (pdf_to_db.py:351). */
-  def overwriteAtomic(df: DataFrame, path: String): Unit = {
+  def overwriteAtomic(df: DataFrame, path: String): Unit =
+    overwriteAtomicImpl(df, path, None)
+
+  /** [[overwriteAtomic]] staging the snapshot PARTITIONED by `partCol`
+    * — the whole-table rewrite that PRESERVES (or first establishes) a
+    * partition layout, e.g. migrating a flat doc-keyed table to the
+    * pt-bucketed contract in one atomic swap. */
+  def overwriteAtomicPartitioned(df: DataFrame, path: String,
+      partCol: String): Unit =
+    overwriteAtomicImpl(df, path, Some(partCol))
+
+  private def overwriteAtomicImpl(df: DataFrame, path: String,
+      partCol: Option[String]): Unit = {
     val tmp = path + ".staging"
-    df.write.mode("overwrite").parquet(tmp)
+    val w = df.write.mode("overwrite")
+    partCol.fold(w)(w.partitionBy(_)).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

@@ -970,13 +970,10 @@ object Relational {
         .join(frac, Seq("g", "pname"))
         .select($"g", $"pname",
           round($"lo" + ($"hi" - $"lo") * $"fr", 4).as("pv"))
-      perP.groupBy($"g")
-        .agg(ps.map { case (name, _) =>
-            max(when($"pname" === name, $"pv")).as(name)
-          }.head,
-          ps.map { case (name, _) =>
-            max(when($"pname" === name, $"pv")).as(name)
-          }.tail: _*)
+      val pivots = ps.map { case (name, _) =>
+        max(when($"pname" === name, $"pv")).as(name)
+      }
+      perP.groupBy($"g").agg(pivots.head, pivots.tail: _*)
     }
     pcts("l_quantity", Seq("p50" -> 0.5, "p90" -> 0.9))
       .join(pcts("l_extendedprice", Seq("price_p25" -> 0.25)), Seq("g"))

@@ -2417,7 +2417,7 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
   /** One bigram-occurrence row per consecutive token pair — the frame
     * ta21/ta22/pp30 sketch, prune, and exact-rollup. */
-  private def bigramOcc(docs: DataFrame): DataFrame =
+  private[graft] def bigramOcc(docs: DataFrame): DataFrame =
     docs.select(explode(Text.wordNGrams(Text.tokens(col("text")), 2))
       .as("tok"))
   private def ta21(s: SparkSession, d: String): DataFrame = {
@@ -2489,7 +2489,9 @@ object TextOps {
       .groupBy($"j", $"b").agg(sum($"n").as("n"))
       .localCheckpoint(true)
     val total = cells.filter($"j" === 0).agg(sum($"n").as("total"))
-    val occ = bigramOcc(docs).localCheckpoint(true)
+    // NOT checkpointed: the prune + rollup consume it in ONE pass (the
+    // whole point — the maintained cells replaced the sketch pass)
+    val occ = bigramOcc(docs)
     cmsHeavyFinal(cmsPruneByHot(occ, cmsHotCells(cells, total)), total)
   }
 

@@ -2984,9 +2984,12 @@ object Streams {
     val spark = batch.sparkSession
     // heal any crashed partition publish before appending (a pending
     // committed stage would otherwise overwrite this append's files
-    // when a later op rolls it forward — the tf-family entry contract)
+    // when a later op rolls it forward — the tf-family entry contract),
+    // then migrate a pre-layout flat table before the first
+    // partitioned append can strand its rows
     graft.operators.MergeWriter.repairPartitionedTable(
       spark, scoresTable, "pt")
+    migrateDocBucketed(spark, scoresTable)
     val fresh = freshAgainst(batch, docTable, Seq("source", "text"))
     if (fresh.isEmpty) return
     val batchKey = fresh.agg(min(col("doc_id"))).head().getLong(0)
@@ -3058,19 +3061,48 @@ object Streams {
     * identical row and the snapshot dedup collapses it again) and
     * repack — per pt bucket, preserving the partitioned layout the
     * forget's pruning rests on. */
-  def compactScores(spark: SparkSession, scoresTable: String): Unit = {
-    graft.operators.MergeWriter.repairPartitionedTable(
-      spark, scoresTable, "pt")
-    tryRead(spark, scoresTable).foreach { t0 =>
+  def compactScores(spark: SparkSession, scoresTable: String): Unit =
+    compactDocPartitioned(spark, scoresTable, Seq("batch_key", "doc_id"),
+      Seq("batch_key", "doc_id", "source", "score"))
+
+  /** Migrate a doc-bucketed standing table that predates the
+    * [[TF_PARTITIONS]] layout: a FLAT table (no pt column) is rewritten
+    * partitioned ONCE, in [[graft.operators.MergeWriter]]'s atomic
+    * whole-table swap. Without this, the first partitioned append would
+    * create pt= dirs beside the flat files, and partition discovery
+    * would silently drop every pre-layout row from every read — the
+    * exact failure mode the [[TF_PARTITIONS]] Scaladoc documents.
+    * No-op on already-partitioned or absent tables; every partitioned
+    * maintainer/forget/compaction entry point calls it. */
+  private def migrateDocBucketed(spark: SparkSession, table: String): Unit =
+    tryRead(spark, table).foreach { t =>
+      if (!t.columns.contains("pt"))
+        graft.operators.MergeWriter.overwriteAtomicPartitioned(
+          t.localCheckpoint(true).withColumn("pt",
+            pmod(col("doc_id"), lit(TF_PARTITIONS.toLong))),
+          table, "pt")
+    }
+
+  /** The per-bucket compaction EVERY doc-bucketed standing table shares
+    * (scores, the feature tables): heal a crashed publish, migrate a
+    * pre-layout flat table, collapse redelivery duplicates on
+    * `dedupKeys`, and republish each live bucket atomically —
+    * the layout the partition-pruned forgets rest on is preserved.
+    * `valueCols` is the table's full column set minus pt, in write
+    * order. */
+  private def compactDocPartitioned(spark: SparkSession, table: String,
+      dedupKeys: Seq[String], valueCols: Seq[String]): Unit = {
+    graft.operators.MergeWriter.repairPartitionedTable(spark, table, "pt")
+    migrateDocBucketed(spark, table)
+    tryRead(spark, table).foreach { t0 =>
       val t = t0.localCheckpoint(true)
       val pts = t.select(col("pt").cast("long")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq // ≤ TF_PARTITIONS
       graft.operators.MergeWriter.overwritePartitionsAtomic(
-        t.select(col("batch_key"), col("doc_id"), col("source"),
-            col("score"), col("pt").cast("long").as("pt"))
-          .dropDuplicates("batch_key", "doc_id")
+        t.select(valueCols.map(col) :+ col("pt").cast("long").as("pt"): _*)
+          .dropDuplicates(dedupKeys)
           .repartition(col("pt")),
-        scoresTable, "pt", pts)
+        table, "pt", pts)
     }
   }
 
@@ -3088,12 +3120,13 @@ object Streams {
     * constant with corpus size — partitions should stay several files
     * each, not thousands).
     *
-    * The LAYOUT is part of the contract from the table's first write: a
-    * pre-existing FLAT tf table must be migrated (read + rewrite
-    * partitioned) BEFORE the first partitioned advance — once pt= dirs
-    * exist, Spark's partition discovery silently ignores data files at
-    * the table root, so mixing layouts loses the flat rows from every
-    * read with no error anywhere. */
+    * The LAYOUT is part of the contract from the table's first write —
+    * once pt= dirs exist, Spark's partition discovery silently ignores
+    * data files at the table root, so mixing layouts loses the flat
+    * rows from every read with no error anywhere. Every partitioned
+    * maintainer/forget/compaction entry point therefore runs
+    * [[migrateDocBucketed]] (atomic flat→partitioned rewrite, no-op
+    * once migrated) BEFORE its first partitioned write. */
   private[graft] val TF_PARTITIONS = 64
 
   /** pp26's continuous twin: CONTINUOUS retrieval-index maintenance —
@@ -3115,6 +3148,7 @@ object Streams {
     // when a later op rolls it forward
     graft.operators.MergeWriter.repairPartitionedTable(
       batch.sparkSession, tfTable, "pt")
+    migrateDocBucketed(batch.sparkSession, tfTable)
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
     graft.queries.TextOps.tfRollup(fresh)
@@ -3138,6 +3172,7 @@ object Streams {
     val spark = batch.sparkSession
     graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
     graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
+    Seq(tfTable, dlTable).foreach(migrateDocBucketed(spark, _))
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
     val rolled = graft.queries.TextOps.tfRollup(fresh).localCheckpoint(true)
@@ -3170,6 +3205,7 @@ object Streams {
     graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
     graft.operators.MergeWriter.repairPartitionedTable(spark, dlTable, "pt")
     graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
+    Seq(tfTable, dlTable).foreach(migrateDocBucketed(spark, _))
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
     val rolled = graft.queries.TextOps.tfRollup(fresh).localCheckpoint(true)
@@ -3337,6 +3373,7 @@ object Streams {
   private def deleteDocPartitioned(spark: SparkSession, idsC: DataFrame,
       pts: IndexedSeq[Long], table: String, valueCols: Seq[String]): Unit = {
     graft.operators.MergeWriter.repairPartitionedTable(spark, table, "pt")
+    migrateDocBucketed(spark, table)
     tryRead(spark, table).foreach { t0 =>
       val surviving = t0.filter(col("pt").isin(pts: _*))
         .join(idsC, Seq("doc_id"), "left_anti")
@@ -3483,9 +3520,12 @@ object Streams {
       mTable: String, labelsTable: String, docTable: String): Unit = {
     val spark = batch.sparkSession
     // heal any crashed partition publish on all three tables before
-    // appending (the tf-family entry contract)
-    Seq(tstatTable, mTable, labelsTable).foreach(t =>
-      graft.operators.MergeWriter.repairPartitionedTable(spark, t, "pt"))
+    // appending (the tf-family entry contract), then migrate any
+    // pre-layout flat table
+    Seq(tstatTable, mTable, labelsTable).foreach { t =>
+      graft.operators.MergeWriter.repairPartitionedTable(spark, t, "pt")
+      migrateDocBucketed(spark, t)
+    }
     val fresh = freshAgainst(batch, docTable)
     if (fresh.isEmpty) return
     def bucketed(df: DataFrame) = df.withColumn("pt",
@@ -3561,23 +3601,12 @@ object Streams {
     * partitioned layout [[forgetFeatureState]]'s pruning rests on. */
   def compactFeatures(spark: SparkSession, tstatTable: String,
       mTable: String, labelsTable: String): Unit = {
-    def one(table: String, keys: Seq[String], valueCols: Seq[String]): Unit = {
-      graft.operators.MergeWriter.repairPartitionedTable(spark, table, "pt")
-      tryRead(spark, table).foreach { t0 =>
-        val t = t0.localCheckpoint(true)
-        val pts = t.select(col("pt").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq // ≤ TF_PARTITIONS
-        graft.operators.MergeWriter.overwritePartitionsAtomic(
-          t.select((col("doc_id") +: valueCols.map(col))
-              :+ col("pt").cast("long").as("pt"): _*)
-            .dropDuplicates(keys)
-            .repartition(col("pt")),
-          table, "pt", pts)
-      }
-    }
-    one(tstatTable, Seq("doc_id"), Seq("n_tokens", "n_distinct", "n_top"))
-    one(mTable, Seq("doc_id", "bigram"), Seq("bigram", "m"))
-    one(labelsTable, Seq("doc_id"), Seq("y"))
+    compactDocPartitioned(spark, tstatTable, Seq("doc_id"),
+      Seq("doc_id", "n_tokens", "n_distinct", "n_top"))
+    compactDocPartitioned(spark, mTable, Seq("doc_id", "bigram"),
+      Seq("doc_id", "bigram", "m"))
+    compactDocPartitioned(spark, labelsTable, Seq("doc_id"),
+      Seq("doc_id", "y"))
   }
 
   /** Incremental document ingest (S1's streaming shape): new files landing

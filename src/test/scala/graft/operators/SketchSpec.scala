@@ -151,10 +151,8 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     // gate == the plain exact rollup (the one-sided guarantee, end to end)
     val got = graft.queries.Catalog.byName("ta21_cms_heavy_hitters")
       .fn(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
-    val occ = graft.Tables.documents(spark, sfDir)
-      .select(explode(graft.functions.Text.wordNGrams(
-        graft.functions.Text.tokens($"text"), 2)).as("tok"))
-      .localCheckpoint(true)
+    val occ = graft.queries.TextOps.bigramOcc(
+      graft.Tables.documents(spark, sfDir)).localCheckpoint(true)
     val total = occ.count()
     val exact = occ.groupBy($"tok").agg(count(lit(1)).as("n"))
       .filter($"n" * 1024L > total)

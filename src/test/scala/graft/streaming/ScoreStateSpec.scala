@@ -131,6 +131,50 @@ class ScoreStateSpec extends AnyFunSuite with SparkSpec {
       "partition-pruned forget drifted from from-scratch")
   }
 
+  test("a pre-layout FLAT score table migrates atomically on the first partitioned advance — no silent row loss") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"lang", $"text").localCheckpoint(true)
+    val all = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    def df(b: Seq[(Long, String, String, String)]) =
+      b.toDF("doc_id", "source", "lang", "text")
+    val root = Files.createTempDirectory("score-migrate").toString
+    val (refT, scT, docT) = (s"$root/ref", s"$root/scores", s"$root/docs")
+    Streams.buildRefState(docs, refT)
+    val ref = spark.read.parquet(refT).localCheckpoint(true)
+
+    // the legacy state: a FLAT scores table + guard, exactly what the
+    // pre-layout maintainer wrote
+    val b1 = all.take(150)
+    Streams.scoreDelta(df(b1), ref, b1.map(_._1).min)
+      .write.parquet(scT)
+    b1.map(_._1).toSeq.toDF("doc_id").write.parquet(docT)
+
+    // first new-layout advance: without migration the pt= dirs would
+    // shadow the flat rows and the old docs would vanish from reads
+    Streams.maintainScoreState(df(all.drop(150)), refT, scT, docT)
+    assert(spark.read.parquet(scT).columns.contains("pt"),
+      "table did not migrate to the partitioned layout")
+    val want = graft.queries.TextOps.refBuckets(
+        graft.queries.TextOps.refSurprise(df(all), ref))
+      .collect().map(_.toSeq.toList).toList
+    assert(Streams.scoreSnapshot(spark, scT)
+      .collect().map(_.toSeq.toList).toList == want,
+      "pre-layout rows lost across the migration")
+    // and the partition-pruned forget works on the migrated table
+    Streams.forgetScoreState(spark, Seq(10L).toDF("doc_id"), scT, docT)
+    assert(Streams.scoreSnapshot(spark, scT)
+      .collect().map(_.toSeq.toList).toList
+      == graft.queries.TextOps.refBuckets(
+        graft.queries.TextOps.refSurprise(
+          df(all.filter(_._1 != 10L)), ref))
+      .collect().map(_.toSeq.toList).toList,
+      "forget over the migrated table drifted")
+  }
+
   test("conflicting in-batch duplicate rows collapse to ONE arriving row, never a synthesized (source, text) combination") {
     import spark.implicits._
     val root = Files.createTempDirectory("score-dup").toString
