@@ -45,7 +45,8 @@ object Bench {
         "pp21_incremental_chunks", "pp22_incremental_budget",
         "pp25_incremental_perplexity", "pp26_incremental_bm25",
         "pp27_incremental_classifier", "pp28_incremental_opq",
-        "pp29_incremental_cms", "pp30_incremental_heavy")) {
+        "pp29_incremental_cms", "pp30_incremental_heavy",
+        "pp31_incremental_hll")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>

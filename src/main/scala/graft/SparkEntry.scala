@@ -214,7 +214,20 @@ import graft.queries.Catalog
   *    incremental twin (maintained bigram cells replace the sketch
   *    pass; threshold from row-conservation, no extra corpus scan);
   *    q47 exact percentiles by histogram selection (domain-bounded
-  *    exchanges, no corpus sort — q41's scale successor, same oracle)
+  *    exchanges, no corpus sort — q41's scale successor, same oracle);
+  *    ta23 HyperLogLog distinct estimation (operators.HllSketch — 64
+  *    integer registers per group from md5-fold bits, harmonic sum as
+  *    an exact scaled BIGINT, α₆₄ the rational 709/1000, linear
+  *    counting a shared 64-entry literal table: registers, sum AND
+  *    estimate oracle-replayed; the idempotent-max counterpart of
+  *    q45's KMV — the exchange carries ≤64 register rows per group per
+  *    map, never values) + pp31 its incremental twin (standing
+  *    register table advanced by register-wise max, replays absorbed
+  *    by idempotence — no batch keys, no dedup; estimate == ta23) +
+  *    Streams.maintainHllState / hllSnapshot / compactHll /
+  *    forgetHllState (max does not invert: forget is a rebuild over
+  *    the survivors' stored text + atomic swap — the documented
+  *    non-additive trade)
   *  - Scale operators without query-gate shape: graft.operators.Bucketing
   *    (shuffle-free co-bucketed joins), Salting (skew), AsofJoin
   *  - Oil-wells domain pipeline itself (S1–S15, F-bank on real dirty data):

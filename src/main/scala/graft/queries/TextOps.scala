@@ -2495,6 +2495,80 @@ object TextOps {
     cmsHeavyFinal(cmsPruneByHot(occ, cmsHotCells(cells, total)), total)
   }
 
+  /** ta23 — HYPERLOGLOG distinct-count estimation (Flajolet et al.) per
+    * source: the production distinct sketch, integer-exact end to end so
+    * the oracle replays registers, harmonic sum, and estimate bit for
+    * bit (see [[graft.operators.HllSketch]] for the construction — md5
+    * fold → top-6-bit register / 26-bit rank, Σ2^(−Mⱼ) scaled to an
+    * exact BIGINT, α₆₄ as the rational 709/1000 under floor division,
+    * linear counting as a shared 64-entry literal table). The scale
+    * story vs q28's exact `COUNT(DISTINCT)` and q45's KMV: the exact
+    * plan shuffles the distinct-value table itself; KMV bounds the
+    * exchange at k longs per (group, map) but saturates; HLL's exchange
+    * is ≤ 64 register rows per (group, map), its merge is IDEMPOTENT
+    * max (overlap-safe without dedup), and the standing state per group
+    * is 64 small integers at ANY cardinality — which is why the
+    * 100 TB rollup defaults to HLL. Registers are a plain combinable
+    * hash aggregate; nothing in the plan depends on value order. */
+  private def ta23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = documents(s, d)
+      .select($"source", explode(Text.tokens($"text")).as("tok"))
+    graft.operators.HllSketch.estimated(
+      graft.operators.HllSketch.registers(
+        occ, "source", QueryUtils.hex8($"tok")),
+      "source").orderBy($"source")
+  }
+  private val ta23Sql = {
+    val h = QueryUtils.hex8Sql("tok")
+    val lc = graft.operators.HllSketch.linearCountSqlList
+    s"""WITH a AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+       |h AS (SELECT source, $h AS h FROM a),
+       |r AS (SELECT source, h >> 26 AS j,
+       |        27 - list_max([CASE WHEN ((h & 67108863) >> (p-1)) & 1 = 1 THEN p ELSE 0 END for p in range(1, 27)]) AS rho
+       |      FROM h),
+       |g AS (SELECT source, j, MAX(rho) AS m FROM r GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(27 - m AS INT))
+       |              + (64 - COUNT(*)) * 134217728 AS BIGINT) AS s_scaled
+       |       FROM g GROUP BY 1),
+       |e AS (SELECT source, n_zero, s_scaled,
+       |        ${709L * 64 * 64 * (1L << 27)} // (1000 * s_scaled) AS est_raw FROM st)
+       |SELECT source, n_zero, s_scaled,
+       |  CAST(CASE WHEN est_raw <= 160 AND n_zero > 0
+       |       THEN $lc[CAST(n_zero AS INT)] ELSE est_raw END AS BIGINT) AS est_distinct
+       |FROM e ORDER BY source""".stripMargin
+  }
+
+  /** pp31 — INCREMENTAL HLL maintenance, ta23's twin: the standing
+    * state is the register table itself (≤ 64 rows per source — the
+    * SMALLEST standing state of any incremental family), advanced by
+    * register-wise max with one batch-sized tokenize+hash pass. Max is
+    * associative, commutative, and IDEMPOTENT, so the merge is
+    * batch-composition-invariant AND overlap-tolerant (a replayed batch
+    * is absorbed with no dedup machinery) — the oracle is ta23's,
+    * verbatim. The honest trade, stated where it bites: max does not
+    * invert, so unlike the additive counts family there is NO
+    * O(deleted) forget — deletion propagation for HLL state is a
+    * rebuild over survivors (Streams.forgetHllState). Continuous twin
+    * Streams.maintainHllState. */
+  private def pp31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("hlln:"),
+      $"doc_id".cast("string"))) % 5 === 0
+    def regs(part: DataFrame) = graft.operators.HllSketch.registers(
+      part.select($"source", explode(Text.tokens($"text")).as("tok")),
+      "source", QueryUtils.hex8(col("tok")))
+    val stand = QueryUtils.standingDir(s, "pp31", d) { dir =>
+      regs(docs.filter(!isNew)).write.parquet(s"$dir/regs")
+    }
+    graft.operators.HllSketch.estimated(
+      graft.operators.HllSketch.merged("source",
+        s.read.parquet(s"$stand/regs"), regs(docs.filter(isNew))),
+      "source").orderBy($"source")
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -3534,6 +3608,8 @@ object TextOps {
     Q("ta21_cms_heavy_hitters", "CMS-pruned exact heavy hitters over bigrams: sketch pass + four broadcast semi-join prunes, exact rollup over survivors only — the shuffle carries the heavy mass, never the n-gram vocabulary; one-sided sketch => result == plain exact rollup", ta21, Some(ta21Sql)),
     Q("ta22_mg_heavy_hitters", "Misra-Gries-pruned exact heavy hitters: one-pass 2048-counter mergeable summary (undercount <= n/(k+1) under any merge tree) broadcasts the candidate set into a left-semi prune + exact rollup — same result as ta21, one fewer corpus pass", ta22, Some(ta21Sql)),
     Q("pp30_incremental_heavy", "incremental heavy hitters: standing bigram CMS cells advanced per batch; the hot set AND the support threshold (row-conservation) derive from the maintained cells with no sketch scan — only the exact verification pass touches the corpus; result == ta21", pp30, Some(ta21Sql)),
+    Q("ta23_hll_distinct", "HyperLogLog distinct-count sketch per source: 64 integer registers from md5-fold bits, harmonic sum scaled to exact BIGINT, alpha as rational 709/1000, linear-counting via shared literal table — registers, sum, and estimate all oracle-replayed; idempotent max merge, exchange carries registers never values", ta23, Some(ta23Sql)),
+    Q("pp31_incremental_hll", "incremental HLL maintenance: standing register table (<= 64 rows per source) advanced by register-wise max from one batch pass; idempotent merge absorbs replays with no dedup — estimate == ta23; forget is rebuild-over-survivors (max does not invert, documented)", pp31, Some(ta23Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )

@@ -2141,6 +2141,99 @@ object Streams {
         .map(_.filter(col("text").isNull).select(col("doc_id"))),
       dropZeroKeys = true)
 
+  /** pp31's continuous twin: CONTINUOUS HyperLogLog maintenance — the
+    * distinct-count member of the sketch family, and the one standing
+    * state in the file whose merge is IDEMPOTENT (register-wise max).
+    * That idempotence simplifies the whole contract: the appended rows
+    * need NO batch key and the snapshot needs NO replay dedup — a
+    * redelivered batch re-appends byte-identical register rows that the
+    * max fold absorbs; out-of-order and overlapping deliveries are
+    * equally absorbed. The standing table is ≤ 64 rows per source per
+    * append (compaction folds it to ≤ 64 per source total), the
+    * smallest standing state of any family here. The guard still
+    * appends LAST (at-least-once: a crash between appends re-runs the
+    * batch, and the max absorbs the duplicate), and the doc store still
+    * keeps (doc_id, source, text) — the text is what [[forgetHllState]]
+    * rebuilds from, because max does NOT invert: HLL has no O(deleted)
+    * decrement path, so deletion propagation for this family is an
+    * O(survivors) register rebuild + atomic swap (the honest trade the
+    * pp31 Scaladoc states; every additive family keeps its cheaper
+    * negative-delta path). */
+  def maintainHllState(batch: DataFrame, regTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable, Seq("source", "text"))
+    if (fresh.isEmpty) return
+    hllDelta(fresh).write.mode("append").parquet(regTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The register rows of one batch — [[maintainHllState]]'s append,
+    * shared with the crash-simulation spec. */
+  private[graft] def hllDelta(fresh: DataFrame): DataFrame =
+    graft.operators.HllSketch.registers(
+      fresh.select(col("source"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok")),
+      "source", graft.queries.QueryUtils.hex8(col("tok")))
+
+  /** [[maintainHllState]] as a foreachBatch sink over a (doc_id, source,
+    * text) document stream. */
+  def hllStateStream(docs: DataFrame, regTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainHllState(b, regTable, docTable))
+      .start()
+
+  /** The current ta23 view under the maintained registers: fold the
+    * appended register rows by max and estimate. No dedup column —
+    * idempotence IS the dedup (see [[maintainHllState]]). */
+  def hllSnapshot(spark: SparkSession, regTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.operators.HllSketch.estimated(
+      tryRead(spark, regTable).getOrElse(emptyDf(spark,
+          "source" -> StringType, "j" -> LongType, "m" -> IntegerType))
+        .groupBy(col("source"), col("j"))
+        .agg(max(col("m")).as("m")),
+      "source")
+  }
+
+  /** Compact the appended register rows to ≤ 64 per source — the max
+    * fold materialized, atomically swapped. */
+  def compactHll(spark: SparkSession, regTable: String): Unit =
+    tryRead(spark, regTable).foreach { t =>
+      graft.operators.MergeWriter.overwriteAtomic(
+        t.localCheckpoint(true)
+          .groupBy(col("source"), col("j")).agg(max(col("m")).as("m"))
+          .select(col("source"), col("j"), col("m")),
+        regTable)
+    }
+
+  /** DELETION PROPAGATION for HLL state: max does not invert, so the
+    * registers are REBUILT from the surviving doc texts (one pass over
+    * survivors — the O(corpus-rewrite) forget class the vector families
+    * share, stated rather than hidden) and atomically swapped; the
+    * doc-store text tombstone goes LAST as the commit witness (it
+    * destroys the text a retry would rebuild from ONLY after the
+    * rebuilt registers are live; a crash between the two re-runs to
+    * convergence because the rebuild reads survivors only). Ids append
+    * to the store for never-seen forgotten ids (forward block), which
+    * [[tombstoneSwap]] handles. */
+  def forgetHllState(spark: SparkSession, ids: DataFrame,
+      regTable: String, docTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable)
+    val survivors = store.map(_.filter(col("text").isNotNull)
+        .join(idsC, Seq("doc_id"), "left_anti")
+        .select(col("source"), col("text")))
+      .getOrElse(emptyDf(spark,
+        "source" -> org.apache.spark.sql.types.StringType,
+        "text" -> org.apache.spark.sql.types.StringType))
+      .localCheckpoint(true)
+    graft.operators.MergeWriter.overwriteAtomic(
+      hllDelta(survivors), regTable)
+    tombstoneSwap(store, idsC, docTable, "text")
+  }
+
   /** [[maintainVocabState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def vocabStateStream(docs: DataFrame, vocabTable: String,
