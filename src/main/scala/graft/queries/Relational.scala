@@ -981,6 +981,57 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q48 — Z-ORDER (Morton) multi-dimensional layout cells: quantize
+    * (l_partkey, l_suppkey) onto a 256×256 grid over their observed
+    * domains, interleave the bits into a 16-bit z value
+    * ([[graft.operators.ZOrder]] — static shift/mask/add, one codegen'd
+    * integer tree), and roll up the 64 coarse curve cells (z >> 10)
+    * with counts, z extents, and an exact quantity sum. The gate
+    * verifies the interleave arithmetic the LAYOUT path rests on
+    * (writeZOrdered range-partitions + sorts on exactly this value so
+    * every file covers a small rectangle in BOTH dimensions — the
+    * file-skipping contract ZOrderSpec measures on real footers); the
+    * domain bounds come from one min/max agg (driver-sized, the same
+    * class as every centroid collect), and the oracle recomputes the
+    * identical bounds as scalar subqueries, so the gate is
+    * sf-independent. Everything else is one partial-aggregatable
+    * rollup over 64 groups. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.ZOrder
+    val li = lineitem(s, d)
+    val b = li.agg(
+      min($"l_partkey".cast("long")), max($"l_partkey".cast("long")),
+      min($"l_suppkey".cast("long")), max($"l_suppkey".cast("long"))).head()
+    val (plo, phi, slo, shi) = (b.getLong(0), b.getLong(1),
+      b.getLong(2), b.getLong(3))
+    val z = ZOrder.zValue(Seq(
+      ZOrder.quantized($"l_partkey", plo, phi, 8),
+      ZOrder.quantized($"l_suppkey", slo, shi, 8)), 8)
+    li.withColumn("z", z)
+      .groupBy(shiftright($"z", 10).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min($"z").as("min_z"), max($"z").as("max_z"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"cell")
+  }
+  private val q48Sql = {
+    import graft.operators.ZOrder
+    def q(c: String, lo: String, hi: String) =
+      s"greatest(0, least(255, ((($c) - ($lo)) * 256) // (($hi) - ($lo) + 1)))"
+    s"""WITH b AS (SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+       |              MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi FROM lineitem),
+       |qz AS (SELECT ${ZOrder.zValueSql(Seq("qx", "qy"), 8)} AS z, l_quantity
+       |       FROM (SELECT ${q("l_partkey", "b.plo", "b.phi")} AS qx,
+       |                    ${q("l_suppkey", "b.slo", "b.shi")} AS qy, l_quantity
+       |             FROM lineitem, b))
+       |SELECT CAST(z >> 10 AS BIGINT) AS cell, COUNT(*) AS n,
+       |  CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM qz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+
   /** q42 — explicit GROUPING SETS (the rollup/cube generalization, §2.4):
     * two independent 1-D groupings plus the grand total in ONE pass —
     * Spark expands to a single Expand + aggregate, not N scans. */
@@ -1232,6 +1283,7 @@ object Relational {
     Q("q40_unpivot", "wide day-of-week counts melted back to long form", q40, Some(q40Sql)),
     Q("q41_percentile", "exact interpolated percentiles per group", q41, Some(q41Sql)),
     Q("q47_percentile_histogram", "the same exact percentiles WITHOUT a corpus sort: domain-bounded histogram rollup + cumulative-rank bucket location + bucket-pruned second pass — the plan that replaces q41's single-reducer-per-group external sort at scale", q47, Some(q41Sql)),
+    Q("q48_zorder_cells", "z-order (Morton) layout arithmetic: two dimensions quantized onto a 256x256 grid over observed domains, bits interleaved into one BIGINT curve value, 64 coarse cells rolled up with counts/extents/exact sums — the integer tree writeZOrdered range-partitions files on, all oracle-replayed", q48, Some(q48Sql)),
     Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
     Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
     Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),
