@@ -54,7 +54,10 @@ object MergeWriter {
     val tmp = path + ".staging"
     val w = df.write.mode("overwrite")
     partCol.fold(w)(w.partitionBy(_)).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // resolve the filesystem FROM the path (not FileSystem.get's default
+    // FS): on a scheme-qualified table (s3a://, hdfs://) the swap must
+    // run against the table's filesystem — the fsOf convention below
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".old")

@@ -65,7 +65,10 @@ object ZOrder {
     * raw value — the curve needs a roughly uniform grid to give every
     * file a small rectangle. */
   def quantized(c: Column, lo: Long, hi: Long, bits: Int): Column = {
-    require(hi > lo, s"quantized: empty domain [$lo, $hi]")
+    // hi == lo is a legal (single-value) domain — every in-domain row
+    // maps to cell 0 ((c−lo)·2^bits div 1 = 0) and strays still clamp;
+    // a one-supplier tenant slice must quantize, not throw
+    require(hi >= lo, s"quantized: empty domain [$lo, $hi]")
     val d = hi - lo + 1
     val cells = 1L << bits
     require(d <= (1L << (53 - bits)),

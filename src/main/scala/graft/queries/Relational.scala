@@ -1003,6 +1003,14 @@ object Relational {
     val b = li.agg(
       min($"l_partkey".cast("long")), max($"l_partkey".cast("long")),
       min($"l_suppkey".cast("long")), max($"l_suppkey".cast("long"))).head()
+    // empty corpus: the bounds agg yields an all-NULL row — there is no
+    // domain to quantize, and the oracle's `FROM lineitem, b` cross join
+    // is empty too, so the contract is an empty frame with the output
+    // schema (the vs/pp emptyOut convention)
+    if (b.isNullAt(0))
+      return li.select(lit(0L).as("cell"), lit(0L).as("n"),
+        lit(0L).as("min_z"), lit(0L).as("max_z"),
+        lit(0d).as("sum_qty")).limit(0)
     val (plo, phi, slo, shi) = (b.getLong(0), b.getLong(1),
       b.getLong(2), b.getLong(3))
     val z = ZOrder.zValue(Seq(

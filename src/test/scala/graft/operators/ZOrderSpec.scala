@@ -36,6 +36,36 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(q(0) == 0L && q(1) == 255L, "domain edges missed the corner cells")
     assert(q(2) == (499L * 256L) / 1000L, "interior quantization drifted")
     assert(q(3) == 0L && q(4) == 255L, "out-of-domain values did not clamp")
+
+    // single-value domain (a one-supplier tenant slice): every in-domain
+    // row lands in cell 0, strays still clamp — must quantize, not throw
+    val q1 = Seq(7L, 3L, 99L).toDF("v")
+      .select(ZOrder.quantized($"v", 7L, 7L, 8).as("q"))
+      .collect().map(_.getLong(0))
+    assert(q1.toSeq == Seq(0L, 0L, 255L),
+      "single-value domain did not map to cell 0 with edge clamping")
+  }
+
+  test("q48 gate survives a constant-key corpus and an empty corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("q48degen").toString
+    val gate = graft.queries.Catalog.byName("q48_zorder_cells").fn
+    // constant (l_partkey, l_suppkey): both quantized domains are
+    // single-valued -> every row in z cell 0
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("l_partkey", lit(1).cast("int"))
+      .withColumn("l_suppkey", lit(1).cast("int"))
+      .write.parquet(s"$root/one/lineitem.parquet")
+    val one = gate(spark, s"$root/one").collect()
+    assert(one.length == 1 && one.head.getAs[Long]("cell") == 0L
+      && one.head.getAs[Long]("min_z") == 0L && one.head.getAs[Long]("max_z") == 0L,
+      s"constant-key corpus did not collapse to z cell 0: ${one.toSeq}")
+    // empty corpus -> empty frame with the gate's schema, no NULL bounds crash
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.001").limit(0)
+      .write.parquet(s"$root/empty/lineitem.parquet")
+    val empty = gate(spark, s"$root/empty")
+    assert(empty.columns.toSeq == Seq("cell", "n", "min_z", "max_z", "sum_qty")
+      && empty.count() == 0, "empty corpus did not yield an empty q48 frame")
   }
 
   test("q48 gate: cells partition the corpus; z extents stay inside their cell") {
