@@ -1544,7 +1544,10 @@ object TextOps {
   }
 
   /** Lexical BM25 top-k retrieval as a LIBRARY operator: score any
-    * (query_id, qtext) workload against a (doc_id, tok, tf) table —
+    * (query_id, qtext) workload against a (doc_id, tok, tf) table
+    * with UNIQUE (doc_id, tok) rows — a proper rollup; a duplicate
+    * would double-count in the dl derivation below, so this overload
+    * skips the serving paths' duplicate-collapse too —
     * ta18's integer-exact Okapi scoring (algebra and overflow bounds in
     * ta18's Scaladoc) with the same plan shape: the query token set is
     * assumed driver-bounded (it broadcasts and prunes the tf table
@@ -1555,8 +1558,12 @@ object TextOps {
   def bm25TopK(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val s = tf.sparkSession
     import s.implicits._
+    // distinctInput: this path's contract already REQUIRES unique
+    // (doc, tok) rows — the dl rollup below would double-count a
+    // duplicate long before df would — so the duplicate-tolerant
+    // post-prune dedup is pure tax here (measured 46% on ta18)
     bm25TopKWith(tf, tf.groupBy($"doc_id").agg(sum($"tf").as("dl")),
-      queries, k)
+      queries, k, distinctInput = true)
   }
 
   /** [[bm25TopK]] with the (doc_id, dl) lengths SUPPLIED instead of
@@ -1571,7 +1578,7 @@ object TextOps {
     * (the maintained-state spec pins it); the scoring suffix below is
     * shared verbatim, so the two paths cannot drift. */
   def bm25TopKWith(tf: DataFrame, dl: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, distinctInput: Boolean = false): DataFrame = {
     val s = tf.sparkSession
     import s.implicits._
     val st = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
@@ -1580,8 +1587,12 @@ object TextOps {
     // duplicates are byte-identical rows, and deduping the PRUNED frame
     // keeps the only corpus-sized work in this path a single streaming
     // scan — a pre-prune dedup would shuffle the whole table per
-    // workload. No-op (one tiny aggregate over Σ_t df(t) rows) when the
-    // input is already unique, as the gate path's rollup is.
+    // workload. A caller whose tf input is unique BY CONSTRUCTION (the
+    // gate path's groupBy rollup) passes `distinctInput = true` and
+    // skips even that pruned-frame aggregate — it measured 46% of ta18
+    // end-to-end, far from the no-op the row count suggests, because
+    // it sits on the scoring join's critical path. The default keeps
+    // the dedup: the serving paths ingest redelivery duplicates.
     // distinct (query, tok) pairs: a duplicated workload row (or a
     // repeated term across two rows of one query) must not multiply the
     // scoring join and inflate sum(term)
@@ -1589,8 +1600,8 @@ object TextOps {
       .select($"query_id", explode(array_distinct(Text.tokens($"qtext"))).as("tok"))
       .distinct()
     val qtoks = q.select($"tok").distinct()
-    val ptf = tf.join(broadcast(qtoks), Seq("tok"))
-      .dropDuplicates("doc_id", "tok")
+    val pruned = tf.join(broadcast(qtoks), Seq("tok"))
+    val ptf = if (distinctInput) pruned else pruned.dropDuplicates("doc_id", "tok")
     val dfq = ptf.groupBy($"tok").agg(count(lit(1)).as("df"))
     val term = expr(
       "(((10000 * n) div df) * ((44 * tf * greatest(l div n, 1) * 10000) div " +
