@@ -104,27 +104,26 @@ object HeavyProbe {
         .select($"tok".as("bigram"), $"n")
         .orderBy($"n".desc, $"bigram")
     }
-    def cms(): DataFrame = {
-      val occ = occOf().localCheckpoint(true)
-      val total = occ.agg(count(lit(1)).as("total"))
-      graft.queries.TextOps.cmsHeavyFinal(
-        graft.queries.TextOps.cmsHeavyCandidates(occ, total), total)
-    }
-    def mg(): DataFrame = {
-      val occ = occOf().localCheckpoint(true)
-      val total = occ.agg(count(lit(1)).as("total"))
-      val cand = graft.operators.MisraGries.summary(occ, $"tok", 2048)
-        .select($"item".as("tok"))
-      graft.queries.TextOps.cmsHeavyFinal(
-        occ.join(broadcast(cand), Seq("tok"), "left_semi"), total)
-    }
+    // both materialization strategies of the library operators: rescan
+    // (the default — recompute occ from the pushed-down scan per pass;
+    // no corpus-sized local-disk spill, the 100 TB-safe choice) vs
+    // localCheckpoint (one tokenize, ~2x-corpus executor-disk copy)
+    val mat = graft.queries.TextOps.localMaterialize
+    def cms(m: DataFrame => DataFrame): DataFrame =
+      graft.queries.TextOps.cmsHeavyHitters(occOf(), m)
+    def mg(m: DataFrame => DataFrame): DataFrame =
+      graft.queries.TextOps.mgHeavyHitters(occOf(), m)
 
     val e = measure("exact_rollup")(exact())
-    val c = measure("cms_pruned")(cms())
-    val m = measure("mg_pruned")(mg())
-    require(e.toSeq == c.toSeq && e.toSeq == m.toSeq,
-      s"plans disagree: exact=${e.length} cms=${c.length} mg=${m.length} rows")
-    println(s"PROF agreement all_three_plans_identical rows=${e.length}")
+    val cr = measure("cms_rescan")(cms(identity))
+    val cc = measure("cms_checkpoint")(cms(mat))
+    val mr = measure("mg_rescan")(mg(identity))
+    val mc = measure("mg_checkpoint")(mg(mat))
+    for ((got, label) <- Seq(cr -> "cms_rescan", cc -> "cms_checkpoint",
+        mr -> "mg_rescan", mc -> "mg_checkpoint"))
+      require(e.toSeq == got.toSeq,
+        s"plans disagree: exact=${e.length} $label=${got.length} rows")
+    println(s"PROF agreement all_five_plans_identical rows=${e.length}")
     spark.stop()
   }
 }

@@ -81,4 +81,16 @@ object MisraGries {
     df.agg(fn(item).as("mg"))
       .select(explode(col("mg.m")).as(Seq("item", "mg_count")))
   }
+
+  /** [[summary]] UNEXPLODED, plus the exact stream length computed in
+    * the SAME aggregation — one row of (total, mg map). The support
+    * threshold of a heavy-hitter prune needs the exact total, and
+    * riding it on the summary's ObjectHashAggregate means the rescan
+    * path ([[graft.queries.TextOps.mgHeavyHitters]]) never pays a
+    * separate corpus pass for it. */
+  def summaryWithTotal(df: DataFrame, item: Column, k: Int): DataFrame = {
+    require(k > 1, s"Misra-Gries needs k > 1, got $k")
+    val fn = udaf(new MgAgg(k), Encoders.STRING)
+    df.agg(count(lit(1)).as("total"), fn(item).as("mg"))
+  }
 }

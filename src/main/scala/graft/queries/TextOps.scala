@@ -2431,12 +2431,48 @@ object TextOps {
   private[graft] def bigramOcc(docs: DataFrame): DataFrame =
     docs.select(explode(Text.wordNGrams(Text.tokens(col("text")), 2))
       .as("tok"))
-  private def ta21(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val occ = bigramOcc(documents(s, d)).localCheckpoint(true)
-    val total = occ.agg(count(lit(1)).as("total"))
-    cmsHeavyFinal(cmsHeavyCandidates(occ, total), total)
+  /** Exact heavy hitters over ANY occurrence frame via the CMS two-pass
+    * prune — ta21 as a LIBRARY operator. `materialize` decides how the
+    * multi-pass occurrence frame is reused between the sketch pass and
+    * the prune+rollup pass: the default `identity` RECOMPUTES it from
+    * the pushed-down scan each pass — the 100 TB-safe choice, because
+    * the alternative spills a ~2×-corpus copy to executor local disk,
+    * which fails on capacity long before the shuffle would; pass
+    * [[localMaterialize]] to trade that spill for the repeated tokenize
+    * when the corpus comfortably fits (HeavyProbe measures the trade at
+    * two corpus sizes — COVERAGE.md table). In the rescan path the
+    * support total costs NO extra corpus pass: every CMS hash row
+    * conserves the occurrence count (pp30's spec-pinned invariant), so
+    * total = Σ row-0 cells of the sketch the first pass builds anyway —
+    * the ≤ d·w-row cells frame is the only thing checkpointed. */
+  def cmsHeavyHitters(occ0: DataFrame,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val occ = materialize(occ0)
+    val cells = cmsCellsFromTokens(occ).localCheckpoint(true)
+    val total = cells.filter(col("j") === 0).agg(sum(col("n")).as("total"))
+    cmsHeavyFinal(cmsPruneByHot(occ, cmsHotCells(cells, total)), total)
   }
+
+  /** Exact heavy hitters via the ONE-PASS Misra–Gries candidate prune —
+    * ta22 as a LIBRARY operator; same `materialize` contract as
+    * [[cmsHeavyHitters]] (default = recompute from scan). The exact
+    * stream total rides the SAME ObjectHashAggregate as the summary
+    * ([[graft.operators.MisraGries.summaryWithTotal]]), so the rescan
+    * path pays exactly two corpus passes: summary+total, prune+rollup. */
+  def mgHeavyHitters(occ0: DataFrame,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val occ = materialize(occ0)
+    val s1 = graft.operators.MisraGries
+      .summaryWithTotal(occ, col("tok"), 2048).localCheckpoint(true)
+    val total = s1.select(col("total"))
+    val cand = s1.select(explode(col("mg.m")).as(Seq("item", "cnt")))
+      .select(col("item").as("tok"))
+    cmsHeavyFinal(
+      occ.join(broadcast(cand), Seq("tok"), "left_semi"), total)
+  }
+
+  private def ta21(s: SparkSession, d: String): DataFrame =
+    cmsHeavyHitters(bigramOcc(documents(s, d)))
   private val ta21Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -2458,20 +2494,14 @@ object TextOps {
     * shared exact tail ([[cmsHeavyFinal]]): the mg counts themselves
     * (partitioning-dependent) never reach the output — the exact HAVING
     * decides, so the result equals the plain exact rollup and the
-    * oracle is ta21's verbatim. Trade vs ta21: MG re-reads the corpus
-    * once less (summary and prune can share a cached scan) but its
-    * candidate set is k-bounded rather than ε-bounded — at a 1/1024
-    * support threshold both prunes are exact-superset, so the choice is
-    * pass count, not correctness. */
-  private def ta22(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val occ = bigramOcc(documents(s, d)).localCheckpoint(true)
-    val total = occ.agg(count(lit(1)).as("total"))
-    val cand = graft.operators.MisraGries.summary(occ, $"tok", 2048)
-      .select($"item".as("tok"))
-    cmsHeavyFinal(
-      occ.join(broadcast(cand), Seq("tok"), "left_semi"), total)
-  }
+    * oracle is ta21's verbatim. Trade vs ta21: both pay exactly two
+    * corpus passes in the default rescan path (MG folds the total into
+    * the summary aggregate; CMS derives it from cell row-conservation),
+    * but MG's candidate set is k-bounded rather than ε-bounded — at a
+    * 1/1024 support threshold both prunes are exact-superset, so the
+    * choice is summary shape, not correctness or pass count. */
+  private def ta22(s: SparkSession, d: String): DataFrame =
+    mgHeavyHitters(bigramOcc(documents(s, d)))
 
   /** pp30 — INCREMENTAL heavy hitters: ta21 with the sketch pass
     * MAINTAINED instead of rebuilt. Standing state = the bigram CMS
