@@ -2610,6 +2610,97 @@ object TextOps {
       "source").orderBy($"source")
   }
 
+  /** ta24 — MERGEABLE QUANTILE SKETCH per source (the percentile member
+    * of the sketch family, closing it out: cardinality q45/ta23,
+    * frequency ta20, heavy hitters ta21/ta22): p50/p90/p99 of document
+    * length (n_chars) from a k=256 hash-ordered bottom-k sample —
+    * [[graft.operators.QuantileSketch]] argues why literal KLL cannot
+    * be merge-tree-deterministic (and hence never oracle-replayable)
+    * while the bottom-k sample is a pure set function. q41/q47 compute
+    * EXACT percentiles and pay a corpus window sort / a
+    * value-domain-bounded histogram; this sketch bounds the exchange at
+    * k (long, long) pairs per (group, map) REGARDLESS of domain or row
+    * count — the only one of the three that survives an unbounded value
+    * domain at 100 TB — and its sketches merge across shards and
+    * batches (pp32, Streams.maintainQuantileState). The sample hash is
+    * the salted md5 fold of doc_id (a UNIQUE key — never the value,
+    * which would collapse duplicate values and bias every estimate);
+    * estimates are nearest-lower-rank over the value-sorted sample,
+    * BIGINT end to end, and EXACT (type-1 percentile) wherever a source
+    * holds ≤ k documents (the KMV exact-until-saturation contract). */
+  private[graft] val TA24_K = 256
+  private[graft] val TA24_PS: Seq[(String, Int, Int)] =
+    Seq(("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100))
+
+  /** (doc_id, source, v)-shaped rows → the (source, h, v) sample-pair
+    * input: h = salted md5 fold of the doc id, NULL values dropped.
+    * Shared by ta24, pp32, and the maintained family
+    * ([[graft.streaming.Streams.maintainQuantileState]]) so the hash
+    * can never drift between the gate and the maintainer. */
+  private[graft] def qsPairs(rows: DataFrame): DataFrame =
+    rows.where(col("v").isNotNull)
+      .select(col("source"),
+        hex8(concat(lit("qs:"), col("doc_id").cast("string"))).as("h"),
+        col("v").cast("long").as("v"))
+
+  /** The per-source bottom-k sample as EXPLODED (source, h, v) rows —
+    * ≤ [[TA24_K]] per source: the standing layout of the maintained
+    * family. Pair rows of overlapping deliveries union idempotently
+    * (dedup by (h, v)), and re-sketching a union of samples equals the
+    * sketch of the union — the mergeability identity QuantileSketchSpec
+    * pins. */
+  private[graft] def qsSampleRows(pairs: DataFrame): DataFrame =
+    graft.operators.QuantileSketch
+      .sketch(pairs, "source", col("h"), col("v"), TA24_K)
+      .select(col("source"),
+        explode(arrays_zip(col("hs"), col("vs"))).as("p"))
+      .select(col("source"), col("p.hs").as("h"), col("p.vs").as("v"))
+
+  private def ta24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.QuantileSketch.quantiles(
+      graft.operators.QuantileSketch.sketch(
+        qsPairs(documents(s, d)
+          .select($"doc_id", $"source", $"n_chars".as("v"))),
+        "source", $"h", $"v", TA24_K),
+      TA24_K, TA24_PS).orderBy($"source")
+  }
+  private val ta24Sql = "WITH " + graft.operators.QuantileSketch.oracleSql(
+    s"SELECT source AS g, ${hex8Sql("'qs:' || CAST(doc_id AS VARCHAR)")} AS h, " +
+      "n_chars AS v FROM documents WHERE n_chars IS NOT NULL",
+    256, Seq(("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)),
+    groupAs = "source") + " ORDER BY source"
+
+  /** pp32 — INCREMENTAL quantile-sketch maintenance, ta24's twin: the
+    * standing state is the exploded bottom-k sample itself (≤ k pair
+    * rows per source — with HLL's registers, the smallest standing
+    * states of any family), advanced by one batch-sized hash+sketch
+    * pass plus one ≤ 2k-rows-per-source fold: the bottom-k of a union
+    * of bottom-k samples equals the bottom-k of the union (every pair
+    * in the global bottom-k is in its own era's bottom-k — the
+    * mergeable-summaries identity, spec-pinned under 1/3/13-way splits
+    * AND overlapping deliveries, since the pair union dedups by
+    * (h, v)). Oracle = ta24's verbatim. Honest trade, HLL's: a
+    * SATURATED sample cannot recover discarded pairs under deletion,
+    * so forget is rebuild-over-survivors
+    * (Streams.forgetQuantileState). Continuous twin
+    * Streams.maintainQuantileState. */
+  private def pp32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"source", $"n_chars".as("v"))
+    val isNew = QueryUtils.hex8(concat(lit("qsn:"),
+      $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp32", d) { dir =>
+      qsSampleRows(qsPairs(docs.filter(!isNew))).write.parquet(s"$dir/qs")
+    }
+    graft.operators.QuantileSketch.quantiles(
+      graft.operators.QuantileSketch.sketch(
+        s.read.parquet(s"$stand/qs")
+          .unionByName(qsSampleRows(qsPairs(docs.filter(isNew)))),
+        "source", $"h", $"v", TA24_K),
+      TA24_K, TA24_PS).orderBy($"source")
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -3651,6 +3742,8 @@ object TextOps {
     Q("pp30_incremental_heavy", "incremental heavy hitters: standing bigram CMS cells advanced per batch; the hot set AND the support threshold (row-conservation) derive from the maintained cells with no sketch scan — only the exact verification pass touches the corpus; result == ta21", pp30, Some(ta21Sql)),
     Q("ta23_hll_distinct", "HyperLogLog distinct-count sketch per source: 64 integer registers from md5-fold bits, harmonic sum scaled to exact BIGINT, alpha as rational 709/1000, linear-counting via shared literal table — registers, sum, and estimate all oracle-replayed; idempotent max merge, exchange carries registers never values", ta23, Some(ta23Sql)),
     Q("pp31_incremental_hll", "incremental HLL maintenance: standing register table (<= 64 rows per source) advanced by register-wise max from one batch pass; idempotent merge absorbs replays with no dedup — estimate == ta23; forget is rebuild-over-survivors (max does not invert, documented)", pp31, Some(ta23Sql)),
+    Q("ta24_quantile_sketch", "mergeable quantile sketch per source: k=256 hash-ordered bottom-k sample (the merge-tree-deterministic alternative to KLL — the k smallest md5-fold hashes are a pure set function), nearest-lower-rank estimates BIGINT end to end, exact until saturation; exchange bounded at k pairs per (group, map) regardless of value domain or row count", ta24, Some(ta24Sql)),
+    Q("pp32_incremental_quantile", "incremental quantile sketch: standing exploded bottom-k sample (<= k pair rows per source) advanced by one batch sketch + a <= 2k-row fold — bottom-k of a union of bottom-k samples == bottom-k of the union; estimates == ta24; forget is rebuild-over-survivors (saturated samples do not invert, documented)", pp32, Some(ta24Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )

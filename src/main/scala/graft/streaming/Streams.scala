@@ -2234,6 +2234,94 @@ object Streams {
     tombstoneSwap(store, idsC, docTable, "text")
   }
 
+  /** pp32's continuous twin: CONTINUOUS quantile-sketch maintenance —
+    * the percentile member of the sketch family
+    * ([[graft.operators.QuantileSketch]]). The standing state is the
+    * exploded bottom-k sample itself ((source, h, v) pair rows — ≤ k
+    * per source per append, ≤ k per source total after
+    * [[compactQuantile]]), advanced by one batch-sized hash+sketch
+    * pass. Like HLL, the merge is effectively IDEMPOTENT: the snapshot
+    * re-sketches the appended pair rows and the bottom-k fold dedups by
+    * (h, v), so a redelivered batch re-appends byte-identical pair rows
+    * the fold absorbs — no batch key, no replay dedup. The guard
+    * appends LAST (at-least-once), and the doc store keeps
+    * (doc_id, source, v) because the honest trade is HLL's: a SATURATED
+    * sample cannot recover the pairs it discarded, so deletion
+    * propagation is an O(survivors) rebuild + atomic swap
+    * ([[forgetQuantileState]]), never a decrement. `batch` is
+    * (doc_id, source, v) rows — v the measured BIGINT (the catalog
+    * family measures n_chars). */
+  def maintainQuantileState(batch: DataFrame, qsTable: String,
+      docTable: String): Unit = {
+    val fresh = freshAgainst(batch, docTable, Seq("source", "v"))
+    if (fresh.isEmpty) return
+    quantileDelta(fresh).write.mode("append").parquet(qsTable)
+    fresh.write.mode("append").parquet(docTable)
+  }
+
+  /** The batch's per-source bottom-k sample rows —
+    * [[maintainQuantileState]]'s append, shared with the
+    * crash-simulation spec and [[forgetQuantileState]]'s rebuild. */
+  private[graft] def quantileDelta(fresh: DataFrame): DataFrame =
+    graft.queries.TextOps.qsSampleRows(
+      graft.queries.TextOps.qsPairs(fresh))
+
+  /** [[maintainQuantileState]] as a foreachBatch sink over a
+    * (doc_id, source, v) stream. */
+  def quantileStateStream(docs: DataFrame, qsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        maintainQuantileState(b, qsTable, docTable))
+      .start()
+
+  /** The current ta24 view under the maintained pair rows: one bottom-k
+    * fold over ≤ appends·k rows per source (never the corpus), then the
+    * nearest-lower-rank estimates. */
+  def quantileSnapshot(spark: SparkSession, qsTable: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val k = graft.queries.TextOps.TA24_K
+    graft.operators.QuantileSketch.quantiles(
+      graft.operators.QuantileSketch.sketch(
+        tryRead(spark, qsTable).getOrElse(emptyDf(spark,
+          "source" -> StringType, "h" -> LongType, "v" -> LongType)),
+        "source", col("h"), col("v"), k),
+      k, graft.queries.TextOps.TA24_PS)
+  }
+
+  /** Compact the appended sample rows to ≤ k per source — the bottom-k
+    * fold materialized, atomically swapped; snapshot-invariant by the
+    * mergeability identity. */
+  def compactQuantile(spark: SparkSession, qsTable: String): Unit =
+    tryRead(spark, qsTable).foreach { t =>
+      graft.operators.MergeWriter.overwriteAtomic(
+        graft.queries.TextOps.qsSampleRows(t.localCheckpoint(true)),
+        qsTable)
+    }
+
+  /** DELETION PROPAGATION for quantile state: a saturated bottom-k
+    * sample does not invert (the (k+1)-th pair was discarded, so
+    * deleting a sampled row leaves a sample SMALLER than the survivors
+    * support), so the sample is REBUILT from the surviving stored
+    * (doc_id, source, v) rows and atomically swapped; the doc-store
+    * value tombstone goes LAST as the commit witness. Never-seen
+    * forgotten ids forward-block via [[tombstoneSwap]]. */
+  def forgetQuantileState(spark: SparkSession, ids: DataFrame,
+      qsTable: String, docTable: String): Unit = {
+    import org.apache.spark.sql.types._
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val store = tryRead(spark, docTable)
+    val survivors = store.map(_.filter(col("v").isNotNull)
+        .join(idsC, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("v")))
+      .getOrElse(emptyDf(spark, "doc_id" -> LongType,
+        "source" -> StringType, "v" -> LongType))
+      .localCheckpoint(true)
+    graft.operators.MergeWriter.overwriteAtomic(
+      quantileDelta(survivors), qsTable)
+    tombstoneSwap(store, idsC, docTable, "v")
+  }
+
   /** [[maintainVocabState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def vocabStateStream(docs: DataFrame, vocabTable: String,

@@ -205,4 +205,28 @@ class DegenerateBatchSpec extends AnyFunSuite with SparkSpec {
       .filter($"neighbor_id" === 9000L).isEmpty)
     assert(Streams.semDedupSnapshot(spark, s"$root/drops").count() >= 0)
   }
+
+  test("quantile maintainer survives NULL values and empty batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("degen-qs").toString
+    val degenerate = Seq((0L, "s1", null.asInstanceOf[java.lang.Long]),
+      (1L, "s1", java.lang.Long.valueOf(40L)),
+      (2L, "s2", java.lang.Long.valueOf(7L)))
+      .toDF("doc_id", "source", "v")
+    val empty = degenerate.limit(0)
+    val allBad = Seq((3L, "s1", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "source", "v")
+    for (b <- Seq(degenerate, empty, allBad))
+      Streams.maintainQuantileState(b, s"$root/qs", s"$root/docs")
+    // the two real values advanced exactly once; NULL values contributed
+    // no sample rows but their ids are still guarded against redelivery
+    val got = Streams.quantileSnapshot(spark, s"$root/qs")
+      .orderBy($"source")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("p50")))
+    assert(got.toSeq == Seq(("s1", 1L, 40L), ("s2", 1L, 7L)),
+      s"degenerate batches corrupted the sample: ${got.toSeq}")
+    // snapshot over a never-written table is empty, not an exception
+    assert(Streams.quantileSnapshot(spark, s"$root/nowhere").isEmpty)
+  }
 }
