@@ -2701,6 +2701,76 @@ object TextOps {
       TA24_K, TA24_PS).orderBy($"source")
   }
 
+  /** pp33 — the COMPOSITE multi-family maintainer gate: five standing-
+    * state families (exact dedup, perplexity scores, tf/BM25, CMS, HLL)
+    * driven through the SAME two era batches — the production shape,
+    * where one ingest loop feeds every derived table, not one loop per
+    * family — then each family's snapshot emitted as one tagged,
+    * serialized row stream. The per-family lifecycles are each
+    * spec-pinned in isolation (DedupStateStream/Score/Tf/Cms/
+    * HllStateSpec); this gate (and MultiFamilyPipelineSpec's
+    * crash-replay run) proves they COMPOSE: shared batches, shared
+    * delivery order, one guard table per family, no cross-family
+    * interference. The oracle is the five per-family gate oracles
+    * VERBATIM (dd15/ta17/ta18/ta20/ta23), each wrapped in the same
+    * row serialization — so the composite cannot drift from the
+    * single-family truths it is made of. Serialization uses concat
+    * (NULL-poisoning, like SQL ||), never concat_ws (which silently
+    * drops NULLs and would mask a NULL where the oracle has none). */
+  private def pp33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = graft.streaming.Streams
+    val stand = QueryUtils.standingDir(s, "pp33", d) { dir =>
+      // lang rides along for the score family's curated reference slice
+      val docs = documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text").localCheckpoint(true)
+      val isNew = QueryUtils.hex8(concat(lit("pipe:"),
+        $"doc_id".cast("string"))) % 5 === 0
+      st.buildRefState(docs, s"$dir/ref")
+      for (b <- Seq(docs.filter(!isNew), docs.filter(isNew))) {
+        st.maintainDedupState(b.select($"doc_id", $"text"),
+          s"$dir/xstats", s"$dir/xdocs")
+        st.maintainScoreState(b, s"$dir/ref", s"$dir/scores", s"$dir/sdocs")
+        st.maintainTfState(b.select($"doc_id", $"text"),
+          s"$dir/tf", s"$dir/tdocs")
+        st.maintainCmsState(b.select($"doc_id", $"text"),
+          s"$dir/cells", s"$dir/vocab", s"$dir/cdocs")
+        st.maintainHllState(b, s"$dir/regs", s"$dir/hdocs")
+      }
+    }
+    def tag(f: String, df: DataFrame, cols: Seq[String]) =
+      df.select(lit(f).as("family"),
+        concat(cols.flatMap(c =>
+          Seq(col(c).cast("string"), lit(":"))).dropRight(1): _*).as("row"))
+    tag("dedup", st.dedupSnapshot(s, s"$stand/xstats"),
+        Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants"))
+      .unionByName(tag("scores", st.scoreSnapshot(s, s"$stand/scores"),
+        Seq("doc_id", "source", "score", "rank", "bucket")))
+      .unionByName(tag("bm25", st.bm25Snapshot(s, s"$stand/tf"),
+        Seq("query_id", "rank", "doc_id", "score")))
+      .unionByName(tag("cms", st.cmsSnapshot(s, s"$stand/cells", s"$stand/vocab"),
+        Seq("tok", "cf", "est")))
+      .unionByName(tag("hll", st.hllSnapshot(s, s"$stand/regs"),
+        Seq("source", "n_zero", "s_scaled", "est_distinct")))
+      .orderBy($"family", $"row")
+  }
+  private val pp33Sql = {
+    def leg(f: String, sql: String, cols: Seq[String]) = {
+      val ser = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT '$f' AS family, $ser AS row FROM ($sql) AS t_$f"
+    }
+    Seq(
+      leg("dedup", dd15Sql,
+        Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants")),
+      leg("scores", ta17Sql,
+        Seq("doc_id", "source", "score", "rank", "bucket")),
+      leg("bm25", ta18Sql, Seq("query_id", "rank", "doc_id", "score")),
+      leg("cms", ta20Sql, Seq("tok", "cf", "est")),
+      leg("hll", ta23Sql,
+        Seq("source", "n_zero", "s_scaled", "est_distinct"))
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY family, row")
+  }
+
   private val ta09Sql =
     """WITH a AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
       |b AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bigram FROM a),
@@ -3744,6 +3814,7 @@ object TextOps {
     Q("pp31_incremental_hll", "incremental HLL maintenance: standing register table (<= 64 rows per source) advanced by register-wise max from one batch pass; idempotent merge absorbs replays with no dedup — estimate == ta23; forget is rebuild-over-survivors (max does not invert, documented)", pp31, Some(ta23Sql)),
     Q("ta24_quantile_sketch", "mergeable quantile sketch per source: k=256 hash-ordered bottom-k sample (the merge-tree-deterministic alternative to KLL — the k smallest md5-fold hashes are a pure set function), nearest-lower-rank estimates BIGINT end to end, exact until saturation; exchange bounded at k pairs per (group, map) regardless of value domain or row count", ta24, Some(ta24Sql)),
     Q("pp32_incremental_quantile", "incremental quantile sketch: standing exploded bottom-k sample (<= k pair rows per source) advanced by one batch sketch + a <= 2k-row fold — bottom-k of a union of bottom-k samples == bottom-k of the union; estimates == ta24; forget is rebuild-over-survivors (saturated samples do not invert, documented)", pp32, Some(ta24Sql)),
+    Q("pp33_incremental_pipeline", "composite multi-family maintainer: exact dedup + perplexity scores + tf/BM25 + CMS + HLL standing states driven through the SAME two era batches (one ingest loop, five derived-table families), each snapshot emitted as a tagged serialized row — oracle is the five per-family gate oracles verbatim, so composition cannot drift from the single-family truths", pp33, Some(pp33Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )
