@@ -22,9 +22,15 @@ import graft.wells.Cleaning._
   */
 object Extraction {
 
-  /** S2/S3 seam: bytes → page texts. No PDF codec ships in this offline
-    * container, so the default implementation is the fixture/passthrough
-    * one; a PDFBox/Tess4J client plugs in behind the same trait. */
+  /** S2/S3 seam: bytes → page texts. The text-layer leg (S2) is REAL:
+    * [[PdfText]] parses classic PDFs from the public spec with zero
+    * dependencies (objects, page tree, FlateDecode, text operators —
+    * see its Scaladoc for the exact subset), and [[PdfText.AutoDetect]]
+    * dispatches on magic bytes so one scan serves PDFs and text
+    * fixtures alike. The OCR leg (S3) stays environment-bound (no
+    * tesseract in this container); a Tess4J client plugs in behind the
+    * same trait and [[withFallback]] gives it the reference's
+    * text-layer-fails→OCR ladder. */
   trait DocumentTextExtractor extends Serializable {
     def extract(content: Array[Byte]): Seq[String]
   }

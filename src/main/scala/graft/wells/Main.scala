@@ -25,7 +25,12 @@ object Main {
 
   private def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "extract" :: docDir :: outDir :: Nil =>
-      val docs = Extraction.scanDocuments(spark, docDir).cache()
+      // magic-byte dispatch: real PDFs through the text-layer codec
+      // (PdfText, S2), text fixtures through the passthrough — one scan
+      // serves both, and a PDF whose text layer is blank would fall
+      // back per Extraction.withFallback when an OCR leg is plugged in
+      val docs = Extraction.scanDocuments(spark, docDir,
+        PdfText.AutoDetect).cache()
       val (header, stim) = Extraction.extractAll(docs)
       header.coalesce(1).write.mode("overwrite").option("header", "true")
         .csv(s"$outDir/well_header")

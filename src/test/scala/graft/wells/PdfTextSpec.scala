@@ -1,0 +1,252 @@
+package graft.wells
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The S2 text-layer codec against REAL PDF bytes, generated in-test by
+  * a from-scratch writer (no codec in the container cuts both ways: the
+  * test builds spec-valid PDFs by hand — header, objects, xref with
+  * correct offsets, trailer — so the parser is exercised on the real
+  * wire format, not on its own intermediate forms). Covers plain and
+  * FlateDecode streams, direct and indirect /Length, /Contents arrays,
+  * literal-string escapes (octal, specials, balanced parens, line
+  * continuations), hex strings, TJ kerning gaps, page-tree order — and
+  * the wells parse banks run end-to-end over the extracted pages, which
+  * is what closes S2 beyond fixtures. Malformed inputs extract to zero
+  * pages (the withFallback signal), never an exception. */
+class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
+
+  // ------------------------------------------------- minimal PDF writer
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** One page's content stream: each line shown with Tj, lines broken
+    * with Td vertical moves — the shape every simple generator emits. */
+  private def contentFor(page: String): Array[Byte] = {
+    val body = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+    for (line <- page.split("\n", -1))
+      body ++= s"(${esc(line)}) Tj 0 -14 Td\n"
+    body ++= "ET"
+    body.toString.getBytes(ISO_8859_1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Assemble a complete PDF: catalog(1), pages(2), font(3), then per
+    * page a page object and 1-2 content streams. `indirectLength` routes
+    * every stream's /Length through its own integer object;
+    * `splitContents` splits each page's content into a 2-stream array
+    * (the operator sequence is split at a token boundary). */
+  private def pdf(pages: Seq[String], flate: Boolean = false,
+      indirectLength: Boolean = false, splitContents: Boolean = false,
+      rawContents: Option[Seq[Array[Byte]]] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var offsets = Vector.empty[Int]
+    def obj(body: Array[Byte]): Int = {
+      val n = offsets.length + 1
+      offsets :+= out.size()
+      out.write(s"$n 0 obj\n".getBytes(ISO_8859_1))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(ISO_8859_1))
+      n
+    }
+    def streamObj(data0: Array[Byte]): Int = {
+      val data = if (flate) deflate(data0) else data0
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      if (indirectLength) {
+        // the length object is written AFTER the stream (forward ref),
+        // like real generators that stream content before knowing sizes
+        val streamNum = offsets.length + 1
+        val lenNum = streamNum + 1
+        offsets :+= out.size()
+        out.write((s"$streamNum 0 obj\n<< /Length $lenNum 0 R$filter >>\nstream\n")
+          .getBytes(ISO_8859_1))
+        out.write(data)
+        out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+        obj(s"${data.length}".getBytes(ISO_8859_1))
+        streamNum
+      } else {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(s"<< /Length ${data.length}$filter >>\nstream\n".getBytes(ISO_8859_1))
+        b.write(data)
+        b.write("\nendstream".getBytes(ISO_8859_1))
+        obj(b.toByteArray)
+      }
+    }
+    out.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    val contents = rawContents.getOrElse(pages.map(contentFor))
+    // content + page objects first, kids collected for the pages node
+    var kids = Vector.empty[Int]
+    val pageObjBodies = contents.map { c =>
+      val cs =
+        if (splitContents) {
+          val cut = {
+            val s = new String(c, ISO_8859_1)
+            val i = s.indexOf("Tj", s.length / 2)
+            if (i < 0) s.length else i + 2
+          }
+          Seq(streamObj(java.util.Arrays.copyOfRange(c, 0, cut)),
+            streamObj(java.util.Arrays.copyOfRange(c, cut, c.length)))
+        } else Seq(streamObj(c))
+      cs
+    }
+    val pageNums = pageObjBodies.map { cs =>
+      val contentsRef =
+        if (cs.length == 1) s"${cs.head} 0 R"
+        else cs.map(n => s"$n 0 R").mkString("[", " ", "]")
+      obj((s"<< /Type /Page /Parent PARENT 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 FONT 0 R >> >> /Contents $contentsRef >>")
+        .getBytes(ISO_8859_1))
+    }
+    kids = pageNums.toVector
+    val fontNum = obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+      .getBytes(ISO_8859_1))
+    val pagesNum = obj((s"<< /Type /Pages /Kids ${kids.map(n => s"$n 0 R").mkString("[", " ", "]")} " +
+      s"/Count ${kids.length} >>").getBytes(ISO_8859_1))
+    val catNum = obj(s"<< /Type /Catalog /Pages $pagesNum 0 R >>".getBytes(ISO_8859_1))
+    // patch the PARENT/FONT placeholders (fixed-width not needed: we
+    // rewrite the buffer — offsets shift uniformly per object, so the
+    // xref is computed AFTER patching)
+    var s = new String(out.toByteArray, ISO_8859_1)
+    s = s.replace("PARENT 0 R", s"$pagesNum 0 R").replace("FONT 0 R", s"$fontNum 0 R")
+    // recompute object offsets on the patched buffer for an honest xref
+    val patched = s.getBytes(ISO_8859_1)
+    val n = offsets.length
+    val xrefEntries = (1 to n).map { i =>
+      val at = s.indexOf(s"\n$i 0 obj\n") match {
+        case -1 => if (s.startsWith(s"$i 0 obj\n")) 0 else s.indexOf(s"$i 0 obj\n")
+        case j => j + 1
+      }
+      f"$at%010d 00000 n \n"
+    }
+    val xrefAt = patched.length
+    val tail = new StringBuilder
+    tail ++= s"xref\n0 ${n + 1}\n0000000000 65535 f \n"
+    xrefEntries.foreach(tail ++= _)
+    tail ++= s"trailer\n<< /Size ${n + 1} /Root $catNum 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+    val fin = new java.io.ByteArrayOutputStream()
+    fin.write(patched); fin.write(tail.toString.getBytes(ISO_8859_1))
+    fin.toByteArray
+  }
+
+  // ------------------------------------------------- fixtures
+  private val hdrPage =
+    """Well Operator: NANCE PETROLEUM CORPORATION
+      |Well Name: THORVALD 1-30H
+      |API # 33-053-06057
+      |Enseco Job# S15072-02
+      |Job Type: Frac Support
+      |County, State: McKenzie, ND
+      |Well Surface Hole Location (SHL): Lot 3, Sec. 30
+      |Latitude: 48° 4' 29.5" N
+      |Longitude: 103° 36' 11.4" W
+      |Datum: NAD83""".stripMargin
+  private val stimPage =
+    """Date Stimulated
+      |9/22/2011
+      |Stimulated Formation
+      |Bakken
+      |Lbs Proppant
+      |2,293,000""".stripMargin
+  private val fixture = Seq(hdrPage, "page two filler", stimPage)
+
+  test("plain, Flate, indirect-length, and split-contents PDFs all extract the same pages") {
+    for ((label, bytes) <- Seq(
+        "plain" -> pdf(fixture),
+        "flate" -> pdf(fixture, flate = true),
+        "indirect-length" -> pdf(fixture, flate = true, indirectLength = true),
+        "split-contents" -> pdf(fixture, splitContents = true))) {
+      val got = PdfText.extract(bytes)
+      assert(got.length == 3, s"$label: expected 3 pages, got ${got.length}")
+      assert(got == fixture, s"$label: page text drifted")
+    }
+  }
+
+  test("wells parse banks run end-to-end over codec-extracted pages") {
+    val pages = PdfText.extract(pdf(fixture, flate = true))
+    val h = Extraction.parseHeader(pages, "W1.pdf")
+    assert(h.operator.contains("NANCE PETROLEUM CORPORATION"))
+    assert(h.api.contains("33-053-06057"))
+    assert(h.latitude.exists(v => math.abs(v - (48 + 4 / 60.0 + 29.5 / 3600.0)) < 1e-9))
+    assert(h.longitude.exists(v => math.abs(v + (103 + 36 / 60.0 + 11.4 / 3600.0)) < 1e-9))
+    val st = Extraction.parseStimulation(pages, "W1.pdf")
+    assert(st.date_simulated.contains("9/22/2011"))
+    assert(st.stimulated_formation.contains("Bakken"))
+    assert(st.lbs_proppant.contains("2293000"))
+    // identical rows to the fixture-extractor path: the codec is a
+    // drop-in for the passthrough on the same logical document
+    val viaFixture = Extraction.TextPassthroughExtractor
+      .extract(fixture.mkString("\f").getBytes("UTF-8"))
+    assert(Extraction.parseHeader(viaFixture, "W1.pdf") == h)
+    assert(Extraction.parseStimulation(viaFixture, "W1.pdf") == st)
+  }
+
+  test("string escapes, hex strings, TJ kerning, and quote operators decode") {
+    val content =
+      ("BT /F1 12 Tf 72 720 Td\n" +
+        "[(Well) -250 (Operator:) -250 (ACME \\(ND\\))] TJ 0 -14 Td\n" +
+        "(Line\\040with\\040octal cont\\\ninued) Tj 0 -14 Td\n" + // octal 040 = space; \<eol> = continuation
+        "<57656C6C204E616D653A2058> Tj 0 -14 Td\n" + // hex: "Well Name: X"
+        "(quoted) '\n" +
+        "ET").getBytes(ISO_8859_1)
+    val got = PdfText.extract(pdf(Seq("ignored"), rawContents = Some(Seq(content))))
+    assert(got.length == 1)
+    val lines = got.head.split("\n").toSeq
+    assert(lines == Seq("Well Operator: ACME (ND)",
+      "Line with octal continued", "Well Name: X", "quoted"),
+      s"content decode drifted: $lines")
+  }
+
+  test("malformed inputs extract to zero pages, never throw (the fallback signal)") {
+    val truncated = pdf(fixture).take(60)
+    val junk = Array.fill[Byte](512)(0x42)
+    val notPdf = "just some text".getBytes(ISO_8859_1)
+    assert(PdfText.extract(truncated).forall(_.trim.isEmpty))
+    assert(PdfText.extract(junk).isEmpty)
+    assert(PdfText.extract(notPdf).isEmpty)
+    // unsupported filter: pages exist but decode blank -> withFallback
+    // routes to the second extractor, the reference's OCR ladder
+    val lzw = new String(pdf(fixture), ISO_8859_1)
+      .replace("<< /Length", "<< /Filter /LZWDecode /Length")
+      .getBytes(ISO_8859_1)
+    assert(PdfText.extract(lzw).forall(_.trim.isEmpty))
+    val ocrStub = new Extraction.DocumentTextExtractor {
+      def extract(c: Array[Byte]): Seq[String] = Seq("OCR SAW THIS")
+    }
+    val ladder = Extraction.withFallback(PdfText, ocrStub)
+    assert(ladder.extract(lzw) == Seq("OCR SAW THIS"),
+      "blank text layer did not fall back")
+    assert(ladder.extract(pdf(fixture)) == fixture,
+      "fallback fired despite a readable text layer")
+  }
+
+  test("AutoDetect dispatches on magic bytes: PDFs to the codec, text to passthrough") {
+    assert(PdfText.AutoDetect.extract(pdf(fixture, flate = true)) == fixture)
+    assert(PdfText.AutoDetect.extract("a\fb".getBytes("UTF-8")) == Seq("a", "b"))
+  }
+
+  test("S1+S2 end-to-end: a mixed directory scans through Spark into parsed tables") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pdf-scan")
+    Files.write(dir.resolve("A_real.pdf"), pdf(fixture, flate = true))
+    Files.write(dir.resolve("B_fixture.pdf"),
+      "Operator: TEXTCO\nWell Name: FIX 1".getBytes("UTF-8"))
+    val docs = Extraction.scanDocuments(spark, dir.toString,
+      PdfText.AutoDetect).cache()
+    val (header, _) = Extraction.extractAll(docs)
+    val rows = header.collect().map(r =>
+      (r.getAs[String]("pdf_name"), r.getAs[String]("operator"))).toSeq
+    assert(rows == Seq( // path-sorted, S1's order contract
+      ("A_real.pdf", "NANCE PETROLEUM CORPORATION"),
+      ("B_fixture.pdf", "TEXTCO")),
+      s"mixed-directory scan drifted: $rows")
+  }
+}
