@@ -2731,8 +2731,11 @@ object TextOps {
         st.maintainDedupState(b.select($"doc_id", $"text"),
           s"$dir/xstats", s"$dir/xdocs")
         st.maintainScoreState(b, s"$dir/ref", s"$dir/scores", s"$dir/sdocs")
+        // the tf+dl two-table overload: pp33's retrieval leg serves
+        // through the maintained-lengths path (bm25ServeSnapshot) — the
+        // production shape, whose equality with ta18 TfStateSpec pins
         st.maintainTfState(b.select($"doc_id", $"text"),
-          s"$dir/tf", s"$dir/tdocs")
+          s"$dir/tf", s"$dir/dl", s"$dir/tdocs")
         st.maintainCmsState(b.select($"doc_id", $"text"),
           s"$dir/cells", s"$dir/vocab", s"$dir/cdocs")
         st.maintainHllState(b, s"$dir/regs", s"$dir/hdocs")
@@ -2746,7 +2749,10 @@ object TextOps {
         Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants"))
       .unionByName(tag("scores", st.scoreSnapshot(s, s"$stand/scores"),
         Seq("doc_id", "source", "score", "rank", "bucket")))
-      .unionByName(tag("bm25", st.bm25Snapshot(s, s"$stand/tf"),
+      .unionByName(tag("bm25",
+        st.bm25ServeSnapshot(s, s"$stand/tf", s"$stand/dl",
+          { import s.implicits._; TA18_QUERIES.toDF("query_id", "qtext") },
+          TA18_K),
         Seq("query_id", "rank", "doc_id", "score")))
       .unionByName(tag("cms", st.cmsSnapshot(s, s"$stand/cells", s"$stand/vocab"),
         Seq("tok", "cf", "est")))
