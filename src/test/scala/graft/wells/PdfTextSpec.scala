@@ -233,6 +233,30 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     assert(PdfText.AutoDetect.extract("a\fb".getBytes("UTF-8")) == Seq("a", "b"))
   }
 
+  test("fuzz: 300 deterministic mutations of a valid PDF never throw") {
+    val rnd = new scala.util.Random(0xC0FFEE) // fixed seed — reproducible
+    val base = pdf(fixture, flate = true)
+    for (trial <- 1 to 300) {
+      val b = base.clone()
+      // 1-8 mutations per trial: byte flips, truncations, splices
+      for (_ <- 0 to rnd.nextInt(8)) rnd.nextInt(3) match {
+        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        case 1 => // zero a run (simulates a damaged sector)
+          val at = rnd.nextInt(b.length)
+          java.util.Arrays.fill(b, at, math.min(b.length, at + rnd.nextInt(64)), 0.toByte)
+        case 2 => // splice structural keywords into random spots
+          val kw = Seq("endobj", "stream", "endstream", ">>", "0 0 obj", "(")(rnd.nextInt(6))
+            .getBytes(ISO_8859_1)
+          val at = rnd.nextInt(math.max(1, b.length - kw.length))
+          System.arraycopy(kw, 0, b, at, kw.length)
+      }
+      val cut = if (rnd.nextBoolean()) b.take(rnd.nextInt(b.length + 1)) else b
+      // the ONLY contract on garbage: return, don't throw
+      val pages = PdfText.extract(cut)
+      assert(pages != null, s"trial $trial returned null")
+    }
+  }
+
   test("S1+S2 end-to-end: a mixed directory scans through Spark into parsed tables") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("pdf-scan")
