@@ -137,6 +137,59 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     fin.toByteArray
   }
 
+  /** PDF 1.5-style document: catalog/pages/page/font dicts packed into
+    * one /Type /ObjStm (offset-pair header, optionally FlateDecode);
+    * content streams remain regular objects (streams cannot live inside
+    * an ObjStm, §7.5.7); /Root appears ONLY in a /Type /XRef stream
+    * dict — no classic trailer — the way modern writers emit PDFs. */
+  private def pdfObjStm(pages: Seq[String], flateStm: Boolean = true): Array[Byte] = {
+    val contents = pages.map(contentFor)
+    val p = contents.length
+    // numbering: 1..p content streams; packed: font p+1, pages node p+2,
+    // page dicts p+3..2p+2, catalog 2p+3; then objstm 2p+4, xref 2p+5
+    val fontN = p + 1; val pagesN = p + 2
+    val pageNs = (0 until p).map(i => p + 3 + i)
+    val catN = 2 * p + 3; val stmN = 2 * p + 4; val xrefN = 2 * p + 5
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes(ISO_8859_1))
+    contents.zipWithIndex.foreach { case (c0, i) =>
+      val data = deflate(c0)
+      out.write((s"${i + 1} 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+        .getBytes(ISO_8859_1))
+      out.write(data)
+      out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    val packed: Seq[(Int, String)] =
+      Seq(fontN -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        pagesN -> (s"<< /Type /Pages /Kids ${pageNs.map(n => s"$n 0 R").mkString("[", " ", "]")} " +
+          s"/Count $p >>")) ++
+      pageNs.zipWithIndex.map { case (n, i) =>
+        n -> (s"<< /Type /Page /Parent $pagesN 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontN 0 R >> >> /Contents ${i + 1} 0 R >>")
+      } :+ (catN -> s"<< /Type /Catalog /Pages $pagesN 0 R >>")
+    val bodies = packed.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length).init
+    val header = packed.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString("", " ", " ")
+    val stmData0 = (header + bodies.mkString).getBytes(ISO_8859_1)
+    val stmData = if (flateStm) deflate(stmData0) else stmData0
+    val filter = if (flateStm) " /Filter /FlateDecode" else ""
+    out.write((s"$stmN 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Length ${stmData.length}$filter >>\nstream\n").getBytes(ISO_8859_1))
+    out.write(stmData)
+    out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    val xrefAt = out.size()
+    // dummy xref-stream DATA (the parser scans objects raw and never
+    // decodes it); the DICT is what matters: it carries /Root
+    val xrefData = Array.fill[Byte](4 * (xrefN + 1))(0)
+    out.write((s"$xrefN 0 obj\n<< /Type /XRef /Size ${xrefN + 1} /Root $catN 0 R " +
+      s"/W [1 2 1] /Length ${xrefData.length} >>\nstream\n").getBytes(ISO_8859_1))
+    out.write(xrefData)
+    out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
   // ------------------------------------------------- fixtures
   private val hdrPage =
     """Well Operator: NANCE PETROLEUM CORPORATION
@@ -203,6 +256,62 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     assert(lines == Seq("Well Operator: ACME (ND)",
       "Line with octal continued", "Well Name: X", "quoted"),
       s"content decode drifted: $lines")
+  }
+
+  test("PDF 1.5 ObjStm: packed page tree extracts; /Root found via the xref-stream dict") {
+    for ((label, bytes) <- Seq(
+        "objstm-flate" -> pdfObjStm(fixture),
+        "objstm-plain" -> pdfObjStm(fixture, flateStm = false))) {
+      val got = PdfText.extract(bytes)
+      assert(got == fixture, s"$label: page text drifted: $got")
+    }
+    // the parse banks work identically over the ObjStm-packed document
+    val h = Extraction.parseHeader(PdfText.extract(pdfObjStm(fixture)), "W1.pdf")
+    assert(h.operator.contains("NANCE PETROLEUM CORPORATION"))
+    assert(h.api.contains("33-053-06057"))
+  }
+
+  test("binary stream bytes spelling 'N G obj' do not shadow real objects") {
+    // page-1 content (direct /Length) contains bytes that LOOK like the
+    // header of object 2 — the real page dict. Pre-skip-extent parsing,
+    // the spurious match shadowed it in the last-wins map (blank page).
+    val spoof = ("BT /F1 12 Tf 72 720 Td\n(REAL TEXT) Tj\nET\n" +
+      "2 0 obj\n<< /Type /Page >>\nendobj\n").getBytes(ISO_8859_1)
+    val bytes = pdf(Seq("ignored"), rawContents = Some(Seq(spoof)))
+    assert(PdfText.extract(bytes) == Seq("REAL TEXT"))
+  }
+
+  test("deflate bomb: a stream inflating past the cap truncates instead of OOM") {
+    // 80 MiB of NULs deflates to ~80 KiB; inflating uncapped would buffer
+    // 80 MiB per executor-thread on attacker-controlled scan input —
+    // OutOfMemoryError is an Error, so it would ESCAPE extract()'s
+    // NonFatal catch. The cap truncates at 64 MiB: blank page, no throw.
+    val bomb = Array.fill[Byte](80 << 20)(0)
+    val bytes = pdf(Seq("ignored"), flate = true, rawContents = Some(Seq(bomb)))
+    val pages = PdfText.extract(bytes)
+    assert(pages.length == 1 && pages.head.trim.isEmpty)
+  }
+
+  test("fuzz: 150 deterministic mutations of an ObjStm PDF never throw") {
+    val rnd = new scala.util.Random(0xBEEF) // fixed seed — reproducible
+    val base = pdfObjStm(fixture)
+    for (trial <- 1 to 150) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(8)) rnd.nextInt(3) match {
+        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        case 1 =>
+          val at = rnd.nextInt(b.length)
+          java.util.Arrays.fill(b, at, math.min(b.length, at + rnd.nextInt(64)), 0.toByte)
+        case 2 =>
+          val kw = Seq("endobj", "stream", "ObjStm", "/First", "0 0 obj", "<<")(rnd.nextInt(6))
+            .getBytes(ISO_8859_1)
+          val at = rnd.nextInt(math.max(1, b.length - kw.length))
+          System.arraycopy(kw, 0, b, at, kw.length)
+      }
+      val cut = if (rnd.nextBoolean()) b.take(rnd.nextInt(b.length + 1)) else b
+      val pages = PdfText.extract(cut)
+      assert(pages != null, s"trial $trial returned null")
+    }
   }
 
   test("malformed inputs extract to zero pages, never throw (the fallback signal)") {
