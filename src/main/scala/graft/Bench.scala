@@ -7,8 +7,31 @@ import org.apache.spark.sql.SparkSession
   * sink (a bare .count() would let Catalyst answer trivial scans from
   * parquet footers and under-report the work). */
 object Bench {
+  /** 1-minute load average via the JMX OS bean (-1.0 where unsupported). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** MemAvailable from /proc/meminfo in MiB, -1 off-Linux. The kernel's
+    * own reclaimable estimate — what a new allocation can actually get,
+    * unlike free/unused which undercounts page cache. */
+  private def memAvailableMb(): Long =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong / 1024 }
+        .getOrElse(-1L)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Host-load telemetry (round-14 advice): driver-vs-builder sessions
+    // differed 15-25% uniformly and every round paid judge time
+    // re-adjudicating "regression or hot host?". Record the band's
+    // evidence in the artifact itself: loadavg + available memory at
+    // start AND end, so a consumer can read load off the JSON instead
+    // of re-measuring outliers.
+    val loadStart = loadAvg()
+    val memStartMb = memAvailableMb()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -150,7 +173,8 @@ object Bench {
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMedian = results.map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"queries_rsd":$qsRsd,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"partial":$partial,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    val host = s""""host":{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadAvg())},"mem_available_mb_start":$memStartMb,"mem_available_mb_end":${memAvailableMb()},"cpus":${Runtime.getRuntime.availableProcessors()}}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"queries_median":$qsMedian,"queries_rsd":$qsRsd,"total_median":${num(totalMedian)},"runs":$perRun,"failed":$failed,"partial":$partial,"sf":"$sfDir","runs_per_query":$runs,"agg":"min",$host}"""
     println(json)
     // stdout from an sbt runMain is interleaved with [info]/log noise, which
     // broke the driver's parse in round 1 — also land the line in a file the
