@@ -84,8 +84,16 @@ object ServeProbe {
       timeMin(s"serve_derived batch=${i + 1}") {
         graft.streaming.Streams.bm25Snapshot(spark, tfT, workload, 10).count()
       }
+      // both dl-materialization strategies: the default recomputes the
+      // dl snapshot from its 2-column scan per use (100 TB-safe — no
+      // local-disk copy that grows with corpus rows); the opt-in
+      // localCheckpoints it once per serve call (the pre-r15 behavior)
       timeMin(s"serve_maintained batch=${i + 1}") {
         graft.streaming.Streams.bm25ServeSnapshot(spark, tfT, dlT, workload, 10).count()
+      }
+      timeMin(s"serve_maintained_dlckpt batch=${i + 1}") {
+        graft.streaming.Streams.bm25ServeSnapshot(spark, tfT, dlT, workload, 10,
+          materialize = graft.queries.TextOps.localMaterialize).count()
       }
       timeMin(s"serve_tok_bucketed batch=${i + 1}") {
         graft.streaming.Streams.bm25ServeTokSnapshot(spark, tokT, dlT, workload, 10).count()

@@ -125,6 +125,29 @@ object QuantileSketch {
         lit(k).as("__qs_k"))
   }
 
+  /** [[sketch]] over a DOUBLE-valued measurement — the sketch family's
+    * main customer type (quality/perplexity scores are doubles): the
+    * value rides the BIGINT machinery through the order-preserving
+    * IEEE transform ([[graft.functions.DoubleSortable]] — an exact
+    * involution, so nothing is lost), which keeps every property the
+    * BIGINT sketch has: pure-set-function sample, map-side bounded
+    * buffers, [[merged]] row-local folds, and an oracle that replays
+    * the ranks with a plain ORDER BY on the doubles (total-order
+    * caveats at [[graft.functions.DoubleToSortableLong]]: -0.0 and
+    * NaN payload distinctions exist only on the transformed side).
+    * The sketch is tagged `__qs_k = -k`: the sign records the value
+    * domain, so [[quantiles]] (BIGINT) on a double sketch — or
+    * [[quantilesDouble]] on a BIGINT one — fails loudly instead of
+    * returning transformed bits as values. Exploded (h, v) pair rows
+    * from this sketch feed the SAME maintained family
+    * ([[graft.streaming.Streams.maintainQuantileState]]) unchanged —
+    * the standing layout never looks at the value, only its order. */
+  def sketchDouble(df: DataFrame, group: String, hash: Column,
+      value: Column, k: Int): DataFrame =
+    sketch(df, group, hash,
+        graft.functions.DoubleSortable.toSortableLong(value.cast("double")), k)
+      .withColumn("__qs_k", lit(-k))
+
   /** Merge two sketches' parallel arrays row-locally: union the (h, v)
     * pairs, dedup, keep the k smallest under (h, v) — EXACTLY the
     * aggregator's merge as an array expression, sound under
@@ -149,7 +172,23 @@ object QuantileSketch {
     * k is validated, not trusted — mismatch and overflow raise with
     * the actual defect named, as [[KmvSketch.estimated]] does. */
   def quantiles(sketched: DataFrame, k: Int,
-      ps: Seq[(String, Int, Int)]): DataFrame = {
+      ps: Seq[(String, Int, Int)]): DataFrame =
+    quantilesTagged(sketched, k, k, ps, identity)
+
+  /** [[quantiles]] over a [[sketchDouble]] result: identical rank
+    * selection on the transformed BIGINTs (their sort order IS the
+    * doubles'), then each percentile column inverse-transformed back
+    * to DOUBLE — a pure bit reinterpretation, so the estimates are
+    * sample VALUES, never arithmetic on doubles (no interpolation:
+    * the nearest-lower-rank contract is what makes double output
+    * oracle-exact). Rejects BIGINT-built sketches via the domain tag. */
+  def quantilesDouble(sketched: DataFrame, k: Int,
+      ps: Seq[(String, Int, Int)]): DataFrame =
+    quantilesTagged(sketched, k, -k, ps,
+      graft.functions.DoubleSortable.fromSortableLong)
+
+  private def quantilesTagged(sketched: DataFrame, k: Int, tag: Int,
+      ps: Seq[(String, Int, Int)], post: Column => Column): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, n, d) => d > 0 && n >= 0 && n <= d },
       s"percentiles must be fractions in [0,1]: $ps")
     val overflow = when(size(col("hs")) <= k, size(col("hs")).cast("long"))
@@ -159,9 +198,13 @@ object QuantileSketch {
         lit(s" pairs > k=$k — built or merged with a larger k"))))
     val guarded =
       if (sketched.columns.contains("__qs_k"))
-        when(col("__qs_k") =!= lit(k), raise_error(concat(
-          lit(s"QuantileSketch.quantiles: k=$k does not match the sketch's build k ("),
-          col("__qs_k").cast("string"), lit(")"))).cast("long"))
+        when(col("__qs_k") =!= lit(tag), raise_error(concat(
+          lit(s"QuantileSketch.quantiles: expected build tag $tag (sign = " +
+            "value domain: positive BIGINT, negative IEEE-transformed " +
+            "double) but the sketch carries "),
+          col("__qs_k").cast("string"),
+          lit(" — k mismatch, or quantiles/quantilesDouble crossed domains")))
+          .cast("long"))
           .otherwise(overflow)
       else overflow
     val sorted = array_sort(col("vs"))
@@ -170,7 +213,7 @@ object QuantileSketch {
       // trick (numerator ≤ (k−1)·den, exact in long)
       val r = (col("n_kept") - lit(1L)) * lit(num.toLong)
       val idx = ((r - pmod(r, lit(den.toLong))) / lit(den.toLong)).cast("int")
-      when(col("n_kept") > 0, element_at(sorted, idx + 1)).as(name)
+      when(col("n_kept") > 0, post(element_at(sorted, idx + 1))).as(name)
     }
     sketched
       .withColumn("n_kept", guarded)

@@ -1558,6 +1558,22 @@ object TextOps {
   def bm25TopK(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val s = tf.sparkSession
     import s.implicits._
+    // The unique-rows contract above is otherwise enforced only by
+    // documentation — a caller that feeds a maintained/appended table
+    // with redelivery duplicates gets silently double-counted dl and
+    // inflated df. Under this opt-in debug conf the contract becomes a
+    // loud failure: one extra counting pass over the tf frame, so it is
+    // a deployment-validation switch, not an always-on tax.
+    if (s.conf.getOption("spark.graft.bm25.checkUniqueInput")
+        .exists(_.toBoolean)) {
+      val Array(total, distinct) = tf
+        .agg(count(lit(1)), count_distinct($"doc_id", $"tok"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      require(total == distinct,
+        s"bm25TopK: tf input violates the unique (doc_id, tok) contract " +
+          s"($total rows, $distinct distinct pairs) — roll it up first, " +
+          s"or serve duplicates through bm25TopKWith's default dedup path")
+    }
     // distinctInput: this path's contract already REQUIRES unique
     // (doc, tok) rows — the dl rollup below would double-count a
     // duplicate long before df would — so the duplicate-tolerant
@@ -2701,6 +2717,48 @@ object TextOps {
       TA24_K, TA24_PS).orderBy($"source")
   }
 
+  /** ta25 — the DOUBLE-valued quantile sketch (the sketch family's main
+    * customer type: the pipeline's own per-doc scores are fractional):
+    * p50/p90/p99 per source of MEAN TOKEN LENGTH — n_chars / n_tokens
+    * as a genuine IEEE double (ta16's mean-word-length quality signal,
+    * un-ratioed) — through [[graft.operators.QuantileSketch.sketchDouble]]:
+    * the value rides the BIGINT bottom-k machinery via the
+    * order-preserving raw-bits transform
+    * ([[graft.functions.DoubleSortable]], an exact involution), so the
+    * sketch keeps every BIGINT-path property (pure-set-function sample,
+    * k-bounded exchange, row-local merges) and the estimates are sample
+    * VALUES — selected, never interpolated — which is what makes double
+    * output oracle-exact: the oracle ranks by the raw doubles (ORDER BY
+    * agrees with the transformed-BIGINT order everywhere off -0.0/NaN,
+    * which positive finite ratios never hit) and both engines derive
+    * the measurement bit-identically (int64→double casts are exact
+    * below 2⁵³ and IEEE division is correctly rounded — deterministic
+    * on both). Same k/percentiles as ta24; exactness below saturation,
+    * the same contract. */
+  private def ta25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = documents(s, d)
+      .select($"doc_id", $"source", $"n_chars",
+        size(Text.tokens($"text")).as("nt"))
+      .where($"n_chars".isNotNull && $"nt" > 0)
+      .select($"source",
+        hex8(concat(lit("qsd:"), $"doc_id".cast("string"))).as("h"),
+        ($"n_chars".cast("double") / $"nt".cast("double")).as("v"))
+    graft.operators.QuantileSketch.quantilesDouble(
+      graft.operators.QuantileSketch.sketchDouble(
+        pairs, "source", $"h", $"v", TA24_K),
+      TA24_K, TA24_PS).orderBy($"source")
+  }
+  private val ta25Sql = {
+    val nt = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "WITH " + graft.operators.QuantileSketch.oracleSql(
+      s"SELECT source AS g, ${hex8Sql("'qsd:' || CAST(doc_id AS VARCHAR)")} AS h, " +
+        s"CAST(n_chars AS DOUBLE) / CAST($nt AS DOUBLE) AS v FROM documents " +
+        s"WHERE n_chars IS NOT NULL AND $nt > 0",
+      256, Seq(("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)),
+      groupAs = "source") + " ORDER BY source"
+  }
+
   /** pp33 — the COMPOSITE multi-family maintainer gate: five standing-
     * state families (exact dedup, perplexity scores, tf/BM25, CMS, HLL)
     * driven through the SAME two era batches — the production shape,
@@ -3820,6 +3878,7 @@ object TextOps {
     Q("pp31_incremental_hll", "incremental HLL maintenance: standing register table (<= 64 rows per source) advanced by register-wise max from one batch pass; idempotent merge absorbs replays with no dedup — estimate == ta23; forget is rebuild-over-survivors (max does not invert, documented)", pp31, Some(ta23Sql)),
     Q("ta24_quantile_sketch", "mergeable quantile sketch per source: k=256 hash-ordered bottom-k sample (the merge-tree-deterministic alternative to KLL — the k smallest md5-fold hashes are a pure set function), nearest-lower-rank estimates BIGINT end to end, exact until saturation; exchange bounded at k pairs per (group, map) regardless of value domain or row count", ta24, Some(ta24Sql)),
     Q("pp32_incremental_quantile", "incremental quantile sketch: standing exploded bottom-k sample (<= k pair rows per source) advanced by one batch sketch + a <= 2k-row fold — bottom-k of a union of bottom-k samples == bottom-k of the union; estimates == ta24; forget is rebuild-over-survivors (saturated samples do not invert, documented)", pp32, Some(ta24Sql)),
+    Q("ta25_quantile_sketch_double", "DOUBLE-valued quantile sketch per source: mean token length (n_chars/n_tokens, a genuine IEEE double) through the bottom-k machinery via the order-preserving raw-bits transform (exact involution) — estimates are selected sample values, never interpolated, so double output stays oracle-exact; same k-bounded exchange and exact-until-saturation contract as ta24", ta25, Some(ta25Sql)),
     Q("pp33_incremental_pipeline", "composite multi-family maintainer: exact dedup + perplexity scores + tf/BM25 + CMS + HLL standing states driven through the SAME two era batches (one ingest loop, five derived-table families), each snapshot emitted as a tagged serialized row — oracle is the five per-family gate oracles verbatim, so composition cannot drift from the single-family truths", pp33, Some(pp33Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),

@@ -3480,15 +3480,28 @@ object Streams {
     * ROLLUP SHUFFLES [[bm25Snapshot]] re-runs per call. Scores are
     * EXACTLY [[bm25Snapshot]]'s (shared scoring suffix; the dl table
     * equals the tf rollup by the maintainer's construction —
-    * spec-pinned). */
+    * spec-pinned).
+    *
+    * `materialize` decides how the dl snapshot (one row per doc — the
+    * only corpus-ROW-proportional frame this path scans twice: the N/L
+    * scalars, then the scoring join) is reused between those two uses.
+    * The default `identity` RECOMPUTES it from the pushed-down 2-column
+    * scan each time — the 100 TB-safe choice, because the alternative
+    * copies a per-doc table to executor LOCAL DISK per serve call,
+    * which fails on capacity as the corpus grows while two extra scans
+    * of a 2-column parquet projection never do. Pass
+    * [[graft.queries.TextOps.localMaterialize]] to trade that copy for
+    * the repeated scan+dedup when the corpus comfortably fits
+    * (ServeProbe measures both strategies — COVERAGE.md). */
   def bm25ServeSnapshot(spark: SparkSession, tfTable: String,
-      dlTable: String, queries: DataFrame, k: Int): DataFrame = {
+      dlTable: String, queries: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.types._
     val tfRaw = tryRead(spark, tfTable).getOrElse(emptyDf(spark,
         "doc_id" -> LongType, "tok" -> StringType, "tf" -> LongType))
       .select(col("doc_id"), col("tok"), col("tf"))
     graft.queries.TextOps.bm25TopKWith(tfRaw,
-      dlSnapshot(spark, dlTable).localCheckpoint(true), queries, k)
+      materialize(dlSnapshot(spark, dlTable)), queries, k)
   }
 
   /** [[bm25ServeSnapshot]] over the TOKEN-BUCKETED projection — the
@@ -3501,9 +3514,12 @@ object Streams {
     * scan drops to |matched buckets|/[[TOK_TF_BUCKETS]] of the table
     * (≤ |query terms| buckets). Scores are EXACTLY the other paths'
     * (shared suffix + the same dl guard; spec-pinned), because the
-    * dropped buckets contain no query-term postings by construction. */
+    * dropped buckets contain no query-term postings by construction.
+    * `materialize` has [[bm25ServeSnapshot]]'s contract (default =
+    * recompute the dl snapshot from its scan per use). */
   def bm25ServeTokSnapshot(spark: SparkSession, tokTfTable: String,
-      dlTable: String, queries: DataFrame, k: Int): DataFrame = {
+      dlTable: String, queries: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.types._
     val buckets = queries
       .select(explode(array_distinct(
@@ -3516,7 +3532,7 @@ object Streams {
         "doc_id" -> LongType, "tok" -> StringType, "tf" -> LongType))
     graft.queries.TextOps.bm25TopKWith(
       pruned.select(col("doc_id"), col("tok"), col("tf")),
-      dlSnapshot(spark, dlTable).localCheckpoint(true), queries, k)
+      materialize(dlSnapshot(spark, dlTable)), queries, k)
   }
 
   /** DELETION PROPAGATION for the retrieval family — exact like the

@@ -59,4 +59,26 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2)))
     assert(ranked.toSeq == Seq((1, 5L), (2, 6L)), s"tie-break broke: ${ranked.toSeq}")
   }
+
+  test("spark.graft.bm25.checkUniqueInput: duplicate (doc_id, tok) rows fail loudly; unique input passes") {
+    import spark.implicits._
+    val queries = Seq(1L -> "apple").toDF("query_id", "qtext")
+    val unique = TextOps.tfRollup(
+      Seq(1L -> "apple banana", 2L -> "apple").toDF("doc_id", "text"))
+    // a redelivery-shaped duplicate: byte-identical (doc, tok, tf) row
+    val dup = unique.unionByName(unique.limit(1))
+    spark.conf.set("spark.graft.bm25.checkUniqueInput", "true")
+    try {
+      // clean input is unaffected by the guard
+      assert(TextOps.bm25TopK(unique, queries, k = 2).count() == 2)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.bm25TopK(dup, queries, k = 2).count()
+      }
+      assert(e.getMessage.contains("unique (doc_id, tok)"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.bm25.checkUniqueInput")
+    // guard off (default): the contract stays documentation-only — the
+    // call goes through (and would double-count; that is the caller's
+    // stated responsibility on this overload)
+    assert(TextOps.bm25TopK(dup, queries, k = 2).count() == 2)
+  }
 }

@@ -97,6 +97,12 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq.toList).toList
     assert(served() == derived(), "serving path != derived-stats path")
     assert(served().nonEmpty, "no results — vacuous")
+    // the dl materialize strategy is a pure reuse choice: the opt-in
+    // localCheckpoint path must be bit-identical to the default rescan
+    assert(Streams.bm25ServeSnapshot(spark, tfT, dlT, workload, 4,
+        materialize = graft.queries.TextOps.localMaterialize)
+      .collect().map(_.toSeq.toList).toList == served(),
+      "dl localMaterialize strategy drifted from the rescan default")
 
     // crash replay: byte-identical rows land again in BOTH tables
     val rolled = graft.queries.TextOps.tfRollup(df(all.drop(150)))
