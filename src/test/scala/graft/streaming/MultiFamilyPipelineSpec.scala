@@ -115,5 +115,98 @@ class MultiFamilyPipelineSpec extends AnyFunSuite with SparkSpec {
     for (g <- Seq("xdocs", "sdocs", "tdocs", "cdocs", "hdocs"))
       assert(spark.read.parquet(t(g)).select($"doc_id").distinct().count()
         == rows.length, s"guard $g does not cover the corpus exactly")
+
+    // ---- ONE deletion request through ALL FIVE standing stores in a
+    // shared pass — the production GDPR shape: a forgotten doc must
+    // leave the dedup stats, the scores, the tf postings, the CMS
+    // cells+vocab, AND the HLL registers together (each family's
+    // forget is spec-pinned in isolation — ForgetFamiliesSpec,
+    // Score/Tf/Cms/HllStateSpec; this drives the COMPOSITE).
+    val forgot = rows.map(_._1).filter(_ % 9 == 0).toSet
+    assert(forgot.nonEmpty && forgot.size < rows.length,
+      "degenerate forget set — pin vacuous")
+    val fDf = forgot.toSeq.toDF("doc_id").localCheckpoint(true)
+    def forgetAll(): Unit = {
+      Streams.forgetExactDedupState(spark, fDf, t("xstats"), t("xdocs"))
+      Streams.forgetScoreState(spark, fDf, t("scores"), t("sdocs"))
+      Streams.forgetTfState(spark, fDf, t("tf"), t("tdocs"))
+      Streams.forgetCountState(spark, fDf, t("cdocs"),
+        vocabTable = Some(t("vocab")), cmsTable = Some(t("cells")))
+      Streams.forgetHllState(spark, fDf, t("regs"), t("hdocs"))
+    }
+    // MID-FORGET CRASH: the first two families complete their forgets,
+    // then the process dies — dedup/scores already pruned while
+    // tf/cms/hll still hold the forgotten docs. The state must be
+    // RE-RUNNABLE with no coordinator bookkeeping: recovery is simply
+    // re-running the whole composite request, because every family
+    // forget is idempotent (the completed families' tombstoned text
+    // yields an empty gone set on the re-run).
+    Streams.forgetExactDedupState(spark, fDf, t("xstats"), t("xdocs"))
+    Streams.forgetScoreState(spark, fDf, t("scores"), t("sdocs"))
+    forgetAll() // the recovery re-run, across all five families
+
+    // every family's snapshot == a FRESH composite build over the
+    // survivors (scores under the SAME frozen reference — frozen by
+    // definition, ta17's CCNet argument: deletion never re-trains it)
+    val surv = rows.filterNot(r => forgot(r._1)).toSeq
+      .toDF("doc_id", "source", "lang", "text").localCheckpoint(true)
+    Streams.maintainDedupState(surv.select($"doc_id", $"text"),
+      t("xstatsR"), t("xdocsR"))
+    Streams.maintainScoreState(surv, t("ref"), t("scoresR"), t("sdocsR"))
+    Streams.maintainTfState(surv.select($"doc_id", $"text"),
+      t("tfR"), t("tdocsR"))
+    Streams.maintainCmsState(surv.select($"doc_id", $"text"),
+      t("cellsR"), t("vocabR"), t("cdocsR"))
+    Streams.maintainHllState(surv, t("regsR"), t("hdocsR"))
+    def survSnapshots() = Seq(
+      "dedup" -> rowsOf(Streams.dedupSnapshot(spark, t("xstatsR"))),
+      "scores" -> rowsOf(Streams.scoreSnapshot(spark, t("scoresR"))),
+      "bm25" -> rowsOf(Streams.bm25Snapshot(spark, t("tfR"))),
+      "cms" -> rowsOf(Streams.cmsSnapshot(spark, t("cellsR"), t("vocabR"))),
+      "hll" -> rowsOf(Streams.hllSnapshot(spark, t("regsR")))).toMap
+    val wantSurv = survSnapshots()
+    def checkForgotten(when: String): Unit = {
+      for ((f, got) <- snapshots()) {
+        assert(got.nonEmpty, s"$f snapshot empty ($when) — vacuous")
+        // non-vacuity only where the output is SENSITIVE to the
+        // deletion by construction (every doc owns a row): the sketch
+        // families' registers/cells/top-k can legitimately be identical
+        // over the survivors — on this corpus the HLL registers are —
+        // so their composite evidence is the guard tombstones below
+        if (f == "scores" || f == "dedup")
+          assert(got != want(f),
+            s"$f snapshot still equals the full-corpus gate ($when) — forget vacuous")
+        assert(got == wantSurv(f),
+          s"$f snapshot != from-scratch over survivors ($when)")
+      }
+      // the request reached EVERY standing store: the text-bearing
+      // guards tombstoned the forgotten ids (text nulled — id kept, so
+      // redelivery and re-ingest stay blocked); the scores guard is
+      // ids-only (its rows delete directly), so its evidence is the
+      // ids REMAINING in the blocking set
+      for (g <- Seq("xdocs", "tdocs", "cdocs", "hdocs")) {
+        val live = spark.read.parquet(t(g))
+          .filter($"doc_id".isin(forgot.toSeq: _*) && $"text".isNotNull)
+          .count()
+        assert(live == 0, s"guard $g still holds $live forgotten texts ($when)")
+      }
+      val blocked = spark.read.parquet(t("sdocs"))
+        .filter($"doc_id".isin(forgot.toSeq: _*))
+        .select($"doc_id").distinct().count()
+      assert(blocked == forgot.size,
+        s"scores guard blocks $blocked of ${forgot.size} forgotten ids ($when)")
+    }
+    checkForgotten("after the composite forget")
+
+    // re-ingest of forgotten docs through the COMPOSITE loop: every
+    // family's guard forward-blocks them in the same pass
+    ingest(rows.filter(r => forgot(r._1)).take(10).toSeq
+      .toDF("doc_id", "source", "lang", "text"))
+    checkForgotten("after composite re-ingest of forgotten docs")
+
+    // idempotent composite re-run: a second operator firing the same
+    // GDPR request (or a crash AFTER completion) changes nothing
+    forgetAll()
+    checkForgotten("after the idempotent composite forget re-run")
   }
 }
