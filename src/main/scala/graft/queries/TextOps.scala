@@ -2775,6 +2775,52 @@ object TextOps {
     * single-family truths it is made of. Serialization uses concat
     * (NULL-poisoning, like SQL ||), never concat_ws (which silently
     * drops NULLs and would mask a NULL where the oracle has none). */
+  /** The five text families' era-batch advance — pp33's loop body,
+    * shared verbatim with pp34 so the text legs of the two composites
+    * cannot drift. */
+  private def textFamiliesIngest(b: DataFrame, dir: String): Unit = {
+    val st = graft.streaming.Streams
+    st.maintainDedupState(b.select(col("doc_id"), col("text")),
+      s"$dir/xstats", s"$dir/xdocs")
+    st.maintainScoreState(b, s"$dir/ref", s"$dir/scores", s"$dir/sdocs")
+    // the tf+dl two-table overload: the retrieval leg serves through
+    // the maintained-lengths path (bm25ServeSnapshot) — the production
+    // shape, whose equality with ta18 TfStateSpec pins
+    st.maintainTfState(b.select(col("doc_id"), col("text")),
+      s"$dir/tf", s"$dir/dl", s"$dir/tdocs")
+    st.maintainCmsState(b.select(col("doc_id"), col("text")),
+      s"$dir/cells", s"$dir/vocab", s"$dir/cdocs")
+    st.maintainHllState(b, s"$dir/regs", s"$dir/hdocs")
+  }
+
+  /** One composite leg: a family's snapshot serialized to tagged rows.
+    * Serialization uses concat (NULL-poisoning, like SQL ||), never
+    * concat_ws (which silently drops NULLs and would mask a NULL where
+    * the oracle has none). */
+  private def tagLeg(f: String, df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(lit(f).as("family"),
+      concat(cols.flatMap(c =>
+        Seq(col(c).cast("string"), lit(":"))).dropRight(1): _*).as("row"))
+
+  /** The five text families' tagged snapshot union over a standing dir
+    * — pp33's read side, shared verbatim with pp34. */
+  private def textFamiliesTagged(s: SparkSession, stand: String): DataFrame = {
+    import s.implicits._
+    val st = graft.streaming.Streams
+    tagLeg("dedup", st.dedupSnapshot(s, s"$stand/xstats"),
+        Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants"))
+      .unionByName(tagLeg("scores", st.scoreSnapshot(s, s"$stand/scores"),
+        Seq("doc_id", "source", "score", "rank", "bucket")))
+      .unionByName(tagLeg("bm25",
+        st.bm25ServeSnapshot(s, s"$stand/tf", s"$stand/dl",
+          TA18_QUERIES.toDF("query_id", "qtext"), TA18_K),
+        Seq("query_id", "rank", "doc_id", "score")))
+      .unionByName(tagLeg("cms", st.cmsSnapshot(s, s"$stand/cells", s"$stand/vocab"),
+        Seq("tok", "cf", "est")))
+      .unionByName(tagLeg("hll", st.hllSnapshot(s, s"$stand/regs"),
+        Seq("source", "n_zero", "s_scaled", "est_distinct")))
+  }
+
   private def pp33(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val st = graft.streaming.Streams
@@ -2785,54 +2831,90 @@ object TextOps {
       val isNew = QueryUtils.hex8(concat(lit("pipe:"),
         $"doc_id".cast("string"))) % 5 === 0
       st.buildRefState(docs, s"$dir/ref")
-      for (b <- Seq(docs.filter(!isNew), docs.filter(isNew))) {
-        st.maintainDedupState(b.select($"doc_id", $"text"),
-          s"$dir/xstats", s"$dir/xdocs")
-        st.maintainScoreState(b, s"$dir/ref", s"$dir/scores", s"$dir/sdocs")
-        // the tf+dl two-table overload: pp33's retrieval leg serves
-        // through the maintained-lengths path (bm25ServeSnapshot) — the
-        // production shape, whose equality with ta18 TfStateSpec pins
-        st.maintainTfState(b.select($"doc_id", $"text"),
-          s"$dir/tf", s"$dir/dl", s"$dir/tdocs")
-        st.maintainCmsState(b.select($"doc_id", $"text"),
-          s"$dir/cells", s"$dir/vocab", s"$dir/cdocs")
-        st.maintainHllState(b, s"$dir/regs", s"$dir/hdocs")
+      for (b <- Seq(docs.filter(!isNew), docs.filter(isNew)))
+        textFamiliesIngest(b, dir)
+    }
+    textFamiliesTagged(s, stand).orderBy($"family", $"row")
+  }
+  private def compositeLegSql(f: String, sql: String, cols: Seq[String]) = {
+    val ser = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || ':' || ")
+    s"SELECT '$f' AS family, $ser AS row FROM ($sql) AS t_$f"
+  }
+  private val textFamiliesLegsSql = Seq(
+    compositeLegSql("dedup", dd15Sql,
+      Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants")),
+    compositeLegSql("scores", ta17Sql,
+      Seq("doc_id", "source", "score", "rank", "bucket")),
+    compositeLegSql("bm25", ta18Sql, Seq("query_id", "rank", "doc_id", "score")),
+    compositeLegSql("cms", ta20Sql, Seq("tok", "cf", "est")),
+    compositeLegSql("hll", ta23Sql,
+      Seq("source", "n_zero", "s_scaled", "est_distinct")))
+  private val pp33Sql =
+    textFamiliesLegsSql.mkString("", "\nUNION ALL\n", "\nORDER BY family, row")
+
+  /** pp34 — the TEXT+VECTOR composite: pp33's five text families PLUS
+    * the IVF vector family ([[graft.streaming.Streams.maintainIvfState]],
+    * pp05's loop) advanced through the SAME two-era ingest — the real
+    * multimodal-pipeline shape, where one arrival loop lands a batch's
+    * documents AND their embeddings and every standing store (text and
+    * vector alike) advances in the same pass. The text legs reuse
+    * pp33's ingest and snapshot code VERBATIM ([[textFamiliesIngest]]/
+    * [[textFamiliesTagged]]); the vector leg is pp05's production
+    * shape: fixed coarse quantizer, batch-assigned postings appended to
+    * the standing lists, search over the maintained table — which
+    * equals vs06 over the full corpus because assignment is a pure
+    * per-row function of the fixed centroids. Oracle = the six
+    * per-family gate SQLs verbatim (dd15/ta17/ta18/ta20/ta23/vs06),
+    * each wrapped in the same tagged serialization; the search leg's
+    * cosine is serialized as floor(cos·10⁹) — the double itself is
+    * bit-identical cross-engine (vs06's own gate pins exact float
+    * equality), but double→VARCHAR FORMATTING is not a portable
+    * operation (scientific-notation cutoffs differ), while
+    * multiply+floor of identical doubles is. MultiFamilyPipelineSpec's
+    * continuous run proves the text families compose under crash
+    * replay; IncrementalIvfStreamSpec pins the vector leg's own
+    * lifecycle. */
+  private def pp34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = graft.streaming.Streams
+    val e = graft.queries.VectorOps.normed(graft.Tables.embeddings(s, d))
+    val cents = graft.queries.VectorOps.ivfCentroids(e)
+    val stand = QueryUtils.standingDir(s, "pp34", d) { dir =>
+      val docs = documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text").localCheckpoint(true)
+      val vecs = graft.Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding").localCheckpoint(true)
+      val isNewDoc = QueryUtils.hex8(concat(lit("pipe:"),
+        $"doc_id".cast("string"))) % 5 === 0
+      // pp05's era-split convention for the vector side
+      val isNewVec = QueryUtils.hex8(concat(lit("ivf:"),
+        $"vec_id".cast("string"))) % 5 === 0
+      st.buildRefState(docs, s"$dir/ref")
+      for ((bd, bv) <- Seq(
+          (docs.filter(!isNewDoc), vecs.filter(!isNewVec)),
+          (docs.filter(isNewDoc), vecs.filter(isNewVec)))) {
+        textFamiliesIngest(bd, dir)
+        st.maintainIvfState(bv, cents, s"$dir/postings", s"$dir/sums")
       }
     }
-    def tag(f: String, df: DataFrame, cols: Seq[String]) =
-      df.select(lit(f).as("family"),
-        concat(cols.flatMap(c =>
-          Seq(col(c).cast("string"), lit(":"))).dropRight(1): _*).as("row"))
-    tag("dedup", st.dedupSnapshot(s, s"$stand/xstats"),
-        Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants"))
-      .unionByName(tag("scores", st.scoreSnapshot(s, s"$stand/scores"),
-        Seq("doc_id", "source", "score", "rank", "bucket")))
-      .unionByName(tag("bm25",
-        st.bm25ServeSnapshot(s, s"$stand/tf", s"$stand/dl",
-          { import s.implicits._; TA18_QUERIES.toDF("query_id", "qtext") },
-          TA18_K),
-        Seq("query_id", "rank", "doc_id", "score")))
-      .unionByName(tag("cms", st.cmsSnapshot(s, s"$stand/cells", s"$stand/vocab"),
-        Seq("tok", "cf", "est")))
-      .unionByName(tag("hll", st.hllSnapshot(s, s"$stand/regs"),
-        Seq("source", "n_zero", "s_scaled", "est_distinct")))
+    val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    val ivf = st.ivfSearchSnapshot(s, s"$stand/postings", queries, cents,
+        nProbe = 2, k = 3)
+      .withColumn("cos_e9", floor($"cos" * lit(1e9)).cast("long"))
+    textFamiliesTagged(s, stand)
+      .unionByName(tagLeg("ivf", ivf,
+        Seq("query_id", "cid", "neighbor_id", "rank", "cos_e9")))
       .orderBy($"family", $"row")
   }
-  private val pp33Sql = {
-    def leg(f: String, sql: String, cols: Seq[String]) = {
-      val ser = cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || ':' || ")
-      s"SELECT '$f' AS family, $ser AS row FROM ($sql) AS t_$f"
-    }
-    Seq(
-      leg("dedup", dd15Sql,
-        Seq("canon_hash", "dup_count", "keeper_id", "n_raw_variants")),
-      leg("scores", ta17Sql,
-        Seq("doc_id", "source", "score", "rank", "bucket")),
-      leg("bm25", ta18Sql, Seq("query_id", "rank", "doc_id", "score")),
-      leg("cms", ta20Sql, Seq("tok", "cf", "est")),
-      leg("hll", ta23Sql,
-        Seq("source", "n_zero", "s_scaled", "est_distinct"))
-    ).mkString("", "\nUNION ALL\n", "\nORDER BY family, row")
+  private val pp34Sql = {
+    val ivfLeg = compositeLegSql("ivf",
+      s"""SELECT query_id, cid, neighbor_id, rank,
+         |  CAST(FLOOR(cos * 1000000000) AS BIGINT) AS cos_e9
+         |FROM (${graft.queries.VectorOps.vs06Sql}) AS vs06""".stripMargin,
+      Seq("query_id", "cid", "neighbor_id", "rank", "cos_e9"))
+    (textFamiliesLegsSql :+ ivfLeg)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY family, row")
   }
 
   private val ta09Sql =
@@ -3880,6 +3962,7 @@ object TextOps {
     Q("pp32_incremental_quantile", "incremental quantile sketch: standing exploded bottom-k sample (<= k pair rows per source) advanced by one batch sketch + a <= 2k-row fold — bottom-k of a union of bottom-k samples == bottom-k of the union; estimates == ta24; forget is rebuild-over-survivors (saturated samples do not invert, documented)", pp32, Some(ta24Sql)),
     Q("ta25_quantile_sketch_double", "DOUBLE-valued quantile sketch per source: mean token length (n_chars/n_tokens, a genuine IEEE double) through the bottom-k machinery via the order-preserving raw-bits transform (exact involution) — estimates are selected sample values, never interpolated, so double output stays oracle-exact; same k-bounded exchange and exact-until-saturation contract as ta24", ta25, Some(ta25Sql)),
     Q("pp33_incremental_pipeline", "composite multi-family maintainer: exact dedup + perplexity scores + tf/BM25 + CMS + HLL standing states driven through the SAME two era batches (one ingest loop, five derived-table families), each snapshot emitted as a tagged serialized row — oracle is the five per-family gate oracles verbatim, so composition cannot drift from the single-family truths", pp33, Some(pp33Sql)),
+    Q("pp34_incremental_multimodal", "TEXT+VECTOR composite maintainer: pp33's five text families plus the IVF postings family (pp05's loop) advanced through the same two-era ingest — one arrival loop lands documents AND embeddings, every standing store advances in the same pass; search over the maintained postings == vs06 (assignment is a pure per-row function of the fixed quantizer); oracle = the six per-family SQLs verbatim in the same tagged serialization (the cosine serialized as floor(cos*1e9) — the double is bit-identical cross-engine, its VARCHAR formatting is not)", pp34, Some(pp34Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),
     Q("pp27_incremental_classifier", "incremental classifier training: per-doc feature halves + labels advanced per batch, corpus-level LM derived at read, retrain == ta19", pp27, Some(ta19Sql)),
   )

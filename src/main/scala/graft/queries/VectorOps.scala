@@ -319,7 +319,8 @@ object VectorOps {
        |       JOIN n y ON y.vec_id = a.vec_id)""".stripMargin
   }
 
-  private val vs06Sql =
+  // private[graft]: pp34's composite oracle wraps this leg verbatim
+  private[graft] val vs06Sql =
     s"""${ivfCandidatesCte("n.vec_id >= 10 AND n.vec_id < 20")},
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
