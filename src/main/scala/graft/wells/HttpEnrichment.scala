@@ -71,8 +71,31 @@ final class HttpEnrichmentClient(baseUrl: String, perWellTimeoutMs: Int = 18000)
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
       .replaceAll("\\s+", " ").trim
 
-  /** The reference's candidate ladder (web_scraping.py:160-166), first
-    * match wins within each rung before the next rung is tried. */
+  private val ClassedTag = "(?is)<(\\w+)\\b[^>]*class=[\"']([^\"']*)[\"'][^>]*>".r
+
+  /** First anchor after an opening tag whose class ATTRIBUTE carries
+    * `token` as a whole whitespace-separated token (CSS class-token
+    * match, not substring — `.results` must not match
+    * class="search-results"); `tag` restricts the element name. A DOM
+    * would scope the anchor to the container's subtree; regex-side the
+    * first anchor AFTER the opening tag is the same anchor whenever the
+    * container is non-empty, and a trailing-anchor false positive only
+    * ever fires on a rung the reference would reach anyway. */
+  private def firstAnchorInClassed(html: String, tag: Option[String],
+      token: String): Option[String] =
+    ClassedTag.findAllMatchIn(html)
+      .filter(m => tag.forall(_.equalsIgnoreCase(m.group(1))))
+      .filter(_.group(2).split("\\s+").contains(token))
+      .flatMap(m => Anchor.findFirstMatchIn(html.substring(m.end))
+        .map(_.group(1)))
+      .nextOption()
+
+  /** The reference's FULL candidate ladder (web_scraping.py:161-166
+    * plus the trailing api-anchor-text fallback at :178): first match
+    * wins within each rung before the next rung is tried. The `:visible`
+    * pseudo-class needs a layout engine and stays environment-bound
+    * with the rest of the browser layer; everything selectable from the
+    * HTML itself is replicated. */
   private[wells] def pickDetailHref(searchHtml: String, wellName: String,
       api: String): Option[String] = {
     val anchors = Anchor.findAllMatchIn(searchHtml)
@@ -81,6 +104,10 @@ final class HttpEnrichmentClient(baseUrl: String, perWellTimeoutMs: Int = 18000)
       .orElse(anchors.collectFirst { case (h, _) if h.contains("/wells/") => h })
       .orElse(anchors.collectFirst {
         case (h, t) if wellName.nonEmpty && t.contains(wellName) => h })
+      .orElse(firstAnchorInClassed(searchHtml, Some("ul"), "search-results"))
+      .orElse(firstAnchorInClassed(searchHtml, None, "results"))
+      .orElse(anchors.collectFirst {
+        case (h, t) if api.nonEmpty && t.contains(api) => h })
   }
 
   private def resolve(href: String): String =

@@ -112,6 +112,44 @@ class HttpEnrichmentSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lower ladder rungs: ul.search-results, .results container (class-TOKEN match), api anchor text") {
+    withServer { (server, base) =>
+      server.createContext("/search", (ex: HttpExchange) => {
+        val q = ex.getRequestURI.getRawQuery
+        if (q.contains("api_no=in-ul"))
+          // the decoy proves rung order: no higher rung matches, and the
+          // anchor OUTSIDE the list must not be picked over the one inside
+          respond(ex, """<a href="/decoy/x">unrelated</a>
+            |<ul class="search-results"><li><a href="/hit/w11">row</a></li></ul>"""
+            .stripMargin)
+        else if (q.contains("api_no=in-results-div"))
+          // class="search-results" must NOT satisfy the .results rung
+          // (CSS token match) — only the genuine token does
+          respond(ex, """<div class="other results"><a href="/hit/w11">r</a></div>""")
+        else if (q.contains("api_no=777-888"))
+          // no href/list rung matches; the anchor TEXT carries the api
+          respond(ex, """<a href="/hit/w11">Well 777-888 detail</a>""")
+        else respond(ex, "<p>No results</p>")
+      })
+      server.createContext("/hit/w11", (ex: HttpExchange) =>
+        respond(ex, detailHtml("Active", "Oil", "Ross", "3k", "4k")))
+      val client = new HttpEnrichmentClient(base, perWellTimeoutMs = 5000)
+      assert(client.fetch("X", "in-ul").well_status == "Active",
+        "the ul.search-results rung did not fire")
+      assert(client.fetch("X", "in-results-div").well_status == "Active",
+        "the .results rung did not fire")
+      assert(client.fetch("X", "777-888").well_status == "Active",
+        "the api anchor-text fallback did not fire")
+      // class-token discipline: 'search-results' on a DIV must satisfy
+      // neither the ul rung (wrong tag) nor the .results rung (CSS token
+      // match, not substring) — no rung fires, so the pick is empty
+      assert(client.pickDetailHref(
+          """<div class="search-results"><a href="/hit/w11">r</a></div>""",
+          "X", "zzz").isEmpty,
+        ".results matched a 'search-results' class — token match broken")
+    }
+  }
+
   test("detail page missing a label or badge degrades that FIELD to N/A, not the row") {
     withServer { (server, base) =>
       server.createContext("/search", (ex: HttpExchange) =>
