@@ -152,7 +152,26 @@ object ScaleProbe {
       "pp05_incremental_ivf", "dd10_semantic_dedup", "pp10_incremental_semdedup",
       "vs08_pq_search", "vs09_ivfpq_search", "vs10_ivf_rerank",
       "pp14_incremental_pq", "vs15_sq_search", "pp20_incremental_sq",
-      "vs16_pq_train")
+      "vs16_pq_train",
+      // round-15 refresh: everything shipped since the round-9 sweep —
+      // the retrieval/scoring pair, the classifier trainer, the whole
+      // sketch family (incl. the RESCAN-DEFAULT heavy hitters — the r13
+      // materialization trade measured at 10× for the first time), the
+      // budget/knn/sketch maintainers, the composites, and the
+      // vs17-vs22 quantization lifecycle
+      "ta17_ref_perplexity", "ta18_bm25_topk", "ta19_classifier_train",
+      "ta20_cms_counts", "ta21_cms_heavy_hitters", "ta22_mg_heavy_hitters",
+      "ta23_hll_distinct", "ta24_quantile_sketch",
+      "ta25_quantile_sketch_double", "sa10_token_budget_mix",
+      "pp18_incremental_bpe", "pp22_incremental_budget",
+      "pp23_incremental_sketch", "pp24_incremental_knn_graph",
+      "pp25_incremental_perplexity", "pp26_incremental_bm25",
+      "pp27_incremental_classifier", "pp28_incremental_opq",
+      "pp29_incremental_cms", "pp30_incremental_heavy",
+      "pp31_incremental_hll", "pp32_incremental_quantile",
+      "pp33_incremental_pipeline", "pp34_incremental_multimodal",
+      "vs17_pq_trained_search", "vs18_ivfpq_residual", "vs19_graph_search",
+      "vs20_filtered_ann", "vs21_opq_train", "vs22_opq_search")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)
