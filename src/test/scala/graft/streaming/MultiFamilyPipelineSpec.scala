@@ -209,4 +209,170 @@ class MultiFamilyPipelineSpec extends AnyFunSuite with SparkSpec {
     forgetAll()
     checkForgotten("after the idempotent composite forget re-run")
   }
+
+  test("text+vector composite forget: one deletion request through all six standing stores") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("multi-family-mm").toString
+    def t(n: String) = s"$root/$n"
+    val sfDir = "/root/testdata/sf0.001"
+    val vo = graft.queries.VectorOps
+
+    // pp34's arrival shape: one loop lands a batch's documents AND their
+    // embeddings, and every standing store — five text families plus the
+    // IVF postings — advances in the same pass. Two era batches suffice
+    // here (MultiFamilyPipelineSpec's first test pins the CONTINUOUS
+    // composition; this test pins the composite FORGET).
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"lang", $"text").localCheckpoint(true)
+    val docRows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val vecIds = vecs.select($"vec_id").as[Long].collect().sorted
+    // the quantizer is FIXED the way a production IVF quantizer is:
+    // trained once, held constant through growth AND deletion (forgetting
+    // a vector the quantizer was trained on does not retrain it — the
+    // frozen-reference argument ta17's scores make for text)
+    val cents = vo.ivfCentroids(vo.normed(vecs)).localCheckpoint(true)
+
+    Streams.buildRefState(docs, t("ref"))
+    def ingest(bd: DataFrame, bv: DataFrame): Unit = {
+      Streams.maintainDedupState(bd.select($"doc_id", $"text"),
+        t("xstats"), t("xdocs"))
+      Streams.maintainScoreState(bd, t("ref"), t("scores"), t("sdocs"))
+      Streams.maintainTfState(bd.select($"doc_id", $"text"), t("tf"), t("tdocs"))
+      Streams.maintainCmsState(bd.select($"doc_id", $"text"),
+        t("cells"), t("vocab"), t("cdocs"))
+      Streams.maintainHllState(bd, t("regs"), t("hdocs"))
+      Streams.maintainIvfState(bv, cents, t("postings"), t("sums"))
+    }
+    val (d1, d2) = docRows.splitAt(docRows.length / 2)
+    val (v1, v2) = vecIds.splitAt(vecIds.length / 2)
+    def docDf(g: Seq[(Long, String, String, String)]) =
+      g.toDF("doc_id", "source", "lang", "text")
+    def vecDf(ids: Array[Long]) =
+      vecs.filter($"vec_id".isin(ids: _*)).localCheckpoint(true)
+    ingest(docDf(d1.toSeq), vecDf(v1))
+    ingest(docDf(d2.toSeq), vecDf(v2))
+
+    // ---- ONE deletion request through ALL SIX standing stores — the
+    // multimodal GDPR shape: a forgotten user's documents AND embeddings
+    // leave every standing table in the same pass. The request arrives
+    // user-keyed; upstream resolved it to doc_ids and vec_ids (here the
+    // two sets coincide numerically — the testdata tables share an id
+    // space). The set deliberately contains a CENTROID-range id (0) —
+    // the quantizer stays fixed — and ids are kept out of the query
+    // workload below so the before/after search comparison is over the
+    // same queries.
+    val forgotDocs = docRows.map(_._1).filter(_ % 9 == 0).toSet
+    val forgotVecs = vecIds.filter(_ % 9 == 0).toSet
+    assert(forgotDocs.nonEmpty && forgotVecs.nonEmpty, "degenerate forget set")
+    assert(forgotVecs.contains(0L), "centroid-range id missing from the pin")
+    val fd = forgotDocs.toSeq.toDF("doc_id").localCheckpoint(true)
+    val fv = forgotVecs.toSeq.toDF("vec_id").localCheckpoint(true)
+    def forgetAll6(): Unit = {
+      Streams.forgetExactDedupState(spark, fd, t("xstats"), t("xdocs"))
+      Streams.forgetScoreState(spark, fd, t("scores"), t("sdocs"))
+      Streams.forgetTfState(spark, fd, t("tf"), t("tdocs"))
+      Streams.forgetCountState(spark, fd, t("cdocs"),
+        vocabTable = Some(t("vocab")), cmsTable = Some(t("cells")))
+      Streams.forgetHllState(spark, fd, t("regs"), t("hdocs"))
+      Streams.forgetVectorState(spark, fv, t("postings"),
+        sumsTable = Some(t("sums")))
+    }
+    // MID-FORGET CRASH with the VECTOR leg among the completed: the
+    // vector store and two text families finish their forgets, then the
+    // process dies — postings/sums already pruned while tf/cms/hll still
+    // hold the forgotten docs. Recovery is re-running the whole
+    // composite request: every family forget (including the vector
+    // swap+repairs) is idempotent, so there is no coordinator
+    // bookkeeping to lose.
+    Streams.forgetVectorState(spark, fv, t("postings"),
+      sumsTable = Some(t("sums")))
+    Streams.forgetExactDedupState(spark, fd, t("xstats"), t("xdocs"))
+    Streams.forgetScoreState(spark, fd, t("scores"), t("sdocs"))
+    forgetAll6() // the recovery re-run, across all six families
+
+    def rowsOf(df: DataFrame) =
+      df.collect().map(_.toSeq.toList).toList.sortBy(_.toString)
+    // fresh build over the SURVIVORS (scores under the same frozen
+    // reference, vectors under the same fixed quantizer)
+    val survDocs = docRows.filterNot(r => forgotDocs(r._1)).toSeq
+      .toDF("doc_id", "source", "lang", "text").localCheckpoint(true)
+    val survVecs = vo.normed(
+      vecs.filter(!$"vec_id".isin(forgotVecs.toSeq: _*))).localCheckpoint(true)
+    Streams.maintainDedupState(survDocs.select($"doc_id", $"text"),
+      t("xstatsR"), t("xdocsR"))
+    Streams.maintainScoreState(survDocs, t("ref"), t("scoresR"), t("sdocsR"))
+    Streams.maintainTfState(survDocs.select($"doc_id", $"text"),
+      t("tfR"), t("tdocsR"))
+    Streams.maintainCmsState(survDocs.select($"doc_id", $"text"),
+      t("cellsR"), t("vocabR"), t("cdocsR"))
+    Streams.maintainHllState(survDocs, t("regsR"), t("hdocsR"))
+    val wantText = Map(
+      "dedup" -> rowsOf(Streams.dedupSnapshot(spark, t("xstatsR"))),
+      "scores" -> rowsOf(Streams.scoreSnapshot(spark, t("scoresR"))),
+      "bm25" -> rowsOf(Streams.bm25Snapshot(spark, t("tfR"))),
+      "cms" -> rowsOf(Streams.cmsSnapshot(spark, t("cellsR"), t("vocabR"))),
+      "hll" -> rowsOf(Streams.hllSnapshot(spark, t("regsR"))))
+    // the query workload: the catalog's query band minus forgotten ids
+    // (a forgotten user's vector is not a legitimate query either)
+    val queries = vo.normed(vecs)
+      .filter($"vec_id" >= 10 && $"vec_id" < 20 &&
+        !$"vec_id".isin(forgotVecs.toSeq: _*))
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+      .localCheckpoint(true)
+    val wantIvf = rowsOf(vo.ivfSearch(
+      vo.assignCells(survVecs, cents), queries, cents, nProbe = 2, k = 3))
+    val wantSums = rowsOf(vo.cellDimSums(vo.assignCells(survVecs, cents))
+      .select($"cid", $"dim", $"n_vectors", $"sum_q"))
+
+    def checkForgotten6(when: String): Unit = {
+      val gotText = Seq(
+        "dedup" -> rowsOf(Streams.dedupSnapshot(spark, t("xstats"))),
+        "scores" -> rowsOf(Streams.scoreSnapshot(spark, t("scores"))),
+        "bm25" -> rowsOf(Streams.bm25Snapshot(spark, t("tf"))),
+        "cms" -> rowsOf(Streams.cmsSnapshot(spark, t("cells"), t("vocab"))),
+        "hll" -> rowsOf(Streams.hllSnapshot(spark, t("regs"))))
+      for ((f, got) <- gotText) {
+        assert(got.nonEmpty, s"$f snapshot empty ($when) — vacuous")
+        assert(got == wantText(f),
+          s"$f snapshot != from-scratch over survivors ($when)")
+      }
+      val gotIvf = rowsOf(Streams.ivfSearchSnapshot(spark, t("postings"),
+        queries, cents, nProbe = 2, k = 3))
+      assert(gotIvf.nonEmpty, s"ivf search snapshot empty ($when) — vacuous")
+      assert(gotIvf == wantIvf,
+        s"ivf search != fresh index over surviving vectors ($when)")
+      assert(rowsOf(Streams.ivfSumsSnapshot(spark, t("sums"))
+          .select($"cid", $"dim", $"n_vectors", $"sum_q")) == wantSums,
+        s"ivf sums != fresh sums over surviving vectors ($when)")
+      // the postings table holds no live forgotten row and tombstones
+      // EVERY requested id (cid −2 — behind the guard, invisible to
+      // every cid ≥ 0 consumer), so redelivery cannot resurrect
+      val p = spark.read.parquet(t("postings"))
+        .filter($"vec_id".isin(forgotVecs.toSeq: _*)).localCheckpoint(true)
+      assert(p.filter($"cid" >= 0).count() == 0,
+        s"postings still hold live forgotten vectors ($when)")
+      assert(p.filter($"cid" === -2).select($"vec_id").distinct().count()
+        == forgotVecs.size,
+        s"postings miss forgotten-id tombstones ($when)")
+    }
+    checkForgotten6("after the composite forget")
+
+    // re-ingest of forgotten docs AND vectors through the composite
+    // loop: every family's guard (the vector family's = its tombstoned
+    // postings ids) forward-blocks them in the same pass
+    ingest(
+      docRows.filter(r => forgotDocs(r._1)).take(10).toSeq
+        .toDF("doc_id", "source", "lang", "text"),
+      vecDf(forgotVecs.toArray.sorted.take(10)))
+    checkForgotten6("after composite re-ingest of forgotten users")
+
+    // idempotent composite re-run (a second operator firing the same
+    // request, or a crash after completion)
+    forgetAll6()
+    checkForgotten6("after the idempotent composite forget re-run")
+  }
 }
