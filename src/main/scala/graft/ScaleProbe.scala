@@ -164,7 +164,12 @@ object ScaleProbe {
       "ta23_hll_distinct", "ta24_quantile_sketch",
       "ta25_quantile_sketch_double", "sa10_token_budget_mix",
       "pp18_incremental_bpe", "pp22_incremental_budget",
-      "pp23_incremental_sketch", "pp24_incremental_knn_graph",
+      // pp23 (KMV advance) is NOT here: its input is the TPC-H lineitem
+      // table, which the replica generator does not produce — the sketch
+      // family's corpus-shaped scaling evidence is ta20-ta25/pp29-pp32
+      // below, and pp23's advance is O(batch) + a groups×k merge by
+      // construction (KmvSketchSpec pins the merge identity)
+      "pp24_incremental_knn_graph",
       "pp25_incremental_perplexity", "pp26_incremental_bm25",
       "pp27_incremental_classifier", "pp28_incremental_opq",
       "pp29_incremental_cms", "pp30_incremental_heavy",
