@@ -174,6 +174,7 @@ object ScaleProbe {
       "pp27_incremental_classifier", "pp28_incremental_opq",
       "pp29_incremental_cms", "pp30_incremental_heavy",
       "pp31_incremental_hll", "pp32_incremental_quantile",
+      "pp35_incremental_quantile_double",
       "pp33_incremental_pipeline", "pp34_incremental_multimodal",
       "vs17_pq_trained_search", "vs18_ivfpq_residual", "vs19_graph_search",
       "vs20_filtered_ann", "vs21_opq_train", "vs22_opq_search")

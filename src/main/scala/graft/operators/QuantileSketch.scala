@@ -148,6 +148,22 @@ object QuantileSketch {
         graft.functions.DoubleSortable.toSortableLong(value.cast("double")), k)
       .withColumn("__qs_k", lit(-k))
 
+  /** Re-sketch pair rows whose values are ALREADY the sortable-long
+    * transform — the maintained double family's standing layout (its
+    * exploded sample rows store transformed BIGINTs, because the
+    * standing tables never look at a value, only its order). The fold
+    * is [[sketch]]'s verbatim (the transform is order-preserving, so
+    * bottom-k over transformed longs IS bottom-k over the doubles);
+    * re-applying the `-k` domain tag keeps [[quantilesDouble]]'s guard
+    * honest on the way back out. The TABLE itself carries no domain
+    * marker — which snapshot (this + [[quantilesDouble]] vs [[sketch]]
+    * + [[quantiles]]) applies is the table's path contract, pinned by
+    * the family's spec, exactly like the tf table's unique-rows
+    * contract. */
+  def resketchDouble(df: DataFrame, group: String, hash: Column,
+      value: Column, k: Int): DataFrame =
+    sketch(df, group, hash, value, k).withColumn("__qs_k", lit(-k))
+
   /** Merge two sketches' parallel arrays row-locally: union the (h, v)
     * pairs, dedup, keep the k smallest under (h, v) — EXACTLY the
     * aggregator's merge as an array expression, sound under

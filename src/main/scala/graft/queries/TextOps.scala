@@ -2735,18 +2735,62 @@ object TextOps {
     * below 2⁵³ and IEEE division is correctly rounded — deterministic
     * on both). Same k/percentiles as ta24; exactness below saturation,
     * the same contract. */
+  /** ta25/pp35's measurement rows: (doc_id, source, h "qsd:"-salted,
+    * v = mean token length as a genuine IEEE double) — one definition,
+    * the gate and its maintained twin cannot drift. */
+  private[graft] def qsdPairs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(Text.tokens(col("text"))).as("nt"))
+      .where(col("n_chars").isNotNull && col("nt") > 0)
+      .select(col("doc_id"), col("source"),
+        hex8(concat(lit("qsd:"), col("doc_id").cast("string"))).as("h"),
+        (col("n_chars").cast("double") / col("nt").cast("double")).as("v"))
+
+  /** The double family's per-source bottom-k sample as exploded
+    * (source, h, v) rows — [[qsSampleRows]]'s twin, except v is the
+    * SORTABLE-LONG TRANSFORM of the double (the standing layout never
+    * looks at a value, only its order, so the maintained machinery is
+    * the BIGINT family's verbatim); the snapshot side re-tags and
+    * inverse-transforms ([[graft.operators.QuantileSketch
+    * .resketchDouble]] + quantilesDouble). */
+  private[graft] def qsdSampleRows(pairs: DataFrame): DataFrame =
+    graft.operators.QuantileSketch
+      .sketchDouble(pairs, "source", col("h"), col("v"), TA24_K)
+      .select(col("source"),
+        explode(arrays_zip(col("hs"), col("vs"))).as("p"))
+      .select(col("source"), col("p.hs").as("h"), col("p.vs").as("v"))
+
   private def ta25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = documents(s, d)
-      .select($"doc_id", $"source", $"n_chars",
-        size(Text.tokens($"text")).as("nt"))
-      .where($"n_chars".isNotNull && $"nt" > 0)
-      .select($"source",
-        hex8(concat(lit("qsd:"), $"doc_id".cast("string"))).as("h"),
-        ($"n_chars".cast("double") / $"nt".cast("double")).as("v"))
     graft.operators.QuantileSketch.quantilesDouble(
       graft.operators.QuantileSketch.sketchDouble(
-        pairs, "source", $"h", $"v", TA24_K),
+        qsdPairs(documents(s, d)), "source", $"h", $"v", TA24_K),
+      TA24_K, TA24_PS).orderBy($"source")
+  }
+
+  /** pp35 — INCREMENTAL double-valued quantile sketch, ta25's twin and
+    * pp32's double-domain member: the standing exploded bottom-k sample
+    * stores the order-preserving TRANSFORMED longs, so the advance is
+    * byte-for-byte pp32's (idempotent pair-set union, ≤ 2k-row fold,
+    * bottom-k of a union of bottom-k samples == bottom-k of the union)
+    * and only the SNAPSHOT differs: re-sketch + re-tag + inverse
+    * transform. This is the claim ta25 exists to make — the maintained
+    * family holds the pipeline's own fractional scores without any new
+    * standing machinery. Estimates == ta25; oracle is ta25's verbatim. */
+  private def pp35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = qsdPairs(documents(s, d))
+    val isNew = QueryUtils.hex8(concat(lit("qsdn:"),
+      $"doc_id".cast("string"))) % 5 === 0
+    val stand = QueryUtils.standingDir(s, "pp35", d) { dir =>
+      qsdSampleRows(pairs.filter(!isNew)).write.parquet(s"$dir/qsd")
+    }
+    graft.operators.QuantileSketch.quantilesDouble(
+      graft.operators.QuantileSketch.resketchDouble(
+        s.read.parquet(s"$stand/qsd")
+          .unionByName(qsdSampleRows(pairs.filter(isNew))),
+        "source", $"h", $"v", TA24_K),
       TA24_K, TA24_PS).orderBy($"source")
   }
   private val ta25Sql = {
@@ -3961,6 +4005,7 @@ object TextOps {
     Q("ta24_quantile_sketch", "mergeable quantile sketch per source: k=256 hash-ordered bottom-k sample (the merge-tree-deterministic alternative to KLL — the k smallest md5-fold hashes are a pure set function), nearest-lower-rank estimates BIGINT end to end, exact until saturation; exchange bounded at k pairs per (group, map) regardless of value domain or row count", ta24, Some(ta24Sql)),
     Q("pp32_incremental_quantile", "incremental quantile sketch: standing exploded bottom-k sample (<= k pair rows per source) advanced by one batch sketch + a <= 2k-row fold — bottom-k of a union of bottom-k samples == bottom-k of the union; estimates == ta24; forget is rebuild-over-survivors (saturated samples do not invert, documented)", pp32, Some(ta24Sql)),
     Q("ta25_quantile_sketch_double", "DOUBLE-valued quantile sketch per source: mean token length (n_chars/n_tokens, a genuine IEEE double) through the bottom-k machinery via the order-preserving raw-bits transform (exact involution) — estimates are selected sample values, never interpolated, so double output stays oracle-exact; same k-bounded exchange and exact-until-saturation contract as ta24", ta25, Some(ta25Sql)),
+    Q("pp35_incremental_quantile_double", "incremental DOUBLE-valued quantile sketch: pp32's standing exploded bottom-k sample holding the order-preserving transformed longs — the advance is the BIGINT family's verbatim (idempotent pair-set union, <= 2k-row fold); only the snapshot differs (re-tag + inverse transform); estimates == ta25", pp35, Some(ta25Sql)),
     Q("pp33_incremental_pipeline", "composite multi-family maintainer: exact dedup + perplexity scores + tf/BM25 + CMS + HLL standing states driven through the SAME two era batches (one ingest loop, five derived-table families), each snapshot emitted as a tagged serialized row — oracle is the five per-family gate oracles verbatim, so composition cannot drift from the single-family truths", pp33, Some(pp33Sql)),
     Q("pp34_incremental_multimodal", "TEXT+VECTOR composite maintainer: pp33's five text families plus the IVF postings family (pp05's loop) advanced through the same two-era ingest — one arrival loop lands documents AND embeddings, every standing store advances in the same pass; search over the maintained postings == vs06 (assignment is a pure per-row function of the fixed quantizer); oracle = the six per-family SQLs verbatim in the same tagged serialization (the cosine serialized as floor(cos*1e9) — the double is bit-identical cross-engine, its VARCHAR formatting is not)", pp34, Some(pp34Sql)),
     Q("pp26_incremental_bm25", "incremental retrieval index: standing (doc,tok,tf) table advanced by one batch-sized rollup, query-time stats from the standing table — results == ta18", pp26, Some(ta18Sql)),

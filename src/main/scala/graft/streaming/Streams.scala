@@ -2250,7 +2250,14 @@ object Streams {
     * propagation is an O(survivors) rebuild + atomic swap
     * ([[forgetQuantileState]]), never a decrement. `batch` is
     * (doc_id, source, v) rows — v the measured BIGINT (the catalog
-    * family measures n_chars). */
+    * family measures n_chars). DOUBLE measurements ride this maintainer
+    * UNCHANGED: pass v = [[graft.functions.DoubleSortable
+    * .toSortableLong]] of the double at ingest (the standing layout
+    * never looks at a value, only its order) and snapshot through
+    * [[quantileDoubleSnapshot]] instead of [[quantileSnapshot]] — which
+    * snapshot applies is the table's path contract (the sketch-level
+    * domain tag cannot ride exploded rows), pinned by
+    * QuantileStateSpec's double leg. */
   def maintainQuantileState(batch: DataFrame, qsTable: String,
       docTable: String): Unit = {
     val fresh = freshAgainst(batch, docTable, Seq("source", "v"))
@@ -2283,6 +2290,28 @@ object Streams {
     val k = graft.queries.TextOps.TA24_K
     graft.operators.QuantileSketch.quantiles(
       graft.operators.QuantileSketch.sketch(
+        tryRead(spark, qsTable).getOrElse(emptyDf(spark,
+          "source" -> StringType, "h" -> LongType, "v" -> LongType)),
+        "source", col("h"), col("v"), k),
+      k, graft.queries.TextOps.TA24_PS)
+  }
+
+  /** The ta25-class view of a DOUBLE-domain maintained sample (a table
+    * whose ingest stored [[graft.functions.DoubleSortable]] transformed
+    * longs): the same ≤ appends·k-row bottom-k fold as
+    * [[quantileSnapshot]] — order-preserving transform, so the fold IS
+    * the double fold — then the `-k` re-tag and the inverse transform
+    * on the way out ([[graft.operators.QuantileSketch.resketchDouble]]
+    * + quantilesDouble). Applying this to a BIGINT-domain table (or
+    * [[quantileSnapshot]] to a double one) returns reinterpreted bits —
+    * the domain is the table's path contract; see
+    * [[maintainQuantileState]]. */
+  def quantileDoubleSnapshot(spark: SparkSession, qsTable: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val k = graft.queries.TextOps.TA24_K
+    graft.operators.QuantileSketch.quantilesDouble(
+      graft.operators.QuantileSketch.resketchDouble(
         tryRead(spark, qsTable).getOrElse(emptyDf(spark,
           "source" -> StringType, "h" -> LongType, "v" -> LongType)),
         "source", col("h"), col("v"), k),
