@@ -119,8 +119,13 @@ object ScaleProbe {
 
     val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
     // "kernels" re-measures only the companion rows (the nlist ∝ N /
-    // minHits bounding measurements) without the full gate sweep
+    // minHits bounding measurements) without the full gate sweep;
+    // "only=g1,g2" measures just the named gates (incremental table
+    // refresh after a new gate ships) and skips the kernel rows
     val kernelsOnly = args.lift(2).contains("kernels")
+    val only: Option[Set[String]] = args.lift(2)
+      .filter(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").filter(_.nonEmpty).toSet)
     generate(spark, work, sf01, replicas = 10)
 
     // the documents-shaped gates, then the embeddings-shaped gates (both
@@ -189,10 +194,12 @@ object ScaleProbe {
     }
     // warm both scales once so codegen/JIT lands outside the measurement
     if (!kernelsOnly) {
-      gates.foreach { g => run(g, sf01); run(g, work) }
+      val sweep = only.map(o => gates.filter(o)).getOrElse(gates)
+      require(sweep.nonEmpty, s"only= filter matched no gate: $only")
+      sweep.foreach { g => run(g, sf01); run(g, work) }
       println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
       println("|---|---|---|---|---|")
-      for (g <- gates) {
+      for (g <- sweep) {
         val a = (1 to 3).map(_ => run(g, sf01)).min
         val b = (1 to 3).map(_ => run(g, work)).min
         val ratio = b / a
@@ -203,6 +210,10 @@ object ScaleProbe {
       println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
       println("|---|---|---|---|---|")
     }
+
+    // an only= refresh wants just its named gate rows — the kernel
+    // companions below are re-measured by full or "kernels" runs
+    if (only.isDefined) { spark.stop(); return }
 
     // the kNN-graph kernels under the production sizing rule: the GATES
     // (vs13/vs14) pin fixed-quantizer semantics, under which Σ|cell|²
