@@ -70,7 +70,8 @@ object Bench {
         "pp27_incremental_classifier", "pp28_incremental_opq",
         "pp29_incremental_cms", "pp30_incremental_heavy",
         "pp31_incremental_hll", "pp32_incremental_quantile",
-        "pp33_incremental_pipeline", "pp34_incremental_multimodal")) {
+        "pp33_incremental_pipeline", "pp34_incremental_multimodal",
+        "pp35_incremental_quantile_double")) {
       SparkEntry.queries.get(w) match {
         case None => System.err.println(s"[bench] WARMUP NAME DRIFTED: $w not in catalog")
         case Some(fn) =>

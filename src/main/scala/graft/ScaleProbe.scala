@@ -195,6 +195,13 @@ object ScaleProbe {
     // warm both scales once so codegen/JIT lands outside the measurement
     if (!kernelsOnly) {
       val sweep = only.map(o => gates.filter(o)).getOrElse(gates)
+      // a misspelled name must fail loudly, not silently shrink the
+      // refresh — the operator records the printed rows as "measured"
+      only.foreach { o =>
+        val missing = o -- gates.toSet
+        require(missing.isEmpty,
+          s"only= names not in the gate list: ${missing.mkString(", ")}")
+      }
       require(sweep.nonEmpty, s"only= filter matched no gate: $only")
       sweep.foreach { g => run(g, sf01); run(g, work) }
       println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")

@@ -1566,9 +1566,18 @@ object TextOps {
     // a deployment-validation switch, not an always-on tax.
     if (s.conf.getOption("spark.graft.bm25.checkUniqueInput")
         .exists(_.toBoolean)) {
-      val Array(total, distinct) = tf
-        .agg(count(lit(1)), count_distinct($"doc_id", $"tok"))
+      // count_distinct over the COLUMNS would skip any row with a NULL
+      // doc_id/tok and misreport a NULL defect as a duplicate-pair one;
+      // distinct over the STRUCT counts those rows, so the two failure
+      // modes are told apart and each names its actual defect
+      val Array(total, nulls, distinct) = tf
+        .agg(count(lit(1)),
+          count(when($"doc_id".isNull || $"tok".isNull, 1)),
+          count_distinct(struct($"doc_id", $"tok")))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      require(nulls == 0,
+        s"bm25TopK: tf input carries $nulls NULL doc_id/tok rows — fix " +
+          s"the upstream join/tokenize producing them")
       require(total == distinct,
         s"bm25TopK: tf input violates the unique (doc_id, tok) contract " +
           s"($total rows, $distinct distinct pairs) — roll it up first, " +

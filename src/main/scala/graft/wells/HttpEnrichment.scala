@@ -10,9 +10,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * in-process loopback server ([[graft.wells.Serve]]'s own
   * `com.sun.net.httpserver` machinery): the search URL with the
   * reference's exact query-parameter set (web_scraping.py:134-151), the
-  * candidate-link priority ladder over the results page
-  * (web_scraping.py:160-166: href containing `/<api>` first, then
-  * `/wells/`, then anchor text containing the well name), the detail
+  * FULL candidate-link priority ladder over the results page
+  * (web_scraping.py:161-178, six rungs: href containing `/<api>`, href
+  * containing `/wells/`, anchor text containing the well name, first
+  * anchor inside `ul.search-results`, first anchor inside a
+  * `.results` container, anchor text containing the api — only the
+  * `:visible` pseudo-class stays environment-bound with the browser
+  * layer), the detail
   * page's labeled table cells (Well Status / Well Type / Closest City)
   * and `block_stat` drop-cap badges (web_scraping.py:80-110), and the
   * per-well deadline (PER_WELL_TIMEOUT, web_scraping.py:190).
@@ -73,21 +77,30 @@ final class HttpEnrichmentClient(baseUrl: String, perWellTimeoutMs: Int = 18000)
 
   private val ClassedTag = "(?is)<(\\w+)\\b[^>]*class=[\"']([^\"']*)[\"'][^>]*>".r
 
-  /** First anchor after an opening tag whose class ATTRIBUTE carries
+  /** First anchor INSIDE an element whose class ATTRIBUTE carries
     * `token` as a whole whitespace-separated token (CSS class-token
     * match, not substring — `.results` must not match
-    * class="search-results"); `tag` restricts the element name. A DOM
-    * would scope the anchor to the container's subtree; regex-side the
-    * first anchor AFTER the opening tag is the same anchor whenever the
-    * container is non-empty, and a trailing-anchor false positive only
-    * ever fires on a rung the reference would reach anyway. */
+    * class="search-results"); `tag` restricts the element name. The
+    * search is scoped to the container's extent — the text before the
+    * first matching closing tag (first-close, non-nesting: neither
+    * result-container shape self-nests) — because an EMPTY container
+    * must yield None so the ladder falls through to its later rungs,
+    * exactly as the reference's CSS scoping does: an anchor AFTER the
+    * container is not "in" it, and committing to one would pick a
+    * wrong link where the reference's next rung finds the right one. */
   private def firstAnchorInClassed(html: String, tag: Option[String],
       token: String): Option[String] =
     ClassedTag.findAllMatchIn(html)
       .filter(m => tag.forall(_.equalsIgnoreCase(m.group(1))))
       .filter(_.group(2).split("\\s+").contains(token))
-      .flatMap(m => Anchor.findFirstMatchIn(html.substring(m.end))
-        .map(_.group(1)))
+      .flatMap { m =>
+        val close =
+          ("(?is)</" + java.util.regex.Pattern.quote(m.group(1)) + "\\s*>").r
+        val rest = html.substring(m.end)
+        val scope = close.findFirstMatchIn(rest)
+          .map(c => rest.substring(0, c.start)).getOrElse(rest)
+        Anchor.findFirstMatchIn(scope).map(_.group(1))
+      }
       .nextOption()
 
   /** The reference's FULL candidate ladder (web_scraping.py:161-166

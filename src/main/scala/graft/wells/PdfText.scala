@@ -183,7 +183,12 @@ object PdfText extends Extraction.DocumentTextExtractor {
   }
 
   // ------------------------------------------------------------ objects
-  private case class PdfObject(dict: PDict, streamData: Option[Array[Byte]])
+  /** `at` is the object's byte offset in the document — collision
+    * resolution between duplicate definitions (incremental updates
+    * append superseding objects) is LATER-IN-DOCUMENT WINS, which needs
+    * the position to be deterministic (a HashMap iteration is not). */
+  private case class PdfObject(dict: PDict, streamData: Option[Array[Byte]],
+      at: Int)
 
   private val ObjStart =
     java.util.regex.Pattern.compile("(?<![0-9])(\\d+)\\s+\\d+\\s+obj\\b")
@@ -201,9 +206,28 @@ object PdfText extends Extraction.DocumentTextExtractor {
     * when present, else the next `endstream` — the same slice pass 2
     * takes, so real objects (which never start inside a stream) are
     * never skipped. */
+  /** The endstream fallback extent: compressed bytes can contain the
+    * literal `endstream`, so prefer the first occurrence FOLLOWED (after
+    * whitespace) by `endobj` — the writer-emitted terminator shape — and
+    * fall back to the first bare occurrence only when none qualifies
+    * (a truncated tail). Narrows the embedded-`endstream` false-positive
+    * window for streams whose /Length is indirect (where the extent
+    * cannot come from the dict in pass 1). */
+  private def endstreamAt(s: String, from: Int): Int = {
+    val first = s.indexOf("endstream", from)
+    var e = first
+    while (e >= 0) {
+      var k = e + "endstream".length
+      while (k < s.length && isWs(s(k))) k += 1
+      if (s.startsWith("endobj", k)) return e
+      e = s.indexOf("endstream", e + 1)
+    }
+    first
+  }
+
   private def scanObjects(s: String, raw: Array[Byte]): Map[Int, PdfObject] = {
     // pass 1: positions + dicts + provisional stream slices
-    case class Prov(num: Int, dict: PDict, afterDict: Int)
+    case class Prov(num: Int, dict: PDict, afterDict: Int, at: Int)
     val m = ObjStart.matcher(s)
     var provs = Vector.empty[Prov]
     var minStart = 0 // next match must start at/after this (past prior stream)
@@ -216,7 +240,7 @@ object PdfText extends Extraction.DocumentTextExtractor {
           if (i + 1 < s.length && s(i) == '<' && s(i + 1) == '<') parseVal(s, i)
           else (PDict(Map.empty), i)
         val dict = v match { case d: PDict => d; case _ => PDict(Map.empty) }
-        provs :+= Prov(num, dict, j)
+        provs :+= Prov(num, dict, j, m.start())
         // advance the skip pointer past this object's stream body, if any
         var k = j
         while (k < s.length && isWs(s(k))) k += 1
@@ -224,29 +248,38 @@ object PdfText extends Extraction.DocumentTextExtractor {
           var d0 = k + "stream".length
           if (d0 < s.length && s(d0) == '\r') d0 += 1
           if (d0 < s.length && s(d0) == '\n') d0 += 1
+          // the length bound compares in Double — a hostile /Length of
+          // 3e9 would saturate toInt and wrap the Int addition negative,
+          // passing the guard it was meant to fail
           minStart = dict.m.get("Length") match {
-            case Some(PNum(n)) if d0 + n.toInt <= s.length => d0 + n.toInt
+            case Some(PNum(n)) if n >= 0 && n <= (s.length - d0).toDouble =>
+              d0 + n.toInt
             case _ =>
-              val e = s.indexOf("endstream", d0)
+              val e = endstreamAt(s, d0)
               if (e < 0) s.length else e
           }
         }
       }
     }
     val dicts = provs.map(p => p.num -> p.dict).toMap
-    def directLength(d: PDict): Option[Int] = d.m.get("Length") match {
-      case Some(PNum(n)) => Some(n.toInt)
+    // lengths validated as DOUBLES before any toInt: a hostile /Length
+    // (3e9, or a 10-digit textual integer that would throw in toInt)
+    // must degrade to the endstream fallback for THAT stream, never
+    // saturate/overflow into a copyOfRange(from > to) throw that voids
+    // the whole document
+    def directLength(d: PDict): Option[Int] = (d.m.get("Length") match {
+      case Some(PNum(n)) => Some(n)
       case Some(PRef(r)) => dicts.get(r).flatMap(_.m.get("Length")).collect {
-        case PNum(n) => n.toInt
+        case PNum(n) => n
       } orElse {
         // /Length N 0 R where object N is a bare integer (no dict):
         // resolve it textually
         val lm = java.util.regex.Pattern
           .compile("(?<![0-9])" + r + "\\s+\\d+\\s+obj\\s+(\\d+)").matcher(s)
-        if (lm.find()) Some(lm.group(1).toInt) else None
+        if (lm.find()) Some(lm.group(1).toDouble) else None
       }
       case _ => None
-    }
+    }).collect { case n if n >= 0 && n <= Int.MaxValue.toDouble => n.toInt }
     provs.map { p =>
       var i = p.afterDict
       while (i < s.length && isWs(s(i))) i += 1
@@ -256,9 +289,9 @@ object PdfText extends Extraction.DocumentTextExtractor {
           if (d0 < s.length && s(d0) == '\r') d0 += 1
           if (d0 < s.length && s(d0) == '\n') d0 += 1
           val end = directLength(p.dict) match {
-            case Some(len) if d0 + len <= raw.length => d0 + len
+            case Some(len) if d0.toLong + len <= raw.length => d0 + len
             case _ =>
-              val e = s.indexOf("endstream", d0)
+              val e = endstreamAt(s, d0)
               if (e < 0) raw.length
               else { // trim the EOL the writer put before endstream
                 var e2 = e
@@ -269,7 +302,9 @@ object PdfText extends Extraction.DocumentTextExtractor {
           }
           Some(java.util.Arrays.copyOfRange(raw, d0, math.min(end, raw.length)))
         } else None
-      p.num -> PdfObject(p.dict, stream)
+      // document-ordered Vector → toMap last-wins: a LATER direct
+      // definition (incremental update) deterministically supersedes
+      p.num -> PdfObject(p.dict, stream, p.at)
     }.toMap
   }
 
@@ -317,14 +352,20 @@ object PdfText extends Extraction.DocumentTextExtractor {
     * so Catalog/Pages/Page dicts packed by modern writers become
     * visible; directly-scanned objects win on number collision (an
     * incremental update appends direct objects that supersede packed
-    * ones). Content streams stay regular objects by spec (no streams
-    * inside an ObjStm), so page text needs nothing further. */
+    * ones), and collisions BETWEEN ObjStms resolve later-in-document
+    * wins (containers folded in ascending byte offset — an
+    * incrementally-updated file's appended ObjStm supersedes the
+    * original's packed definitions; a HashMap-iteration fold would pick
+    * a nondeterministic winner). Content streams stay regular objects
+    * by spec (no streams inside an ObjStm), so page text needs nothing
+    * further. */
   private def unpackObjectStreams(objs: Map[Int, PdfObject]): Map[Int, PdfObject] = {
     val IntTok = java.util.regex.Pattern.compile("\\d+")
     def num(d: PDict, k: String): Option[Int] =
       d.m.get(k).collect { case PNum(n) => n.toInt }
-    val unpacked = objs.values
+    val unpacked = objs.values.toSeq
       .filter(o => o.dict.m.get("Type").contains(PName("ObjStm")))
+      .sortBy(_.at)
       .flatMap { o =>
         (decodedStream(o), num(o.dict, "N"), num(o.dict, "First")) match {
           case (Some(data), Some(n), Some(first)) if first <= data.length =>
@@ -338,11 +379,13 @@ object PdfText extends Extraction.DocumentTextExtractor {
                 case d: PDict => d
                 case _ => PDict(Map.empty) // bare int/array object: keep the slot
               }
-              objNum -> PdfObject(dict, None)
-            }
-          case _ => Iterator.empty
+              // children carry the CONTAINER's offset: supersession is a
+              // property of which update appended the ObjStm
+              objNum -> PdfObject(dict, None, o.at)
+            }.toSeq
+          case _ => Seq.empty
         }
-      }.toMap
+      }.toMap // ascending container offset → last (latest) wins
     unpacked ++ objs // direct definitions win
   }
 
@@ -350,25 +393,32 @@ object PdfText extends Extraction.DocumentTextExtractor {
   private def pageRefsInOrder(objs: Map[Int, PdfObject], s: String): Seq[Int] = {
     def name(d: PDict, k: String): Option[String] =
       d.m.get(k).collect { case PName(n) => n }
-    // /Root from a classic trailer, else the first /Type /Catalog object
+    // /Root resolution follows incremental-update semantics (readers
+    // start from the LAST startxref): the last classic trailer carrying
+    // /Root wins, else the latest-in-document /Type /XRef stream dict
+    // carrying /Root, else the latest /Type /Catalog object — every rung
+    // deterministic by document position (a collectFirst over HashMap
+    // values could return a stale update's catalog on some hash orders)
     val rootNum: Option[Int] = {
       val tm = java.util.regex.Pattern
         .compile("trailer\\s*<<").matcher(s)
       var found: Option[Int] = None
-      while (found.isEmpty && tm.find()) {
+      while (tm.find()) {
         parseVal(s, tm.end() - 2) match {
-          case (d: PDict, _) => found = d.m.get("Root").collect { case PRef(r) => r }
+          case (d: PDict, _) =>
+            found = d.m.get("Root").collect { case PRef(r) => r }.orElse(found)
           case _ =>
         }
       }
-      // no classic trailer: an xref-stream PDF (PDF 1.5) carries /Root
-      // in its /Type /XRef stream dict instead
-      found.orElse(objs.values.collectFirst {
-        case o if name(o.dict, "Type").contains("XRef") =>
-          o.dict.m.get("Root").collect { case PRef(r) => r }
-      }.flatten).orElse(objs.collectFirst {
-        case (n, o) if name(o.dict, "Type").contains("Catalog") => n
-      })
+      found.orElse(
+        objs.values.toSeq.sortBy(_.at)
+          .filter(o => name(o.dict, "Type").contains("XRef"))
+          .flatMap(_.dict.m.get("Root").collect { case PRef(r) => r })
+          .lastOption)
+        .orElse(
+          objs.toSeq
+            .filter { case (_, o) => name(o.dict, "Type").contains("Catalog") }
+            .sortBy(_._2.at).lastOption.map(_._1))
     }
     val pagesRoot = rootNum.flatMap(r => objs.get(r))
       .flatMap(_.dict.m.get("Pages")).collect { case PRef(r) => r }

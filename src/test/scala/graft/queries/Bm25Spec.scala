@@ -75,6 +75,15 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
         TextOps.bm25TopK(dup, queries, k = 2).count()
       }
       assert(e.getMessage.contains("unique (doc_id, tok)"), e.getMessage)
+      // a NULL-bearing row is a DIFFERENT defect and must be named as
+      // one — count_distinct over bare columns would skip the row and
+      // misreport it as a duplicate-pair violation
+      val withNull = unique.unionByName(
+        Seq((3L, Option.empty[String], 1L)).toDF("doc_id", "tok", "tf"))
+      val n = intercept[IllegalArgumentException] {
+        TextOps.bm25TopK(withNull, queries, k = 2).count()
+      }
+      assert(n.getMessage.contains("NULL doc_id/tok"), n.getMessage)
     } finally spark.conf.unset("spark.graft.bm25.checkUniqueInput")
     // guard off (default): the contract stays documentation-only — the
     // call goes through (and would double-count; that is the caller's

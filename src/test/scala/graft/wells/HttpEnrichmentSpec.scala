@@ -147,6 +147,15 @@ class HttpEnrichmentSpec extends AnyFunSuite with SparkSpec {
           """<div class="search-results"><a href="/hit/w11">r</a></div>""",
           "X", "zzz").isEmpty,
         ".results matched a 'search-results' class — token match broken")
+      // container SCOPING: an EMPTY results container must not capture an
+      // anchor that merely follows it in the document — the ladder falls
+      // through to the api anchor-text rung, which picks the right link
+      // (the reference's CSS `ul.search-results a` matches nothing there)
+      assert(client.pickDetailHref(
+          """<ul class="search-results"></ul><a href="/about">About</a>
+            |<a href="/d/55">Well 777-888 detail</a>""".stripMargin,
+          "X", "777-888").contains("/d/55"),
+        "an empty container captured a trailing anchor instead of falling through")
     }
   }
 

@@ -281,6 +281,53 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     assert(PdfText.extract(bytes) == Seq("REAL TEXT"))
   }
 
+  test("hostile /Length (3e9) degrades to the endstream fallback for that stream, never throws") {
+    // Double.toInt saturation would wrap the Int slice bound negative and
+    // copyOfRange would throw — which extract()'s catch converts to ZERO
+    // pages, voiding the readable page too. Validated as a double, the
+    // bogus length falls back to the (writer-shaped) endstream scan and
+    // both pages still extract.
+    val base = new String(pdf(Seq("PAGE ONE", "PAGE TWO")), ISO_8859_1)
+    val i = base.indexOf("/Length ")
+    val j = base.indexWhere(!_.isDigit, i + "/Length ".length)
+    val hostile = (base.substring(0, i) + "/Length 3000000000" +
+      base.substring(j)).getBytes(ISO_8859_1)
+    assert(PdfText.extract(hostile) == Seq("PAGE ONE", "PAGE TWO"),
+      "a hostile declared length did not degrade to the endstream fallback")
+  }
+
+  test("incremental update: the appended trailer's /Root wins; extraction reads the updated page set") {
+    // readers resolve a PDF from its LAST startxref — an appended update
+    // supersedes. The scanner has no xref ordering, so supersession must
+    // come from deterministic last-in-document-wins resolution (a
+    // HashMap-iteration pick could return the stale catalog).
+    val base = pdf(Seq("OLD TEXT")) // objects 1-5, trailer /Root 5
+    val content = "BT /F1 12 Tf 72 720 Td\n(NEW TEXT) Tj 0 -14 Td\nET"
+    val upd =
+      s"""6 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |7 0 obj
+         |<< /Type /Page /Parent 8 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>
+         |endobj
+         |8 0 obj
+         |<< /Type /Pages /Kids [7 0 R] /Count 1 >>
+         |endobj
+         |9 0 obj
+         |<< /Type /Catalog /Pages 8 0 R >>
+         |endobj
+         |trailer
+         |<< /Size 10 /Root 9 0 R >>
+         |%%EOF
+         |""".stripMargin
+    val updated = base ++ upd.getBytes(ISO_8859_1)
+    assert(PdfText.extract(updated).map(_.trim) == Seq("NEW TEXT"),
+      "the appended update's /Root did not supersede the original trailer")
+  }
+
   test("deflate bomb: a stream inflating past the cap truncates instead of OOM") {
     // 80 MiB of NULs deflates to ~80 KiB; inflating uncapped would buffer
     // 80 MiB per executor-thread on attacker-controlled scan input —
