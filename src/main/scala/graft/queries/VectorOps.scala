@@ -184,6 +184,52 @@ object VectorOps {
     normedVecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
 
+  /** Production quantizer sizing — the nlist ∝ N rule every fixed-nlist
+    * plan note cites, CODIFIED. The cell-blocked pair kernels
+    * ([[knnGraph]], [[semanticDrops]]) cost Σ|cell|² ≈ N²/nlist under
+    * balanced cells, so a FIXED quantizer is quadratic in corpus size
+    * (ScaleProbe measures vs13/vs14 at 10.2×/16.1× wall for a 10× corpus
+    * at nlist = 8); holding the target CELL SIZE constant —
+    * nlist = ⌈N / targetCellSize⌉ — keeps Σ|cell|² ≈ N·targetCellSize
+    * ∝ N (the same probe's companion kernels: 2.5×/2.4×/2.1× at 10× with
+    * 8 → 80 cells). Clamps: at least 1 (empty/tiny corpora), at most
+    * `maxNlist` — the quantizer is collected to the driver and baked
+    * into one codegen'd [[graft.functions.NearestCentroid]] expression
+    * ([[assignCells]]), so nlist is also a driver-memory/broadcast
+    * budget; past the clamp, cells grow linearly again and the right
+    * response is sharding the corpus, not a bigger flat quantizer. */
+  private[graft] def autoNlist(n: Long, targetCellSize: Long = 4096L,
+      maxNlist: Int = 1 << 17): Int = {
+    require(targetCellSize > 0L,
+      s"autoNlist: targetCellSize must be positive, got $targetCellSize")
+    require(maxNlist > 0, s"autoNlist: maxNlist must be positive, got $maxNlist")
+    val cells = (math.max(0L, n) + targetCellSize - 1L) / targetCellSize
+    math.max(1L, math.min(cells, maxNlist.toLong)).toInt
+  }
+
+  /** [[knnGraph]] under the production sizing rule: one count job sizes
+    * the quantizer ([[autoNlist]]), then the build runs the fixed-nlist
+    * kernel unchanged. The count is a single columnar-scan job — noise
+    * against the Σ|cell|² pair stage it right-sizes. Result == the
+    * manual `knnGraph(assignCells(v, ivfCentroids(v, nlist)), k)`
+    * composition at the derived nlist (AutoSizingSpec pins it). */
+  private[graft] def knnGraphAuto(normedVecs: DataFrame, k: Int,
+      targetCellSize: Long = 4096L): DataFrame = {
+    val nlist = autoNlist(normedVecs.count(), targetCellSize)
+    knnGraph(assignCells(normedVecs, ivfCentroids(normedVecs, nlist)), k)
+  }
+
+  /** [[semanticDrops]] under the production sizing rule — SemDedup's
+    * 100 TB shape: count once, size the quantizer, drop within cells of
+    * ~targetCellSize vectors. Same approximation contract as dd10 (a
+    * cross-cell near-dup pair survives); what the sizing changes is the
+    * COST, Σ|cell|² ∝ N instead of N². */
+  private[graft] def semanticDropsAuto(normedVecs: DataFrame, tau: Double,
+      targetCellSize: Long = 4096L): DataFrame = {
+    val nlist = autoNlist(normedVecs.count(), targetCellSize)
+    semanticDrops(assignCells(normedVecs, ivfCentroids(normedVecs, nlist)), tau)
+  }
+
   /** IVF cell assignment — the postings-row producer: every input vector
     * to its nearest centroid by quantized cosine (ties to the lowest cid).
     * Assignment is a pure per-row function of the FIXED quantizer, so it

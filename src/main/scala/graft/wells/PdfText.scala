@@ -321,10 +321,19 @@ object PdfText extends Extraction.DocumentTextExtractor {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, MaxInflatedBytes))
+      // sizing hint only — .toLong first so a >512 MiB input cannot
+      // overflow Int into a negative ctor argument
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(data.length.toLong * 4L, MaxInflatedBytes.toLong).toInt)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
-        val n = inf.inflate(buf)
+        // DataFormatException (corrupt deflate bytes mid-stream) degrades
+        // to whatever inflated so far — the truncated-stream contract;
+        // letting it escape would void the WHOLE document for one bad
+        // stream (extract()'s catch is document-scoped)
+        val n = try inf.inflate(buf) catch {
+          case _: java.util.zip.DataFormatException => return out.toByteArray
+        }
         if (n == 0 && !inf.finished()) return out.toByteArray // truncated
         if (out.size.toLong + n > MaxInflatedBytes) { // deflate bomb: truncate
           out.write(buf, 0, MaxInflatedBytes - out.size)
@@ -368,7 +377,10 @@ object PdfText extends Extraction.DocumentTextExtractor {
       .sortBy(_.at)
       .flatMap { o =>
         (decodedStream(o), num(o.dict, "N"), num(o.dict, "First")) match {
-          case (Some(data), Some(n), Some(first)) if first <= data.length =>
+          // hostile negative /First (or /N) must degrade to skipping this
+          // container, not throw out of substring and void the document
+          case (Some(data), Some(n), Some(first))
+              if n >= 0 && first >= 0 && first <= data.length =>
             val s = new String(data, ISO_8859_1)
             val tok = IntTok.matcher(s.substring(0, first))
             var header = Vector.empty[Int]

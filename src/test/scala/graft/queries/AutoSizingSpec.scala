@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The production nlist ∝ N sizing rule, codified as [[VectorOps.autoNlist]]
+  * and the auto-sized kNN-graph/SemDedup entry points. The rule itself was
+  * established empirically (ScaleProbe's companion kernels: 8 → 80 cells at
+  * 10× corpus keeps the builds at 2.1-2.5× wall vs 10-16× at fixed nlist);
+  * this spec pins (1) the sizing math and its clamps, and (2) that the auto
+  * entries are PLAN-ONLY conveniences — byte-identical results to the manual
+  * fixed-nlist composition at the derived nlist. */
+class AutoSizingSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val vecs: DataFrame =
+    VectorOps.normed(graft.Tables.embeddings(spark, sfDir))
+
+  private def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  test("autoNlist: ceil(N / targetCellSize), clamped to [1, maxNlist]") {
+    // exact division and the ceil of a remainder
+    assert(VectorOps.autoNlist(8192L, targetCellSize = 4096L) == 2)
+    assert(VectorOps.autoNlist(8193L, targetCellSize = 4096L) == 3)
+    // tiny and empty corpora never size below one cell
+    assert(VectorOps.autoNlist(1L, targetCellSize = 4096L) == 1)
+    assert(VectorOps.autoNlist(0L, targetCellSize = 4096L) == 1)
+    // the driver-side budget clamp
+    assert(VectorOps.autoNlist(Long.MaxValue, targetCellSize = 1L,
+      maxNlist = 1 << 17) == (1 << 17))
+    // proportionality below the clamp — the rule the probe kernels measure
+    val base = VectorOps.autoNlist(40960L, targetCellSize = 4096L)
+    assert(VectorOps.autoNlist(409600L, targetCellSize = 4096L) == 10 * base)
+    // degenerate knobs are caller bugs, loudly
+    intercept[IllegalArgumentException] {
+      VectorOps.autoNlist(10L, targetCellSize = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.autoNlist(10L, targetCellSize = 16L, maxNlist = 0)
+    }
+  }
+
+  test("knnGraphAuto == the manual fixed-nlist composition at the derived nlist") {
+    val n = vecs.count()
+    val target = math.max(1L, n / 5L) // force a multi-cell quantizer
+    val nlist = VectorOps.autoNlist(n, target)
+    assert(nlist > 1, s"test corpus too small to exercise multi-cell sizing (nlist=$nlist)")
+    val auto = rows(VectorOps.knnGraphAuto(vecs, k = 3, targetCellSize = target))
+    val manual = rows(VectorOps.knnGraph(
+      VectorOps.assignCells(vecs, VectorOps.ivfCentroids(vecs, nlist)), k = 3))
+    assert(auto == manual)
+    assert(auto.nonEmpty)
+  }
+
+  test("semanticDropsAuto == the manual composition at the derived nlist") {
+    val n = vecs.count()
+    val target = math.max(1L, n / 5L)
+    val nlist = VectorOps.autoNlist(n, target)
+    val auto = rows(VectorOps.semanticDropsAuto(vecs, tau = 0.30, targetCellSize = target))
+    val manual = rows(VectorOps.semanticDrops(
+      VectorOps.assignCells(vecs, VectorOps.ivfCentroids(vecs, nlist)), tau = 0.30))
+    assert(auto == manual)
+    assert(auto.nonEmpty)
+  }
+}

@@ -339,6 +339,33 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     assert(pages.length == 1 && pages.head.trim.isEmpty)
   }
 
+  test("corrupt deflate bytes in one stream blank that page only — other pages still extract") {
+    // DataFormatException out of Inflater.inflate would escape to
+    // extract()'s document-scoped catch and void BOTH pages; caught at
+    // the stream, it degrades like a truncated stream: page 1 blank,
+    // page 2 intact.
+    val bytes = pdf(Seq("PAGE ONE", "PAGE TWO"), flate = true)
+    val s = new String(bytes, ISO_8859_1)
+    val d0 = s.indexOf("stream\n") + "stream\n".length // first content stream
+    for (k <- 0 until 20) bytes(d0 + k) = 0xFF.toByte // invalid zlib header+data
+    val pages = PdfText.extract(bytes)
+    assert(pages.length == 2, s"corrupt stream voided the document: $pages")
+    assert(pages(0).trim.isEmpty, "corrupt page did not blank")
+    assert(pages(1) == "PAGE TWO", "the intact page was lost")
+  }
+
+  test("hostile negative /First or /N in an ObjStm skips the container, never throws") {
+    val base = new String(pdfObjStm(fixture), ISO_8859_1)
+    for ((label, hostile) <- Seq(
+        "negative /First" -> base.replaceAll("/First \\d+", "/First -5"),
+        "negative /N" -> base.replaceAll("/N \\d+", "/N -1"))) {
+      // the packed page tree is unreachable, so extraction degrades to
+      // zero pages (the withFallback signal) — the contract is no throw
+      val pages = PdfText.extract(hostile.getBytes(ISO_8859_1))
+      assert(pages.forall(_.trim.isEmpty), s"$label: unexpected pages $pages")
+    }
+  }
+
   test("fuzz: 150 deterministic mutations of an ObjStm PDF never throw") {
     val rnd = new scala.util.Random(0xBEEF) // fixed seed — reproducible
     val base = pdfObjStm(fixture)
