@@ -411,13 +411,28 @@ object VectorOps {
     val e = normed(embeddings(s, d))
     knnGraph(assignCells(e, ivfCentroids(e)), k = 3)
   }
-  private val vs13Sql = {
+
+  /** vs23 — [[knnGraphAuto]] as a GATE: the production sizing rule under
+    * the oracle, not only under AutoSizingSpec. nlist derives from the
+    * corpus count (targetCellSize = 40 at gate scale: ~13 cells at
+    * sf0.001, ~125 at sf0.01 — the quantizer GROWS with the corpus,
+    * unlike vs13's fixed 8 cells), and the oracle derives the SAME
+    * count through the SAME integer ceil over the same zero-norm-free
+    * set, so [[autoNlist]]'s arithmetic is pinned cross-engine and the
+    * gate's cost stays Σ|cell|² ≈ N·targetCellSize at every SF. */
+  private def vs23(s: SparkSession, d: String): DataFrame =
+    knnGraphAuto(normed(embeddings(s, d)), k = 3, targetCellSize = 40L)
+
+  /** The kNN-graph oracle shape shared by vs13/pp24 (fixed 8-cell
+    * quantizer) and vs23 (count-derived quantizer): only the centroid
+    * CTE's vec_id bound differs. */
+  private def knnGraphOracle(centBound: String) = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
-       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < $centBound),
        |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
        |a AS (SELECT vec_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
@@ -430,6 +445,10 @@ object VectorOps {
        |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }
+  private val vs13Sql = knnGraphOracle("8")
+  // autoNlist's exact integer ceil + clamps over the zero-norm-free set
+  private val vs23Sql = knnGraphOracle(
+    "(SELECT LEAST(GREATEST((COUNT(*) + 39) // 40, 1), 131072) FROM n)")
 
   /** The nProbe = 2 kNN graph: every vector's top-k neighbors across its
     * assigned cell AND its second-nearest cell — the boundary-recall
@@ -2267,6 +2286,7 @@ object VectorOps {
     Q("vs12_range_search", "threshold retrieval: all probed candidates with cosine >= tau, match-sized output (no top-k)", vs12, Some(vs12Sql)),
     Q("vs13_knn_graph", "kNN graph: every vector's top-3 in-cell neighbors via one cid-keyed self-join (no probe window)", vs13, Some(vs13Sql)),
     Q("vs14_knn_graph_probe2", "kNN graph at nProbe=2: assigned + second-nearest cell probed per vector, both row-local (rank-2 native assignment, no window)", vs14, Some(vs14Sql)),
+    Q("vs23_knn_graph_auto", "kNN graph under the PRODUCTION quantizer sizing: nlist = ceil(N/targetCellSize) derived from a count of the same zero-norm-free set (autoNlist, clamps included) — the quantizer grows with the corpus so Sigma|cell|^2 stays ~N*targetCellSize; oracle derives nlist through the same integer ceil", vs23, Some(vs23Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs11_kmeans_rebuild", "quantizer rebuild: 3 exact integer Lloyd iterations (L2 lattice assignment, truncated-mean update, empty-cell carryover)", vs11, Some(vs11Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
