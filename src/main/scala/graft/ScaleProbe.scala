@@ -182,7 +182,11 @@ object ScaleProbe {
       "pp35_incremental_quantile_double",
       "pp33_incremental_pipeline", "pp34_incremental_multimodal",
       "vs17_pq_trained_search", "vs18_ivfpq_residual", "vs19_graph_search",
-      "vs20_filtered_ann", "vs21_opq_train", "vs22_opq_search")
+      "vs20_filtered_ann", "vs21_opq_train", "vs22_opq_search",
+      // the auto-sized kNN graph: the gate whose quantizer GROWS with the
+      // corpus (nlist = ceil(N/40)), so unlike vs13's fixed-8 row this
+      // one should hold the companion kernels' sublinear band by default
+      "vs23_knn_graph_auto")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)

@@ -43,6 +43,35 @@ object Extraction {
         .split("\f", -1).toSeq
   }
 
+  /** The OCR engine seam (S3): image bytes as stored in the PDF (a
+    * complete JPEG for DCTDecode, inflated raw samples for FlateDecode)
+    * plus dimensions → recognized text. A Tess4J/tesseract-backed
+    * implementation plugs in here in a real deployment (the engine
+    * itself is environment-bound — no OCR library ships in this
+    * container); everything around it — per-page image extraction,
+    * page assembly, the fallback ladder, Spark distribution — is real
+    * and spec-driven ([[OcrExtractor]], OcrLadderSpec). */
+  trait OcrEngine extends Serializable {
+    def recognize(image: PdfText.PdfImage): String
+  }
+
+  /** S3's extractor: the scanned-PDF OCR leg, reference
+    * pdf_extraction.py:63-71 re-expressed without a rasterizer — each
+    * page's embedded image XObjects ([[PdfText.imagesPerPage]]; for the
+    * scanned documents OCR exists for, the page IS one full-page scan
+    * image) run through the [[OcrEngine]] and join as the page's text.
+    * Pages with no images yield blank text — under [[withFallback]]
+    * that keeps the all-blank signal intact when OCR has nothing to
+    * work with. Engine failures on one image degrade to that image
+    * blank, never a throw (the ladder's never-throws discipline). */
+  final class OcrExtractor(engine: OcrEngine) extends DocumentTextExtractor {
+    def extract(content: Array[Byte]): Seq[String] =
+      PdfText.imagesPerPage(content).map(_.map { img =>
+        try engine.recognize(img)
+        catch { case scala.util.control.NonFatal(_) => "" }
+      }.filter(_.nonEmpty).mkString("\n"))
+  }
+
   /** S4 extractor preference/fallback (pdf_extraction.py:73-81): use the
     * preferred extractor unless it yields only blank pages, then fall back
     * — with `preferFallback` flipping the order (the --prefer-ocr flag). */

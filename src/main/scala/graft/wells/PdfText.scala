@@ -538,6 +538,70 @@ object PdfText extends Extraction.DocumentTextExtractor {
       }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  // ------------------------------------------------------------ images
+  /** One image XObject as an OCR input: pixel dimensions + the PDF
+    * filter name + the stream bytes in the form an OCR/image library
+    * consumes — FlateDecode is inflated to raw samples here (the same
+    * machinery content streams use); DCTDecode/JPXDecode data is kept
+    * VERBATIM because it already IS a complete JPEG/JPEG-2000 file. */
+  final case class PdfImage(name: String, width: Int, height: Int,
+      filter: String, data: Array[Byte])
+
+  /** The SCANNED-PDF surface for the OCR leg (S3): per page, the
+    * /Resources → /XObject entries with /Subtype /Image, in XObject
+    * NAME order (deterministic; the content stream's Do order needs a
+    * renderer and buys nothing for full-page scans, which have exactly
+    * one image). The reference rasterizes whole pages
+    * (pdf_extraction.py:63-71, pdf2image) because pytesseract wants a
+    * bitmap; without a rasterizer in this container the no-render
+    * equivalent is the page's embedded scan image itself — for the
+    * scanned documents the OCR ladder exists for, the page IS one
+    * full-page image XObject. Vector-drawn pages (no image XObjects)
+    * yield an empty page entry, the same blank-page degradation as an
+    * unsupported content filter. Same contract as [[extract]]: never
+    * throws; unreadable input → empty. */
+  def imagesPerPage(content: Array[Byte]): Seq[Seq[PdfImage]] =
+    try {
+      val s = new String(content, ISO_8859_1)
+      if (!s.startsWith("%PDF-")) return Seq.empty
+      val objs = unpackObjectStreams(scanObjects(s, content))
+      // a value that may be written inline or as an indirect reference
+      def deref(v: Option[PVal]): Option[PVal] = v match {
+        case Some(PRef(r)) => objs.get(r).map(_.dict)
+        case other => other
+      }
+      pageRefsInOrder(objs, s).map { pn =>
+        val xobj = deref(objs(pn).dict.m.get("Resources")) match {
+          case Some(d: PDict) => deref(d.m.get("XObject"))
+          case _ => None
+        }
+        xobj match {
+          case Some(PDict(m)) =>
+            m.toSeq.sortBy(_._1).flatMap { case (name, v) =>
+              val target = v match { case PRef(r) => objs.get(r); case _ => None }
+              target
+                .filter(_.dict.m.get("Subtype").contains(PName("Image")))
+                .flatMap { o =>
+                  val filter = o.dict.m.get("Filter") match {
+                    case Some(PName(f)) => f
+                    case Some(PArr(Vector(PName(f)))) => f
+                    case _ => ""
+                  }
+                  val data =
+                    if (filter == "FlateDecode") o.streamData.map(inflate)
+                    else o.streamData
+                  def dim(k: String) = o.dict.m.get(k).collect {
+                    case PNum(n) if n >= 0 && n <= Int.MaxValue => n.toInt
+                  }.getOrElse(0)
+                  data.map(d =>
+                    PdfImage(name, dim("Width"), dim("Height"), filter, d))
+                }
+            }
+          case _ => Seq.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   /** Magic-byte dispatch: `%PDF-` → this codec, anything else → the
     * UTF-8/form-feed passthrough — so one scan serves a mixed directory
     * of real PDFs and text fixtures (Main's extract stage). */

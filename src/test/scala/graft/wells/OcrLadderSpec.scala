@@ -1,0 +1,163 @@
+package graft.wells
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S3's OCR leg beyond the bare trait seam: [[PdfText.imagesPerPage]]
+  * pulls each page's embedded scan images (the scanned-PDF shape — no
+  * text operators, one full-page /Subtype /Image XObject per page) and
+  * [[Extraction.OcrExtractor]] routes them through the [[Extraction
+  * .OcrEngine]] seam, under the same S4 fallback ladder the reference
+  * runs (pdfplumber-fails→OCR, pdf_extraction.py:73-81). The ENGINE is
+  * a deterministic fake here (no OCR library ships in this container —
+  * the payload carries its own text behind a magic prefix); everything
+  * around it — image extraction, metadata, page assembly, the ladder,
+  * the Spark scan — is the real path a Tess4J-backed engine would ride
+  * unchanged. */
+class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
+
+  // ------------------------------------------- scanned-PDF writer
+  /** A scanned-style PDF: per page one image XObject (filter `filt`,
+    * payload = FAKESCAN1 + the page text) drawn by a text-free content
+    * stream — exactly the shape a scanner/printer driver emits. */
+  private def scannedPdf(pages: Seq[String], filt: String = "DCTDecode"): Array[Byte] = {
+    val p = pages.length
+    // numbering known up front (no patching): image i → 2i+1, content
+    // i → 2i+2 (0-based i), pages node → 2p+1, page i → 2p+2+i,
+    // catalog → 3p+2
+    val pagesN = 2 * p + 1
+    val catN = 3 * p + 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val payload0 = ("FAKESCAN1\n" + text).getBytes("UTF-8")
+      val payload =
+        if (filt == "FlateDecode") deflate(payload0) else payload0
+      w(s"${2 * i + 1} 0 obj\n<< /Type /XObject /Subtype /Image /Width 2550 " +
+        s"/Height 3300 /Filter /$filt /Length ${payload.length} >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+      val draw = "q 612 0 0 792 0 0 cm /Im0 Do Q" // no text operators
+      w(s"${2 * i + 2} 0 obj\n<< /Length ${draw.length} >>\nstream\n$draw\nendstream\nendobj\n")
+    }
+    w(s"$pagesN 0 obj\n<< /Type /Pages /Kids ${
+      (0 until p).map(i => s"${2 * p + 2 + i} 0 R").mkString("[", " ", "]")
+    } /Count $p >>\nendobj\n")
+    pages.indices.foreach { i =>
+      w(s"${2 * p + 2 + i} 0 obj\n<< /Type /Page /Parent $pagesN 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /XObject << /Im0 ${2 * i + 1} 0 R >> >> " +
+        s"/Contents ${2 * i + 2} 0 R >>\nendobj\n")
+    }
+    w(s"$catN 0 obj\n<< /Type /Catalog /Pages $pagesN 0 R >>\nendobj\n")
+    w(s"trailer\n<< /Size ${catN + 1} /Root $catN 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** The deterministic engine: "recognizes" payloads carrying the fake
+    * scan magic; anything else (a real JPEG, junk) yields nothing —
+    * the honest behavior of an engine pointed at pixels it can't read. */
+  private object FakeOcr extends Extraction.OcrEngine {
+    def recognize(img: PdfText.PdfImage): String = {
+      val s = new String(img.data, "UTF-8")
+      if (s.startsWith("FAKESCAN1\n")) s.drop("FAKESCAN1\n".length) else ""
+    }
+  }
+
+  private val hdrPage =
+    """Well Operator: NANCE PETROLEUM CORPORATION
+      |Well Name: THORVALD 1-30H
+      |API # 33-053-06057
+      |Latitude: 48° 4' 29.5" N
+      |Longitude: 103° 36' 11.4" W""".stripMargin
+  private val stimPage =
+    """Date Stimulated
+      |9/22/2011
+      |Stimulated Formation
+      |Bakken
+      |Lbs Proppant
+      |2,293,000""".stripMargin
+  private val fixture = Seq(hdrPage, "page two filler", stimPage)
+
+  test("imagesPerPage: one image per page with metadata; FlateDecode inflates, DCTDecode stays verbatim") {
+    val dct = PdfText.imagesPerPage(scannedPdf(fixture))
+    assert(dct.length == 3)
+    assert(dct.forall(_.length == 1))
+    val img = dct.head.head
+    assert((img.name, img.width, img.height, img.filter) == ("Im0", 2550, 3300, "DCTDecode"))
+    assert(new String(img.data, "UTF-8") == "FAKESCAN1\n" + hdrPage,
+      "DCTDecode payload must be the stored bytes verbatim")
+    val fl = PdfText.imagesPerPage(scannedPdf(fixture, filt = "FlateDecode"))
+    assert(new String(fl.head.head.data, "UTF-8") == "FAKESCAN1\n" + hdrPage,
+      "FlateDecode image must arrive inflated to raw samples")
+    // junk input: empty, never a throw
+    assert(PdfText.imagesPerPage("not a pdf".getBytes("UTF-8")).isEmpty)
+    assert(PdfText.imagesPerPage(scannedPdf(fixture).take(40)).forall(_.isEmpty))
+  }
+
+  test("the S4 ladder routes a scanned PDF to OCR and a text-layer PDF past it") {
+    val scanned = scannedPdf(fixture)
+    // the text layer sees no text operators: all-blank, the fallback signal
+    assert(PdfText.extract(scanned).forall(_.trim.isEmpty))
+    val ladder = Extraction.withFallback(PdfText, new Extraction.OcrExtractor(FakeOcr))
+    assert(ladder.extract(scanned) == fixture, "OCR leg did not recover the scan")
+    // parse banks run end-to-end over the OCR'd pages — same rows as the
+    // text-layer path over the same logical document
+    val viaOcr = ladder.extract(scanned)
+    val h = Extraction.parseHeader(viaOcr, "W1.pdf")
+    assert(h.operator.contains("NANCE PETROLEUM CORPORATION"))
+    assert(h.api.contains("33-053-06057"))
+    val st = Extraction.parseStimulation(viaOcr, "W1.pdf")
+    assert(st.lbs_proppant.contains("2293000"))
+    // preferFallback (the --prefer-ocr flag): OCR first; a text-layer
+    // document has no images, so OCR is all-blank and the ladder falls
+    // BACK to the text layer — no document is lost either way round
+    val textPdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Length 44 >>\nstream\nBT (Operator: TEXTCO) Tj 0 -14 Td ET\nendstream\nendobj\n" +
+      "2 0 obj\n<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n" +
+      "4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n" +
+      "trailer\n<< /Root 4 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    val preferOcr = Extraction.withFallback(PdfText,
+      new Extraction.OcrExtractor(FakeOcr), preferFallback = true)
+    assert(preferOcr.extract(scanned) == fixture)
+    assert(preferOcr.extract(textPdf).exists(_.contains("Operator: TEXTCO")))
+  }
+
+  test("an engine that throws degrades that image to blank, never an exception") {
+    val bomb = new Extraction.OcrEngine {
+      def recognize(img: PdfText.PdfImage): String = sys.error("engine crash")
+    }
+    val pages = new Extraction.OcrExtractor(bomb).extract(scannedPdf(fixture))
+    assert(pages.length == 3 && pages.forall(_.isEmpty))
+  }
+
+  test("S1+S3 end-to-end: a mixed directory with a scanned PDF extracts through Spark") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ocr-scan")
+    Files.write(dir.resolve("A_scanned.pdf"), scannedPdf(fixture))
+    Files.write(dir.resolve("B_fixture.pdf"),
+      "Operator: TEXTCO\nWell Name: FIX 1".getBytes("UTF-8"))
+    val ladder = Extraction.withFallback(PdfText.AutoDetect,
+      new Extraction.OcrExtractor(FakeOcr))
+    val docs = Extraction.scanDocuments(spark, dir.toString, ladder).cache()
+    val (header, _) = Extraction.extractAll(docs)
+    val rows = header.collect().map(r =>
+      (r.getAs[String]("pdf_name"), r.getAs[String]("operator"))).toSeq
+    assert(rows == Seq(
+      ("A_scanned.pdf", "NANCE PETROLEUM CORPORATION"),
+      ("B_fixture.pdf", "TEXTCO")),
+      s"mixed scanned/text directory drifted: $rows")
+  }
+}
