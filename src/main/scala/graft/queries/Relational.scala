@@ -1039,6 +1039,58 @@ object Relational {
        |FROM qz GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q49 — SKEW-MITIGATED aggregation as a gate (SURVEY §4: "skewed
+    * keys → salting or AQE skew-join"): [[graft.operators.Salting
+    * .saltedAgg]] spreads each group over 8 reducers via a two-phase
+    * partial/merge rollup — l_returnflag is the deliberately hot key
+    * (3 values over the whole table, the worst per-key fan-in a
+    * groupBy can see). The RESULT is the plain rollup's exactly
+    * (decimal sums and counts are mergeable, so the salt-phase split
+    * is invisible), which is what the gate pins cross-engine: the
+    * oracle is the UNSALTED SQL, so the mitigation is proven free to
+    * apply wherever skew appears. AsofSaltingSpec pins the same
+    * equality in-engine; this gate pins it against a second engine. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Salting.saltedAgg(
+      lineitem(s, d).select($"l_returnflag", $"l_quantity"),
+      keys = Seq("l_returnflag"), salts = 8,
+      partialAggs = Seq(
+        sum($"l_quantity".cast(DecimalType(18, 4))).as("pq"),
+        count(lit(1)).as("pn")),
+      mergeAggs = Seq(
+        sum($"pq").cast("double").as("sum_qty"),
+        sum($"pn").as("n")))
+      .orderBy($"l_returnflag")
+  }
+  private val q49Sql =
+    s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q50 — SKEW-MITIGATED join as a gate: [[graft.operators.Salting
+    * .saltedJoin]] replicates the small side 8× so a hot join key's
+    * probe rows spread over 8 reducers instead of one (the explicit
+    * tool for hot keys AQE can't split). Join then rollup to brand
+    * revenue; the oracle is the plain join's SQL — the salt column
+    * exists only inside the plan, never in the result. */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = lineitem(s, d)
+      .select($"l_partkey".as("pk"), $"l_extendedprice", $"l_discount")
+    val small = part(s, d).select($"p_partkey".as("pk"), $"p_brand")
+    graft.operators.Salting.saltedJoin(big, small, "pk", salts = 8)
+      .groupBy($"p_brand")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+  }
+  private val q50Sql =
+    s"""SELECT p_brand,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q42 — explicit GROUPING SETS (the rollup/cube generalization, §2.4):
     * two independent 1-D groupings plus the grand total in ONE pass —
@@ -1292,6 +1344,8 @@ object Relational {
     Q("q41_percentile", "exact interpolated percentiles per group", q41, Some(q41Sql)),
     Q("q47_percentile_histogram", "the same exact percentiles WITHOUT a corpus sort: domain-bounded histogram rollup + cumulative-rank bucket location + bucket-pruned second pass — the plan that replaces q41's single-reducer-per-group external sort at scale", q47, Some(q41Sql)),
     Q("q48_zorder_cells", "z-order (Morton) layout arithmetic: two dimensions quantized onto a 256x256 grid over observed domains, bits interleaved into one BIGINT curve value, 64 coarse cells rolled up with counts/extents/exact sums — the integer tree writeZOrdered range-partitions files on, all oracle-replayed", q48, Some(q48Sql)),
+    Q("q49_salted_agg", "skew-mitigated aggregation: two-phase salted partial/merge rollup over the hottest possible key (3 groups over the whole table) — result pinned identical to the plain groupBy by the unsalted oracle", q49, Some(q49Sql)),
+    Q("q50_salted_join", "skew-mitigated join: small side replicated 8x so a hot key's probe rows spread over 8 reducers; brand-revenue rollup pinned identical to the plain join by the unsalted oracle", q50, Some(q50Sql)),
     Q("q42_grouping_sets", "explicit GROUPING SETS: two 1-D groupings + grand total, one pass", q42, Some(q42Sql)),
     Q("q43_grouped_topk", "top-3 orders per customer via bounded-buffer partial aggregation (no window)", q43, Some(q43Sql)),
     Q("q44_change_intervals", "SCD2 state-history build: consecutive-dedup + change intervals from the event log, one partitioning for both windows", q44, Some(q44Sql)),
