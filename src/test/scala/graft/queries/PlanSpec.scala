@@ -57,6 +57,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .count(_.isInstanceOf[HashAggregateExec]) >= 2)
   }
 
+  test("q49: the salted rollup shuffles FIRST on (key, salt), THEN on key alone") {
+    val keys = hashShuffleKeys(df("q49_salted_agg"))
+    // salt phase: the hot key's rows spread over salts reducers
+    assert(keys.exists(k => k.contains("__salt") && k.contains("l_returnflag")),
+      s"no (key, salt) exchange found: $keys")
+    // merge phase: groups x salts partials, never the corpus, meet per key
+    assert(keys.exists(_ == Set("l_returnflag")),
+      s"no merge-phase key-only exchange: $keys")
+  }
+
+  test("saltedJoin in the shuffle regime keys the join exchange on (key, salt)") {
+    import spark.implicits._
+    import graft.operators.Salting
+    // force the shuffle regime the operator exists for (at gate scale AQE
+    // rightly broadcasts the small side, and salting a broadcast join is
+    // a no-op — the salt must show up exactly when a shuffle happens)
+    val big = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey".as("pk"), $"l_quantity").hint("shuffle_hash")
+    val small = graft.Tables.part(spark, sf)
+      .select($"p_partkey".as("pk"), $"p_brand").hint("shuffle_hash")
+    val keys = hashShuffleKeys(Salting.saltedJoin(big, small, "pk", salts = 8))
+    assert(keys.count(_ == Set("pk", "__salt")) >= 2,
+      s"join sides must both exchange on (pk, __salt): $keys")
+  }
+
   test("q42: grouping sets expand in ONE pass — single scan, single Expand") {
     val d = df("q42_grouping_sets")
     assert(fileScans(d).size == 1)
