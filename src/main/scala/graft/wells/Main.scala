@@ -27,8 +27,10 @@ object Main {
     case "extract" :: docDir :: outDir :: Nil =>
       // magic-byte dispatch: real PDFs through the text-layer codec
       // (PdfText, S2), text fixtures through the passthrough — one scan
-      // serves both, and a PDF whose text layer is blank would fall
-      // back per Extraction.withFallback when an OCR leg is plugged in
+      // serves both. A deployment with a recognizer wraps this in
+      // Extraction.withFallback(PdfText.AutoDetect,
+      //   new Extraction.OcrExtractor(engine), preferFallback = <--prefer-ocr>)
+      // — the S3/S4 ladder OcrLadderSpec drives; no engine ships here
       val docs = Extraction.scanDocuments(spark, docDir,
         PdfText.AutoDetect).cache()
       val (header, stim) = Extraction.extractAll(docs)

@@ -143,6 +143,30 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
     assert(pages.length == 3 && pages.forall(_.isEmpty))
   }
 
+  test("fuzz: 150 deterministic mutations of a scanned PDF never throw out of the OCR leg") {
+    val rnd = new scala.util.Random(0xD00D) // fixed seed — reproducible
+    val base = scannedPdf(fixture)
+    val ladder = Extraction.withFallback(PdfText, new Extraction.OcrExtractor(FakeOcr))
+    for (trial <- 1 to 150) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(8)) rnd.nextInt(3) match {
+        case 0 => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        case 1 =>
+          val at = rnd.nextInt(b.length)
+          java.util.Arrays.fill(b, at, math.min(b.length, at + rnd.nextInt(64)), 0.toByte)
+        case 2 =>
+          val kw = Seq("endobj", "stream", "/XObject", "/Image", "0 0 obj", "<<")(rnd.nextInt(6))
+            .getBytes(ISO_8859_1)
+          val at = rnd.nextInt(math.max(1, b.length - kw.length))
+          System.arraycopy(kw, 0, b, at, kw.length)
+      }
+      val cut = if (rnd.nextBoolean()) b.take(rnd.nextInt(b.length + 1)) else b
+      // both the image surface and the full ladder: return, never throw
+      assert(PdfText.imagesPerPage(cut) != null, s"trial $trial imagesPerPage")
+      assert(ladder.extract(cut) != null, s"trial $trial ladder")
+    }
+  }
+
   test("S1+S3 end-to-end: a mixed directory with a scanned PDF extracts through Spark") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("ocr-scan")
