@@ -898,22 +898,24 @@ object VectorOps {
     * centroid/codebook frames (this is how any distributed k-means
     * iterates, and it is a rebuild: run rarely, never in a serving
     * path). Output: final centroids in long form + final cell sizes. */
-  private def vs11(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
-    val init = e.filter($"vec_id" < 8).orderBy($"vec_id")
-      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
-    if (init.isEmpty)
-      return e.select($"vec_id".as("cid"), $"vec_id".as("dim"),
-        $"vec_id".as("c"), $"vec_id".as("n_members")).limit(0)
+  /** The exact integer Lloyd loop vs11 pins and [[retrainCentroids]]
+    * deploys: `iters` iterations of (L2²-argmin assignment against the
+    * literal centroids via the [[Pq]] kernel at m = 1, truncated integer
+    * mean per (cell, dim), empty-cell carryover). Bit-exact by
+    * construction — every operation is BIGINT arithmetic — which is
+    * what lets vs11's oracle replay all iterations verbatim. The k×d
+    * sums collect to the driver between iterations (driver-sized by
+    * construction; this is how any distributed k-means iterates). */
+  private[graft] def lloydCentroids(e: DataFrame,
+      init: IndexedSeq[IndexedSeq[Long]], iters: Int)
+      : IndexedSeq[IndexedSeq[Long]] = {
     val (k, dim) = (init.length, init.head.length)
     var cents = init
-    def assigned(): DataFrame = {
+    for (_ <- 1 to iters) {
       val lat = Pq(dim, k, IndexedSeq(cents.map(_.toSeq)))
-      e.select($"vec_id", element_at(lat.codes($"q"), 1).as("cid"), $"q")
-    }
-    for (_ <- 1 to 3) {
-      val sums = cellDimSums(assigned())
+      val assigned = e.select(col("vec_id"),
+        element_at(lat.codes(col("q")), 1).as("cid"), col("q"))
+      val sums = cellDimSums(assigned)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val byCid = sums.groupBy(_._1)
       cents = (0 until k).map { cid =>
@@ -925,7 +927,22 @@ object VectorOps {
         }.getOrElse(cents(cid))
       }
     }
-    val sizes = assigned().groupBy($"cid").agg(count(lit(1)).as("n_members"))
+    cents
+  }
+
+  private def vs11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).select($"vec_id", $"q").localCheckpoint(true)
+    val init = e.filter($"vec_id" < 8).orderBy($"vec_id")
+      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    if (init.isEmpty)
+      return e.select($"vec_id".as("cid"), $"vec_id".as("dim"),
+        $"vec_id".as("c"), $"vec_id".as("n_members")).limit(0)
+    val (k, dim) = (init.length, init.head.length)
+    val cents = lloydCentroids(e, init, iters = 3)
+    val lat = Pq(dim, k, IndexedSeq(cents.map(_.toSeq)))
+    val sizes = e.select(element_at(lat.codes($"q"), 1).as("cid"))
+      .groupBy($"cid").agg(count(lit(1)).as("n_members"))
     cents.zipWithIndex.flatMap { case (c, cid) =>
       c.zipWithIndex.map { case (v, i) => (cid.toLong, i.toLong, v) }
     }.toDF("cid", "dim", "c")
@@ -933,6 +950,36 @@ object VectorOps {
       .na.fill(0L, Seq("n_members"))
       .select($"cid", $"dim", $"c", $"n_members")
       .orderBy($"cid", $"dim")
+  }
+
+  /** Production quantizer RETRAIN — the composition a deployment pairs
+    * with [[graft.streaming.Streams.rebuildIvfState]] when the sums
+    * deltas say the quantizer has drifted: size k by the SAME
+    * [[autoNlist]] rule the build-side entry points use (one count
+    * job), seed with the k lowest-vec_id vectors (deterministic, the
+    * gates' convention generalized), run `iters` exact integer Lloyd
+    * iterations ([[lloydCentroids]] — vs11's kernel verbatim), and
+    * return the centroid frame in [[assignCells]]' (cid, cq, cn) shape.
+    * Zero-norm trained centroids (a cell whose truncated mean collapsed
+    * to the origin) are DROPPED: a cosine quantizer cannot assign to
+    * them, and Lloyd's carryover means they attracted nothing anyway.
+    * Run-rarely and corpus-sized like the rebuild it feeds. */
+  private[graft] def retrainCentroids(normedVecs: DataFrame,
+      targetCellSize: Long = 4096L, iters: Int = 3): DataFrame = {
+    val spark = normedVecs.sparkSession
+    import spark.implicits._
+    val e = normedVecs.select(col("vec_id"), col("q")).localCheckpoint(true)
+    val k = autoNlist(e.count(), targetCellSize)
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    if (init.isEmpty)
+      return ivfCentroids(normedVecs, 0) // typed empty (cid, cq, cn) frame
+    val cents = lloydCentroids(e, init, iters)
+    cents.zipWithIndex
+      .map { case (c, cid) =>
+        (cid.toLong, c, math.sqrt(c.map(v => v.toDouble * v).sum)) }
+      .filter(_._3 > 0.0)
+      .toDF("cid", "cq", "cn")
   }
   private val vs11Sql = {
     def iter(j: Int, prevList: String, prevLong: String) = {

@@ -54,6 +54,30 @@ class AutoSizingSpec extends AnyFunSuite with SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("retrainCentroids: auto-sized k, deterministic seeds, assignable trained quantizer") {
+    val n = vecs.count()
+    val target = math.max(1L, n / 5L)
+    val k = VectorOps.autoNlist(n, target)
+    val cents = VectorOps.retrainCentroids(vecs, targetCellSize = target)
+    val got = cents.collect()
+    // one centroid per auto-sized cell (none collapsed to the origin on
+    // this corpus), ids dense in [0, k)
+    assert(got.length == k, s"expected $k trained centroids, got ${got.length}")
+    assert(got.map(_.getLong(0)).sorted.toSeq == (0L until k).toSeq)
+    assert(got.forall(_.getDouble(2) > 0.0), "zero-norm centroid survived the drop")
+    // the trained frame drives the SAME row-local assignment kernel the
+    // fixed-quantizer gates use, and every vector lands in a trained cell
+    val assigned = VectorOps.assignCells(vecs, cents)
+    assert(assigned.count() == n)
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val r = assigned.agg(smin(col("cid")), smax(col("cid"))).head()
+    assert(r.getLong(0) >= 0L && r.getLong(1) < k)
+    // determinism: a second run trains the identical quantizer
+    val again = VectorOps.retrainCentroids(vecs, targetCellSize = target).collect()
+    assert(again.map(_.toSeq.toList).toList.sortBy(_.toString) ==
+      got.map(_.toSeq.toList).toList.sortBy(_.toString))
+  }
+
   test("semanticDropsAuto == the manual composition at the derived nlist") {
     val n = vecs.count()
     val target = math.max(1L, n / 5L)
