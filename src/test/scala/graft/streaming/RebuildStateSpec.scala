@@ -117,6 +117,44 @@ class RebuildStateSpec extends AnyFunSuite with SparkSpec {
     assert(!new java.io.File(s"$vroot/p").exists())
   }
 
+  test("full lifecycle: maintain under the old quantizer, AUTO-SIZED Lloyd retrain, rebuild — postings == from-scratch under the trained quantizer") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("rebuild-auto").toString
+    val (postT, sumsT) = (s"$root/postings", s"$root/sums")
+
+    val e0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def df(b: Seq[(Long, Seq[Float])]) = b.toDF("vec_id", "embedding")
+    val normedAll = VectorOps.normed(df(e0)).localCheckpoint(true)
+
+    // ingest under the catalog's fixed 8-cell quantizer...
+    val oldCents = VectorOps.ivfCentroids(normedAll).localCheckpoint(true)
+    for (b <- Seq(e0.take(100), e0.drop(100)))
+      Streams.maintainIvfState(df(b), oldCents, postT, sumsT)
+
+    // ...then the drift response: retrain SIZED BY THE PRODUCTION RULE
+    // (autoNlist over the standing count) and redeploy via the rebuild
+    val target = math.max(1L, normedAll.count() / 20L)
+    val trained = VectorOps.retrainCentroids(normedAll,
+      targetCellSize = target).localCheckpoint(true)
+    assert(trained.count() > 8, "retrain did not widen the quantizer")
+    Streams.rebuildIvfState(spark, trained, postT, sumsT)
+
+    // the standing postings are EXACTLY the from-scratch assignment under
+    // the trained quantizer, and search parity follows
+    val direct = VectorOps.assignCells(normedAll, trained).localCheckpoint(true)
+    assert(spark.read.parquet(postT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "rebuilt postings != from-scratch assignment under the trained quantizer")
+    val qs = normedAll.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))
+    assert(Streams.ivfSearchSnapshot(spark, postT, qs, trained, 2, 3)
+        .collect().toSeq ==
+      VectorOps.ivfSearch(direct, qs, trained, 2, 3).collect().toSeq)
+  }
+
   test("rebuildPqState: Lloyd retrain from standing postings + re-encode + swap == from-scratch under the trained books; flow continues under the returned Pq") {
     import spark.implicits._
     val root = Files.createTempDirectory("rebuild-pq").toString
