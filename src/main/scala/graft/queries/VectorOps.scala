@@ -203,7 +203,10 @@ object VectorOps {
     require(targetCellSize > 0L,
       s"autoNlist: targetCellSize must be positive, got $targetCellSize")
     require(maxNlist > 0, s"autoNlist: maxNlist must be positive, got $maxNlist")
-    val cells = (math.max(0L, n) + targetCellSize - 1L) / targetCellSize
+    // div-then-remainder ceil: the add-(t-1) form overflows Long for n
+    // near Long.MaxValue and would wrap to 1 instead of the clamp
+    val nn = math.max(0L, n)
+    val cells = nn / targetCellSize + (if (nn % targetCellSize == 0L) 0L else 1L)
     math.max(1L, math.min(cells, maxNlist.toLong)).toInt
   }
 

@@ -67,7 +67,9 @@ object Extraction {
   final class OcrExtractor(engine: OcrEngine) extends DocumentTextExtractor {
     def extract(content: Array[Byte]): Seq[String] =
       PdfText.imagesPerPage(content).map(_.map { img =>
-        try engine.recognize(img)
+        // third-party engines may signal "unreadable" as null rather
+        // than "" or a throw — all three must degrade to a blank image
+        try Option(engine.recognize(img)).getOrElse("")
         catch { case scala.util.control.NonFatal(_) => "" }
       }.filter(_.nonEmpty).mkString("\n"))
   }

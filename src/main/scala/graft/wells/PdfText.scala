@@ -383,17 +383,25 @@ object PdfText extends Extraction.DocumentTextExtractor {
               if n >= 0 && first >= 0 && first <= data.length =>
             val s = new String(data, ISO_8859_1)
             val tok = IntTok.matcher(s.substring(0, first))
-            var header = Vector.empty[Int]
-            while (header.length < 2 * n && tok.find()) header :+= tok.group.toInt
+            // header numbers parse as LONGS with an explicit width cap: an
+            // 11+-digit hostile token would throw out of toInt (voiding
+            // the document), and first + off must compare in Long so a
+            // wrapped-negative sum cannot sneak past the bounds guard
+            var header = Vector.empty[Long]
+            while (header.length < 2L * n && tok.find()) {
+              val t = tok.group
+              header :+= (if (t.length > 18) Long.MaxValue else t.toLong)
+            }
             header.grouped(2).collect { case Vector(objNum, off)
-              if first + off < data.length =>
-              val dict = parseVal(s, first + off)._1 match {
+              if objNum >= 0L && objNum <= Int.MaxValue.toLong &&
+                off >= 0L && first.toLong + off < data.length =>
+              val dict = parseVal(s, first + off.toInt)._1 match {
                 case d: PDict => d
                 case _ => PDict(Map.empty) // bare int/array object: keep the slot
               }
               // children carry the CONTAINER's offset: supersession is a
               // property of which update appended the ObjStm
-              objNum -> PdfObject(dict, None, o.at)
+              objNum.toInt -> PdfObject(dict, None, o.at)
             }.toSeq
           case _ => Seq.empty
         }
@@ -539,13 +547,18 @@ object PdfText extends Extraction.DocumentTextExtractor {
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   // ------------------------------------------------------------ images
-  /** One image XObject as an OCR input: pixel dimensions + the PDF
-    * filter name + the stream bytes in the form an OCR/image library
-    * consumes — FlateDecode is inflated to raw samples here (the same
-    * machinery content streams use); DCTDecode/JPXDecode data is kept
-    * VERBATIM because it already IS a complete JPEG/JPEG-2000 file. */
+  /** One image XObject as an OCR input: pixel geometry + sample layout
+    * (bits per component, color-space name — what a raster consumer
+    * needs to interpret FlateDecode raw samples) + the PDF filter name
+    * + the stream bytes in the form an OCR/image library consumes —
+    * FlateDecode is inflated to raw samples here (the same machinery
+    * content streams use); DCTDecode/JPXDecode data is kept VERBATIM
+    * because it already IS a complete JPEG/JPEG-2000 file. Metadata a
+    * writer omitted (or expressed as an unresolvable construct) reads
+    * as 0 / "" — the engine decides whether it can proceed. */
   final case class PdfImage(name: String, width: Int, height: Int,
-      filter: String, data: Array[Byte])
+      bitsPerComponent: Int, colorSpace: String, filter: String,
+      data: Array[Byte])
 
   /** The SCANNED-PDF surface for the OCR leg (S3): per page, the
     * /Resources → /XObject entries with /Subtype /Image, in XObject
@@ -570,8 +583,41 @@ object PdfText extends Extraction.DocumentTextExtractor {
         case Some(PRef(r)) => objs.get(r).map(_.dict)
         case other => other
       }
+      // an integer attribute may be inline or an indirect reference to a
+      // bare-integer object (spec-legal for /Width etc.); bare ints have
+      // no dict to read back, so refs resolve textually — the same
+      // machinery scanObjects' indirect /Length uses
+      def intOf(v: Option[PVal]): Int = v match {
+        case Some(PNum(n)) if n >= 0 && n <= Int.MaxValue => n.toInt
+        case Some(PRef(r)) =>
+          val lm = java.util.regex.Pattern
+            .compile("(?<![0-9])" + r + "\\s+\\d+\\s+obj\\s+(\\d+)").matcher(s)
+          if (lm.find() && lm.group(1).length <= 9) lm.group(1).toInt else 0
+        case _ => 0
+      }
+      // /Resources is an INHERITABLE page-tree attribute (ISO 32000-1
+      // §7.7.3.4): scanner drivers commonly hang one shared dict off the
+      // /Pages node — absent on the page, walk /Parent (cycle-guarded)
+      // to the nearest ancestor carrying it
+      def inheritedResources(start: Int): Option[PVal] = {
+        val seen = scala.collection.mutable.Set.empty[Int]
+        var at = start
+        while (seen.add(at)) {
+          objs.get(at) match {
+            case Some(o) =>
+              val res = deref(o.dict.m.get("Resources"))
+              if (res.isDefined) return res
+              o.dict.m.get("Parent") match {
+                case Some(PRef(r)) => at = r
+                case _ => return None
+              }
+            case None => return None
+          }
+        }
+        None
+      }
       pageRefsInOrder(objs, s).map { pn =>
-        val xobj = deref(objs(pn).dict.m.get("Resources")) match {
+        val xobj = inheritedResources(pn) match {
           case Some(d: PDict) => deref(d.m.get("XObject"))
           case _ => None
         }
@@ -590,11 +636,14 @@ object PdfText extends Extraction.DocumentTextExtractor {
                   val data =
                     if (filter == "FlateDecode") o.streamData.map(inflate)
                     else o.streamData
-                  def dim(k: String) = o.dict.m.get(k).collect {
-                    case PNum(n) if n >= 0 && n <= Int.MaxValue => n.toInt
-                  }.getOrElse(0)
-                  data.map(d =>
-                    PdfImage(name, dim("Width"), dim("Height"), filter, d))
+                  val cs = deref(o.dict.m.get("ColorSpace")) match {
+                    case Some(PName(c)) => c
+                    case _ => ""
+                  }
+                  data.map(d => PdfImage(name,
+                    intOf(o.dict.m.get("Width")),
+                    intOf(o.dict.m.get("Height")),
+                    intOf(o.dict.m.get("BitsPerComponent")), cs, filter, d))
                 }
             }
           case _ => Seq.empty

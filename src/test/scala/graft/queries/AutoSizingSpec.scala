@@ -27,8 +27,12 @@ class AutoSizingSpec extends AnyFunSuite with SparkSpec {
     // tiny and empty corpora never size below one cell
     assert(VectorOps.autoNlist(1L, targetCellSize = 4096L) == 1)
     assert(VectorOps.autoNlist(0L, targetCellSize = 4096L) == 1)
-    // the driver-side budget clamp
+    // the driver-side budget clamp — including the overflow-prone corner
+    // (n near Long.MaxValue with targetCellSize > 1: the add-(t-1) ceil
+    // form would wrap negative and return 1 instead of the clamp)
     assert(VectorOps.autoNlist(Long.MaxValue, targetCellSize = 1L,
+      maxNlist = 1 << 17) == (1 << 17))
+    assert(VectorOps.autoNlist(Long.MaxValue, targetCellSize = 4096L,
       maxNlist = 1 << 17) == (1 << 17))
     // proportionality below the clamp — the rule the probe kernels measure
     val base = VectorOps.autoNlist(40960L, targetCellSize = 4096L)

@@ -20,14 +20,22 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
   // ------------------------------------------- scanned-PDF writer
   /** A scanned-style PDF: per page one image XObject (filter `filt`,
     * payload = FAKESCAN1 + the page text) drawn by a text-free content
-    * stream — exactly the shape a scanner/printer driver emits. */
-  private def scannedPdf(pages: Seq[String], filt: String = "DCTDecode"): Array[Byte] = {
+    * stream — exactly the shape a scanner/printer driver emits.
+    * `inheritResources` hangs ONE shared /Resources off the /Pages node
+    * (the inheritable-attribute layout, ISO 32000-1 §7.7.3.4 — only
+    * sound for the single-page shape where all pages share an image);
+    * `indirectWidth` routes /Width through a bare-integer object. */
+  private def scannedPdf(pages: Seq[String], filt: String = "DCTDecode",
+      inheritResources: Boolean = false, indirectWidth: Boolean = false)
+      : Array[Byte] = {
     val p = pages.length
     // numbering known up front (no patching): image i → 2i+1, content
     // i → 2i+2 (0-based i), pages node → 2p+1, page i → 2p+2+i,
-    // catalog → 3p+2
+    // catalog → 3p+2, optional width int → 3p+3
     val pagesN = 2 * p + 1
     val catN = 3 * p + 2
+    val widthN = 3 * p + 3
+    val width = if (indirectWidth) s"$widthN 0 R" else "2550"
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     w("%PDF-1.4\n")
@@ -35,35 +43,36 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
       val payload0 = ("FAKESCAN1\n" + text).getBytes("UTF-8")
       val payload =
         if (filt == "FlateDecode") deflate(payload0) else payload0
-      w(s"${2 * i + 1} 0 obj\n<< /Type /XObject /Subtype /Image /Width 2550 " +
-        s"/Height 3300 /Filter /$filt /Length ${payload.length} >>\nstream\n")
+      w(s"${2 * i + 1} 0 obj\n<< /Type /XObject /Subtype /Image /Width $width " +
+        s"/Height 3300 /BitsPerComponent 8 /ColorSpace /DeviceGray " +
+        s"/Filter /$filt /Length ${payload.length} >>\nstream\n")
       out.write(payload)
       w("\nendstream\nendobj\n")
       val draw = "q 612 0 0 792 0 0 cm /Im0 Do Q" // no text operators
       w(s"${2 * i + 2} 0 obj\n<< /Length ${draw.length} >>\nstream\n$draw\nendstream\nendobj\n")
     }
+    val sharedRes =
+      if (inheritResources) s" /Resources << /XObject << /Im0 1 0 R >> >>"
+      else ""
     w(s"$pagesN 0 obj\n<< /Type /Pages /Kids ${
       (0 until p).map(i => s"${2 * p + 2 + i} 0 R").mkString("[", " ", "]")
-    } /Count $p >>\nendobj\n")
+    } /Count $p$sharedRes >>\nendobj\n")
     pages.indices.foreach { i =>
+      val pageRes =
+        if (inheritResources) "" // inherited from the /Pages node
+        else s"/Resources << /XObject << /Im0 ${2 * i + 1} 0 R >> >> "
       w(s"${2 * p + 2 + i} 0 obj\n<< /Type /Page /Parent $pagesN 0 R " +
-        s"/MediaBox [0 0 612 792] " +
-        s"/Resources << /XObject << /Im0 ${2 * i + 1} 0 R >> >> " +
+        s"/MediaBox [0 0 612 792] " + pageRes +
         s"/Contents ${2 * i + 2} 0 R >>\nendobj\n")
     }
     w(s"$catN 0 obj\n<< /Type /Catalog /Pages $pagesN 0 R >>\nendobj\n")
-    w(s"trailer\n<< /Size ${catN + 1} /Root $catN 0 R >>\n%%EOF\n")
+    if (indirectWidth) w(s"$widthN 0 obj\n2550\nendobj\n")
+    w(s"trailer\n<< /Size ${widthN + 1} /Root $catN 0 R >>\n%%EOF\n")
     out.toByteArray
   }
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end(); out.toByteArray
-  }
+  private def deflate(data: Array[Byte]): Array[Byte] =
+    PdfTestUtil.deflate(data)
 
   /** The deterministic engine: "recognizes" payloads carrying the fake
     * scan magic; anything else (a real JPEG, junk) yields nothing —
@@ -95,7 +104,9 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
     assert(dct.length == 3)
     assert(dct.forall(_.length == 1))
     val img = dct.head.head
-    assert((img.name, img.width, img.height, img.filter) == ("Im0", 2550, 3300, "DCTDecode"))
+    assert((img.name, img.width, img.height, img.bitsPerComponent,
+        img.colorSpace, img.filter) ==
+      ("Im0", 2550, 3300, 8, "DeviceGray", "DCTDecode"))
     assert(new String(img.data, "UTF-8") == "FAKESCAN1\n" + hdrPage,
       "DCTDecode payload must be the stored bytes verbatim")
     val fl = PdfText.imagesPerPage(scannedPdf(fixture, filt = "FlateDecode"))
@@ -105,6 +116,34 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
     assert(PdfText.imagesPerPage("not a pdf".getBytes("UTF-8")).isEmpty)
     assert(PdfText.imagesPerPage(scannedPdf(fixture).take(40)).forall(_.isEmpty))
   }
+
+  test("/Resources inherits from the /Pages node; indirect /Width resolves") {
+    // scanner drivers commonly hang one shared /Resources off the page
+    // TREE — the page dicts carry none, and a page-dict-only reader
+    // loses every image (single-page doc: all pages sharing one image
+    // is only sound with one page)
+    val inh = PdfText.imagesPerPage(scannedPdf(Seq(hdrPage), inheritResources = true))
+    assert(inh.length == 1 && inh.head.length == 1,
+      s"inherited /Resources lost the image: $inh")
+    assert(new String(inh.head.head.data, "UTF-8") == "FAKESCAN1\n" + hdrPage)
+    // ...and the full ladder recovers the scan through the inherited dict
+    val ladder = Extraction.withFallback(PdfText, new Extraction.OcrExtractor(FakeOcr))
+    assert(ladder.extract(scannedPdf(Seq(hdrPage), inheritResources = true)) ==
+      Seq(hdrPage))
+    // /Width as a reference to a bare-integer object (spec-legal)
+    val ind = PdfText.imagesPerPage(scannedPdf(fixture, indirectWidth = true))
+    assert(ind.head.head.width == 2550,
+      s"indirect /Width did not resolve: ${ind.head.head.width}")
+  }
+
+  test("an engine that returns null degrades that image to blank, never an exception") {
+    val nullish = new Extraction.OcrEngine {
+      def recognize(img: PdfText.PdfImage): String = null
+    }
+    val pages = new Extraction.OcrExtractor(nullish).extract(scannedPdf(fixture))
+    assert(pages.length == 3 && pages.forall(_.isEmpty))
+  }
+
 
   test("the S4 ladder routes a scanned PDF to OCR and a text-layer PDF past it") {
     val scanned = scannedPdf(fixture)

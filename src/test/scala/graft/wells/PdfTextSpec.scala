@@ -31,14 +31,8 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     body.toString.getBytes(ISO_8859_1)
   }
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(data); d.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end(); out.toByteArray
-  }
+  private def deflate(data: Array[Byte]): Array[Byte] =
+    PdfTestUtil.deflate(data)
 
   /** Assemble a complete PDF: catalog(1), pages(2), font(3), then per
     * page a page object and 1-2 content streams. `indirectLength` routes
@@ -363,6 +357,23 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
       // zero pages (the withFallback signal) — the contract is no throw
       val pages = PdfText.extract(hostile.getBytes(ISO_8859_1))
       assert(pages.forall(_.trim.isEmpty), s"$label: unexpected pages $pages")
+    }
+  }
+
+  test("hostile ObjStm header numbers (11-digit token, Int.MaxValue offset) degrade, never throw") {
+    // the header region of a PLAIN (unfiltered) ObjStm is patchable in
+    // place: an 11+-digit objnum would throw out of a toInt parse, and
+    // an offset near Int.MaxValue would wrap `first + off` negative past
+    // an Int bounds guard — both must degrade to skipping that entry
+    val base = new String(pdfObjStm(fixture, flateStm = false), ISO_8859_1)
+    val hdrAt = base.indexOf("stream\n", base.indexOf("/Type /ObjStm")) +
+      "stream\n".length
+    for (patch <- Seq("99999999999 0", "1 2147483640")) {
+      val hostile = (base.substring(0, hdrAt) + patch +
+        base.substring(hdrAt + patch.length)).getBytes(ISO_8859_1)
+      val pages = PdfText.extract(hostile) // degraded page set is fine
+      assert(pages != null, s"patch '$patch' threw")
+      assert(PdfText.imagesPerPage(hostile) != null, s"patch '$patch' threw (images)")
     }
   }
 
