@@ -186,7 +186,12 @@ object ScaleProbe {
       // the auto-sized kNN graph: the gate whose quantizer GROWS with the
       // corpus (nlist = ceil(N/40)), so unlike vs13's fixed-8 row this
       // one should hold the companion kernels' sublinear band by default
-      "vs23_knn_graph_auto")
+      "vs23_knn_graph_auto",
+      // round-16: the auto-sized compositions of the two rows that were
+      // still superlinear under the fixed-nlist graph build (vs19 0.88,
+      // pp24 0.75 in the r15 table) — vs19/pp24 stay in the sweep as the
+      // fixed-quantizer contrast
+      "vs24_graph_search_auto", "pp36_incremental_knn_graph_auto")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)
@@ -364,6 +369,68 @@ object ScaleProbe {
       val a = (1 to 3).map(_ => mm04At(sf01, Some(256))).min
       val b = (1 to 3).map(_ => mm04At(work, Some(256))).min
       println(f"| mm04 kernel @ maxBucket 256 (hot-bucket cap) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+    }
+
+    // vs04's kernel under ITS hot-bucket cap — the same production knob
+    // mm04's row measures, on the search side: the GATE (uncapped) pays
+    // Σ_query Σ_table |its bucket|, which grows linearly with the corpus
+    // at 4 bits (16 buckets per table — every bucket ~N/16); the capped
+    // row bounds scored pairs at Q × tables × cap via the deterministic
+    // per-bucket sample, so the remaining growth is the candidate-side
+    // hashing scan itself. Recall trade documented at Ann.lshTopK.
+    {
+      import graft.operators.Ann
+      def vs04At(dir: String, mb: Option[Int]): Double = {
+        val t0 = System.nanoTime()
+        val e = graft.Tables.embeddings(spark, dir)
+        Ann.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+            k = 5, bits = 4, tables = 8, maxBucket = mb)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      vs04At(sf01, Some(256)); vs04At(work, Some(256)) // warm
+      val a = (1 to 3).map(_ => vs04At(sf01, Some(256))).min
+      val b = (1 to 3).map(_ => vs04At(work, Some(256))).min
+      println(f"| vs04 kernel @ maxBucket 256 (hot-bucket cap) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+    }
+
+    // pp12's advance kernel in the PRODUCTION regime: fixed-size batch
+    // (the base replica's 20% draw — identical rows at both scales)
+    // against a standing store that carries everything else, at the
+    // gate's production minHits = 2. The GATE's 80/20 split grows the
+    // batch 10× with the corpus (its 0.74 exponent is mostly the batch),
+    // so this row isolates what corpus growth costs a FIXED batch: the
+    // only standing-sized reads are the probe-table semi-join (k rows
+    // per doc, pruned to the batch's hash set) and the candidate pairs'
+    // own shingle reads.
+    {
+      import graft.queries.{QueryUtils, TextOps}
+      def pp12At(dir: String): Double = {
+        val docs = graft.Tables.documents(spark, dir)
+        val isBatch = QueryUtils.hex8(
+          concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0 &&
+          col("doc_id") < 10000000L
+        // standing state derived OUTSIDE the timer (a deployment reads it
+        // from parquet); eager checkpoints so the clock starts at real rows
+        val standStore = TextOps.containmentStore(docs.filter(!isBatch))
+          .localCheckpoint(true)
+        val standProbes = TextOps.bottomKProbes(
+            standStore.select(col("doc_id"), col("h")).distinct(), 8)
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        TextOps.containmentIndexAdvance(standStore, standProbes,
+            docs.filter(isBatch), probeK = 8, minHits = 2)
+          .pairs.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      pp12At(sf01); pp12At(work) // warm
+      val a = (1 to 3).map(_ => pp12At(sf01)).min
+      val b = (1 to 3).map(_ => pp12At(work)).min
+      println(f"| pp12 advance @ fixed-size batch, minHits 2 | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
     }
     spark.stop()
   }

@@ -82,9 +82,32 @@ object Ann {
   /** LSH-bucketed top-k: candidates hashed once per table; queries probe
     * their bucket in every table; per-query dedup + rank merges tables.
     * recall < 1 by construction; raise `tables` (probes) or lower `bits`
-    * (bigger buckets) to trade cost for recall. */
+    * (bigger buckets) to trade cost for recall.
+    *
+    * `maxBucket` is the HOT-BUCKET cap — the production volume knob for
+    * skewed/clustered corpora where one sign pattern swallows a large
+    * slice of the data (near-duplicate floods, low-entropy embeddings):
+    * scored-pair volume is Σ_query Σ_table |its bucket|, so one hot
+    * bucket makes every query probing it pay that bucket's full size.
+    * With the cap set, each (table, bucket)'s CANDIDATE side keeps only
+    * a deterministic uniform sample of `cap` members (the cap lowest
+    * md5-folds of the member id — id-derived, so the sample is stable
+    * across runs and engines, and uniform w.r.t. bucket geometry because
+    * the fold is independent of the embedding), bounding scored pairs at
+    * Q × tables × cap regardless of bucket skew. Unlike the mm04-style
+    * drop-the-bucket cap (right for DEDUP, where an over-cap bucket
+    * carries no signal), a search query must still get candidates from a
+    * hot bucket — sampling keeps every bucket probeable. The recall
+    * trade: a true neighbor survives in a probed bucket's sample with
+    * probability ~cap/|bucket| per table, independently per table, so
+    * the miss probability for a neighbor colliding in all `tables`
+    * tables is ~(1 − cap/|bucket|)^tables — raise `tables` or the cap
+    * to buy it back. Default None = recall-maximal, the vs04 gate's
+    * oracle-pinned configuration (ScaleProbe measures the capped kernel
+    * beside it). */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 8, tables: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     val q0 = withNorm(queries, vecCol)
       .select(col(idCol).as("query_id"), col("__q").as("qq"), col("__nrm").as("qn"))
     val c0 = withNorm(candidates, vecCol)
@@ -110,7 +133,27 @@ object Ann {
     }
 
     val qb = buckets(q0, "qq")
-    val cb = buckets(c0, "cq")
+    val cb0 = buckets(c0, "cq")
+    val cb = maxBucket match {
+      case None => cb0
+      case Some(cap) =>
+        require(cap > 0, s"maxBucket must be positive, got $cap")
+        // one composite group key (bucket < 2^bits by construction) so the
+        // bounded-buffer aggregator — not a window sort — picks each
+        // bucket's sample: map-side combine holds ≤ cap ids per
+        // (table, bucket), the exchange carries samples, never buckets
+        val g = col("table").cast("long") * lit(1L << bits) + col("bucket")
+        val pri = -graft.functions.HashExpressions.md5Fold32(
+          concat(lit("lshcap:"), col("neighbor_id").cast("string"))).cast("double")
+        val keep = GroupedTopK.topK(
+            cb0.withColumn("__g", g).withColumn("__pri", pri)
+              .select(col("__g"), col("__pri"), col("neighbor_id")),
+            "__g", "__pri", "neighbor_id", cap)
+          .select(col("__g"), col("id").as("neighbor_id"))
+        cb0.withColumn("__g", g)
+          .join(keep, Seq("__g", "neighbor_id"), "left_semi")
+          .drop("__g")
+    }
     val paired = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))

@@ -2139,6 +2139,17 @@ object VectorOps {
     val edges = knnGraph(assignCells(e, ivfCentroids(e)), 3)
       .select($"query_id".as("src"), $"neighbor_id".as("dst"))
       .localCheckpoint(true)
+    graphExpansionSearch(s, e, edges)
+  }
+
+  /** The two-hop expansion + exact-cosine rescore shared by vs19 (fixed
+    * 8-cell graph) and vs24 (auto-sized graph): the SEARCH is a pure
+    * function of the standing edge table — which quantizer built the
+    * graph never appears in it, so the auto-sized variant reuses this
+    * kernel verbatim and only the graph-build composition differs. */
+  private def graphExpansionSearch(s: SparkSession, e: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import s.implicits._
     val frontier0 = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select($"vec_id".as("query_id"))
     val h1 = frontier0.join(edges, frontier0("query_id") === edges("src"))
@@ -2157,13 +2168,38 @@ object VectorOps {
       .select($"query_id", $"id".as("neighbor_id"), $"rank", $"v".as("cos"))
       .orderBy($"query_id", $"rank")
   }
-  private val vs19Sql = {
+
+  /** vs24 — vs19's graph-expansion search over the AUTO-SIZED standing
+    * graph: the production composition, where the kNN graph the search
+    * expands over was built under the nlist ∝ N sizing rule
+    * ([[autoNlist]], vs23's build) instead of the fixed 8-cell catalog
+    * quantizer. The search kernel is [[graphExpansionSearch]] verbatim —
+    * expansion cost is degree^h per query regardless of the quantizer —
+    * so what this gate adds is the BUILD leg's scaling: the standing
+    * graph a maintained deployment actually hands the search costs
+    * Σ|cell|² ≈ N·targetCellSize (sublinear-per-row), not vs13's
+    * N²/nlist. Oracle derives nlist through the same integer ceil as
+    * vs23 and replays edges, hops, dedup and rescore bit-for-bit. */
+  private def vs24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d)).localCheckpoint(true)
+    val nlist = autoNlist(e.count(), targetCellSize = 40L)
+    val edges = knnGraph(assignCells(e, ivfCentroids(e, nlist)), 3)
+      .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+      .localCheckpoint(true)
+    graphExpansionSearch(s, e, edges)
+  }
+
+  /** The graph-expansion oracle shape shared by vs19 (fixed 8-cell
+    * graph) and vs24 (count-derived graph): only the centroid CTE's
+    * vec_id bound differs, exactly like [[knnGraphOracle]]. */
+  private def graphSearchOracle(centBound: String) = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
-       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < $centBound),
        |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
        |a AS (SELECT vec_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
@@ -2188,6 +2224,10 @@ object VectorOps {
        |SELECT query_id, neighbor_id, rank, cos FROM rk WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
+  private val vs19Sql = graphSearchOracle("8")
+  // the same autoNlist integer ceil + clamps vs23's oracle derives
+  private val vs24Sql = graphSearchOracle(
+    "(SELECT LEAST(GREATEST((COUNT(*) + 39) // 40, 1), 131072) FROM n)")
 
   /** vs20 — metadata-FILTERED ANN search: IVF top-k where the candidate
     * set is restricted by a metadata predicate (label ∈ {1,2,3}) — the
@@ -2326,6 +2366,33 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** pp36 — pp24's incremental kNN-graph advance under the AUTO-SIZED
+    * quantizer: the production era contract. The quantizer is sized by
+    * [[autoNlist]] at the latest REBUILD (the maintain → retrain →
+    * rebuild lifecycle pinned in round 15) and held FIXED through every
+    * advance — so the gate sizes nlist from the full zero-norm-free
+    * count (the post-rebuild era this corpus state is in) and runs
+    * [[knnGraphAdvance]] unchanged under it. What the sizing buys the
+    * INCREMENTAL leg: the advance cost is
+    * Σ_touched |cell∩standing|·|cell∩batch|, and with cells held at
+    * ~targetCellSize the standing factor is BOUNDED per touched cell
+    * regardless of corpus size — under a fixed quantizer it grows
+    * ∝ N/nlist per cell (pp24's measured 0.75 exponent at 10× is
+    * exactly that). Graph == vs23's full build, so the oracle is
+    * vs23's verbatim. */
+  private def pp36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e, autoNlist(e.count(), targetCellSize = 40L))
+    val isNew = graft.functions.HashExpressions.md5Fold32(
+      concat(lit("ginc:"), $"vec_id".cast("string"))) % 5 === 0
+    val standPost = assignCells(e.filter(!isNew), cents).localCheckpoint(true)
+    val standGraph = knnGraph(standPost, 3).localCheckpoint(true)
+    val batchPost = assignCells(e.filter(isNew), cents).localCheckpoint(true)
+    knnGraphAdvance(standPost, standGraph, batchPost, 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("vs01_ann_topk", "brute-force top-5 cosine neighbors for 10 queries", vs01, Some(vs01Sql)),
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
@@ -2347,11 +2414,13 @@ object VectorOps {
     Q("vs17_pq_trained_search", "train-then-deploy: one per-subspace Lloyd iteration, then vs08's encode + ADC search under the trained books (codebook swapped as data)", vs17, Some(vs17Sql)),
     Q("vs18_ivfpq_residual", "residual IVF-PQ (the FAISS IVFPQ encoding): codes over x - c(x) residuals, per-probed-cell query distance tables, ADC top-5", vs18, Some(vs18Sql)),
     Q("vs19_graph_search", "graph-expansion ANN: two id-keyed hops over the standing kNN graph, exact-cosine rescore, top-5 (candidate volume degree^h, cell-size independent)", vs19, Some(vs19Sql)),
+    Q("vs24_graph_search_auto", "graph-expansion ANN over the AUTO-SIZED standing graph: vs19's two-hop search kernel verbatim, but the graph it expands is built under the nlist = ceil(N/targetCellSize) production sizing (vs23's build) — oracle derives nlist through the same integer ceil", vs24, Some(vs24Sql)),
     Q("vs20_filtered_ann", "metadata-filtered ANN: IVF top-3 over label-predicate-pruned postings (filter pushed to the scan, scored pairs proportional to selectivity)", vs20, Some(vs20Sql)),
     Q("vs21_opq_train", "OPQ-permuted PQ training: variance-balancing dimension reallocation (rank round-robin, exact integer comparator) then vs16's Lloyd training on the permuted layout", vs21, Some(vs21Sql)),
     Q("vs22_opq_search", "OPQ train-then-deploy: learned permutation + one-iteration books, row-local query permute, vs08's encode + ADC search unchanged", vs22, Some(vs22Sql)),
     Q("pp28_incremental_opq", "incremental OPQ maintenance: (perm, books) trained on the standing slice and persisted, increment encoded under the era's artifacts row-locally, ADC search over standing + increment codes (oracle replays the era split)", pp28, Some(pp28Sql)),
     Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
+    Q("pp36_incremental_knn_graph_auto", "incremental kNN-graph maintenance under the AUTO-SIZED quantizer era: pp24's advance kernel verbatim, nlist = ceil(N/targetCellSize) from the post-rebuild count, advance cost bounded per touched cell at ~targetCellSize standing members — graph == vs23", pp36, Some(vs23Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),

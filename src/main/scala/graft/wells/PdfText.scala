@@ -187,8 +187,14 @@ object PdfText extends Extraction.DocumentTextExtractor {
     * resolution between duplicate definitions (incremental updates
     * append superseding objects) is LATER-IN-DOCUMENT WINS, which needs
     * the position to be deterministic (a HashMap iteration is not). */
+  /** `intVal` carries a BARE-INTEGER object's value (`N G obj 42 endobj`
+    * — spec-legal for indirect /Length, /Width, etc.): recording it at
+    * scan time lets indirect integer attributes resolve through the objs
+    * map — which already implements last-definition-wins supersession —
+    * instead of regexing the whole document string, where a numeric
+    * coincidence inside unrelated stream bytes could match first. */
   private case class PdfObject(dict: PDict, streamData: Option[Array[Byte]],
-      at: Int)
+      at: Int, intVal: Option[Long] = None)
 
   private val ObjStart =
     java.util.regex.Pattern.compile("(?<![0-9])(\\d+)\\s+\\d+\\s+obj\\b")
@@ -227,7 +233,8 @@ object PdfText extends Extraction.DocumentTextExtractor {
 
   private def scanObjects(s: String, raw: Array[Byte]): Map[Int, PdfObject] = {
     // pass 1: positions + dicts + provisional stream slices
-    case class Prov(num: Int, dict: PDict, afterDict: Int, at: Int)
+    case class Prov(num: Int, dict: PDict, afterDict: Int, at: Int,
+        intVal: Option[Long])
     val m = ObjStart.matcher(s)
     var provs = Vector.empty[Prov]
     var minStart = 0 // next match must start at/after this (past prior stream)
@@ -236,11 +243,23 @@ object PdfText extends Extraction.DocumentTextExtractor {
         val num = m.group(1).toInt
         var i = m.end()
         while (i < s.length && isWs(s(i))) i += 1
+        // dict bodies parse as before; a NUMERIC body is parsed too, so a
+        // bare-integer object's value lands in the objs map (intVal) —
+        // parseVal's R-lookahead keeps `N 0 obj 5 0 R endobj` a PRef,
+        // which records nothing
         val (v, j) =
-          if (i + 1 < s.length && s(i) == '<' && s(i + 1) == '<') parseVal(s, i)
+          if (i + 1 < s.length &&
+            (s(i) == '<' && s(i + 1) == '<' ||
+              s(i).isDigit || s(i) == '+' || s(i) == '-' || s(i) == '.'))
+            parseVal(s, i)
           else (PDict(Map.empty), i)
         val dict = v match { case d: PDict => d; case _ => PDict(Map.empty) }
-        provs :+= Prov(num, dict, j, m.start())
+        val iv = v match {
+          case PNum(n) if n == n.floor && math.abs(n) <= Long.MaxValue.toDouble =>
+            Some(n.toLong)
+          case _ => None
+        }
+        provs :+= Prov(num, dict, j, m.start(), iv)
         // advance the skip pointer past this object's stream body, if any
         var k = j
         while (k < s.length && isWs(s(k))) k += 1
@@ -262,6 +281,8 @@ object PdfText extends Extraction.DocumentTextExtractor {
       }
     }
     val dicts = provs.map(p => p.num -> p.dict).toMap
+    // bare-integer object values, last definition wins (document order)
+    val intVals = provs.flatMap(p => p.intVal.map(p.num -> _)).toMap
     // lengths validated as DOUBLES before any toInt: a hostile /Length
     // (3e9, or a 10-digit textual integer that would throw in toInt)
     // must degrade to the endstream fallback for THAT stream, never
@@ -273,7 +294,12 @@ object PdfText extends Extraction.DocumentTextExtractor {
         case PNum(n) => n
       } orElse {
         // /Length N 0 R where object N is a bare integer (no dict):
-        // resolve it textually
+        // pass 1 recorded its value — resolve through that (supersession-
+        // aware, never fooled by digits inside stream bytes); the textual
+        // scan survives only as the fallback for an object the scan never
+        // saw (e.g. packed in a not-yet-unpacked ObjStm)
+        intVals.get(r).map(_.toDouble)
+      } orElse {
         val lm = java.util.regex.Pattern
           .compile("(?<![0-9])" + r + "\\s+\\d+\\s+obj\\s+(\\d+)").matcher(s)
         if (lm.find()) Some(lm.group(1).toDouble) else None
@@ -304,7 +330,7 @@ object PdfText extends Extraction.DocumentTextExtractor {
         } else None
       // document-ordered Vector → toMap last-wins: a LATER direct
       // definition (incremental update) deterministically supersedes
-      p.num -> PdfObject(p.dict, stream, p.at)
+      p.num -> PdfObject(p.dict, stream, p.at, p.intVal)
     }.toMap
   }
 
@@ -385,23 +411,35 @@ object PdfText extends Extraction.DocumentTextExtractor {
             val tok = IntTok.matcher(s.substring(0, first))
             // header numbers parse as LONGS with an explicit width cap: an
             // 11+-digit hostile token would throw out of toInt (voiding
-            // the document), and first + off must compare in Long so a
-            // wrapped-negative sum cannot sneak past the bounds guard
+            // the document). The too-wide sentinel is -1L so the >= 0
+            // guards below SKIP the entry — a Long.MaxValue sentinel was
+            // tried first and defeated the bounds guard it fed (first +
+            // Long.MaxValue wraps negative, passing < data.length, and
+            // the entry parsed at a junk offset instead of being skipped)
             var header = Vector.empty[Long]
             while (header.length < 2L * n && tok.find()) {
               val t = tok.group
-              header :+= (if (t.length > 18) Long.MaxValue else t.toLong)
+              header :+= (if (t.length > 18) -1L else t.toLong)
             }
             header.grouped(2).collect { case Vector(objNum, off)
               if objNum >= 0L && objNum <= Int.MaxValue.toLong &&
                 off >= 0L && first.toLong + off < data.length =>
-              val dict = parseVal(s, first + off.toInt)._1 match {
+              val pv = parseVal(s, first + off.toInt)._1
+              val dict = pv match {
                 case d: PDict => d
                 case _ => PDict(Map.empty) // bare int/array object: keep the slot
               }
+              // a packed bare-integer object's value is recorded just like
+              // a direct one's, so indirect /Width-class refs into an
+              // ObjStm resolve through the objs map too
+              val iv = pv match {
+                case PNum(nv) if nv == nv.floor &&
+                  math.abs(nv) <= Long.MaxValue.toDouble => Some(nv.toLong)
+                case _ => None
+              }
               // children carry the CONTAINER's offset: supersession is a
               // property of which update appended the ObjStm
-              objNum.toInt -> PdfObject(dict, None, o.at)
+              objNum.toInt -> PdfObject(dict, None, o.at, iv)
             }.toSeq
           case _ => Seq.empty
         }
@@ -584,15 +622,24 @@ object PdfText extends Extraction.DocumentTextExtractor {
         case other => other
       }
       // an integer attribute may be inline or an indirect reference to a
-      // bare-integer object (spec-legal for /Width etc.); bare ints have
-      // no dict to read back, so refs resolve textually — the same
-      // machinery scanObjects' indirect /Length uses
+      // bare-integer object (spec-legal for /Width etc.): refs resolve
+      // through the objs map (intVal recorded at scan time — last
+      // definition wins, like every other lookup), falling back to the
+      // textual document scan ONLY when the object is absent from the
+      // map entirely; a whole-document regex as the primary path could
+      // match a numeric coincidence inside unrelated stream bytes first
       def intOf(v: Option[PVal]): Int = v match {
         case Some(PNum(n)) if n >= 0 && n <= Int.MaxValue => n.toInt
-        case Some(PRef(r)) =>
-          val lm = java.util.regex.Pattern
-            .compile("(?<![0-9])" + r + "\\s+\\d+\\s+obj\\s+(\\d+)").matcher(s)
-          if (lm.find() && lm.group(1).length <= 9) lm.group(1).toInt else 0
+        case Some(PRef(r)) => objs.get(r) match {
+          case Some(o) => o.intVal match {
+            case Some(n) if n >= 0L && n <= Int.MaxValue.toLong => n.toInt
+            case _ => 0 // known object, not a usable int: 0, never a guess
+          }
+          case None =>
+            val lm = java.util.regex.Pattern
+              .compile("(?<![0-9])" + r + "\\s+\\d+\\s+obj\\s+(\\d+)").matcher(s)
+            if (lm.find() && lm.group(1).length <= 9) lm.group(1).toInt else 0
+        }
         case _ => 0
       }
       // /Resources is an INHERITABLE page-tree attribute (ISO 32000-1
@@ -628,13 +675,24 @@ object PdfText extends Extraction.DocumentTextExtractor {
               target
                 .filter(_.dict.m.get("Subtype").contains(PName("Image")))
                 .flatMap { o =>
-                  val filter = o.dict.m.get("Filter") match {
-                    case Some(PName(f)) => f
-                    case Some(PArr(Vector(PName(f)))) => f
-                    case _ => ""
+                  // a multi-element /Filter array (e.g. [/FlateDecode
+                  // /DCTDecode], spec-legal for compressed JPEGs) keeps the
+                  // WHOLE chain, space-joined, in PdfImage.filter — an
+                  // engine that only understands single names sees an
+                  // unknown string and refuses loudly, instead of reading
+                  // still-deflated bytes labeled as unfiltered; a leading
+                  // FlateDecode is applied here (the one filter this codec
+                  // implements), so "FlateDecode DCTDecode" data is the
+                  // complete JPEG the rest of the chain describes
+                  val filters: Vector[String] = o.dict.m.get("Filter") match {
+                    case Some(PName(f)) => Vector(f)
+                    case Some(PArr(xs)) => xs.collect { case PName(f) => f }
+                    case _ => Vector.empty
                   }
+                  val filter = filters.mkString(" ")
                   val data =
-                    if (filter == "FlateDecode") o.streamData.map(inflate)
+                    if (filters.headOption.contains("FlateDecode"))
+                      o.streamData.map(inflate)
                     else o.streamData
                   val cs = deref(o.dict.m.get("ColorSpace")) match {
                     case Some(PName(c)) => c

@@ -44,6 +44,39 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("lshTopK maxBucket: a non-binding cap is a no-op; a tight cap stays deterministic and in-space") {
+    val q = emb.filter(col("vec_id") < 10)
+    // cap above every bucket size: identical results to the uncapped gate
+    // configuration (the vs04 oracle pin carries over)
+    val uncapped = Ann.lshTopK(q, emb, "vec_id", "embedding", 5,
+      bits = 4, tables = 8).collect().toSet
+    val loose = Ann.lshTopK(q, emb, "vec_id", "embedding", 5,
+      bits = 4, tables = 8, maxBucket = Some(1 << 20)).collect().toSet
+    assert(loose == uncapped, "a non-binding cap changed results")
+    // a binding cap: results are deterministic across runs, every kept
+    // pair is drawn from the same scoring space (the uncapped candidate
+    // set — sampling can only REMOVE candidates, never invent them), and
+    // multi-table probing keeps the queries answered
+    val capped1 = Ann.lshTopK(q, emb, "vec_id", "embedding", 5,
+      bits = 4, tables = 8, maxBucket = Some(8)).collect()
+    val capped2 = Ann.lshTopK(q, emb, "vec_id", "embedding", 5,
+      bits = 4, tables = 8, maxBucket = Some(8)).collect().toSet
+    assert(capped1.toSet == capped2, "capped sample not deterministic")
+    val uncappedPairs = uncapped.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    // scores of surviving pairs are the exact cosines the uncapped path
+    // computed for the same (query, neighbor)
+    val uncappedScores = uncappedPairs.map { case (a1, b1, c) => ((a1, b1), c) }.toMap
+    capped1.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      uncappedScores.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+    assert(capped1.map(_.getAs[Long]("query_id")).distinct.length > 0)
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(q, emb, "vec_id", "embedding", 5, maxBucket = Some(0)).collect()
+    }
+  }
+
   test("multimodal decode attaches typed metadata and features, isolates bad rows") {
     import spark.implicits._
     val df = Seq(

@@ -82,6 +82,24 @@ class AutoSizingSpec extends AnyFunSuite with SparkSpec {
       got.map(_.toSeq.toList).toList.sortBy(_.toString))
   }
 
+  test("knnGraphAdvance under the auto-sized quantizer == the auto full build (pp36's contract)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val n = vecs.count()
+    val target = math.max(1L, n / 5L)
+    val cents = VectorOps.ivfCentroids(vecs, VectorOps.autoNlist(n, target))
+    val isNew = graft.functions.HashExpressions.md5Fold32(
+      concat(lit("ginc:"), col("vec_id").cast("string"))) % 5 === 0
+    val standPost = VectorOps.assignCells(vecs.filter(!isNew), cents)
+    val standGraph = VectorOps.knnGraph(standPost, 3)
+    val batchPost = VectorOps.assignCells(vecs.filter(isNew), cents)
+    val adv = rows(
+      VectorOps.knnGraphAdvance(standPost, standGraph, batchPost, 3)
+        .orderBy(col("query_id"), col("rank")))
+    val full = rows(VectorOps.knnGraphAuto(vecs, k = 3, targetCellSize = target))
+    assert(adv == full)
+    assert(adv.nonEmpty)
+  }
+
   test("semanticDropsAuto == the manual composition at the derived nlist") {
     val n = vecs.count()
     val target = math.max(1L, n / 5L)

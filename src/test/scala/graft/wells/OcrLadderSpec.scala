@@ -41,11 +41,18 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
     w("%PDF-1.4\n")
     pages.zipWithIndex.foreach { case (text, i) =>
       val payload0 = ("FAKESCAN1\n" + text).getBytes("UTF-8")
+      // a `filt` starting with '[' is written as a literal /Filter ARRAY
+      // (the multi-element chain shape); payload deflated when the
+      // effective FIRST filter is FlateDecode — matching what a real
+      // writer stores for that chain
       val payload =
-        if (filt == "FlateDecode") deflate(payload0) else payload0
+        if (filt == "FlateDecode" || filt.startsWith("[ /FlateDecode"))
+          deflate(payload0)
+        else payload0
+      val filterTok = if (filt.startsWith("[")) filt else s"/$filt"
       w(s"${2 * i + 1} 0 obj\n<< /Type /XObject /Subtype /Image /Width $width " +
         s"/Height 3300 /BitsPerComponent 8 /ColorSpace /DeviceGray " +
-        s"/Filter /$filt /Length ${payload.length} >>\nstream\n")
+        s"/Filter $filterTok /Length ${payload.length} >>\nstream\n")
       out.write(payload)
       w("\nendstream\nendobj\n")
       val draw = "q 612 0 0 792 0 0 cm /Im0 Do Q" // no text operators
@@ -134,6 +141,43 @@ class OcrLadderSpec extends AnyFunSuite with graft.SparkSpec {
     val ind = PdfText.imagesPerPage(scannedPdf(fixture, indirectWidth = true))
     assert(ind.head.head.width == 2550,
       s"indirect /Width did not resolve: ${ind.head.head.width}")
+  }
+
+  test("indirect /Width resolves through the objs map, not a first-textual-match decoy") {
+    // the image payload spells "<widthN> 0 obj 777" INSIDE its stream
+    // bytes, earlier in the document than the real bare-integer object
+    // (widthN = 6 for the one-page shape): a whole-document regex as the
+    // primary resolution path matched the decoy first and reported 777;
+    // the objs-map path is immune (scanObjects skips matches inside
+    // stream extents, and the real object's intVal wins)
+    val decoyPage = "before 6 0 obj 777 after"
+    val got = PdfText.imagesPerPage(scannedPdf(Seq(decoyPage), indirectWidth = true))
+    assert(got.length == 1 && got.head.length == 1)
+    assert(got.head.head.width == 2550,
+      s"the in-stream decoy won over the real object: ${got.head.head.width}")
+  }
+
+  test("multi-element /Filter chain: joined names preserved, leading FlateDecode applied") {
+    // [/FlateDecode /DCTDecode] — spec-legal for a compressed JPEG: the
+    // stored bytes are deflate(JPEG). The leading FlateDecode (the one
+    // filter this codec implements) is applied, and PdfImage.filter
+    // carries the WHOLE space-joined chain so an engine that only
+    // understands single names refuses loudly instead of misreading
+    val chain = PdfText.imagesPerPage(
+      scannedPdf(Seq(hdrPage), filt = "[ /FlateDecode /DCTDecode ]"))
+    assert(chain.length == 1 && chain.head.length == 1)
+    val img = chain.head.head
+    assert(img.filter == "FlateDecode DCTDecode", s"chain lost: ${img.filter}")
+    assert(new String(img.data, "UTF-8") == "FAKESCAN1\n" + hdrPage,
+      "leading FlateDecode in the chain was not applied")
+    // a chain NOT starting with FlateDecode: bytes stay verbatim, the
+    // full chain is still visible to the engine
+    val raw = PdfText.imagesPerPage(
+      scannedPdf(Seq(hdrPage), filt = "[ /DCTDecode /FlateDecode ]"))
+    val img2 = raw.head.head
+    assert(img2.filter == "DCTDecode FlateDecode", s"chain lost: ${img2.filter}")
+    assert(new String(img2.data, "UTF-8") == "FAKESCAN1\n" + hdrPage,
+      "non-Flate-first chain bytes must pass through verbatim")
   }
 
   test("an engine that returns null degrades that image to blank, never an exception") {

@@ -136,7 +136,13 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
     * content streams remain regular objects (streams cannot live inside
     * an ObjStm, §7.5.7); /Root appears ONLY in a /Type /XRef stream
     * dict — no classic trailer — the way modern writers emit PDFs. */
-  private def pdfObjStm(pages: Seq[String], flateStm: Boolean = true): Array[Byte] = {
+  /** `dupPairWideOffset` appends a hostile (pagesN, 19-digit-offset)
+    * pair to the header (and bumps /N): a too-wide offset must make the
+    * parser SKIP that entry — under the old Long.MaxValue sentinel the
+    * wrapped `first + off` sum passed the bounds guard and the entry
+    * parsed at a junk offset, superseding the REAL pages node. */
+  private def pdfObjStm(pages: Seq[String], flateStm: Boolean = true,
+      dupPairWideOffset: Boolean = false): Array[Byte] = {
     val contents = pages.map(contentFor)
     val p = contents.length
     // numbering: 1..p content streams; packed: font p+1, pages node p+2,
@@ -163,12 +169,16 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
       } :+ (catN -> s"<< /Type /Catalog /Pages $pagesN 0 R >>")
     val bodies = packed.map(_._2 + "\n")
     val offs = bodies.scanLeft(0)(_ + _.length).init
-    val header = packed.map(_._1).zip(offs)
+    val header0 = packed.map(_._1).zip(offs)
       .map { case (n, o) => s"$n $o" }.mkString("", " ", " ")
+    val header =
+      if (dupPairWideOffset) header0 + s"$pagesN 1111111111111111111 "
+      else header0
+    val packedN = packed.length + (if (dupPairWideOffset) 1 else 0)
     val stmData0 = (header + bodies.mkString).getBytes(ISO_8859_1)
     val stmData = if (flateStm) deflate(stmData0) else stmData0
     val filter = if (flateStm) " /Filter /FlateDecode" else ""
-    out.write((s"$stmN 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+    out.write((s"$stmN 0 obj\n<< /Type /ObjStm /N $packedN /First ${header.length} " +
       s"/Length ${stmData.length}$filter >>\nstream\n").getBytes(ISO_8859_1))
     out.write(stmData)
     out.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
@@ -374,6 +384,20 @@ class PdfTextSpec extends AnyFunSuite with graft.SparkSpec {
       val pages = PdfText.extract(hostile) // degraded page set is fine
       assert(pages != null, s"patch '$patch' threw")
       assert(PdfText.imagesPerPage(hostile) != null, s"patch '$patch' threw (images)")
+    }
+  }
+
+  test("19+-digit ObjStm header offset: the entry is skipped, the real packed object survives") {
+    // the sentinel for a too-wide header number is -1L so the off >= 0
+    // guard skips the pair; a Long.MaxValue sentinel let `first + off`
+    // wrap negative past the `< data.length` bound, parse at first-1 and
+    // bind a junk dict over the REAL pages node (duplicate-objnum
+    // last-wins) — full extraction equality is the pin, both stream forms
+    for (flate <- Seq(true, false)) {
+      val hostile = pdfObjStm(fixture, flateStm = flate,
+        dupPairWideOffset = true)
+      assert(PdfText.extract(hostile) == fixture,
+        s"flateStm=$flate: the 19-digit-offset entry was not skipped")
     }
   }
 
