@@ -137,7 +137,12 @@ import graft.queries.Catalog
   *    retrain-and-swap — the fourth quantizer lifecycle after
   *    IVF/BPE/SQ), vs19 graph-expansion ANN (two id-keyed hops over the
   *    standing vs13 kNN graph + exact-cosine rescore — candidate volume
-  *    degree^h per query, cell-size independent); ta17 CCNet-style
+  *    degree^h per query, cell-size independent) + vs24 the same search
+  *    kernel over the AUTO-SIZED standing graph (vs23's nlist ∝ N
+  *    build — the production composition; oracle derives nlist via the
+  *    same integer ceil) + pp36 pp24's advance under the auto-sized
+  *    quantizer era (graph == vs23, advance cost bounded per touched
+  *    cell at ~targetCellSize standing members); ta17 CCNet-style
   *    reference-LM perplexity bucketing (integer surprise under a FROZEN
   *    reference bigram LM, per-source terciles by distributed rank — no
   *    per-source window sort) + pp25 its incremental twin (immutable

@@ -103,4 +103,37 @@ class IncrementalKnnGraphStateSpec extends AnyFunSuite with SparkSpec {
       direct(batches(0) ++ batches(1)),
       "crash replay drifted (duplicate edge or lost advance)")
   }
+
+  test("the continuous loop composes with the AUTO-SIZED quantizer era (pp36's production shape)") {
+    // cents is DATA to the loop, so the auto-sized era (nlist derived by
+    // autoNlist at the latest rebuild) drives maintainKnnGraphState
+    // unchanged — the maintained graph must equal knnGraphAuto's full
+    // build at the same targetCellSize, which is pp36's gate contract
+    // carried into the continuous member
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("inc-knn-auto").toString
+    val (postT, graphT) = (s"$root/postings", s"$root/graph")
+    val e0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def df(b: Seq[(Long, Seq[Float])]) = b.toDF("vec_id", "embedding")
+    val vecs = VectorOps.normed(df(e0)).localCheckpoint(true)
+    val n = vecs.count()
+    val target = math.max(1L, n / 5L) // force a multi-cell auto quantizer
+    val nlist = VectorOps.autoNlist(n, target)
+    assert(nlist > 1, s"corpus too small for a multi-cell era (nlist=$nlist)")
+    val cents = VectorOps.ivfCentroids(vecs, nlist).localCheckpoint(true)
+    for (b <- Seq(e0.take(70), e0.slice(70, 260), e0.drop(260)))
+      Streams.maintainKnnGraphState(df(b), cents, postT, graphT)
+    def rowsOf(g: org.apache.spark.sql.DataFrame) =
+      g.select($"query_id", $"cid", $"neighbor_id", $"rank", $"cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getDouble(4))).toSet
+    val maintained = rowsOf(Streams.knnGraphSnapshot(spark, graphT))
+    val full = rowsOf(VectorOps.knnGraphAuto(vecs, k = 3, targetCellSize = target))
+    assert(maintained == full,
+      "maintained auto-era graph drifted from knnGraphAuto's full build")
+    assert(maintained.nonEmpty)
+  }
 }
