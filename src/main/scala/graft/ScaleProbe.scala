@@ -190,8 +190,10 @@ object ScaleProbe {
       // round-16: the auto-sized compositions of the two rows that were
       // still superlinear under the fixed-nlist graph build (vs19 0.88,
       // pp24 0.75 in the r15 table) — vs19/pp24 stay in the sweep as the
-      // fixed-quantizer contrast
-      "vs24_graph_search_auto", "pp36_incremental_knn_graph_auto")
+      // fixed-quantizer contrast — plus SemDedup's auto-sized gate
+      // beside dd10's fixed row
+      "vs24_graph_search_auto", "pp36_incremental_knn_graph_auto",
+      "dd16_semantic_dedup_auto")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)

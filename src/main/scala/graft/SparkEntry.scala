@@ -39,7 +39,9 @@ import graft.queries.Catalog
   *    verbatim), pp07 incremental vocabulary maintenance (additive
   *    (df, cf) deltas — ta07's oracle verbatim), dd09 exact
   *    repeated-span detection, dd10 SemDedup (IVF-cell-partitioned
-  *    cosine drop list), dd11 containment near-dup (asymmetric
+  *    cosine drop list) + dd16 its auto-sized variant (nlist ∝ N via
+  *    semanticDropsAuto, oracle replays the ceil), dd11 containment
+  *    near-dup (asymmetric
   *    inter/min scoring on dd05's candidates), pp09 incremental
   *    containment (dd11's scoring over pp02's maintained state), pp10
   *    incremental SemDedup (batch + affected rows over touched cells,

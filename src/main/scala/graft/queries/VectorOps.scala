@@ -706,13 +706,29 @@ object VectorOps {
     val e = normed(embeddings(s, d))
     semanticDrops(assignCells(e, ivfCentroids(e)), tau = 0.30)
   }
-  private val dd10Sql = {
+
+  /** dd16 — SemDedup under the PRODUCTION quantizer sizing: dd10's
+    * drop-list kernel with nlist = ⌈N/targetCellSize⌉ derived from the
+    * corpus count ([[semanticDropsAuto]]) — the configuration the dd10
+    * Scaladoc's cost-model argument and the ScaleProbe nlist ∝ N kernel
+    * row describe, now oracle-gated like vs23/vs24/pp36. A different
+    * nlist is a different (equally valid) drop list — the SemDedup
+    * approximation contract is per-quantizer — so dd10 keeps pinning
+    * the fixed catalog quantizer while this gate pins the sizing rule's
+    * arithmetic cross-engine. */
+  private def dd16(s: SparkSession, d: String): DataFrame =
+    semanticDropsAuto(normed(embeddings(s, d)), tau = 0.30,
+      targetCellSize = 40L)
+
+  /** The SemDedup oracle shape shared by dd10 (fixed 8-cell quantizer)
+    * and dd16 (count-derived): only the centroid CTE's bound differs. */
+  private def semanticDropsOracle(centBound: String) = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
-       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < $centBound),
        |a0 AS (SELECT n.vec_id, n.q, n.nrm, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
        |a AS (SELECT vec_id, q, nrm, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
@@ -724,6 +740,9 @@ object VectorOps {
        |FROM p WHERE cos >= 0.30
        |GROUP BY cid, id1 ORDER BY vec_id""".stripMargin
   }
+  private val dd10Sql = semanticDropsOracle("8")
+  private val dd16Sql = semanticDropsOracle(
+    "(SELECT LEAST(GREATEST((COUNT(*) + 39) // 40, 1), 131072) FROM n)")
 
   /** pp10 — INCREMENTAL SemDedup maintenance, dd10's incremental twin
     * over pp05's maintained state: the standing cell-assigned postings
@@ -2425,6 +2444,7 @@ object VectorOps {
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),
     Q("pp14_incremental_pq", "incremental PQ-codes maintenance: batch-encoded codes appended to the standing table, search == vs09", pp14, Some(vs09Sql)),
     Q("dd10_semantic_dedup", "SemDedup: IVF-cell-blocked embedding near-dup pruning, keep-lowest-id", dd10, Some(dd10Sql)),
+    Q("dd16_semantic_dedup_auto", "SemDedup under the PRODUCTION quantizer sizing: dd10's per-cell drop kernel at nlist = ceil(N/targetCellSize) (semanticDropsAuto) — Sigma|cell|^2 held ~N*targetCellSize; oracle derives nlist via the same integer ceil", dd16, Some(dd16Sql)),
     Q("pp10_incremental_semdedup", "incremental SemDedup: batch + affected standing rows advanced over touched cells only", pp10, Some(pp10Sql)),
     Q("dd12_crossmodal_check", "text near-dup pairs annotated with embedding cosine (cross-modal dedup validation)", dd12, Some(dd12Sql)),
   )
