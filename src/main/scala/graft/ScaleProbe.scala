@@ -193,7 +193,10 @@ object ScaleProbe {
       // fixed-quantizer contrast — plus SemDedup's auto-sized gate
       // beside dd10's fixed row
       "vs24_graph_search_auto", "pp36_incremental_knn_graph_auto",
-      "dd16_semantic_dedup_auto")
+      "dd16_semantic_dedup_auto",
+      // the leakage-safe split: dd06's clustering + a row-local label
+      // fold, so it should track dd06's row within overhead
+      "sa11_leakage_safe_split")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)

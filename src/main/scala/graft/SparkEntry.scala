@@ -101,7 +101,10 @@ import graft.queries.Catalog
   *    sa07 exact-k uniform sample (bounded top-k, no corpus sort),
   *    sa08 exact stratified sample (largest-remainder apportionment),
   *    sa09 weighted sample without replacement (integer
-  *    Efraimidis–Spirakis), sa10 token-budget mix (per-source greedy
+  *    Efraimidis–Spirakis), sa11 leakage-safe train/val/test split
+  *    (sa04's hash split over dd06's near-dup cluster label — no LSH
+  *    near-dup pair can straddle train/eval, the internal analog of
+  *    dd07/dd08's benchmark decontamination), sa10 token-budget mix (per-source greedy
   *    hash-prefix under a token budget via the two-level grouped prefix
   *    sum graft.operators.PrefixSum.runningTotalBy — no per-source
   *    single-task sort) + pp22 its incremental twin (kept-prefix +

@@ -938,6 +938,46 @@ object TextOps {
        |FROM j JOIN cn ON cn.cluster_id = j.cluster_id
        |ORDER BY j.doc_id""".stripMargin
 
+  /** sa11 — LEAKAGE-SAFE train/val/test split: sa04's deterministic
+    * hash split with the hash taken over the doc's NEAR-DUP CLUSTER
+    * label (dd06's connected-component label — the min doc_id reachable
+    * through shared LSH buckets) instead of the doc id. sa04 hashing doc
+    * ids lets two near-duplicate documents land in train and test — the
+    * corpus's own eval split leaks into training, the internal analog of
+    * the benchmark contamination dd07/dd08 decontaminate against. Here
+    * every member of a cluster follows its LABEL into one split, so no
+    * LSH-detected near-dup pair can straddle splits BY CONSTRUCTION —
+    * and coverage/disjointness hold for the same reason sa04's do (one
+    * fold, one bucket range per doc). Plan: dd06's clustering (bipartite
+    * CC over doc↔bucket membership — bounded edge-incident iteration,
+    * never pair explosion) plus ONE row-local fold on the label column;
+    * the split decision itself adds zero exchanges. Singleton docs are
+    * their own label (coalesce(component, doc_id)), so the un-duplicated
+    * bulk of a corpus splits exactly as sa04 would split it under the
+    * same salt. 98/1/1 like sa04; re-salting is a new split version. */
+  private def sa11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = dupClusters(documents(s, d)).select($"doc_id", $"cluster_id")
+    val b = hex8(concat(lit("split:"), $"cluster_id".cast("string"))) % 10000
+    labels.select($"doc_id", $"cluster_id",
+        when(b < 9800, "train").when(b < 9900, "val").otherwise("test")
+          .as("split"))
+      .orderBy($"doc_id")
+  }
+  private val sa11Sql = {
+    val b = s"${hex8Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 10000"
+    s"""WITH RECURSIVE $lshCandCte,
+       |e AS (SELECT d1 AS a, d2 AS b FROM cand UNION ALL SELECT d2 AS a, d1 AS b FROM cand),
+       |r AS (SELECT doc_id AS node, doc_id AS reach FROM documents
+       |      UNION
+       |      SELECT e.a AS node, r.reach FROM e JOIN r ON e.b = r.node),
+       |lbl AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN $b < 9800 THEN 'train'
+       |       WHEN $b < 9900 THEN 'val' ELSE 'test' END AS split
+       |FROM lbl ORDER BY doc_id""".stripMargin
+  }
+
   /** The per-doc canonical-selection score shared by dd14 and pp15 — one
     * definition so the incremental twin can never drift from the batch
     * gate's. */
@@ -3959,6 +3999,7 @@ object TextOps {
     Q("dd05_lsh_dedup", "LSH band candidates + exact Jaccard verify", dd05, Some(dd05Sql)),
     Q("dd06_dup_clusters", "connected-component dedup groups over LSH pairs", dd06, Some(dd06Sql)),
     Q("dd14_canonical_keep", "canonicalization: keep each cluster's most informative member (integer score, verdict per doc)", dd14, Some(dd14Sql)),
+    Q("sa11_leakage_safe_split", "leakage-safe train/val/test split: sa04's hash split over dd06's near-dup CLUSTER label, so no LSH near-dup pair can straddle train/eval (the internal analog of dd07/dd08's benchmark decontamination)", sa11, Some(sa11Sql)),
     Q("ta01_langid", "stopword-ratio language-ID heuristic", ta01, Some(ta01Sql)),
     Q("ta02_quality", "document quality metrics", ta02, Some(ta02Sql)),
     Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),

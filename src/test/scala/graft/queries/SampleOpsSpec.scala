@@ -14,6 +14,41 @@ class SampleOpsSpec extends AnyFunSuite with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("sa11: no near-dup pair straddles splits; labels are dd06's; singletons split exactly like sa04") {
+    val split = Catalog.byName("sa11_leakage_safe_split").fn(spark, sfDir).collect()
+    val byDoc = split.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // full coverage over the corpus, three-way partition
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(byDoc.keySet == docs.toSet, "split does not cover the corpus")
+    assert(byDoc.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the leak-free contract: every verified LSH near-dup pair (a SUBSET
+    // of the bucket connectivity the cluster labels close over) shares
+    // one split — the failure mode sa04's doc-id hash permits
+    val pairs = Catalog.byName("dd05_lsh_dedup").fn(spark, sfDir)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus lost its planted near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._1 == byDoc(b)._1, s"near-dup pair ($a,$b) split across clusters")
+      assert(byDoc(a)._2 == byDoc(b)._2, s"near-dup pair ($a,$b) straddles splits")
+    }
+    // the labels ARE dd06's (one clustering, two consumers)
+    val clusters = Catalog.byName("dd06_dup_clusters").fn(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.view.mapValues(_._1).toMap == clusters)
+    // a singleton's label is its own id, so the un-duplicated bulk of the
+    // corpus splits exactly as sa04 would under the same salt
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size).toMap
+    val singles = clusters.collect { case (d, c) if sizes(c) == 1 => d }
+    assert(singles.nonEmpty)
+    val sa04 = Catalog.byName("sa04_split").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    singles.foreach(d =>
+      assert(byDoc(d)._2 == sa04(d), s"singleton $d diverged from sa04"))
+  }
+
   test("sa05: emitted bps == integer interpolation of measured counts; smallest source kept whole; rates anti-monotone in count") {
     val counts = graft.Tables.documents(spark, sfDir)
       .groupBy(col("source")).count()

@@ -135,5 +135,22 @@ class IncrementalKnnGraphStateSpec extends AnyFunSuite with SparkSpec {
     assert(maintained == full,
       "maintained auto-era graph drifted from knnGraphAuto's full build")
     assert(maintained.nonEmpty)
+
+    // FORGET stays in the ERA's quantizer: the repair works off the
+    // stored postings' cids (forgetVectorState never re-assigns), so the
+    // post-forget graph must equal the full build over the SURVIVORS
+    // under the SAME era cents — NOT knnGraphAuto re-derived from the
+    // survivor count (re-sizing the quantizer is a REBUILD decision, not
+    // a side effect of deletion)
+    val forgetIds = e0.map(_._1).filter(_ % 7 == 3).take(60).toSeq
+    Streams.forgetVectorState(spark,
+      forgetIds.toDF("vec_id"), postT, graphTable = Some(graphT))
+    val survivors = VectorOps.normed(df(e0.filterNot(r => forgetIds.contains(r._1))))
+    val afterForget = rowsOf(Streams.knnGraphSnapshot(spark, graphT))
+    val eraFull = rowsOf(VectorOps.knnGraph(
+      VectorOps.assignCells(survivors, cents), 3))
+    assert(afterForget == eraFull,
+      "forget drifted from the era-quantizer full build over survivors")
+    assert(afterForget.nonEmpty)
   }
 }
