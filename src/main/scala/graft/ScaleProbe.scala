@@ -195,8 +195,9 @@ object ScaleProbe {
       "vs24_graph_search_auto", "pp36_incremental_knn_graph_auto",
       "dd16_semantic_dedup_auto",
       // the leakage-safe split: dd06's clustering + a row-local label
-      // fold, so it should track dd06's row within overhead
-      "sa11_leakage_safe_split")
+      // fold, so it should track dd06's row within overhead; its
+      // incremental twin should likewise track pp04's
+      "sa11_leakage_safe_split", "pp37_incremental_split")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.queries.Catalog.byName(name).fn(spark, dir)

@@ -104,7 +104,10 @@ import graft.queries.Catalog
   *    Efraimidis–Spirakis), sa11 leakage-safe train/val/test split
   *    (sa04's hash split over dd06's near-dup cluster label — no LSH
   *    near-dup pair can straddle train/eval, the internal analog of
-  *    dd07/dd08's benchmark decontamination), sa10 token-budget mix (per-source greedy
+  *    dd07/dd08's benchmark decontamination) + pp37 its incremental
+  *    twin over pp04's maintained cluster tables (one state, two
+  *    consumers; a merge legitimately migrates the merged cluster's
+  *    split), sa10 token-budget mix (per-source greedy
   *    hash-prefix under a token budget via the two-level grouped prefix
   *    sum graft.operators.PrefixSum.runningTotalBy — no per-source
   *    single-task sort) + pp22 its incremental twin (kept-prefix +

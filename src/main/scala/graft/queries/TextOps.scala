@@ -863,10 +863,14 @@ object TextOps {
     * run, rsd ~0.5 — round-7 verdict). Re-deriving per call would not
     * change a single output row: the derivation is deterministic and
     * the corpus dirs are immutable for a session's lifetime. */
-  private def pp04(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
-    val stand = QueryUtils.standingDir(s, "pp04", d) { dir =>
+  /** The standing CLUSTER state (labels + bucket index) shared by pp04
+    * and pp37 — ONE derivation per (session, corpus) under the "pp04"
+    * key: the split twin consumes the same maintained tables the
+    * clustering twin does (one state, two consumers — the postings
+    * table's pattern on the vector side). */
+  private def clusterStandingDir(s: SparkSession, d: String,
+      docs: DataFrame, isNew: org.apache.spark.sql.Column): String =
+    QueryUtils.standingDir(s, "pp04", d) { dir =>
       val old = docs.filter(!isNew)
       val members = localMaterialize(sigBandsLocal(old)
         .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("bucket")))
@@ -879,6 +883,11 @@ object TextOps {
         .select(col("bucket"), col("component")).distinct()
         .write.parquet(s"$dir/buckets")
     }
+
+  private def pp04(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val stand = clusterStandingDir(s, d, docs, isNew)
     incrementalClusters(s.read.parquet(s"$stand/labels"),
       s.read.parquet(s"$stand/buckets"), docs.filter(isNew))
   }
@@ -955,14 +964,41 @@ object TextOps {
     * their own label (coalesce(component, doc_id)), so the un-duplicated
     * bulk of a corpus splits exactly as sa04 would split it under the
     * same salt. 98/1/1 like sa04; re-salting is a new split version. */
-  private def sa11(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val labels = dupClusters(documents(s, d)).select($"doc_id", $"cluster_id")
-    val b = hex8(concat(lit("split:"), $"cluster_id".cast("string"))) % 10000
-    labels.select($"doc_id", $"cluster_id",
+  /** The split projection shared by sa11 and pp37 (one fold definition,
+    * so the incremental twin can never disagree on a boundary): sa04's
+    * 98/1/1 bucket ranges over the CLUSTER label. */
+  private def splitOf(labels: DataFrame): DataFrame = {
+    val b = hex8(concat(lit("split:"), col("cluster_id").cast("string"))) % 10000
+    labels.select(col("doc_id"), col("cluster_id"),
         when(b < 9800, "train").when(b < 9900, "val").otherwise("test")
           .as("split"))
-      .orderBy($"doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private def sa11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    splitOf(dupClusters(documents(s, d)).select($"doc_id", $"cluster_id"))
+  }
+
+  /** pp37 — INCREMENTAL leakage-safe split, sa11's twin over pp04's
+    * maintained cluster state (the SAME standing tables — one state,
+    * two consumers): labels advance by pp04's exact kernel, the split is
+    * the row-local label fold on top. The semantics worth stating: a
+    * batch that MERGES two standing clusters re-labels one of them
+    * (min-id wins), which can MOVE its docs to the other's split — that
+    * is the feature, not a bug: the two clusters were just discovered to
+    * be near-duplicates of each other, so keeping them in different
+    * splits would be exactly the leak sa11 exists to prevent. A doc's
+    * split is stable under growth that doesn't merge its cluster, and
+    * the oracle (sa11's, verbatim) pins advance == full recompute at
+    * every corpus state. */
+  private def pp37(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isNew = hex8(concat(lit("inc:"), col("doc_id").cast("string"))) % 5 === 0
+    val stand = clusterStandingDir(s, d, docs, isNew)
+    splitOf(incrementalClusters(s.read.parquet(s"$stand/labels"),
+        s.read.parquet(s"$stand/buckets"), docs.filter(isNew))
+      .select(col("doc_id"), col("cluster_id")))
   }
   private val sa11Sql = {
     val b = s"${hex8Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 10000"
@@ -4000,6 +4036,7 @@ object TextOps {
     Q("dd06_dup_clusters", "connected-component dedup groups over LSH pairs", dd06, Some(dd06Sql)),
     Q("dd14_canonical_keep", "canonicalization: keep each cluster's most informative member (integer score, verdict per doc)", dd14, Some(dd14Sql)),
     Q("sa11_leakage_safe_split", "leakage-safe train/val/test split: sa04's hash split over dd06's near-dup CLUSTER label, so no LSH near-dup pair can straddle train/eval (the internal analog of dd07/dd08's benchmark decontamination)", sa11, Some(sa11Sql)),
+    Q("pp37_incremental_split", "incremental leakage-safe split: labels advance by pp04's kernel over the SAME standing cluster tables, split = the shared row-local label fold; a cluster merge legitimately moves docs between splits (they were just discovered to be near-dups) — advance == sa11's full recompute", pp37, Some(sa11Sql)),
     Q("ta01_langid", "stopword-ratio language-ID heuristic", ta01, Some(ta01Sql)),
     Q("ta02_quality", "document quality metrics", ta02, Some(ta02Sql)),
     Q("ta03_tokens", "whitespace + regex token counting", ta03, Some(ta03Sql)),
