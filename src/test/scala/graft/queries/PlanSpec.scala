@@ -263,6 +263,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sa11: the split fold adds NO exchange beyond dd06's — label-keyed, text never ships") {
+    // the leak-safe split is dd06's clustering + one row-local fold on
+    // the label column: the final plan's exchanges must be exactly the
+    // clustering's contract (doc ids / components), no window, no
+    // cartesian, and nothing corpus-sized on any exchange
+    val d = df("sa11_leakage_safe_split")
+    val keys = hashShuffleKeys(d)
+    assert(keys.nonEmpty &&
+      keys.forall(k => k.contains("doc_id") || k.contains("component")))
+    exchangePayloads(d).foreach { p =>
+      assert(!p.contains("text") && !p.contains("sh"), s"exchange ships the corpus: $p")
+    }
+    val ns = nodes(d)
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
   test("dd06: every clustering round exchanges on item/bucket ids only") {
     // the iteration's plans never reach the final query (each round is a
     // checkpoint job) — capture them through the materialize hook instead
