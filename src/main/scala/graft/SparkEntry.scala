@@ -183,6 +183,13 @@ import graft.queries.Catalog
   *    forgetPerceptualState, forgetContainmentState, forgetChunkState +
   *    forgetExactDedupState (min-keeper repair over surviving holders),
   *    forgetBudgetState (journal deletion, budget refills at read);
+  *    Streams.repairClusterSplits (r16): the run-rarely EXACT split
+  *    repair forgetDedupState's conservative over-grouping documented
+  *    as deferred — component-local CC rebuild over the touched
+  *    components' surviving membership rows, crash-convergent write
+  *    order, repair + forget == from-scratch ingest of the survivors
+  *    (ForgetStateSpec pins a planted bridge splitting and the
+  *    real-corpus equality);
   *    vs21 OPQ-permuted PQ training (variance-balancing dimension
   *    reallocation — rank round-robin under an exact integer
   *    comparator, the deterministic core of non-parametric OPQ — then

@@ -671,11 +671,105 @@ object Streams {
     * is SPLIT a component the forgotten doc once bridged: the
     * remaining members keep their historical merge (conservative
     * over-grouping — the compliance obligation is removing the
-    * subject's data, not re-deriving everyone else's grouping; an
-    * exact split-repair is a component-local rebuild, the run-rarely
-    * class). Crash contract: every step is a pure idempotent function
+    * subject's data, not re-deriving everyone else's grouping; the
+    * exact split-repair is [[repairClusterSplits]] — the run-rarely
+    * component-local rebuild, called BEFORE this job when the
+    * deployment wants exact post-forget clustering).
+    * Crash contract: every step is a pure idempotent function
     * of (its table's current content, ids) — re-run to repair; the doc
     * store, whose rewrite nulls the recoverable content, goes last. */
+  /** The RUN-RARELY exact split repair [[forgetDedupState]] defers: a
+    * deletion can DISCONNECT a component the forgotten docs once
+    * bridged, and the default forget keeps the survivors' historical
+    * merge (the documented conservative over-grouping). This job closes
+    * that gap exactly and COMPONENT-LOCALLY: connected components re-run
+    * over only the touched components' SURVIVING membership rows (their
+    * band-index rows minus the forgotten ids) — work bounded by the
+    * touched components' size, never the corpus. Call BEFORE
+    * [[forgetDedupState]] (the repair reads the forgotten ids' label
+    * rows to find the touched components — the forget then deletes
+    * them); after repair + forget, [[clusterSnapshot]] equals a
+    * from-scratch ingest of the surviving corpus, splits included.
+    *
+    * Crash-convergence (the write ORDER is the argument): everything is
+    * derived up front from (labels, remap, index, ids) — all unchanged
+    * until the final swap. (1) the BUCKET table swaps first: touched
+    * components' rows re-derive under the new CC labels (a bucket whose
+    * only members were forgotten simply does not regenerate); a re-run
+    * after a crash here recomputes the identical swap. (2) the LABELS
+    * table swaps: surviving members get their new labels written
+    * LITERALLY, forgotten rows drop; after this the next run's touched
+    * set is empty and the job no-ops. (3) remap entries pointing INTO
+    * the touched components delete — pure housekeeping: after (2) no
+    * live label or bucket row resolves through them (an untouched row
+    * resolving into a touched component would have been touched), so a
+    * crash between (2) and (3) leaves only unreachable entries. */
+  def repairClusterSplits(spark: SparkSession, ids: DataFrame,
+      indexTable: String, labelsTable: String, bucketTable: String,
+      remapTable: String): Unit = {
+    val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    (tryRead(spark, labelsTable), tryRead(spark, indexTable)) match {
+      case (Some(lblRaw), Some(idxRaw)) =>
+        val lbl = lblRaw.localCheckpoint(true)
+        val remap = tryRead(spark, remapTable).getOrElse(emptyRemap(spark))
+          .localCheckpoint(true)
+        val resolved = lbl.dropDuplicates("doc_id")
+          .join(broadcast(remap), lbl("component") === remap("__oldc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__newc"), col("component")).as("component"))
+          .localCheckpoint(true)
+        val touched = resolved.join(idsC, Seq("doc_id"), "left_semi")
+          .select(col("component")).distinct().localCheckpoint(true)
+        if (touched.isEmpty) return
+        val tc = touched.withColumnRenamed("component", "__tc")
+        // surviving members of the touched components, and their new
+        // clustering over index rows that exclude every forgotten id
+        val affected = resolved.join(broadcast(touched), Seq("component"), "left_semi")
+          .join(idsC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id")).localCheckpoint(true)
+        val members = idxRaw.localCheckpoint(true)
+          .select(col("doc_id"),
+            concat_ws(":", col("band"), col("bkey")).as("bucket"))
+          .join(affected, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val comp = graft.operators.ConnectedComponents.bipartite(
+          members, idCol = "doc_id", bucketCol = "bucket")
+        val newLabels = affected.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .localCheckpoint(true)
+        // (1) bucket rows: untouched carry as written (their resolution
+        // never passes through a touched component — see Scaladoc),
+        // touched re-derive under the new labels
+        tryRead(spark, bucketTable).foreach { b0 =>
+          val b = b0.localCheckpoint(true)
+          val bCur = b.join(broadcast(remap), b("component") === remap("__oldc"), "left")
+            .select(col("bucket"), b("component"),
+              coalesce(col("__newc"), b("component")).as("__cur"))
+          val kept = bCur.join(broadcast(tc), bCur("__cur") === tc("__tc"), "left_anti")
+            .select(col("bucket"), col("component"))
+          val rebuilt = members.join(newLabels, Seq("doc_id"))
+            .select(col("bucket"), col("component")).distinct()
+          graft.operators.MergeWriter.overwriteAtomic(
+            kept.unionByName(rebuilt), bucketTable)
+        }
+        // (2) labels: rows of touched components (forgotten ids included)
+        // replaced by the survivors' literal new labels
+        val touchedDocs = resolved.join(broadcast(touched), Seq("component"), "left_semi")
+          .select(col("doc_id"))
+        graft.operators.MergeWriter.overwriteAtomic(
+          lbl.join(touchedDocs, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("component"))
+            .unionByName(newLabels), labelsTable)
+        // (3) housekeeping: remap entries into the touched components are
+        // now unreachable
+        graft.operators.MergeWriter.overwriteAtomic(
+          remap.join(broadcast(tc), remap("__newc") === tc("__tc"), "left_anti")
+            .select(col("__oldc"), col("__newc")), remapTable)
+      case _ =>
+    }
+  }
+
   def forgetDedupState(spark: SparkSession, ids: DataFrame,
       indexTable: String, pairsTable: String, shingleTable: String,
       labelsTable: String, bucketTable: String, docTable: String): Unit = {

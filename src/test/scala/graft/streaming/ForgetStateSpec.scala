@@ -547,4 +547,91 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
     Streams.forgetDedupState(spark, fDf, idxT, prT, shT, lbT, bkT, docT)
     assert(rowsOf(prT, Seq("d1", "d2")) == rowsOf(prR, Seq("d1", "d2")))
   }
+
+  test("repairClusterSplits: forgetting a bridge SPLITS its component exactly; default forget stays conservative; idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fabricated state (the IncrementalClustersSpec trick — real MinHash
+    // text can't deterministically plant a bridge): doc 2 bridges docs 1
+    // and 3 through two buckets; docs 8,9 are an untouched component;
+    // doc 5 is a touched-component member connected ONLY through the
+    // bridge's second bucket, so the repair must keep {3,5} together
+    // while cutting {1} loose
+    def freshState(): (String, String, String, String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("split-repair").toString
+      val (idxT, lbT, bkT, rmT, docT) =
+        (s"$root/index", s"$root/labels", s"$root/buckets", s"$root/remap", s"$root/docs")
+      Seq((1L, 0, "x"), (2L, 0, "x"), (2L, 1, "y"), (3L, 1, "y"),
+          (5L, 1, "y"), (8L, 2, "z"), (9L, 2, "z"))
+        .toDF("doc_id", "band", "bkey").write.parquet(idxT)
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L), (8L, 8L), (9L, 8L))
+        .toDF("doc_id", "component").write.parquet(lbT)
+      Seq(("0:x", 1L), ("1:y", 1L), ("2:z", 8L))
+        .toDF("bucket", "component").write.parquet(bkT)
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (8L, "h"), (9L, "i"))
+        .toDF("doc_id", "text").write.parquet(docT)
+      (idxT, lbT, bkT, rmT, docT)
+    }
+    def labelsOf(lbT: String, rmT: String) =
+      Streams.clusterSnapshot(spark, lbT, rmT)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fDf = Seq(2L).toDF("doc_id")
+
+    // WITH the repair: component 1 splits — doc 1 alone, {3,5} together
+    val (idxT, lbT, bkT, rmT, docT) = freshState()
+    Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+    val pairsDir = java.nio.file.Files.createTempDirectory("sr-aux").toString
+    Streams.forgetDedupState(spark, fDf, idxT, s"$pairsDir/pairs",
+      s"$pairsDir/shingles", lbT, bkT, docT)
+    assert(labelsOf(lbT, rmT) == Map(1L -> 1L, 3L -> 3L, 5L -> 3L, 8L -> 8L, 9L -> 8L),
+      s"split repair wrong: ${labelsOf(lbT, rmT)}")
+    // the bucket index advanced with the split: the bridge's buckets map
+    // to the survivors' new components; the untouched component's row
+    // never moved
+    val buckets = spark.read.parquet(bkT)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets == Map("0:x" -> 1L, "1:y" -> 3L, "2:z" -> 8L),
+      s"bucket index not re-derived: $buckets")
+    // idempotent: a re-run (repair + forget) changes nothing
+    Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+    Streams.forgetDedupState(spark, fDf, idxT, s"$pairsDir/pairs",
+      s"$pairsDir/shingles", lbT, bkT, docT)
+    assert(labelsOf(lbT, rmT) == Map(1L -> 1L, 3L -> 3L, 5L -> 3L, 8L -> 8L, 9L -> 8L))
+
+    // WITHOUT the repair: the documented conservative behavior — the
+    // survivors keep their historical merge
+    val (idxT2, lbT2, bkT2, rmT2, docT2) = freshState()
+    Streams.forgetDedupState(spark, fDf, idxT2, s"$pairsDir/pairs2",
+      s"$pairsDir/shingles2", lbT2, bkT2, docT2)
+    assert(labelsOf(lbT2, rmT2) == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L),
+      s"conservative default drifted: ${labelsOf(lbT2, rmT2)}")
+  }
+
+  test("repairClusterSplits + forget on the real corpus == from-scratch ingest of the survivors (labels exact)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def tables(root: String) = (s"$root/index", s"$root/pairs", s"$root/shingles",
+      s"$root/labels", s"$root/buckets", s"$root/remap", s"$root/docs")
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("sr-real").toString
+    val (idxT, prT, shT, lbT, bkT, rmT, docT) = tables(root)
+    for (b <- Seq(all.take(250), all.drop(250)))
+      Streams.maintainDedupState(df(b), idxT, prT, shT, lbT, bkT, rmT, docT)
+    val forgot = all.map(_._1).filter(_ % 4 == 1).toSet
+    val fDf = forgot.toSeq.toDF("doc_id")
+    Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+    Streams.forgetDedupState(spark, fDf, idxT, prT, shT, lbT, bkT, docT)
+    // from-scratch reference over the survivors
+    val remaining = all.filter(t => !forgot.contains(t._1))
+    val root2 = java.nio.file.Files.createTempDirectory("sr-real-ref").toString
+    val (idxR, prR, shR, lbR, bkR, rmR, docR) = tables(root2)
+    Streams.maintainDedupState(df(remaining), idxR, prR, shR, lbR, bkR, rmR, docR)
+    def snap(lb: String, rm: String) = Streams.clusterSnapshot(spark, lb, rm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap(lbT, rmT) == snap(lbR, rmR),
+      "repaired labels != from-scratch survivors (cluster_size included)")
+    assert(snap(lbT, rmT).nonEmpty)
+  }
 }
