@@ -967,7 +967,7 @@ object TextOps {
   /** The split projection shared by sa11 and pp37 (one fold definition,
     * so the incremental twin can never disagree on a boundary): sa04's
     * 98/1/1 bucket ranges over the CLUSTER label. */
-  private def splitOf(labels: DataFrame): DataFrame = {
+  private[graft] def splitOf(labels: DataFrame): DataFrame = {
     val b = hex8(concat(lit("split:"), col("cluster_id").cast("string"))) % 10000
     labels.select(col("doc_id"), col("cluster_id"),
         when(b < 9800, "train").when(b < 9900, "val").otherwise("test")

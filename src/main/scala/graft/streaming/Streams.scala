@@ -979,6 +979,21 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** The CONTINUOUS leakage-safe split (sa11/pp37's serving member):
+    * [[clusterSnapshot]]'s labels through the shared
+    * [[graft.queries.TextOps.splitOf]] fold — the split is a pure
+    * row-local function of the maintained label, so the continuous
+    * member is a READ VIEW: no third standing table, nothing to forget
+    * beyond the cluster state itself (deletion propagates through
+    * [[forgetDedupState]]/[[repairClusterSplits]], and a repair that
+    * splits a component migrates its docs' splits at the next read —
+    * the same merge-migration semantics pp37 documents). */
+  def splitSnapshot(spark: SparkSession, labelsTable: String,
+      remapTable: String): DataFrame =
+    graft.queries.TextOps.splitOf(
+      clusterSnapshot(spark, labelsTable, remapTable)
+        .select(col("doc_id"), col("cluster_id")))
+
   /** [[maintainClusterState]] as a foreachBatch sink over a (doc_id,
     * text) document stream. */
   def clusterStateStream(docs: DataFrame, labelsTable: String,

@@ -633,5 +633,16 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
     assert(snap(lbT, rmT) == snap(lbR, rmR),
       "repaired labels != from-scratch survivors (cluster_size included)")
     assert(snap(lbT, rmT).nonEmpty)
+    // the continuous leakage-safe split view rides the repaired labels:
+    // post-repair splitSnapshot == sa11's batch kernel over the
+    // survivors (splitOf ∘ dupClusters), the serving-side pp37 contract
+    def splits(lb: String, rm: String) = Streams.splitSnapshot(spark, lb, rm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batchKernel = graft.queries.TextOps.splitOf(
+        graft.queries.TextOps.dupClusters(df(remaining))
+          .select($"doc_id", $"cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(splits(lbT, rmT) == batchKernel,
+      "continuous split view != sa11 batch kernel over the survivors")
   }
 }
