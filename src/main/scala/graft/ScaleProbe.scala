@@ -193,7 +193,7 @@ object ScaleProbe {
       // fixed-quantizer contrast — plus SemDedup's auto-sized gate
       // beside dd10's fixed row
       "vs24_graph_search_auto", "pp36_incremental_knn_graph_auto",
-      "dd16_semantic_dedup_auto",
+      "dd16_semantic_dedup_auto", "vs25_knn_graph_probe2_auto",
       // the leakage-safe split: dd06's clustering + a row-local label
       // fold, so it should track dd06's row within overhead; its
       // incremental twin should likewise track pp04's

@@ -95,7 +95,9 @@ import graft.queries.Catalog
   *    the tokenizer-lifecycle swap job); vs14 kNN
   *    graph at nProbe=2 (assigned + second-nearest cell, both
   *    row-local via the rank-2 native assignment — measured recall
-  *    uplift in ScalePathsSpec); dd15/pp17's production NFKC
+  *    uplift in ScalePathsSpec) + vs25 its auto-sized variant (the
+  *    nProbe=2 graph at nlist = ceil(N/targetCellSize), completing the
+  *    auto family beside vs23/vs24/pp36/dd16); dd15/pp17's production NFKC
   *    canonicalizer variant (native nfkc_normalize expression,
   *    UnicodeCanonSpec goldens — oracle-exempt, DuckDB has no NFKC);
   *    sa07 exact-k uniform sample (bounded top-k, no corpus sort),

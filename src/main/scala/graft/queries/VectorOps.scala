@@ -568,13 +568,32 @@ object VectorOps {
     val cents = ivfCentroids(e)
     knnGraph2(assignCells(e, cents), cents, k = 3)
   }
-  private val vs14Sql = {
+
+  /** vs25 — the nProbe = 2 kNN graph under the PRODUCTION quantizer
+    * sizing: vs14's boundary-recall kernel ([[knnGraph2]] — assigned +
+    * second-nearest cell, both row-local) at nlist = ⌈N/targetCellSize⌉.
+    * Completes the auto-sized family: every cell-blocked pair kernel —
+    * nProbe=1 graph (vs23), nProbe=2 graph (here), graph search (vs24),
+    * graph advance (pp36), SemDedup (dd16) — now pins the sizing rule
+    * cross-engine beside its fixed-quantizer contrast gate. Cost bound
+    * is ≤ 2 Σ|cell|² ≈ 2·N·targetCellSize under the rule (the vs14
+    * kernel row measures 1.82× at 10×). */
+  private def vs25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = normed(embeddings(s, d))
+    val cents = ivfCentroids(e, autoNlist(e.count(), targetCellSize = 40L))
+    knnGraph2(assignCells(e, cents), cents, k = 3)
+  }
+
+  /** The nProbe = 2 graph oracle shared by vs14 (fixed 8-cell) and vs25
+    * (count-derived): only the centroid CTE's bound differs. */
+  private def knnGraph2Oracle(centBound: String) = {
     def dot(a: String, b: String) =
       s"CAST(list_sum([$a.q[i] * $b.cq[i] for i in range(1, len($a.q) + 1)]) AS DOUBLE) / ($a.nrm * $b.cn)"
     s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
        |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
        |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
-       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id < $centBound),
        |a0 AS (SELECT n.vec_id, c.cid, ${dot("n", "c")} AS ccos FROM n CROSS JOIN c),
        |a AS (SELECT vec_id, cid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM a0) WHERE rn = 1),
@@ -589,6 +608,9 @@ object VectorOps {
        |SELECT query_id, cid, neighbor_id, rank, cos FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }
+  private val vs14Sql = knnGraph2Oracle("8")
+  private val vs25Sql = knnGraph2Oracle(
+    "(SELECT LEAST(GREATEST((COUNT(*) + 39) // 40, 1), 131072) FROM n)")
 
   /** vs12 — range (threshold) retrieval: vs06's probing with the top-k
     * replaced by `cos ≥ τ` — the "give me EVERYTHING this similar"
@@ -2423,6 +2445,7 @@ object VectorOps {
     Q("vs13_knn_graph", "kNN graph: every vector's top-3 in-cell neighbors via one cid-keyed self-join (no probe window)", vs13, Some(vs13Sql)),
     Q("vs14_knn_graph_probe2", "kNN graph at nProbe=2: assigned + second-nearest cell probed per vector, both row-local (rank-2 native assignment, no window)", vs14, Some(vs14Sql)),
     Q("vs23_knn_graph_auto", "kNN graph under the PRODUCTION quantizer sizing: nlist = ceil(N/targetCellSize) derived from a count of the same zero-norm-free set (autoNlist, clamps included) — the quantizer grows with the corpus so Sigma|cell|^2 stays ~N*targetCellSize; oracle derives nlist through the same integer ceil", vs23, Some(vs23Sql)),
+    Q("vs25_knn_graph_probe2_auto", "nProbe=2 kNN graph under the PRODUCTION quantizer sizing: vs14's boundary-recall kernel (assigned + second-nearest cell, both row-local) at the autoNlist-derived nlist — cost <= 2*N*targetCellSize; oracle derives nlist via the same integer ceil", vs25, Some(vs25Sql)),
     Q("vs07_kmeans_step", "one exact Lloyd iteration: assign to fixed seeds → per-(cell, dim) sums", vs07, Some(vs07Sql)),
     Q("vs11_kmeans_rebuild", "quantizer rebuild: 3 exact integer Lloyd iterations (L2 lattice assignment, truncated-mean update, empty-cell carryover)", vs11, Some(vs11Sql)),
     Q("vs08_pq_search", "product-quantization ANN: 8x64 codebook encode (48-bit codes) + asymmetric-distance table lookups, top-5", vs08, Some(vs08Sql)),
