@@ -143,8 +143,15 @@ object Ann {
         // bucket's sample: map-side combine holds ≤ cap ids per
         // (table, bucket), the exchange carries samples, never buckets
         val g = col("table").cast("long") * lit(1L << bits) + col("bucket")
+        // the priority is salted with the TABLE, not just the id: a
+        // global per-id fold would evict the same ids from every
+        // over-cap bucket in every table, making tail ids unreachable
+        // no matter how many tables are probed — per-table salts keep
+        // each table's sample draw independent, which is what the
+        // (1 − cap/|bucket|)^tables recall model in the Scaladoc needs
         val pri = -graft.functions.HashExpressions.md5Fold32(
-          concat(lit("lshcap:"), col("neighbor_id").cast("string"))).cast("double")
+          concat(lit("lshcap:"), col("table").cast("string"), lit(":"),
+            col("neighbor_id").cast("string"))).cast("double")
         val keep = GroupedTopK.topK(
             cb0.withColumn("__g", g).withColumn("__pri", pri)
               .select(col("__g"), col("__pri"), col("neighbor_id")),

@@ -691,22 +691,47 @@ object Streams {
     * them); after repair + forget, [[clusterSnapshot]] equals a
     * from-scratch ingest of the surviving corpus, splits included.
     *
-    * Crash-convergence (the write ORDER is the argument): everything is
-    * derived up front from (labels, remap, index, ids) — all unchanged
-    * until the final swap. (1) the BUCKET table swaps first: touched
-    * components' rows re-derive under the new CC labels (a bucket whose
-    * only members were forgotten simply does not regenerate); a re-run
-    * after a crash here recomputes the identical swap. (2) the LABELS
-    * table swaps: surviving members get their new labels written
-    * LITERALLY, forgotten rows drop; after this the next run's touched
-    * set is empty and the job no-ops. (3) remap entries pointing INTO
-    * the touched components delete — pure housekeeping: after (2) no
-    * live label or bucket row resolves through them (an untouched row
-    * resolving into a touched component would have been touched), so a
-    * crash between (2) and (3) leaves only unreachable entries. */
+    * Crash-convergence (a write-ahead INTENT plus write order): the new
+    * labels are NOT self-describing — a re-run after the labels swap
+    * finds no forgotten label rows, and a new sub-component label L that
+    * was once a merged-away component id still has a remap entry L → C
+    * into the touched component, silently reverting the split for every
+    * reader. So the TOUCHED SET lands first as a journal
+    * (`remapTable + "_repair"` — one component id per row, bounded by
+    * the forgotten ids' components): (0) the journal swaps in; a re-run
+    * at ANY later point unions it with the freshly-derived touched set,
+    * so the affected components are re-derivable even after step (2)
+    * consumed the forgotten ids' label rows. (1) the BUCKET table swaps:
+    * touched components' rows re-derive under the new CC labels (a
+    * bucket whose only members were forgotten simply does not
+    * regenerate); the union with the untouched rows is dedup'd, because
+    * after a crash here a rebuilt row whose new label has no remap entry
+    * resolves to itself — not touched — and would otherwise survive in
+    * `kept` AND re-arrive via `rebuilt`. (2) the LABELS table swaps:
+    * surviving members get their new labels written LITERALLY, forgotten
+    * rows drop. (3) remap entries pointing INTO the touched components
+    * delete — this is the step that makes the literal new labels
+    * resolve as themselves. (4) the journal clears LAST; a stale journal
+    * from a completed repair only re-derives components whose recluster
+    * is already exact, so every window re-runs to the same end state
+    * (pinned step-by-step in ForgetStateSpec via the fault-injection
+    * hook). */
   def repairClusterSplits(spark: SparkSession, ids: DataFrame,
       indexTable: String, labelsTable: String, bucketTable: String,
-      remapTable: String): Unit = {
+      remapTable: String): Unit =
+    repairClusterSplitsImpl(spark, ids, indexTable, labelsTable,
+      bucketTable, remapTable, Int.MaxValue)
+
+  /** Test seam: `failAfterStep` throws after journal write (0), bucket
+    * swap (1), labels swap (2), or remap cleanup (3) — ForgetStateSpec
+    * crashes each window and pins that a plain re-run converges. */
+  private[graft] def repairClusterSplitsImpl(spark: SparkSession,
+      ids: DataFrame, indexTable: String, labelsTable: String,
+      bucketTable: String, remapTable: String, failAfterStep: Int): Unit = {
+    val journalTable = remapTable + "_repair"
+    def crashPoint(n: Int): Unit =
+      if (failAfterStep == n) throw new IllegalStateException(
+        s"repairClusterSplits: injected crash after step $n")
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     (tryRead(spark, labelsTable), tryRead(spark, indexTable)) match {
       case (Some(lblRaw), Some(idxRaw)) =>
@@ -718,9 +743,17 @@ object Streams {
           .select(col("doc_id"),
             coalesce(col("__newc"), col("component")).as("component"))
           .localCheckpoint(true)
-        val touched = resolved.join(idsC, Seq("doc_id"), "left_semi")
-          .select(col("component")).distinct().localCheckpoint(true)
+        // fresh touched ∪ a crashed run's journaled intent (see Scaladoc)
+        val touched = tryRead(spark, journalTable)
+          .foldLeft(resolved.join(idsC, Seq("doc_id"), "left_semi")
+            .select(col("component")))(
+            (t, j) => t.unionByName(j.select(col("component"))))
+          .distinct().localCheckpoint(true)
         if (touched.isEmpty) return
+        // (0) intent journal: the touched set must survive step (2),
+        // which deletes the label rows it was derived from
+        graft.operators.MergeWriter.overwriteAtomic(touched, journalTable)
+        crashPoint(0)
         val tc = touched.withColumnRenamed("component", "__tc")
         // surviving members of the touched components, and their new
         // clustering over index rows that exclude every forgotten id
@@ -750,9 +783,12 @@ object Streams {
             .select(col("bucket"), col("component"))
           val rebuilt = members.join(newLabels, Seq("doc_id"))
             .select(col("bucket"), col("component")).distinct()
+          // distinct: after a crash here, a rebuilt row whose new label
+          // has no remap entry survives in `kept` on the re-run too
           graft.operators.MergeWriter.overwriteAtomic(
-            kept.unionByName(rebuilt), bucketTable)
+            kept.unionByName(rebuilt).distinct(), bucketTable)
         }
+        crashPoint(1)
         // (2) labels: rows of touched components (forgotten ids included)
         // replaced by the survivors' literal new labels
         val touchedDocs = resolved.join(broadcast(touched), Seq("component"), "left_semi")
@@ -761,13 +797,25 @@ object Streams {
           lbl.join(touchedDocs, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("component"))
             .unionByName(newLabels), labelsTable)
-        // (3) housekeeping: remap entries into the touched components are
-        // now unreachable
+        crashPoint(2)
+        // (3) remap entries into the touched components delete — the
+        // step that makes the literal new labels resolve as themselves
         graft.operators.MergeWriter.overwriteAtomic(
           remap.join(broadcast(tc), remap("__newc") === tc("__tc"), "left_anti")
             .select(col("__oldc"), col("__newc")), remapTable)
+        crashPoint(3)
+        // (4) the intent is spent — clear it (a stale journal is safe,
+        // see Scaladoc, but re-deriving completed components is waste)
+        dropTable(spark, journalTable)
       case _ =>
     }
+  }
+
+  private def dropTable(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"dropTable: delete failed for $path")
   }
 
   def forgetDedupState(spark: SparkSession, ids: DataFrame,

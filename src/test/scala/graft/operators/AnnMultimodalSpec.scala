@@ -77,6 +77,28 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("maxBucket sample priorities are table-independent (ADVICE r16: a global per-id fold evicts the same tail ids from every table)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // replicate lshTopK's capped-sample priority for two tables over the
+    // same id population: the per-table salt must draw DIFFERENT top-cap
+    // samples, or the documented (1 - cap/|bucket|)^tables recall model
+    // collapses to a single draw. Fixed hash => deterministic assertion.
+    val ids = (0L until 100L).toDF("neighbor_id")
+    def topCap(table: Int, cap: Int): Set[Long] = {
+      val pri = graft.functions.HashExpressions.md5Fold32(
+        concat(lit("lshcap:"), lit(table.toString), lit(":"),
+          col("neighbor_id").cast("string")))
+      ids.withColumn("__p", pri).orderBy(col("__p"), col("neighbor_id"))
+        .limit(cap).collect().map(_.getLong(0)).toSet
+    }
+    val (t0, t1) = (topCap(0, 10), topCap(1, 10))
+    assert(t0 != t1, "per-table samples identical — the salt is not table-dependent")
+    // and the union across tables strictly grows the reachable set: the
+    // mechanism by which raising `tables` buys recall back under a cap
+    assert((t0 ++ t1).size > t0.size)
+  }
+
   test("multimodal decode attaches typed metadata and features, isolates bad rows") {
     import spark.implicits._
     val df = Seq(

@@ -607,6 +607,77 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
       s"conservative default drifted: ${labelsOf(lbT2, rmT2)}")
   }
 
+  test("repairClusterSplits: a crash after ANY step converges on plain re-run — incl. the label-revert window ADVICE r16 found") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fabricated MERGED state where the repair's new labels hit both
+    // crash hazards at once: docs 3,5 formed component 3, doc 2 later
+    // bridged them into component 1 (remap 3 -> 1 recorded; their label
+    // rows stay literal 3 — the maintenance never relabels in place);
+    // doc 7 arrived after the merge through a second bridge bucket, so
+    // it was labeled 1 directly. Forgetting doc 2 splits the component
+    // three ways: {1}, {3,5}, {7}. New label 3 carries a LIVE remap
+    // entry 3 -> 1 (the revert poison: without the intent journal, a
+    // crash between the labels swap and the remap cleanup is permanent
+    // because the re-run's touched set derives from label rows the swap
+    // just deleted), and new label 7 has NO remap entry (the duplicate
+    // hazard: after a bucket-swap crash, its rebuilt bucket row resolves
+    // to itself — untouched — and survives in `kept` while `rebuilt`
+    // re-adds it).
+    def freshState(): (String, String, String, String) = {
+      val root = Files.createTempDirectory("split-crash").toString
+      val (idxT, lbT, bkT, rmT) =
+        (s"$root/index", s"$root/labels", s"$root/buckets", s"$root/remap")
+      Seq((1L, 0, "x"), (2L, 0, "x"), (2L, 1, "y"), (3L, 1, "y"),
+          (5L, 1, "y"), (2L, 3, "w"), (7L, 3, "w"), (8L, 2, "z"), (9L, 2, "z"))
+        .toDF("doc_id", "band", "bkey").write.parquet(idxT)
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 3L), (7L, 1L), (8L, 8L), (9L, 8L))
+        .toDF("doc_id", "component").write.parquet(lbT)
+      Seq(("0:x", 1L), ("1:y", 3L), ("3:w", 1L), ("2:z", 8L))
+        .toDF("bucket", "component").write.parquet(bkT)
+      Seq((3L, 1L)).toDF("__oldc", "__newc").write.parquet(rmT)
+      (idxT, lbT, bkT, rmT)
+    }
+    val fDf = Seq(2L).toDF("doc_id")
+    val expLabels = Map(1L -> 1L, 3L -> 3L, 5L -> 3L, 7L -> 7L, 8L -> 8L, 9L -> 8L)
+    val expBuckets = Map("0:x" -> 1L, "1:y" -> 3L, "3:w" -> 7L, "2:z" -> 8L)
+    def check(lbT: String, bkT: String, rmT: String, ctx: String): Unit = {
+      val snap = Streams.clusterSnapshot(spark, lbT, rmT)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(snap == expLabels, s"$ctx: labels $snap")
+      val bRows = spark.read.parquet(bkT)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(bRows.toMap == expBuckets && bRows.length == bRows.distinct.length,
+        s"$ctx: buckets $bRows")
+      assert(spark.read.parquet(rmT).count() == 0L, s"$ctx: remap not cleared")
+      assert(!new java.io.File(rmT + "_repair").exists(),
+        s"$ctx: intent journal not cleared")
+    }
+    // the no-crash baseline first — the expected state is the repair's own
+    locally {
+      val (idxT, lbT, bkT, rmT) = freshState()
+      Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+      check(lbT, bkT, rmT, "no-crash")
+    }
+    for (step <- 0 to 3) {
+      val (idxT, lbT, bkT, rmT) = freshState()
+      intercept[IllegalStateException] {
+        Streams.repairClusterSplitsImpl(spark, fDf, idxT, lbT, bkT, rmT, step)
+      }
+      if (step == 2) {
+        // the poisoned window, observed: labels swapped, remap cleanup
+        // not yet run — the literal new label 3 resolves back through
+        // remap 3 -> 1, reverting the split for any reader
+        val mid = Streams.clusterSnapshot(spark, lbT, rmT)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(mid(3L) == 1L && mid(5L) == 1L,
+          s"window 2 lost its poison — the test no longer exercises it: $mid")
+      }
+      Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+      check(lbT, bkT, rmT, s"crash after step $step")
+    }
+  }
+
   test("repairClusterSplits + forget on the real corpus == from-scratch ingest of the survivors (labels exact)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
