@@ -102,6 +102,43 @@ object ScaleProbe {
         .repartition(cpus)
         .write.mode("overwrite").parquet(embPath)
     }
+
+    // the TPC-H-shaped pair the skew/sketch gates read (q49/q50/pp23):
+    // replica k shifts every key column by k·10M — (l_orderkey,
+    // l_linenumber) stays unique, and part's p_partkey shifts in
+    // lockstep with lineitem's l_partkey, so each replica's join
+    // fan-out and per-key row counts are exactly sf0.1's (the same
+    // constant-density regime as the documents bijection; the
+    // value columns are untouched, so per-group sums scale by exactly
+    // the replica count)
+    val liPath = s"$work/lineitem.parquet"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(liPath))) {
+      val base = spark.read.parquet(s"$sf01/lineitem.parquet")
+      val maxKey = base.agg(greatest(max(col("l_orderkey")),
+        max(col("l_partkey")), max(col("l_suppkey")))).head().getLong(0)
+      require(maxKey < 10000000L,
+        s"replica stride 10M does not clear lineitem key space (max=$maxKey)")
+      (0 until replicas).map { k =>
+        val shift = lit(k.toLong * 10000000L)
+        base.withColumn("l_orderkey", col("l_orderkey") + shift)
+          .withColumn("l_partkey", col("l_partkey") + shift)
+          .withColumn("l_suppkey", col("l_suppkey") + shift)
+      }.reduce(_ unionByName _)
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(liPath)
+    }
+    val partPath = s"$work/part.parquet"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(partPath))) {
+      val base = spark.read.parquet(s"$sf01/part.parquet")
+      val maxKey = base.agg(max(col("p_partkey"))).head().getLong(0)
+      require(maxKey < 10000000L,
+        s"replica stride 10M does not clear part key space (max=$maxKey)")
+      (0 until replicas).map { k =>
+        base.withColumn("p_partkey", col("p_partkey") + lit(k.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(cpus)
+        .write.mode("overwrite").parquet(partPath)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,6 +160,10 @@ object ScaleProbe {
     // "only=g1,g2" measures just the named gates (incremental table
     // refresh after a new gate ships) and skips the kernel rows
     val kernelsOnly = args.lift(2).contains("kernels")
+    // "skew" runs ONLY the skewed-hot-key join rows at the end (they are
+    // the newest and by far the cheapest kernel block — an iteration
+    // mode, like only= for gates)
+    val skewOnly = args.lift(2).contains("skew")
     val only: Option[Set[String]] = args.lift(2)
       .filter(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").filter(_.nonEmpty).toSet)
@@ -169,11 +210,13 @@ object ScaleProbe {
       "ta23_hll_distinct", "ta24_quantile_sketch",
       "ta25_quantile_sketch_double", "sa10_token_budget_mix",
       "pp18_incremental_bpe", "pp22_incremental_budget",
-      // pp23 (KMV advance) is NOT here: its input is the TPC-H lineitem
-      // table, which the replica generator does not produce — the sketch
-      // family's corpus-shaped scaling evidence is ta20-ta25/pp29-pp32
-      // below, and pp23's advance is O(batch) + a groups×k merge by
-      // construction (KmvSketchSpec pins the merge identity)
+      // the lineitem-shaped family (round 17: the replica generator now
+      // produces lineitem+part, closing the one gate family that had no
+      // at-scale evidence): the salted skew operators and the KMV
+      // advance — the dedicated skewed-hot-key rows below measure what
+      // the salt BUYS; these rows measure that the gates themselves
+      // scale
+      "q49_salted_agg", "q50_salted_join", "pp23_incremental_sketch",
       "pp24_incremental_knn_graph",
       "pp25_incremental_perplexity", "pp26_incremental_bm25",
       "pp27_incremental_classifier", "pp28_incremental_opq",
@@ -208,7 +251,7 @@ object ScaleProbe {
       dt
     }
     // warm both scales once so codegen/JIT lands outside the measurement
-    if (!kernelsOnly) {
+    if (!kernelsOnly && !skewOnly) {
       val sweep = only.map(o => gates.filter(o)).getOrElse(gates)
       // a misspelled name must fail loudly, not silently shrink the
       // refresh — the operator records the printed rows as "measured"
@@ -232,6 +275,7 @@ object ScaleProbe {
       println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
       println("|---|---|---|---|---|")
     }
+    // (the skew block at the end runs in every non-only= mode)
 
     // an only= refresh wants just its named gate rows — the kernel
     // companions below are re-measured by full or "kernels" runs
@@ -246,7 +290,7 @@ object ScaleProbe {
     // which bounds the nProbe=1 graph's pair volume at Σ|cell|² ∝ N and
     // the nProbe=2 graph's at ≤ 2× that — these rows measure exactly
     // that configuration (8 cells at sf0.1 → 80 at 10×).
-    {
+    if (!skewOnly) {
       import graft.queries.VectorOps.{assignCells, knnGraph, knnGraph2, normed}
       def knnAt(dir: String, nlist: Int, probe2: Boolean): Double = {
         val t0 = System.nanoTime()
@@ -276,7 +320,7 @@ object ScaleProbe {
     // N²/√N = N^1.5.) A different nlist is a different — equally valid —
     // drop list, so this row times the kernel; the GATE pins
     // fixed-quantizer semantics.
-    {
+    if (!skewOnly) {
       import graft.queries.VectorOps.{assignCells, normed, semanticDrops}
       def dd10At(dir: String, nlist: Int): Double = {
         val t0 = System.nanoTime()
@@ -302,7 +346,7 @@ object ScaleProbe {
     // isolates what the sizing rule buys the INCREMENTAL leg — same
     // 80/20 split, nlist prop. N. The remaining growth is the batch
     // itself growing with the corpus (a production batch is fixed-size).
-    {
+    if (!skewOnly) {
       import graft.queries.VectorOps.{assignCells, normed, semDedupAdvance}
       def pp10At(dir: String, nlist: Int): Double = {
         val t0 = System.nanoTime()
@@ -333,7 +377,7 @@ object ScaleProbe {
     // is why the production gate requires two hits (recall for true
     // containment is identical: a contained doc's EVERY probe hash hits
     // its container).
-    {
+    if (!skewOnly) {
       def dd13At(dir: String, m: Int): Double = {
         val t0 = System.nanoTime()
         graft.queries.TextOps.containmentIndex(
@@ -356,7 +400,7 @@ object ScaleProbe {
     // collide on band values by construction, so uncapped candidate
     // volume grows ~Σ|bucket|² while the capped row bounds it at
     // corpus × cap.
-    {
+    if (!skewOnly) {
       import graft.operators.Multimodal
       def mm04At(dir: String, mb: Option[Int]): Double = {
         val t0 = System.nanoTime()
@@ -384,7 +428,7 @@ object ScaleProbe {
     // row bounds scored pairs at Q × tables × cap via the deterministic
     // per-bucket sample, so the remaining growth is the candidate-side
     // hashing scan itself. Recall trade documented at Ann.lshTopK.
-    {
+    if (!skewOnly) {
       import graft.operators.Ann
       def vs04At(dir: String, mb: Option[Int]): Double = {
         val t0 = System.nanoTime()
@@ -411,7 +455,7 @@ object ScaleProbe {
     // only standing-sized reads are the probe-table semi-join (k rows
     // per doc, pruned to the batch's hash set) and the candidate pairs'
     // own shingle reads.
-    {
+    if (!skewOnly) {
       import graft.queries.{QueryUtils, TextOps}
       def pp12At(dir: String): Double = {
         val docs = graft.Tables.documents(spark, dir)
@@ -437,6 +481,66 @@ object ScaleProbe {
       val a = (1 to 3).map(_ => pp12At(sf01)).min
       val b = (1 to 3).map(_ => pp12At(work)).min
       println(f"| pp12 advance @ fixed-size batch, minHits 2 | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+    }
+
+    // q50's salt under a DELIBERATELY skewed hot key — the measurement
+    // the gate cannot make (its oracle-pinned input is TPC-H-uniform):
+    // half the big side's rows collapse onto ONE join key, in the
+    // regime the salt exists for (dimension too big to broadcast, AQE's
+    // skew split unavailable — a shuffled-hash build side, or any
+    // engine without it). Unsalted, the hot key's entire probe side
+    // lands on ONE reducer — a straggler carrying 50% of the corpus
+    // single-threaded; salted, it spreads over 8. Three rows: the
+    // unsalted straggler, the salted plan (the win the VERDICT asked to
+    // see measured), and unsalted-with-AQE-skew-split as the honest
+    // contrast — AQE covers this case for sort-merge joins, the salt is
+    // the explicit tool for the plans AQE can't split.
+    {
+      import graft.operators.Salting
+      def withConf[T](kv: (String, String)*)(body: => T): T = {
+        val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+        kv.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally prior.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      def skewAt(dir: String, salted: Boolean, aqeSkew: Boolean): Double = {
+        val hot = graft.queries.QueryUtils.hex8(
+          concat(lit("hot:"), col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 2 === 0
+        val big = graft.Tables.lineitem(spark, dir).select(
+          when(hot, lit(7L)).otherwise(col("l_partkey")).as("pk"),
+          col("l_extendedprice"), col("l_discount"))
+        val small = graft.Tables.part(spark, dir)
+          .select(col("p_partkey").as("pk"), col("p_brand"))
+        withConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.skewJoin.enabled" -> aqeSkew.toString) {
+          val t0 = System.nanoTime()
+          val joined =
+            if (salted) Salting.saltedJoin(big, small, "pk", salts = 8)
+            else big.join(small, Seq("pk"))
+          joined.groupBy(col("p_brand"))
+            .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"), count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          dt
+        }
+      }
+      for ((label, salted, aqeSkew) <- Seq(
+          ("q50 kernel @ hot key 50%, UNSALTED, no AQE skew", false, false),
+          ("q50 kernel @ hot key 50%, salted x8, no AQE skew", true, false),
+          ("q50 kernel @ hot key 50%, unsalted, AQE skew split", false, true))) {
+        skewAt(sf01, salted, aqeSkew); skewAt(work, salted, aqeSkew) // warm
+        val a = (1 to 3).map(_ => skewAt(sf01, salted, aqeSkew)).min
+        val b = (1 to 3).map(_ => skewAt(work, salted, aqeSkew)).min
+        println(f"| $label | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+      }
     }
     spark.stop()
   }

@@ -591,17 +591,30 @@ object Streams {
     fresh.write.mode("append").parquet(docTable)
   }
 
+  /** Shared launcher for every maintainer's foreachBatch wrapper: with
+    * `checkpoint` set, the query's progress survives a kill — on
+    * restart, Structured Streaming redelivers the uncommitted batch and
+    * the maintainers' doc-store guards / dedup-at-read seams absorb the
+    * replay (MaintainerRestartSpec drives the full kill->restart e2e).
+    * Without it, Spark uses a temp checkpoint (single-run semantics —
+    * the spec-suite default). */
+  private def startMaintainer(src: DataFrame, checkpoint: Option[String])(
+      body: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = src.writeStream.foreachBatch(body)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** [[maintainDedupState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def dedupStateStream(docs: DataFrame, indexTable: String,
       pairsTable: String, shingleTable: String, labelsTable: String,
-      bucketTable: String, remapTable: String, docTable: String)
+      bucketTable: String, remapTable: String, docTable: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainDedupState(b, indexTable, pairsTable, shingleTable,
           labelsTable, bucketTable, remapTable, docTable))
-      .start()
 
   /** Delete every row of `table` whose `on` column(s) match an id,
     * preserving the table's column order (a USING join floats its key). */
@@ -1045,12 +1058,11 @@ object Streams {
   /** [[maintainClusterState]] as a foreachBatch sink over a (doc_id,
     * text) document stream. */
   def clusterStateStream(docs: DataFrame, labelsTable: String,
-      bucketTable: String, remapTable: String, docTable: String)
+      bucketTable: String, remapTable: String, docTable: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainClusterState(b, labelsTable, bucketTable, remapTable, docTable))
-      .start()
 
   /** Standing-table read that treats "not created yet" as None — shared
     * by every maintenance loop so a future behavior change (e.g. also
@@ -1072,12 +1084,11 @@ object Streams {
   /** [[maintainBandIndex]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def incrementalIndexStream(docs: DataFrame, indexTable: String,
-      docTable: String, pairsTable: String, shingleTable: String)
+      docTable: String, pairsTable: String, shingleTable: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainBandIndex(b, indexTable, docTable, pairsTable, shingleTable))
-      .start()
 
   /** pp05's continuous twin: CONTINUOUS IVF maintenance. The coarse
     * quantizer `cents` is FIXED (trained once; re-training is a rebuild —
@@ -1212,12 +1223,11 @@ object Streams {
     * leg through the same wrapper. */
   def ivfStateStream(vecs: DataFrame, cents: DataFrame,
       postingsTable: String, sumsTable: String,
-      dropTable: Option[String] = None, tau: Double = 0.30)
+      dropTable: Option[String] = None, tau: Double = 0.30,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
         maintainIvfState(b, cents, postingsTable, sumsTable, dropTable, tau))
-      .start()
 
   /** The current per-(cell, dim) exact centroid sums under the maintained
     * delta table — vs07's output shape over every vector that has
@@ -1349,11 +1359,10 @@ object Streams {
   /** [[maintainSqCodes]] as a foreachBatch sink over a (vec_id,
     * embedding) stream. */
   def sqCodesStream(vecs: DataFrame, vmin: Array[Long], vdiff: Array[Long],
-      codesTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      codesTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
         maintainSqCodes(b, vmin, vdiff, codesTable))
-      .start()
 
   /** The SQ bounds REBUILD→SWAP — [[rebuildIvfState]]'s sibling for the
     * scalar quantizer, closing the third lifecycle (IVF, BPE, now SQ):
@@ -1472,12 +1481,11 @@ object Streams {
   /** [[maintainKnnGraphState]] as a foreachBatch sink over a (vec_id,
     * embedding) stream. */
   def knnGraphStream(vecs: DataFrame, cents: DataFrame,
-      postingsTable: String, graphTable: String, k: Int = 3)
+      postingsTable: String, graphTable: String, k: Int = 3,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
         maintainKnnGraphState(b, cents, postingsTable, graphTable, k))
-      .start()
 
   /** DELETION PROPAGATION — the right-to-be-forgotten job every
     * production training-data pipeline needs and most engines bolt on
@@ -1753,12 +1761,11 @@ object Streams {
   /** [[maintainPqCodes]] as a foreachBatch sink over a (vec_id,
     * embedding) stream. */
   def pqCodesStream(vecs: DataFrame, cents: DataFrame,
-      book: Seq[org.apache.spark.sql.Row], codesTable: String)
+      book: Seq[org.apache.spark.sql.Row], codesTable: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
         maintainPqCodes(b, cents, book, codesTable))
-      .start()
 
   /** The IVF-PQ search (vs09's scorer) over the maintained codes table —
     * pp14's read path. `queriesNormed` is a normed (vec_id, q, nrm)
@@ -2033,12 +2040,11 @@ object Streams {
   /** [[maintainSpanState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def spanStateStream(docs: DataFrame, gramsTable: String,
-      countsTable: String, reportTable: String, docTable: String)
+      countsTable: String, reportTable: String, docTable: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainSpanState(b, gramsTable, countsTable, reportTable, docTable))
-      .start()
 
   /** The current span-dedup report under the maintained delta table —
     * dd09's exact shape over every doc that has arrived: per-doc sums of
@@ -2254,12 +2260,11 @@ object Streams {
   /** [[maintainCmsState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def cmsStateStream(docs: DataFrame, cellsTable: String,
-      vocabTable: String, docTable: String)
+      vocabTable: String, docTable: String,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainCmsState(b, cellsTable, vocabTable, docTable))
-      .start()
 
   /** The current ta20 view under the maintained deltas — top-`topN`
     * exact tokens probed against the summed cells, over every doc that
@@ -2335,11 +2340,10 @@ object Streams {
   /** [[maintainHllState]] as a foreachBatch sink over a (doc_id, source,
     * text) document stream. */
   def hllStateStream(docs: DataFrame, regTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainHllState(b, regTable, docTable))
-      .start()
 
   /** The current ta23 view under the maintained registers: fold the
     * appended register rows by max and estimate. No dedup column —
@@ -2433,11 +2437,10 @@ object Streams {
   /** [[maintainQuantileState]] as a foreachBatch sink over a
     * (doc_id, source, v) stream. */
   def quantileStateStream(docs: DataFrame, qsTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainQuantileState(b, qsTable, docTable))
-      .start()
 
   /** The current ta24 view under the maintained pair rows: one bottom-k
     * fold over ≤ appends·k rows per source (never the corpus), then the
@@ -2511,11 +2514,10 @@ object Streams {
   /** [[maintainVocabState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def vocabStateStream(docs: DataFrame, vocabTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainVocabState(b, vocabTable, docTable))
-      .start()
 
   /** The current top-100 vocabulary under the maintained delta table —
     * ta07's exact shape over every doc that has arrived AND NOT been
@@ -2643,11 +2645,10 @@ object Streams {
   /** [[maintainMixState]] as a foreachBatch sink over a (doc_id, source)
     * stream. */
   def mixStateStream(docs: DataFrame, countsTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainMixState(b, countsTable, docTable))
-      .start()
 
   /** The current folded per-source counts under the maintained delta
     * table. Duplicate delta rows from redelivered batches collapse on
@@ -2717,11 +2718,16 @@ object Streams {
   /** [[maintainDedupState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def dedupStateStream(docs: DataFrame, statsTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      // no default: Scala forbids defaults on two overloads (the 8-arg
+      // pair-flow sink carries it)
+      checkpoint: Option[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainDedupState(b, statsTable, docTable))
-      .start()
+
+  def dedupStateStream(docs: DataFrame, statsTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupStateStream(docs, statsTable, docTable, None: Option[String])
 
   /** The current canon-level dedup report under the maintained stats —
     * dd15's exact shape over every doc that has arrived. Duplicate delta
@@ -2867,11 +2873,10 @@ object Streams {
     * (doc_id, text) document stream. */
   def perceptualStateStream(docs: DataFrame, sigTable: String,
       pairsTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainPerceptualState(b, sigTable, pairsTable, docTable))
-      .start()
 
   /** The current perceptual pair report under the maintained state —
     * mm04's exact shape over every doc arrived. distinct() is the pair
@@ -2972,11 +2977,10 @@ object Streams {
   /** [[maintainChunkState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def chunkStateStream(docs: DataFrame, statsTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainChunkState(b, statsTable, docTable))
-      .start()
 
   /** The current shared-chunk report under the maintained stats — mm05's
     * exact shape over every doc arrived. Redelivered-batch duplicates
@@ -3153,12 +3157,11 @@ object Streams {
   /** [[maintainBudgetState]] as a foreachBatch sink over a (doc_id,
     * source, text) stream. */
   def budgetStateStream(docs: DataFrame, eligTable: String,
-      docTable: String, budget: Long)
+      docTable: String, budget: Long,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainBudgetState(b, eligTable, docTable, budget))
-      .start()
 
   /** The deduped journal rows (doc_id, source, n_tokens, key). */
   private def budgetJournal(spark: SparkSession, eligTable: String): DataFrame = {
@@ -3274,11 +3277,10 @@ object Streams {
   /** [[maintainLmState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def lmStateStream(docs: DataFrame, lmTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainLmState(b, lmTable, docTable))
-      .start()
 
   /** The current top-100 bigram LM (with KN continuation counts) under
     * the maintained delta table — ta09's exact shape over every doc that
@@ -3378,11 +3380,10 @@ object Streams {
   /** [[maintainScoreState]] as a foreachBatch sink over a (doc_id,
     * source, text) document stream. */
   def scoreStateStream(docs: DataFrame, refTable: String,
-      scoresTable: String, docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      scoresTable: String, docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainScoreState(b, refTable, scoresTable, docTable))
-      .start()
 
   /** The current head/middle/tail bucketing under the maintained scores
     * — ta17's exact shape over every doc that has arrived AND NOT been
@@ -3602,11 +3603,16 @@ object Streams {
   /** [[maintainTfState]] as a foreachBatch sink over a (doc_id, text)
     * document stream. */
   def tfStateStream(docs: DataFrame, tfTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      // no default: Scala forbids defaults on two overloads (the 4-arg
+      // dl-maintaining sink below carries it)
+      checkpoint: Option[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainTfState(b, tfTable, docTable))
-      .start()
+
+  def tfStateStream(docs: DataFrame, tfTable: String,
+      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tfStateStream(docs, tfTable, docTable, None: Option[String])
 
   /** The dl-maintaining [[maintainTfState]] overload as a foreachBatch
     * sink — the stream a [[bm25ServeSnapshot]] deployment MUST ingest
@@ -3614,11 +3620,10 @@ object Streams {
     * tf row without its dl row is an ingest-contract violation the
     * serve path fails loudly on (never silently drops). */
   def tfStateStream(docs: DataFrame, tfTable: String, dlTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainTfState(b, tfTable, dlTable, docTable))
-      .start()
 
   /** The current (doc_id, tok, tf) table under the maintained appends —
     * redelivery duplicates (byte-identical by construction) collapse on
@@ -3925,11 +3930,10 @@ object Streams {
     * text) document stream. */
   def featureStateStream(docs: DataFrame, tstatTable: String,
       mTable: String, labelsTable: String,
-      docTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
+      docTable: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(docs, checkpoint)((b: DataFrame, _: Long) =>
         maintainFeatureState(b, tstatTable, mTable, labelsTable, docTable))
-      .start()
 
   /** The current (features, y) training frame under the maintained
     * tables — exactly what ta19's trainer (and

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** SURVEY §2.7's deployment promise, driven end-to-end: a maintainer
+  * fed by a CHECKPOINTED file-source stream survives a mid-stream KILL
+  * — the crash lands AFTER a batch's state writes but BEFORE the
+  * checkpoint commits it (the worst window: restart REDELIVERS that
+  * batch), and the restarted query converges to exactly the state an
+  * all-at-once build produces. IncrementalPipelineSpec pins the same
+  * contract for the extraction merge; these legs pin it for the
+  * maintainers, whose redelivery seams (doc-store guard, dedup-at-read)
+  * are what make the replay safe. */
+class MaintainerRestartSpec extends AnyFunSuite with SparkSpec {
+
+  private def docBatches(): (Seq[(Long, String)], Seq[(Long, String)]) = {
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    (all.take(30), all.drop(30))
+  }
+
+  /** Two source files, maxFilesPerTrigger=1 → two micro-batches; the
+    * kill fires inside batch 0's foreachBatch AFTER `maintain` ran. */
+  private def killThenRestart(src: String, chk: String,
+      maintain: DataFrame => Unit,
+      restart: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = {
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$src/*")
+    @volatile var killed = false
+    val q1 = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        maintain(b)
+        if (!killed) { killed = true; throw new RuntimeException("injected kill") }
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination(60000)
+    }
+    q1.stop()
+    assert(killed, "the kill never fired — the e2e is vacuous")
+    // restart from the SAME checkpoint through the real production
+    // wrapper: batch 0 (state landed, commit lost) redelivers first
+    val q2 = restart(stream)
+    try q2.processAllAvailable() finally q2.stop()
+  }
+
+  test("perceptual maintainer: kill after batch-0 state lands, restart from checkpoint == all-at-once build") {
+    import spark.implicits._
+    val (b0, b1) = docBatches()
+    val root = Files.createTempDirectory("restart-perc").toString
+    val (sigT, pairT, docT) = (s"$root/sigs", s"$root/pairs", s"$root/docs")
+    val src = Files.createTempDirectory("restart-perc-src").toString
+    b0.toDF("doc_id", "text").write.json(s"$src/b0")
+    b1.toDF("doc_id", "text").write.json(s"$src/b1")
+
+    killThenRestart(src, s"$root/chk",
+      b => Streams.maintainPerceptualState(b, sigT, pairT, docT),
+      s => Streams.perceptualStateStream(s, sigT, pairT, docT,
+        checkpoint = Some(s"$root/chk")))
+
+    // all-at-once reference build over the same 60 docs
+    val root2 = Files.createTempDirectory("restart-perc-ref").toString
+    val (sigR, pairR, docR) = (s"$root2/sigs", s"$root2/pairs", s"$root2/docs")
+    Streams.maintainPerceptualState((b0 ++ b1).toDF("doc_id", "text"),
+      sigR, pairR, docR)
+    def report(pt: String) = Streams.perceptualPairsSnapshot(spark, pt)
+      .collect().map(_.toSeq.toList).toSet
+    assert(report(pairT) == report(pairR),
+      "restarted maintainer's pair state != all-at-once build")
+    assert(spark.read.parquet(sigT).select("doc_id").distinct().count() == 60)
+    assert(spark.read.parquet(docT).select("doc_id").distinct().count() == 60,
+      "doc-store guard lost or duplicated ids across the kill")
+  }
+
+  test("dedup/cluster maintainer: kill after batch-0 state lands, restart from checkpoint == all-at-once build") {
+    import spark.implicits._
+    val (b0, b1) = docBatches()
+    val root = Files.createTempDirectory("restart-dedup").toString
+    def tables(r: String) = (s"$r/index", s"$r/pairs", s"$r/shingles",
+      s"$r/labels", s"$r/buckets", s"$r/remap", s"$r/docs")
+    val (idxT, prT, shT, lbT, bkT, rmT, docT) = tables(root)
+    val src = Files.createTempDirectory("restart-dedup-src").toString
+    b0.toDF("doc_id", "text").write.json(s"$src/b0")
+    b1.toDF("doc_id", "text").write.json(s"$src/b1")
+
+    killThenRestart(src, s"$root/chk",
+      b => Streams.maintainDedupState(b, idxT, prT, shT, lbT, bkT, rmT, docT),
+      s => Streams.dedupStateStream(s, idxT, prT, shT, lbT, bkT, rmT, docT,
+        checkpoint = Some(s"$root/chk")))
+
+    val root2 = Files.createTempDirectory("restart-dedup-ref").toString
+    val (idxR, prR, shR, lbR, bkR, rmR, docR) = tables(root2)
+    Streams.maintainDedupState((b0 ++ b1).toDF("doc_id", "text"),
+      idxR, prR, shR, lbR, bkR, rmR, docR)
+    def snap(lb: String, rm: String) = Streams.clusterSnapshot(spark, lb, rm)
+      .collect().map(_.toSeq.toList).toSet
+    assert(snap(lbT, rmT) == snap(lbR, rmR),
+      "restarted maintainer's cluster snapshot != all-at-once build")
+    // raw pair log, dedup'd at read — the documented redelivery seam
+    def pairs(pt: String) = spark.read.parquet(pt)
+      .select($"d1", $"d2").distinct()
+      .collect().map(_.toSeq.toList).toSet
+    assert(pairs(prT) == pairs(prR),
+      "restarted maintainer's dup pairs != all-at-once build")
+    assert(spark.read.parquet(docT).select("doc_id").distinct().count() == 60)
+  }
+}
