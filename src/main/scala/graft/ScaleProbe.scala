@@ -162,8 +162,11 @@ object ScaleProbe {
     val kernelsOnly = args.lift(2).contains("kernels")
     // "skew" runs ONLY the skewed-hot-key join rows at the end (they are
     // the newest and by far the cheapest kernel block — an iteration
-    // mode, like only= for gates)
+    // mode, like only= for gates); "repair" runs ONLY the split-repair
+    // rows (they build their own standing dedup state, which no other
+    // block shares)
     val skewOnly = args.lift(2).contains("skew")
+    val repairOnly = args.lift(2).contains("repair")
     val only: Option[Set[String]] = args.lift(2)
       .filter(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").filter(_.nonEmpty).toSet)
@@ -191,7 +194,8 @@ object ScaleProbe {
       "pp16_incremental_mix",
       "pp09_incremental_containment", "dd11_containment",
       "dd13_containment_index", "pp12_incremental_containment_index",
-      "vs04_ann_lsh", "vs06_ivf_search", "vs12_range_search", "vs13_knn_graph",
+      "vs04_ann_lsh", "vs26_ann_lsh_auto",
+      "vs06_ivf_search", "vs12_range_search", "vs13_knn_graph",
       "vs14_knn_graph_probe2",
       "vs07_kmeans_step",
       "vs11_kmeans_rebuild",
@@ -250,6 +254,69 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       dt
     }
+    // repairClusterSplits' component-local cost bound, measured (the
+    // run-rarely exact split repair): the SAME fixed 500-doc forget set
+    // (base-replica ids — present at both scales, and the replicas share
+    // no shingles, so the touched components are IDENTICAL at both
+    // scales) against a standing dedup state built over sf0.1 and over
+    // the 10× corpus. The claim under test: repair work is bounded by
+    // the touched components' size, never the corpus — its row should
+    // stay ~flat across the 10× while the from-scratch recluster of the
+    // survivors (the O(corpus) alternative a deployment would otherwise
+    // run) grows with the table. Repair is timed once per scale against
+    // fresh state (a re-run is a no-op by design — nothing left to
+    // repair); the recluster row is min-of-3 on the same survivors.
+    if (repairOnly) {
+      import graft.streaming.Streams
+      def row(dir: String): (Double, Double) = {
+        val root = java.nio.file.Files.createTempDirectory("repair-probe").toString
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        Streams.maintainDedupState(docs, s"$root/index", s"$root/pairs",
+          s"$root/shingles", s"$root/labels", s"$root/buckets",
+          s"$root/remap", s"$root/docs")
+        val ids = docs
+          .filter(pmod(col("doc_id"), lit(120L)) === 0L && col("doc_id") < 10000000L)
+          .select(col("doc_id")).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        Streams.repairClusterSplits(spark, ids, s"$root/index",
+          s"$root/labels", s"$root/buckets", s"$root/remap")
+        val rt = (System.nanoTime() - t0) / 1e9
+        val survivors = docs.join(ids, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        def once(): Double = {
+          val t = System.nanoTime()
+          graft.queries.TextOps.dupClusters(survivors)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        once() // warm
+        val ft = (1 to 3).map(_ => once()).min
+        // the TRUE deployment alternative: rebuild the standing state
+        // from scratch over the survivors (what ForgetStateSpec equates
+        // the repair against) — ingest into fresh tables, writes included
+        val root2 = java.nio.file.Files.createTempDirectory("repair-ref").toString
+        val t1 = System.nanoTime()
+        Streams.maintainDedupState(survivors, s"$root2/index", s"$root2/pairs",
+          s"$root2/shingles", s"$root2/labels", s"$root2/buckets",
+          s"$root2/remap", s"$root2/docs")
+        val it = (System.nanoTime() - t1) / 1e9
+        // blanket block sweep only once the row's frames are all spent —
+        // a mid-row sweep would destroy ids'/survivors' checkpoint blocks
+        // while still referenced (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (rt, ft, it)
+      }
+      val (r1, f1, i1) = row(sf01) // sf0.1 first: its run is also the JIT warm
+      val (r2, f2, i2) = row(work)
+      println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
+      println("|---|---|---|---|---|")
+      println(f"| split repair @ fixed 500-doc forget | $r1%.2f | $r2%.2f | ${r2 / r1}%.2f | ${math.log10(r2 / r1)}%.2f |")
+      println(f"| dd06 recluster kernel over survivors (no writes) | $f1%.2f | $f2%.2f | ${f2 / f1}%.2f | ${math.log10(f2 / f1)}%.2f |")
+      println(f"| from-scratch state ingest of survivors | $i1%.2f | $i2%.2f | ${i2 / i1}%.2f | ${math.log10(i2 / i1)}%.2f |")
+      spark.stop(); return
+    }
+
     // warm both scales once so codegen/JIT lands outside the measurement
     if (!kernelsOnly && !skewOnly) {
       val sweep = only.map(o => gates.filter(o)).getOrElse(gates)
@@ -444,6 +511,29 @@ object ScaleProbe {
       val a = (1 to 3).map(_ => vs04At(sf01, Some(256))).min
       val b = (1 to 3).map(_ => vs04At(work, Some(256))).min
       println(f"| vs04 kernel @ maxBucket 256 (hot-bucket cap) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
+
+      // the WIDTH rule beside the cap (vs26's production shape): bits
+      // grows with the corpus — Ann.autoBits holds the EXPECTED bucket
+      // at targetBucket (16 → 7 bits at sf0.1, 11 at 10×), so the
+      // per-query probe volume stays flat structurally instead of being
+      // clipped by the cap after the fact; the residual growth is the
+      // candidate hashing scan (now over more planes), the same term as
+      // the capped row's
+      def vs04AutoAt(dir: String): Double = {
+        val t0 = System.nanoTime()
+        val e = graft.Tables.embeddings(spark, dir)
+        val bits = Ann.autoBits(e.count(), targetBucket = 16L)
+        Ann.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+            k = 5, bits = bits, tables = 8)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }
+      vs04AutoAt(sf01); vs04AutoAt(work) // warm
+      val aa = (1 to 3).map(_ => vs04AutoAt(sf01)).min
+      val bb = (1 to 3).map(_ => vs04AutoAt(work)).min
+      println(f"| vs04 kernel @ autoBits target 16 (width rule) | $aa%.2f | $bb%.2f | ${bb / aa}%.2f | ${math.log10(bb / aa)}%.2f |")
     }
 
     // pp12's advance kernel in the PRODUCTION regime: fixed-size batch

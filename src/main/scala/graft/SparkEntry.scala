@@ -68,7 +68,10 @@ import graft.queries.Catalog
   *    graft.operators.Multimodal (binary columns, batched codec seam,
   *    frame sampling); vs01 brute-force ANN, vs02 embedding near-dup,
   *    vs03 cluster stats, vs04 LSH ANN (graft.operators.Ann, native
-  *    quantized_dot codegen expression, md5-derived integer hyperplanes),
+  *    quantized_dot codegen expression, md5-derived integer hyperplanes)
+  *    + vs26 its auto-WIDTH variant (bits = ceil-log2 of ceil(N/target)
+  *    via Ann.autoBits — the expected bucket held constant as the corpus
+  *    grows; oracle replays the integer bit count),
   *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids),
   *    vs08 product-quantization ANN (8×64 codebook encode +
   *    asymmetric-distance table lookups — the vector-compression scale

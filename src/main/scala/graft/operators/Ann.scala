@@ -66,6 +66,31 @@ object Ann {
       s"$table:$bit:$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
       2000001L - 1000000L
 
+  /** Production LSH WIDTH sizing — [[graft.queries.VectorOps.autoNlist]]'s
+    * analog for the hyperplane count: at fixed `bits`, each table has
+    * 2^bits buckets and the EXPECTED bucket holds n / 2^bits members, so
+    * a growing corpus grows every bucket linearly and the per-query probe
+    * cost (Σ_table |its bucket|) with it — the same structural fact as a
+    * fixed coarse quantizer's Σ|cell|² growth. Holding the target bucket
+    * size constant — bits = ⌈log₂⌈n / targetBucket⌉⌉ — keeps the expected
+    * bucket (and with it probe cost and the [[lshTopK]] cap's bite) flat
+    * as n grows. Integer-exact on purpose: the smallest b with
+    * 2^b ≥ ⌈n / targetBucket⌉, counted with shifts — an ln-based log2
+    * misrounds at exact powers of two, and a gate oracle must replay the
+    * same integer arithmetic cross-engine. Clamps: ≥ 1 (a 0-bit table is
+    * one all-pairs bucket), ≤ `maxBits` (the plane matrix is a
+    * driver-side literal of tables × bits × dim longs — a broadcast
+    * budget, like autoNlist's maxNlist). */
+  def autoBits(n: Long, targetBucket: Long = 4096L, maxBits: Int = 24): Int = {
+    require(targetBucket > 0L,
+      s"autoBits: targetBucket must be positive, got $targetBucket")
+    require(maxBits > 0, s"autoBits: maxBits must be positive, got $maxBits")
+    val nn = math.max(0L, n)
+    val cells = nn / targetBucket + (if (nn % targetBucket == 0L) 0L else 1L)
+    val b = (0 until 62).count(j => (1L << j) < cells)
+    math.min(math.max(b, 1), maxBits)
+  }
+
   /** Sign-bit bucket id of a quantized vector under `bits` hyperplanes of
     * one table. The plane matrix is a driver-computed literal (tables ×
     * bits × dim longs — a few KiB), so per row the work is `bits` fused

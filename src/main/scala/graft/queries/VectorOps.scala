@@ -145,6 +145,48 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** vs26 — vs04 under the production WIDTH rule
+    * ([[graft.operators.Ann.autoBits]]): bits = ⌈log₂⌈N / targetBucket⌉⌉
+    * (targetBucket 16 at gate scale → 5 bits over the 500-row table, vs
+    * the fixed gate's 4), so the expected bucket — and with it per-query
+    * probe cost — stays constant as the corpus grows, the same sizing
+    * discipline as the autoNlist family (vs23-vs25/dd16/pp36). vs04
+    * stays in the catalog as the fixed-width contrast gate. The oracle
+    * derives the SAME bit count from COUNT(*) with the SAME integer
+    * shift-count arithmetic — no float log2 on either side. */
+  private def vs26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val bits = graft.operators.Ann.autoBits(e.count(), targetBucket = 16L)
+    graft.operators.Ann.lshTopK(
+      e.filter($"vec_id" < 10), e, "vec_id", "embedding", k = 5,
+      bits = bits, tables = 8)
+      .orderBy($"query_id", $"rank")
+  }
+  private val vs26Sql = {
+    def m(t: String, b: String, d: String) =
+      s"((list_sum([(strpos('0123456789abcdef', substr(md5($t || ':' || $b || ':' || $d), j, 1)) - 1) " +
+        s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)])) % 2000001 - 1000000)"
+    val proj = s"list_sum([q[i] * ${m("CAST(t AS VARCHAR)", "CAST(bb AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")} for i in range(1, len(q) + 1)])"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |c AS (SELECT COUNT(*) // 16 + CASE WHEN COUNT(*) % 16 = 0 THEN 0 ELSE 1 END AS cells FROM embeddings),
+       |bits AS (SELECT LEAST(GREATEST((SELECT COUNT(*) FROM range(0, 62) t(j), c WHERE CAST(power(2, j) AS BIGINT) < c.cells), 1), 24) AS b),
+       |tb AS (SELECT vec_id, q, nrm, b, unnest(range(0, 8)) AS t FROM n, bits),
+       |bk AS (SELECT vec_id, q, nrm, t,
+       |    list_sum([CASE WHEN $proj >= 0 THEN CAST(power(2, bb) AS BIGINT) ELSE 0 END
+       |              for bb in range(0, b)]) AS bucket
+       |  FROM tb),
+       |p AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+       |  WHERE x.vec_id < 10 AND x.vec_id <> y.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** vs05 — IVF centroid pass: per-(label, dimension) exact integer sums
     * of the quantized vectors (sum/n IS the centroid; the sum is the
     * exact, order-independent part so that's what the gate pins).
@@ -2439,6 +2481,7 @@ object VectorOps {
     Q("vs02_embedding_neardup", "label-blocked near-dup pairs (IVF-style)", vs02, Some(vs02Sql)),
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
+    Q("vs26_ann_lsh_auto", "vs04 under the production width rule: bits = ceil(log2(ceil(N/targetBucket))) so the expected bucket stays constant as the corpus grows; oracle replays the integer bit count", vs26, Some(vs26Sql)),
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs12_range_search", "threshold retrieval: all probed candidates with cosine >= tau, match-sized output (no top-k)", vs12, Some(vs12Sql)),

@@ -3801,28 +3801,45 @@ object Streams {
 
   /** [[forgetTfState]] with the tok-bucketed serving projection: the
     * doc-bucketed tables prune to the ids' pt buckets as before; the
-    * tok-bucketed copy CANNOT prune by doc (its buckets are token
-    * hashes — the layout trade its Scaladoc states), so its rewrite is
-    * one O(table) anti-join over every live bucket — the exact-deletion
-    * class at the run-rarely cost, atomic per partition like every
-    * rewrite here. Order: projections first, tombstone swap LAST. */
+    * tok-bucketed copy cannot prune by DOC — but it can prune by the
+    * forgotten docs' TOKENS: their tf rows (read pt-pruned from the
+    * doc-bucketed source of truth, BEFORE it shrinks — the same
+    * derive-from-the-table-that-still-has-it crash discipline as
+    * [[forgetDedupState]]'s ghost buckets) name exactly the `tb=`
+    * buckets that can hold a forgotten row, because both projections
+    * append from the SAME batch tokenize, so the tf table's (doc, tok)
+    * pairs always cover the projection's. Only those buckets are read
+    * or rewritten — work bounded by the buckets the forgotten tokens
+    * select, not the table (a doc whose tokens span all
+    * [[TOK_TF_BUCKETS]] buckets degrades to the old full rewrite —
+    * the honest worst case). Order: tok projection first (its tb set
+    * derives from tf rows the tf deletion destroys), then the
+    * doc-bucketed deletions, tombstone swap LAST; a crash anywhere
+    * re-runs to convergence (each step is idempotent and its inputs
+    * survive until the step after it). */
   def forgetTfState(spark: SparkSession, ids: DataFrame, tfTable: String,
       dlTable: String, tokTfTable: String, docTable: String): Unit = {
     val idsC = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     val pts = forgottenPts(idsC)
-    deleteDocPartitioned(spark, idsC, pts, dlTable, Seq("dl"))
-    deleteDocPartitioned(spark, idsC, pts, tfTable, Seq("tok", "tf"))
+    graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
     graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
-    tryRead(spark, tokTfTable).foreach { t0 =>
-      val t = t0.localCheckpoint(true)
-      val tbs = t.select(col("tb").cast("long")).distinct()
+    migrateDocBucketed(spark, tfTable) // a flat legacy table has no pt to prune
+    val touchedTbs = tryRead(spark, tfTable).map { tf =>
+      tf.filter(col("pt").isin(pts: _*))
+        .join(idsC, Seq("doc_id"), "left_semi")
+        .select(tokBucket(col("tok")).cast("long").as("tb")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq // ≤ TOK_TF_BUCKETS
+    }.getOrElse(IndexedSeq.empty)
+    if (touchedTbs.nonEmpty) tryRead(spark, tokTfTable).foreach { t0 =>
+      val t = t0.filter(col("tb").isin(touchedTbs: _*)).localCheckpoint(true)
       graft.operators.MergeWriter.overwritePartitionsAtomic(
         t.join(idsC, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("tok"), col("tf"),
             col("tb").cast("long").as("tb")),
-        tokTfTable, "tb", tbs)
+        tokTfTable, "tb", touchedTbs)
     }
+    deleteDocPartitioned(spark, idsC, pts, dlTable, Seq("dl"))
+    deleteDocPartitioned(spark, idsC, pts, tfTable, Seq("tok", "tf"))
     val store = tryRead(spark, docTable).map(_.localCheckpoint(true))
     tombstoneSwap(store, idsC, docTable, "text")
   }

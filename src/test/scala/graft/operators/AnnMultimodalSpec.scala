@@ -99,6 +99,30 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert((t0 ++ t1).size > t0.size)
   }
 
+  test("autoBits: integer-exact width rule — expected bucket held at targetBucket, clamps enforced") {
+    import graft.operators.Ann.autoBits
+    // smallest b with 2^b >= ceil(n/target); floor at 1, ceiling at maxBits
+    assert(autoBits(500L, 16L) == 5)     // ceil(500/16)=32 -> 5 (exact power)
+    assert(autoBits(2000L, 16L) == 7)    // 125 -> 7
+    assert(autoBits(20000L, 16L) == 11)  // 1250 -> 11
+    assert(autoBits(0L, 16L) == 1)       // empty corpus: floor clamp
+    assert(autoBits(1L, 4096L) == 1)
+    assert(autoBits(Long.MaxValue, 1L) == 24, "maxBits clamp")
+    assert(autoBits(Long.MaxValue, 1L, maxBits = 30) == 30)
+    // doubling the corpus adds at most one bit: the expected bucket
+    // n / 2^bits stays in [target/2, target] — the flat-probe-cost claim
+    for (n <- Seq(100L, 1000L, 10000L, 100000L); t <- Seq(16L, 256L)) {
+      val b = autoBits(n, t)
+      if (b > 1 && b < 24) {
+        val expected = n.toDouble / (1L << b)
+        assert(expected <= t, s"n=$n t=$t bits=$b bucket $expected > target")
+        assert(expected > t / 2.0 || n <= t,
+          s"n=$n t=$t bits=$b bucket $expected — a bit too wide")
+      }
+    }
+    intercept[IllegalArgumentException](autoBits(10L, 0L))
+  }
+
   test("multimodal decode attaches typed metadata and features, isolates bad rows") {
     import spark.implicits._
     val df = Seq(

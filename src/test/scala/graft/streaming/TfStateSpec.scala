@@ -212,6 +212,60 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
       .filter($"count" > 1).isEmpty, "duplicate rows survived tok compaction")
   }
 
+  test("tok-projection forget is BUCKET-LOCAL: only the tb= buckets the forgotten doc's tokens select rewrite; result == fresh projection over survivors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def df(b: Seq[(Long, String)]) = b.toDF("doc_id", "text")
+    val root = Files.createTempDirectory("tf-tok-local").toString
+    val (tfT, dlT, tokT, docT) = (s"$root/tf", s"$root/dl", s"$root/tok", s"$root/docs")
+    for (b <- Seq(all.take(150), all.drop(150)))
+      Streams.maintainTfState(df(b), tfT, dlT, tokT, docT)
+
+    def inventory(): Map[String, Set[(String, Long, Long)]] = {
+      val base = new java.io.File(tokT)
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("tb="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet
+        }.toMap
+    }
+    val before = inventory()
+
+    // victim: the doc with the FEWEST distinct tokens — the most
+    // selective prune this corpus offers (and the pin that it IS a
+    // prune: its buckets must be a strict subset of the live ones)
+    val victim = spark.read.parquet(tfT).groupBy($"doc_id")
+      .agg(countDistinct($"tok").as("nt")).orderBy($"nt", $"doc_id")
+      .head().getLong(0)
+    val expectedTbs = spark.read.parquet(tfT).filter($"doc_id" === victim)
+      .select(Streams.tokBucket($"tok").cast("long").as("tb"))
+      .distinct().collect().map(r => s"tb=${r.getLong(0)}").toSet
+    assert(expectedTbs.nonEmpty && expectedTbs.size < before.size,
+      s"victim $victim touches ${expectedTbs.size} of ${before.size} buckets — prune pin vacuous")
+
+    Streams.forgetTfState(spark, Seq(victim).toDF("doc_id"),
+      tfT, dlT, tokT, docT)
+    val after = inventory()
+    before.keys.filterNot(expectedTbs).foreach { d =>
+      assert(after(d) == before(d),
+        s"untouched tok bucket $d rewritten by a single-doc forget")
+    }
+    expectedTbs.foreach { d =>
+      assert(after(d) != before(d), s"victim's tok bucket $d not rewritten")
+    }
+    // the surviving projection equals a fresh one over the survivors
+    val got = spark.read.parquet(tokT)
+      .select($"doc_id", $"tok", $"tf").distinct()
+      .collect().map(_.toSeq.toList).toSet
+    val want = graft.queries.TextOps.tfRollup(df(all.filter(_._1 != victim)))
+      .select($"doc_id", $"tok", $"tf")
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, "bucket-local forget drifted from a fresh projection")
+  }
+
   test("forgetTfState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
