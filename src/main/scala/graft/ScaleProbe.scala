@@ -268,7 +268,7 @@ object ScaleProbe {
     // repair); the recluster row is min-of-3 on the same survivors.
     if (repairOnly) {
       import graft.streaming.Streams
-      def row(dir: String): (Double, Double) = {
+      def row(dir: String): (Double, Double, Double) = {
         val root = java.nio.file.Files.createTempDirectory("repair-probe").toString
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
