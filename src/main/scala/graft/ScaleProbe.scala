@@ -512,28 +512,35 @@ object ScaleProbe {
       val b = (1 to 3).map(_ => vs04At(work, Some(256))).min
       println(f"| vs04 kernel @ maxBucket 256 (hot-bucket cap) | $a%.2f | $b%.2f | ${b / a}%.2f | ${math.log10(b / a)}%.2f |")
 
-      // the WIDTH rule beside the cap (vs26's production shape): bits
-      // grows with the corpus — Ann.autoBits holds the EXPECTED bucket
-      // at targetBucket (16 → 7 bits at sf0.1, 11 at 10×), so the
-      // per-query probe volume stays flat structurally instead of being
-      // clipped by the cap after the fact; the residual growth is the
-      // candidate hashing scan (now over more planes), the same term as
-      // the capped row's
-      def vs04AutoAt(dir: String): Double = {
+      // the WIDTH rule (vs26's production shape) in the regime it exists
+      // for: LSH cost is hashing (N × tables × bits) + probing
+      // (Q × tables × N / 2^bits). The GATE's Q = 10 is hashing-dominated
+      // — there the extra planes only cost (the vs26 gate row measures
+      // that honestly) — but a production search workload is query-heavy
+      // (near-dup sweeps probe with EVERY row), where the probe term is
+      // the one that scales. At Q = 1000, fixed 4 bits leaves the probe
+      // term ∝ Q·N/16 (linear in the corpus, quadratic when Q ∝ N);
+      // autoBits holds the expected bucket at 16, so the probe term
+      // stays ∝ Q·target flat and only the N·bits hashing grows.
+      def vs04QAt(dir: String, auto: Boolean): Double = {
         val t0 = System.nanoTime()
         val e = graft.Tables.embeddings(spark, dir)
-        val bits = Ann.autoBits(e.count(), targetBucket = 16L)
-        Ann.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        val bits = if (auto) Ann.autoBits(e.count(), targetBucket = 16L) else 4
+        Ann.lshTopK(e.filter(col("vec_id") < 1000), e, "vec_id", "embedding",
             k = 5, bits = bits, tables = 8)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
-      vs04AutoAt(sf01); vs04AutoAt(work) // warm
-      val aa = (1 to 3).map(_ => vs04AutoAt(sf01)).min
-      val bb = (1 to 3).map(_ => vs04AutoAt(work)).min
-      println(f"| vs04 kernel @ autoBits target 16 (width rule) | $aa%.2f | $bb%.2f | ${bb / aa}%.2f | ${math.log10(bb / aa)}%.2f |")
+      for (auto <- Seq(false, true)) {
+        vs04QAt(sf01, auto); vs04QAt(work, auto) // warm
+        val aa = (1 to 3).map(_ => vs04QAt(sf01, auto)).min
+        val bb = (1 to 3).map(_ => vs04QAt(work, auto)).min
+        val label = if (auto) "vs04 kernel @ Q=1000, autoBits target 16"
+                    else "vs04 kernel @ Q=1000, fixed 4 bits"
+        println(f"| $label | $aa%.2f | $bb%.2f | ${bb / aa}%.2f | ${math.log10(bb / aa)}%.2f |")
+      }
     }
 
     // pp12's advance kernel in the PRODUCTION regime: fixed-size batch

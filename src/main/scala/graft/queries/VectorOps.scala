@@ -148,12 +148,19 @@ object VectorOps {
   /** vs26 — vs04 under the production WIDTH rule
     * ([[graft.operators.Ann.autoBits]]): bits = ⌈log₂⌈N / targetBucket⌉⌉
     * (targetBucket 16 at gate scale → 5 bits over the 500-row table, vs
-    * the fixed gate's 4), so the expected bucket — and with it per-query
-    * probe cost — stays constant as the corpus grows, the same sizing
-    * discipline as the autoNlist family (vs23-vs25/dd16/pp36). vs04
-    * stays in the catalog as the fixed-width contrast gate. The oracle
-    * derives the SAME bit count from COUNT(*) with the SAME integer
-    * shift-count arithmetic — no float log2 on either side. */
+    * the fixed gate's 4), so the expected bucket — and with it the
+    * per-query PROBE term Q × tables × N/2^bits — stays constant as the
+    * corpus grows, the autoNlist discipline (vs23-vs25/dd16/pp36)
+    * applied to the LSH side. Regime, stated honestly (ScaleProbe
+    * round-17): at this gate's Q = 10 the HASHING term N × tables × bits
+    * dominates and the extra planes only cost (measured 0.85 vs the
+    * fixed gate's 0.56 exponent at 10×); the rule pays in query-heavy
+    * search — the near-dup sweep shape, Q ∝ N — where fixed bits leave
+    * the probe term quadratic (the Q = 1000 kernel rows). The gate's job
+    * is pinning the integer bit-count arithmetic cross-engine: the
+    * oracle derives the SAME count from COUNT(*) with the SAME
+    * shift-count log2 — no float log2 on either side. vs04 stays in the
+    * catalog as the fixed-width contrast gate. */
   private def vs26(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)
