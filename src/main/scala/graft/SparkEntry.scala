@@ -71,7 +71,11 @@ import graft.queries.Catalog
   *    quantized_dot codegen expression, md5-derived integer hyperplanes)
   *    + vs26 its auto-WIDTH variant (bits = ceil-log2 of ceil(N/target)
   *    via Ann.autoBits — the expected bucket held constant as the corpus
-  *    grows; oracle replays the integer bit count),
+  *    grows; oracle replays the integer bit count) + pp38 its
+  *    incremental twin (maintained LSH serving index: standing rows
+  *    advanced by hashing only the batch, id-guarded, width-pinned,
+  *    rebuilt under autoBits, exactly forgettable — Streams
+  *    .maintainLshState family; oracle is vs04's verbatim),
   *    vs05 IVF centroid sums, vs06 IVF ANN search (probe-2 centroids),
   *    vs08 product-quantization ANN (8×64 codebook encode +
   *    asymmetric-distance table lookups — the vector-compression scale

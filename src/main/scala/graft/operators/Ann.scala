@@ -104,6 +104,77 @@ object Ann {
     bitCols.reduce(_ + _)
   }
 
+  /** One pass over the rows: per row compute every table's bucket, then
+    * explode (table, bucket) structs — no N-branch union re-reading and
+    * re-quantizing the input. Shared by the batch kernel ([[lshTopK]])
+    * and the maintained-index halves below. */
+  private def withBuckets(df: DataFrame, vec: String, bits: Int,
+      tables: Int, dim: Int): DataFrame = {
+    val tb = (0 until tables).map(t =>
+      struct(lit(t).as("table"), bucketOf(col(vec), t, bits, dim).as("bucket")))
+    df.withColumn("__tb", explode(array(tb: _*)))
+      .withColumn("table", col("__tb.table"))
+      .withColumn("bucket", col("__tb.bucket"))
+      .drop("__tb")
+  }
+
+  /** The standing rows of a MAINTAINED LSH index (pp38): every candidate
+    * hashed once per table under a FIXED (bits, tables) geometry —
+    * (table, bucket, neighbor_id, cq, cn, dim). Hashing is row-local, so
+    * an index over any partition of the corpus unions to the index over
+    * the whole corpus — the additivity the incremental maintainer rides.
+    * `dim` rides every row because the plane matrix is a pure function
+    * of (table, bit, dim-index): an advance whose batch width disagrees
+    * with the standing rows would silently bucket under a DIFFERENT
+    * matrix ([[graft.streaming.Streams.maintainLshState]] requires
+    * equality). Zero-norm vectors never index (unsearchable under
+    * cosine — vs04's contract). */
+  def lshIndexRows(candidates: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int): DataFrame = {
+    val c0 = withNorm(candidates, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__q").as("cq"), col("__nrm").as("cn"))
+    val dimRow = candidates.agg(max(size(col(vecCol)))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else math.max(dimRow.getInt(0), 0)
+    withBuckets(c0, "cq", bits, tables, dim)
+      .select(col("table"), col("bucket"), col("neighbor_id"), col("cq"),
+        col("cn"), lit(dim).as("dim"))
+  }
+
+  /** Re-hash ALREADY-QUANTIZED index members under a new width — the
+    * rebuild path ([[graft.streaming.Streams.rebuildLshState]]): the
+    * same plane expressions as ingest over the stored cq (no
+    * re-quantization), emitting [[lshIndexRows]]' shape. */
+  def rehashIndexRows(members: DataFrame, bits: Int, tables: Int,
+      dim: Int): DataFrame =
+    withBuckets(members, "cq", bits, tables, dim)
+      .select(col("table"), col("bucket"), col("neighbor_id"), col("cq"),
+        col("cn"), lit(dim).as("dim"))
+
+  /** Probe a maintained LSH index: the query half of [[lshTopK]] over
+    * standing [[lshIndexRows]] — same plane matrix (dim read from the
+    * index rows), same per-pair dedup, same bounded-buffer rank merge,
+    * so probing an index over everything-arrived equals the batch kernel
+    * row-for-row (pp38's oracle is vs04's SQL verbatim). The pair
+    * distinct() doubles as the redelivery seam: duplicate index rows
+    * from a replayed append produce byte-identical (query, neighbor,
+    * cos) rows, which it collapses. */
+  def probeLshIndex(queries: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int, tables: Int): DataFrame = {
+    val q0 = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("qq"), col("__nrm").as("qn"))
+    val dimRow = index.agg(max(col("dim"))).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else math.max(dimRow.getInt(0), 0)
+    val qb = withBuckets(q0, "qq", bits, tables, dim)
+    val paired = qb.join(index, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotQ(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+      .distinct()
+    GroupedTopK.topK(paired, "query_id", "cos", "neighbor_id", k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("v").as("cos"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: candidates hashed once per table; queries probe
     * their bucket in every table; per-query dedup + rank merges tables.
     * recall < 1 by construction; raise `tables` (probes) or lower `bits`
@@ -145,20 +216,8 @@ object Ann {
     val dimRow = candidates.agg(max(size(col(vecCol)))).head()
     val dim = if (dimRow.isNullAt(0)) 0 else math.max(dimRow.getInt(0), 0)
 
-    // one pass over the rows: per row compute every table's bucket, then
-    // explode (table, bucket) structs — no N-branch union re-reading and
-    // re-quantizing the input
-    def buckets(df: DataFrame, vec: String): DataFrame = {
-      val tb = (0 until tables).map(t =>
-        struct(lit(t).as("table"), bucketOf(col(vec), t, bits, dim).as("bucket")))
-      df.withColumn("__tb", explode(array(tb: _*)))
-        .withColumn("table", col("__tb.table"))
-        .withColumn("bucket", col("__tb.bucket"))
-        .drop("__tb")
-    }
-
-    val qb = buckets(q0, "qq")
-    val cb0 = buckets(c0, "cq")
+    val qb = withBuckets(q0, "qq", bits, tables, dim)
+    val cb0 = withBuckets(c0, "cq", bits, tables, dim)
     val cb = maxBucket match {
       case None => cb0
       case Some(cap) =>

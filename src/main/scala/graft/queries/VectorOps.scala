@@ -713,6 +713,33 @@ object VectorOps {
     ivfSearch(postings, queries, cents, nProbe = 2, k = 3)
   }
 
+  /** pp38 — INCREMENTAL LSH-index maintenance, vs04's continuous twin
+    * (pp05's pattern on the hash side): the standing index advances by
+    * hashing ONLY the batch — hashing is row-local, so
+    * standing ∪ batch-index == whole-corpus index — and the maintained
+    * index serves the query through the SAME probe kernel. Result must
+    * equal vs04 over the full table; the oracle is vs04's verbatim.
+    * The production loop (id guard, width pin, rebuild under
+    * [[graft.operators.Ann.autoBits]], exact forget) is
+    * [[graft.streaming.Streams.maintainLshState]], spec-pinned in
+    * LshStateSpec. */
+  private def pp38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val isNew = QueryUtils.hex8(concat(lit("lsh:"), $"vec_id".cast("string"))) % 5 === 0
+    // the standing index rows (persisted in production — derived
+    // in-gate, materialized as the stand-in)
+    val standing = graft.operators.Ann.lshIndexRows(
+      e.filter(!isNew), "vec_id", "embedding", bits = 4, tables = 8)
+      .localCheckpoint(true)
+    // the advance: hash ONLY the increment, append
+    val index = standing.unionByName(graft.operators.Ann.lshIndexRows(
+      e.filter(isNew), "vec_id", "embedding", bits = 4, tables = 8))
+    graft.operators.Ann.probeLshIndex(e.filter($"vec_id" < 10), index,
+      "vec_id", "embedding", k = 5, bits = 4, tables = 8)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** SemDedup drop-list kernel: within each IVF cell, a vector is DROPPED
     * when some smaller-id vector in the same cell has quantized cosine
     * ≥ tau with it (the standard keep-lowest-id tie-break — deterministic,
@@ -2489,6 +2516,7 @@ object VectorOps {
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
     Q("vs26_ann_lsh_auto", "vs04 under the production width rule: bits = ceil(log2(ceil(N/targetBucket))) so the expected bucket stays constant as the corpus grows; oracle replays the integer bit count", vs26, Some(vs26Sql)),
+    Q("pp38_incremental_lsh", "incremental LSH-index maintenance: standing index advanced by hashing only the batch (row-local additivity), maintained index serves the query — equals vs04 over the full table, oracle verbatim", pp38, Some(vs04Sql)),
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
     Q("vs12_range_search", "threshold retrieval: all probed candidates with cosine >= tau, match-sized output (no top-k)", vs12, Some(vs12Sql)),

@@ -1487,6 +1487,120 @@ object Streams {
     startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
         maintainKnnGraphState(b, cents, postingsTable, graphTable, k))
 
+  /** pp38's continuous loop: CONTINUOUS LSH-index maintenance — the
+    * serving index behind vs04, kept current as vectors arrive
+    * ([[maintainIvfState]]'s sibling with the hash-bucket geometry in
+    * place of the coarse quantizer). One standing table: `idxTable`,
+    * [[graft.operators.Ann.lshIndexRows]]' shape (table, bucket,
+    * neighbor_id, cq, cn, dim), which doubles as the ID GUARD — an
+    * arriving vec_id that already has index rows is dropped; the guard
+    * is per-ID, so a crashed partial append heals id-by-id on replay
+    * (the same at-least-once seam as every appending maintainer),
+    * closed at read by [[graft.operators.Ann.probeLshIndex]]'s pair
+    * dedup: a duplicated index row scores to a byte-identical
+    * (query, neighbor, cos) row, which the probe's distinct()
+    * collapses. The geometry (bits, tables) is FIXED like the IVF
+    * quantizer — [[graft.operators.Ann.autoBits]] sizes the width at
+    * build time; re-sizing as the corpus grows is a REBUILD (re-hash
+    * the standing vectors under the new width, swap atomically), not
+    * an advance — and the advance REQUIRES the batch's embedding width
+    * to match the standing rows' (the plane matrix is a pure function
+    * of (table, bit, dim-index); a disagreeing width would silently
+    * bucket under a different matrix). Zero-norm arrivals never index
+    * (unsearchable under cosine, vs04's contract): they stay "fresh"
+    * to every advance and are re-dropped — wasted batch rows, never
+    * corruption. Advance cost: O(batch × tables) hashing + the guard
+    * anti-join; no standing read beyond the guard. */
+  def maintainLshState(batch: DataFrame, bits: Int, tables: Int,
+      idxTable: String): Unit = {
+    val spark = batch.sparkSession
+    val standing = tryRead(spark, idxTable)
+    val fresh = standing match {
+      case Some(st) => batch.join(
+        st.select(col("neighbor_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      case None => batch
+    }
+    val rows = graft.operators.Ann.lshIndexRows(fresh, "vec_id", "embedding",
+      bits, tables).localCheckpoint(true)
+    if (rows.isEmpty) return
+    standing.foreach { st =>
+      val sd = st.select(col("dim")).head(1)
+      val bd = rows.select(col("dim")).head(1)
+      if (sd.nonEmpty && bd.nonEmpty)
+        require(sd(0).getInt(0) == bd(0).getInt(0),
+          s"maintainLshState: batch dim ${bd(0).getInt(0)} != standing dim " +
+            s"${sd(0).getInt(0)} at $idxTable — a width change is a rebuild, not an advance")
+    }
+    rows.write.mode("append").parquet(idxTable)
+  }
+
+  /** [[maintainLshState]] as a foreachBatch sink over a (vec_id,
+    * embedding) stream. */
+  def lshStateStream(vecs: DataFrame, bits: Int, tables: Int,
+      idxTable: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
+        maintainLshState(b, bits, tables, idxTable))
+
+  /** vs04 over the maintained index: the current top-k for `queries`
+    * under everything arrived — equals [[graft.operators.Ann.lshTopK]]
+    * over the same corpus (LshStateSpec pins it batch-for-batch);
+    * redelivery duplicates collapse in the probe's pair dedup. */
+  def lshSearchSnapshot(spark: SparkSession, queries: DataFrame,
+      idxTable: String, k: Int, bits: Int, tables: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idx = tryRead(spark, idxTable).getOrElse(emptyDf(spark,
+      "table" -> IntegerType, "bucket" -> LongType, "neighbor_id" -> LongType,
+      "cq" -> ArrayType(LongType), "cn" -> DoubleType, "dim" -> IntegerType))
+    graft.operators.Ann.probeLshIndex(queries, idx, "vec_id", "embedding",
+      k, bits, tables)
+  }
+
+  /** The LSH-index REBUILD — [[rebuildIvfState]]'s sibling for the hash
+    * geometry: re-hash every standing vector under a NEW width (the
+    * [[graft.operators.Ann.autoBits]] the grown corpus calls for) and
+    * swap atomically. The standing rows carry (cq, cn) — the quantized
+    * vectors themselves — so the rebuild needs no second source: one
+    * distinct over the index's members, one hashing pass, one swap.
+    * Between rebuilds the geometry is fixed, exactly like the IVF
+    * quantizer between [[rebuildIvfState]] eras. */
+  def rebuildLshState(spark: SparkSession, newBits: Int, tables: Int,
+      idxTable: String): Unit =
+    tryRead(spark, idxTable).foreach { st0 =>
+      val members = st0.select(col("neighbor_id"), col("cq"), col("cn"),
+          col("dim")).dropDuplicates("neighbor_id")
+        .localCheckpoint(true)
+      val dim = members.select(col("dim")).head(1)
+      if (dim.nonEmpty) {
+        // cq is already quantized: re-hash through the same plane
+        // expressions the ingest used (bucketOf over cq), width newBits
+        val rehashed = graft.operators.Ann.rehashIndexRows(
+          members.select(col("neighbor_id"), col("cq"), col("cn")),
+          newBits, tables, dim(0).getInt(0))
+        graft.operators.MergeWriter.overwriteAtomic(rehashed, idxTable)
+      }
+    }
+
+  /** DELETION PROPAGATION for the LSH index — exact and id-granular:
+    * hashing is row-local, so deleting a forgotten id's rows leaves
+    * precisely the index a from-scratch build over the survivors
+    * produces (nothing cross-row to repair — the cheapest member of
+    * the vector forget family). The index doubles as the id guard, so
+    * deletion also releases it: redelivery of a forgotten vector
+    * re-indexes it; a deployment that must forward-block pairs the
+    * index with a tombstoning doc store (the dedup family's
+    * [[forgetDedupState]] pattern). */
+  def forgetLshState(spark: SparkSession, ids: DataFrame,
+      idxTable: String): Unit =
+    tryRead(spark, idxTable).foreach { t0 =>
+      val t = t0.localCheckpoint(true)
+      val idsC = ids.select(col("vec_id").as("neighbor_id")).distinct()
+      graft.operators.MergeWriter.overwriteAtomic(
+        t.join(idsC, Seq("neighbor_id"), "left_anti")
+          .select(t0.columns.map(col).toIndexedSeq: _*), idxTable)
+    }
+
   /** DELETION PROPAGATION — the right-to-be-forgotten job every
     * production training-data pipeline needs and most engines bolt on
     * late: given a set of vector ids, leave the whole maintained vector
@@ -3564,9 +3678,11 @@ object Streams {
     * (a batch's rows scatter across tok buckets, but their VOLUME is
     * the batch's). The doc-bucketed tf table stays the SOURCE OF TRUTH
     * (deletion-friendly: forgets prune to the ids' pt buckets); the
-    * tok-bucketed copy is a derived projection whose forget is an
-    * O(table) rewrite (its buckets cannot prune by doc — the classic
-    * layout trade, each table bucketed for ITS access path). */
+    * tok-bucketed copy is a derived projection whose buckets cannot
+    * prune by doc, but whose forget is still BUCKET-LOCAL: the
+    * forgotten docs' tokens (read pt-pruned from the tf table) name the
+    * `tb=` buckets that can hold a forgotten row — see the tok overload
+    * of [[forgetTfState]]. */
   def maintainTfState(batch: DataFrame, tfTable: String, dlTable: String,
       tokTfTable: String, docTable: String): Unit = {
     val spark = batch.sparkSession
