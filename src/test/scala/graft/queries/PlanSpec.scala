@@ -790,6 +790,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("embedding"), s"exchange ships raw embeddings: $p"))
   }
 
+  test("pp38: maintained LSH index probes on (table, bucket) — never a pair; no cartesian, no window; no raw embeddings shipped") {
+    val d = df("pp38_incremental_lsh")
+    d.collect()
+    val ns = nodes(d)
+    // the probe join must key on the hash bucket (the LSH shuffle-key
+    // contract: N² pair space becomes Σ|bucket|², each table one shuffle)
+    assert(equiJoinKeys(d).exists(k => k.contains("table") && k.contains("bucket")),
+      s"probe join not bucket-keyed: ${equiJoinKeys(d)}")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    // the rank merge is the bounded-buffer aggregator, never a window sort
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    // exchanges carry the quantized cq, never the raw float embedding
+    exchangePayloads(d).foreach(p =>
+      assert(!p.contains("embedding"), s"exchange ships raw embeddings: $p"))
+  }
+
   test("pp10: advance probes via broadcast; pair join keys on cid; no cartesian/window; no raw embeddings shipped") {
     val d = df("pp10_incremental_semdedup")
     d.collect()
