@@ -31,10 +31,10 @@ class MaintainerRestartSpec extends AnyFunSuite with SparkSpec {
     * kill fires inside batch 0's foreachBatch AFTER `maintain` ran. */
   private def killThenRestart(src: String, chk: String,
       maintain: DataFrame => Unit,
-      restart: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
-      : Unit = {
+      restart: DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
+      schema: String = "doc_id LONG, text STRING"): Unit = {
     def stream = spark.readStream
-      .schema("doc_id LONG, text STRING")
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .json(s"$src/*")
     @volatile var killed = false
@@ -83,6 +83,41 @@ class MaintainerRestartSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(sigT).select("doc_id").distinct().count() == 60)
     assert(spark.read.parquet(docT).select("doc_id").distinct().count() == 60,
       "doc-store guard lost or duplicated ids across the kill")
+  }
+
+  test("LSH-index maintainer: kill after batch-0 state lands, restart from checkpoint == batch kernel over all arrived") {
+    import spark.implicits._
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (b0, b1) = (all.take(250), all.drop(250))
+    val root = Files.createTempDirectory("restart-lsh").toString
+    val idxT = s"$root/index"
+    val src = Files.createTempDirectory("restart-lsh-src").toString
+    b0.toSeq.toDF("vec_id", "embedding").write.json(s"$src/b0")
+    b1.toSeq.toDF("vec_id", "embedding").write.json(s"$src/b1")
+
+    killThenRestart(src, s"$root/chk",
+      b => Streams.maintainLshState(b, bits = 4, tables = 8, idxT),
+      s => Streams.lshStateStream(s, bits = 4, tables = 8, idxT,
+        checkpoint = Some(s"$root/chk")),
+      schema = "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    val queries = all.filter(_._1 < 10).toSeq.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect().map(_.toSeq.toList).toList
+    assert(
+      rows(Streams.lshSearchSnapshot(spark, queries, idxT, k = 5, 4, 8)) ==
+      rows(graft.operators.Ann.lshTopK(queries, all.toSeq.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, bits = 4, tables = 8)),
+      "restarted LSH maintainer's snapshot != batch kernel over all arrived")
+    // id coverage == the batch kernel's own index (zero-norm rows never
+    // index on either path, so the counts agree by construction)
+    val wantIds = graft.operators.Ann.lshIndexRows(
+        all.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding", 4, 8)
+      .select($"neighbor_id").distinct().count()
+    assert(spark.read.parquet(idxT).select($"neighbor_id").distinct().count()
+      == wantIds, "guard lost or duplicated ids across the kill")
   }
 
   test("dedup/cluster maintainer: kill after batch-0 state lands, restart from checkpoint == all-at-once build") {
