@@ -120,15 +120,20 @@ object Ann {
 
   /** The standing rows of a MAINTAINED LSH index (pp38): every candidate
     * hashed once per table under a FIXED (bits, tables) geometry —
-    * (table, bucket, neighbor_id, cq, cn, dim). Hashing is row-local, so
-    * an index over any partition of the corpus unions to the index over
-    * the whole corpus — the additivity the incremental maintainer rides.
-    * `dim` rides every row because the plane matrix is a pure function
-    * of (table, bit, dim-index): an advance whose batch width disagrees
-    * with the standing rows would silently bucket under a DIFFERENT
-    * matrix ([[graft.streaming.Streams.maintainLshState]] requires
-    * equality). Zero-norm vectors never index (unsearchable under
-    * cosine — vs04's contract). */
+    * (table, bucket, neighbor_id, cq, cn, dim, bits, tabs). Hashing is
+    * row-local, so an index over any partition of the corpus unions to
+    * the index over the whole corpus — the additivity the incremental
+    * maintainer rides. The FULL geometry rides every row because the
+    * plane matrix is a pure function of (table, bit, dim-index) and the
+    * bucket id is a function of `bits`: an advance or probe whose
+    * (dim, bits, tables) disagrees with the standing rows would silently
+    * hash under a DIFFERENT matrix — appended rows become unreachable or
+    * spuriously bucket-collide with no error
+    * ([[graft.streaming.Streams.maintainLshState]] and [[probeLshIndex]]
+    * require equality on all three; the stamp travels IN the rows so the
+    * rebuild's atomic swap updates it atomically with the re-hash).
+    * Zero-norm vectors never index (unsearchable under cosine — vs04's
+    * contract). */
   def lshIndexRows(candidates: DataFrame, idCol: String, vecCol: String,
       bits: Int, tables: Int): DataFrame = {
     val c0 = withNorm(candidates, vecCol)
@@ -137,18 +142,22 @@ object Ann {
     val dim = if (dimRow.isNullAt(0)) 0 else math.max(dimRow.getInt(0), 0)
     withBuckets(c0, "cq", bits, tables, dim)
       .select(col("table"), col("bucket"), col("neighbor_id"), col("cq"),
-        col("cn"), lit(dim).as("dim"))
+        col("cn"), lit(dim).as("dim"), lit(bits).as("bits"),
+        lit(tables).as("tabs"))
   }
 
   /** Re-hash ALREADY-QUANTIZED index members under a new width — the
     * rebuild path ([[graft.streaming.Streams.rebuildLshState]]): the
     * same plane expressions as ingest over the stored cq (no
-    * re-quantization), emitting [[lshIndexRows]]' shape. */
+    * re-quantization), emitting [[lshIndexRows]]' shape — geometry stamp
+    * included, so the swap that publishes the re-hash also publishes the
+    * new (bits, tables) atomically. */
   def rehashIndexRows(members: DataFrame, bits: Int, tables: Int,
       dim: Int): DataFrame =
     withBuckets(members, "cq", bits, tables, dim)
       .select(col("table"), col("bucket"), col("neighbor_id"), col("cq"),
-        col("cn"), lit(dim).as("dim"))
+        col("cn"), lit(dim).as("dim"), lit(bits).as("bits"),
+        lit(tables).as("tabs"))
 
   /** Probe a maintained LSH index: the query half of [[lshTopK]] over
     * standing [[lshIndexRows]] — same plane matrix (dim read from the
@@ -162,8 +171,19 @@ object Ann {
       vecCol: String, k: Int, bits: Int, tables: Int): DataFrame = {
     val q0 = withNorm(queries, vecCol)
       .select(col(idCol).as("query_id"), col("__q").as("qq"), col("__nrm").as("qn"))
-    val dimRow = index.agg(max(col("dim"))).head()
-    val dim = if (dimRow.isNullAt(0)) 0 else math.max(dimRow.getInt(0), 0)
+    // one scalar aggregate reads dim AND the geometry stamp: probing a
+    // stamped index under a different (bits, tables) would hash the
+    // queries under a different plane matrix and silently miss (or
+    // spuriously collide with) every standing bucket — the same
+    // fail-loud contract as the maintainer's dim guard
+    val meta = index.agg(max(col("dim")), max(col("bits")), max(col("tabs")))
+      .head()
+    val dim = if (meta.isNullAt(0)) 0 else math.max(meta.getInt(0), 0)
+    if (!meta.isNullAt(1))
+      require(meta.getInt(1) == bits && meta.getInt(2) == tables,
+        s"probeLshIndex: index geometry (bits=${meta.getInt(1)}, " +
+          s"tables=${meta.getInt(2)}) != requested (bits=$bits, " +
+          s"tables=$tables) — a width change is a rebuild, not a probe arg")
     val qb = withBuckets(q0, "qq", bits, tables, dim)
     val paired = qb.join(index, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

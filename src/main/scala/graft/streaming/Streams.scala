@@ -725,8 +725,10 @@ object Streams {
     * rows drop. (3) remap entries pointing INTO the touched components
     * delete — this is the step that makes the literal new labels
     * resolve as themselves. (4) the journal clears LAST; a stale journal
-    * from a completed repair only re-derives components whose recluster
-    * is already exact, so every window re-runs to the same end state
+    * from a completed repair re-derives nothing — the re-run detects the
+    * completed state (empty affected set, no fresh forgotten labels, no
+    * remap entries into the journaled components) and short-circuits to
+    * the journal clear — so every window re-runs to the same end state
     * (pinned step-by-step in ForgetStateSpec via the fault-injection
     * hook). */
   def repairClusterSplits(spark: SparkSession, ids: DataFrame,
@@ -756,23 +758,43 @@ object Streams {
           .select(col("doc_id"),
             coalesce(col("__newc"), col("component")).as("component"))
           .localCheckpoint(true)
-        // fresh touched ∪ a crashed run's journaled intent (see Scaladoc)
+        // fresh touched ∪ a crashed run's journaled intent (see Scaladoc);
+        // the fresh set stays separate so the short-circuit below can tell
+        // a stale journal from a live repair
+        val freshTouched = resolved.join(idsC, Seq("doc_id"), "left_semi")
+          .select(col("component")).distinct().localCheckpoint(true)
         val touched = tryRead(spark, journalTable)
-          .foldLeft(resolved.join(idsC, Seq("doc_id"), "left_semi")
-            .select(col("component")))(
+          .foldLeft(freshTouched)(
             (t, j) => t.unionByName(j.select(col("component"))))
           .distinct().localCheckpoint(true)
         if (touched.isEmpty) return
-        // (0) intent journal: the touched set must survive step (2),
-        // which deletes the label rows it was derived from
-        graft.operators.MergeWriter.overwriteAtomic(touched, journalTable)
-        crashPoint(0)
         val tc = touched.withColumnRenamed("component", "__tc")
         // surviving members of the touched components, and their new
         // clustering over index rows that exclude every forgotten id
         val affected = resolved.join(broadcast(touched), Seq("component"), "left_semi")
           .join(idsC, Seq("doc_id"), "left_anti")
           .select(col("doc_id")).localCheckpoint(true)
+        // a stale journal from a COMPLETED repair resolves to an empty
+        // affected set with no freshly-forgotten label rows and no remap
+        // entries into the touched components (step 3 deleted them) —
+        // re-running steps 1-3 would be two O(table) identity rewrites
+        // just to clear the journal; skip straight to the clear. All
+        // three guards matter: a component whose EVERY member is
+        // forgotten also has an empty affected set but a nonempty fresh
+        // set (its bucket/label/remap cleanup is real pending work), and
+        // a crash between steps 2 and 3 leaves fresh empty but dangling
+        // remap entries that a future merge's new label could resolve
+        // through — both keep the full path.
+        if (affected.isEmpty && freshTouched.isEmpty &&
+            remap.join(broadcast(tc), remap("__newc") === tc("__tc"),
+              "left_semi").isEmpty) {
+          deleteTableDir(spark, journalTable)
+          return
+        }
+        // (0) intent journal: the touched set must survive step (2),
+        // which deletes the label rows it was derived from
+        graft.operators.MergeWriter.overwriteAtomic(touched, journalTable)
+        crashPoint(0)
         val members = idxRaw.localCheckpoint(true)
           .select(col("doc_id"),
             concat_ws(":", col("band"), col("bkey")).as("bucket"))
@@ -819,16 +841,21 @@ object Streams {
         crashPoint(3)
         // (4) the intent is spent — clear it (a stale journal is safe,
         // see Scaladoc, but re-deriving completed components is waste)
-        dropTable(spark, journalTable)
+        deleteTableDir(spark, journalTable)
       case _ =>
     }
   }
 
-  private def dropTable(spark: SparkSession, path: String): Unit = {
+  // named deleteTableDir, NOT dropTable: several maintainer signatures in
+  // this object take a `dropTable: Option[String]` PARAMETER (the SemDedup
+  // drop-list table), and a helper of the same name would be shadowed
+  // inside those scopes — any future call there would hit the Option and
+  // fail confusingly
+  private def deleteTableDir(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && !fs.delete(p, true))
-      throw new java.io.IOException(s"dropTable: delete failed for $path")
+      throw new java.io.IOException(s"deleteTableDir: delete failed for $path")
   }
 
   def forgetDedupState(spark: SparkSession, ids: DataFrame,
@@ -1525,12 +1552,25 @@ object Streams {
       bits, tables).localCheckpoint(true)
     if (rows.isEmpty) return
     standing.foreach { st =>
-      val sd = st.select(col("dim")).head(1)
+      val sd = st.select(col("dim"), col("bits"), col("tabs")).head(1)
       val bd = rows.select(col("dim")).head(1)
-      if (sd.nonEmpty && bd.nonEmpty)
-        require(sd(0).getInt(0) == bd(0).getInt(0),
-          s"maintainLshState: batch dim ${bd(0).getInt(0)} != standing dim " +
-            s"${sd(0).getInt(0)} at $idxTable — a width change is a rebuild, not an advance")
+      if (sd.nonEmpty) {
+        // the geometry stamp travels in the rows (written by lshIndexRows,
+        // re-stamped atomically by rebuildLshState's swap): an advance
+        // called with a stale (bits, tables) after a rebuild would hash
+        // the batch under a DIFFERENT plane matrix — appended rows become
+        // unreachable (or spuriously bucket-collide) with no error,
+        // silently breaking the snapshot == kernel contract
+        require(sd(0).getInt(1) == bits && sd(0).getInt(2) == tables,
+          s"maintainLshState: standing geometry (bits=${sd(0).getInt(1)}, " +
+            s"tables=${sd(0).getInt(2)}) != advance args (bits=$bits, " +
+            s"tables=$tables) at $idxTable — a width change is a rebuild, " +
+            "not an advance")
+        if (bd.nonEmpty)
+          require(sd(0).getInt(0) == bd(0).getInt(0),
+            s"maintainLshState: batch dim ${bd(0).getInt(0)} != standing dim " +
+              s"${sd(0).getInt(0)} at $idxTable — a width change is a rebuild, not an advance")
+      }
     }
     rows.write.mode("append").parquet(idxTable)
   }
@@ -1552,7 +1592,8 @@ object Streams {
     import org.apache.spark.sql.types._
     val idx = tryRead(spark, idxTable).getOrElse(emptyDf(spark,
       "table" -> IntegerType, "bucket" -> LongType, "neighbor_id" -> LongType,
-      "cq" -> ArrayType(LongType), "cn" -> DoubleType, "dim" -> IntegerType))
+      "cq" -> ArrayType(LongType), "cn" -> DoubleType, "dim" -> IntegerType,
+      "bits" -> IntegerType, "tabs" -> IntegerType))
     graft.operators.Ann.probeLshIndex(queries, idx, "vec_id", "embedding",
       k, bits, tables)
   }
@@ -1563,8 +1604,13 @@ object Streams {
     * swap atomically. The standing rows carry (cq, cn) — the quantized
     * vectors themselves — so the rebuild needs no second source: one
     * distinct over the index's members, one hashing pass, one swap.
-    * Between rebuilds the geometry is fixed, exactly like the IVF
-    * quantizer between [[rebuildIvfState]] eras. */
+    * The swap also re-stamps the rows' (bits, tabs) geometry columns —
+    * atomically with the re-hash, so a post-rebuild advance or probe
+    * still carrying the OLD width is refused loudly by the stamp guards
+    * in [[maintainLshState]] / [[graft.operators.Ann.probeLshIndex]]
+    * instead of silently hashing under the wrong plane matrix. Between
+    * rebuilds the geometry is fixed, exactly like the IVF quantizer
+    * between [[rebuildIvfState]] eras. */
   def rebuildLshState(spark: SparkSession, newBits: Int, tables: Int,
       idxTable: String): Unit =
     tryRead(spark, idxTable).foreach { st0 =>
@@ -3940,12 +3986,27 @@ object Streams {
     graft.operators.MergeWriter.repairPartitionedTable(spark, tfTable, "pt")
     graft.operators.MergeWriter.repairPartitionedTable(spark, tokTfTable, "tb")
     migrateDocBucketed(spark, tfTable) // a flat legacy table has no pt to prune
-    val touchedTbs = tryRead(spark, tfTable).map { tf =>
-      tf.filter(col("pt").isin(pts: _*))
-        .join(idsC, Seq("doc_id"), "left_semi")
-        .select(tokBucket(col("tok")).cast("long").as("tb")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq // ≤ TOK_TF_BUCKETS
-    }.getOrElse(IndexedSeq.empty)
+    val touchedTbs = tryRead(spark, tfTable) match {
+      case Some(tf) =>
+        tf.filter(col("pt").isin(pts: _*))
+          .join(idsC, Seq("doc_id"), "left_semi")
+          .select(tokBucket(col("tok")).cast("long").as("tb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq // ≤ TOK_TF_BUCKETS
+      case None =>
+        // fail LOUDLY, never silently no-op the tok cleanup: the touched
+        // tb set derives from the doc-bucketed tf rows, so an unreadable
+        // tf table beside a live tok projection would leave the forgotten
+        // docs' rows in the SERVING projection forever — unreachable when
+        // the both-tables-from-one-tokenize pairing invariant holds, but
+        // if it is ever broken this must be an error, not a skipped step
+        // (the engine's fail-loud convention)
+        require(tryRead(spark, tokTfTable).isEmpty,
+          s"forgetTfState: tok projection $tokTfTable exists but the " +
+            s"doc-bucketed tf table $tfTable is unreadable — the touched " +
+            "tb buckets derive from the tf rows, so the tok cleanup " +
+            "cannot run; restore the tf table before forgetting")
+        IndexedSeq.empty
+    }
     if (touchedTbs.nonEmpty) tryRead(spark, tokTfTable).foreach { t0 =>
       val t = t0.filter(col("tb").isin(touchedTbs: _*)).localCheckpoint(true)
       graft.operators.MergeWriter.overwritePartitionsAtomic(

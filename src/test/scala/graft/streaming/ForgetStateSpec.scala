@@ -678,6 +678,41 @@ class ForgetStateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("repairClusterSplits: a stale journal from a COMPLETED repair short-circuits — journal cleared, zero table rewrites") {
+    import spark.implicits._
+    // component 2 = {2, 3, 5} bridged only by doc 2 (its id IS the
+    // component id, so after the completed repair NOTHING resolves to 2
+    // — the advice's stale-journal shape); forgetting 2 splits {3} / {5}
+    val root = Files.createTempDirectory("split-stale").toString
+    val (idxT, lbT, bkT, rmT) =
+      (s"$root/index", s"$root/labels", s"$root/buckets", s"$root/remap")
+    Seq((2L, 0, "a"), (3L, 0, "a"), (2L, 1, "b"), (5L, 1, "b"))
+      .toDF("doc_id", "band", "bkey").write.parquet(idxT)
+    Seq((2L, 2L), (3L, 2L), (5L, 2L))
+      .toDF("doc_id", "component").write.parquet(lbT)
+    Seq(("0:a", 2L), ("1:b", 2L)).toDF("bucket", "component").write.parquet(bkT)
+    val fDf = Seq(2L).toDF("doc_id")
+    Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+    val snap = Streams.clusterSnapshot(spark, lbT, rmT)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the forgotten doc's label rows drop with its component's rewrite
+    assert(snap == Map(3L -> 3L, 5L -> 5L), s"repair wrong: $snap")
+    assert(!new java.io.File(rmT + "_repair").exists(), "journal not cleared")
+    // plant the stale journal a crash between steps 3 and 4 would leave,
+    // snapshot the table files, and re-run: the short-circuit must clear
+    // the journal WITHOUT the two O(table) identity rewrites the full
+    // path would pay (r17 ADVICE)
+    Seq(2L).toDF("component").write.parquet(rmT + "_repair")
+    val sigs = Seq(lbT, bkT, rmT).map(t => t -> graft.SparkSpec.dataFiles(t))
+    Streams.repairClusterSplits(spark, fDf, idxT, lbT, bkT, rmT)
+    sigs.foreach { case (t, s) =>
+      assert(graft.SparkSpec.dataFiles(t) == s,
+        s"stale-journal re-run rewrote $t instead of short-circuiting")
+    }
+    assert(!new java.io.File(rmT + "_repair").exists(),
+      "stale journal not cleared by the short-circuit")
+  }
+
   test("repairClusterSplits + forget on the real corpus == from-scratch ingest of the survivors (labels exact)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

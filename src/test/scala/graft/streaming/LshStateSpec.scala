@@ -88,5 +88,40 @@ class LshStateSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(idxT).groupBy($"neighbor_id").count()
       .filter($"count" =!= tables.toLong).isEmpty,
       "rebuild lost or duplicated member rows")
+
+    // geometry stamp (r17 ADVICE): the swap re-stamped (bits, tabs) in
+    // the rows, so a post-rebuild advance or probe still carrying the OLD
+    // width is refused LOUDLY — silently hashing under the stale plane
+    // matrix would make appended rows unreachable (or spuriously
+    // bucket-collide) with no error
+    val staleAdvance = intercept[IllegalArgumentException] {
+      Streams.maintainLshState(
+        Seq((888888L, e.head._2)).toDF("vec_id", "embedding"),
+        bits, tables, idxT)
+    }
+    assert(staleAdvance.getMessage.contains("geometry"),
+      s"stale-width advance not refused by the stamp: $staleAdvance")
+    val staleProbe = intercept[IllegalArgumentException] {
+      Streams.lshSearchSnapshot(spark, queries, idxT, k = 5, bits, tables)
+        .collect()
+    }
+    assert(staleProbe.getMessage.contains("geometry"),
+      s"stale-width probe not refused by the stamp: $staleProbe")
+    val staleTables = intercept[IllegalArgumentException] {
+      Streams.lshSearchSnapshot(spark, queries, idxT, k = 5, newBits,
+        tables + 1).collect()
+    }
+    assert(staleTables.getMessage.contains("geometry"),
+      s"stale-tables probe not refused by the stamp: $staleTables")
+    // the guards do not over-fire: the CURRENT width still advances, and
+    // the maintained index keeps tracking the batch kernel at that width
+    val extra = (888888L, e.head._2)
+    Streams.maintainLshState(Seq(extra).toDF("vec_id", "embedding"),
+      newBits, tables, idxT)
+    val afterExtra = rows(
+      Streams.lshSearchSnapshot(spark, queries, idxT, k = 5, newBits, tables)
+        .orderBy($"query_id", $"rank"))
+    assert(afterExtra == kernel(e :+ extra, newBits),
+      "post-rebuild advance at the new width drifted from the batch kernel")
   }
 }

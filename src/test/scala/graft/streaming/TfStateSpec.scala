@@ -266,6 +266,34 @@ class TfStateSpec extends AnyFunSuite with SparkSpec {
     assert(got == want, "bucket-local forget drifted from a fresh projection")
   }
 
+  test("three-table forget FAILS LOUDLY when the tf table is unreadable but the tok projection exists (r17 verdict: no silent skip)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(50)
+    val root = Files.createTempDirectory("tf-tok-loud").toString
+    val (tfT, dlT, tokT, docT) = (s"$root/tf", s"$root/dl", s"$root/tok", s"$root/docs")
+    Streams.maintainTfState(all.toSeq.toDF("doc_id", "text"), tfT, dlT, tokT, docT)
+    // break the pairing invariant on purpose: delete the doc-bucketed tf
+    // table (the source the touched-tb derivation reads) while the tok
+    // projection still holds the forgotten doc's rows
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(new java.io.File(tfT))
+    val err = intercept[IllegalArgumentException] {
+      Streams.forgetTfState(spark, Seq(all.head._1).toDF("doc_id"),
+        tfT, dlT, tokT, docT)
+    }
+    assert(err.getMessage.contains("unreadable"),
+      s"missing-tf forget did not fail loudly: $err")
+    // and the tok projection was not touched by the refused run
+    assert(!spark.read.parquet(tokT)
+      .filter($"doc_id" === all.head._1).isEmpty,
+      "refused forget still mutated the tok projection")
+  }
+
   test("forgetTfState touches ONLY the forgotten ids' partitions — untouched partition files byte-identical in place") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
