@@ -222,6 +222,10 @@ object ScaleProbe {
       // scale
       "q49_salted_agg", "q50_salted_join", "pp23_incremental_sketch",
       "pp24_incremental_knn_graph",
+      // round-18: the cell-routed ingest path — the router regroups (one
+      // assignment pass + bounded flush bookkeeping), so its growth
+      // should track pp24's advance, not the full rescan
+      "pp39_cell_routed_graph",
       "pp25_incremental_perplexity", "pp26_incremental_bm25",
       "pp27_incremental_classifier", "pp28_incremental_opq",
       "pp29_incremental_cms", "pp30_incremental_heavy",

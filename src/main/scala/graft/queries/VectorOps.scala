@@ -2483,6 +2483,48 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** pp39 — CELL-ROUTED graph maintenance: the production ingest path
+    * for the maintained kNN graph. The round-17 probe measured that a
+    * graph advance's partition rewrite is pruned ONLY by cell-clustered
+    * arrival (a decorrelated batch touches every cell and rewrites the
+    * whole graph; id-clustered ingest does not help — ids decorrelate
+    * from cells), so [[graft.streaming.Streams.routeByCell]] stages
+    * decorrelated arrivals into per-cell-group micro-batches under the
+    * standing quantizer and [[graft.streaming.Streams.flushCellGroups]]
+    * releases each group — size- or age-triggered — as its own advance.
+    * The gate replays exactly that: five id-interleaved arrival batches
+    * (every batch spans every cell — the worst decorrelated shape)
+    * route through a real staging table, ready groups advance the real
+    * maintained graph, and the decommission drain flushes the rest. The
+    * router only REGROUPS rows (exactly-once across flushes, id guard
+    * across redelivery), so the final maintained graph must equal vs13's
+    * full build — the oracle is vs13's, verbatim. */
+  private def pp39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streams
+    val e = embeddings(s, d).select($"vec_id", $"embedding")
+    val cents = ivfCentroids(normed(e))
+    val root = java.nio.file.Files.createTempDirectory("pp39-routed").toString
+    val (stageT, postT, graphT) =
+      (s"$root/stage", s"$root/postings", s"$root/graph")
+    val arrivals = 5
+    for (k <- 0 until arrivals) {
+      Streams.routeByCell(e.filter(pmod($"vec_id", lit(arrivals)) === k),
+        cents, stageT, groups = 4, seq = k.toLong)
+      // size trigger high enough that the AGE trigger paces the flushes:
+      // every group flushes within 2 arrivals of its oldest row — both
+      // triggers exercise across the run at any sf
+      Streams.flushCellGroups(s, stageT, minRows = 100000L, maxLag = 2L,
+        curSeq = k.toLong)((_, rows) =>
+        Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
+    }
+    // decommission drain: whatever is still staged advances now
+    Streams.flushCellGroups(s, stageT, minRows = 1L, maxLag = 0L,
+      curSeq = arrivals.toLong)((_, rows) =>
+      Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
+    Streams.knnGraphSnapshot(s, graphT).orderBy($"query_id", $"rank")
+  }
+
   /** pp36 — pp24's incremental kNN-graph advance under the AUTO-SIZED
     * quantizer: the production era contract. The quantizer is sized by
     * [[autoNlist]] at the latest REBUILD (the maintain → retrain →
@@ -2540,6 +2582,7 @@ object VectorOps {
     Q("vs22_opq_search", "OPQ train-then-deploy: learned permutation + one-iteration books, row-local query permute, vs08's encode + ADC search unchanged", vs22, Some(vs22Sql)),
     Q("pp28_incremental_opq", "incremental OPQ maintenance: (perm, books) trained on the standing slice and persisted, increment encoded under the era's artifacts row-locally, ADC search over standing + increment codes (oracle replays the era split)", pp28, Some(pp28Sql)),
     Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
+    Q("pp39_cell_routed_graph", "cell-routed graph ingest: decorrelated arrivals staged by routeByCell into per-cell-group micro-batches (size/age-triggered flush), each flushed group advances the maintained graph touching only its cells' partitions — final graph == vs13, oracle verbatim", pp39, Some(vs13Sql)),
     Q("pp36_incremental_knn_graph_auto", "incremental kNN-graph maintenance under the AUTO-SIZED quantizer era: pp24's advance kernel verbatim, nlist = ceil(N/targetCellSize) from the post-rebuild count, advance cost bounded per touched cell at ~targetCellSize standing members — graph == vs23", pp36, Some(vs23Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),

@@ -1514,6 +1514,106 @@ object Streams {
     startMaintainer(vecs, checkpoint)((b: DataFrame, _: Long) =>
         maintainKnnGraphState(b, cents, postingsTable, graphTable, k))
 
+  /** The PRODUCTION CELL-ROUTER for maintained-graph ingest. Round-17's
+    * probe measured that CELL-ROUTED arrival is the only arrival shape
+    * that prunes the kNN-graph advance's partition rewrite (~2.8× per
+    * advance at 100k standing): the advance rewrites exactly the cid=
+    * partitions the batch touches, so a batch spanning every cell
+    * rewrites the whole graph no matter how its IDS cluster —
+    * id-clustered (monotonic) ingest measured no better than
+    * interleaved. Real arrivals are decorrelated from cells, so the
+    * router STAGES them: the arriving micro-batch is assigned under the
+    * standing quantizer (the same |batch| × nlist broadcast argmax every
+    * advance pays anyway — paid here ONCE, at routing time) and appended
+    * to `stageTable` partitioned by CELL GROUP kb = cid mod `groups`;
+    * zero-norm arrivals carry no cell and ride group 0 so they still
+    * arrive exactly once. A later [[flushCellGroups]] turns each ready
+    * group into a cell-clustered micro-batch touching ~1/groups of the
+    * cells — the arrival shape the round-17 `cellwise` measurement
+    * simulated by hand.
+    *
+    * At-least-once end to end: duplicate routed rows (a redelivered
+    * source batch) re-route to the SAME kb (assignment is a pure row
+    * function of the fixed quantizer) and collapse at the downstream
+    * maintainer's id guard; `seq` is the arrival's batch id, the age
+    * clock for the flush trigger. Single-maintenance-loop contract: one
+    * router per staging table. */
+  def routeByCell(batch: DataFrame, cents: DataFrame, stageTable: String,
+      groups: Int, seq: Long): Unit = {
+    require(groups > 0, s"routeByCell: groups must be positive, got $groups")
+    val assigned = graft.queries.VectorOps.assignCells(
+        graft.queries.VectorOps.normed(batch), cents)
+      .select(col("vec_id"), col("cid"))
+    batch.join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), lit(seq).as("seq"),
+        coalesce(pmod(col("cid"), lit(groups.toLong)), lit(0L)).as("kb"))
+      .write.mode("append").partitionBy("kb").parquet(stageTable)
+  }
+
+  /** Flush the READY cell groups of a [[routeByCell]] staging table: a
+    * group is ready when it holds ≥ `minRows` staged rows (size trigger)
+    * or its oldest row's arrival seq is ≤ curSeq − `maxLag` (age trigger
+    * — no row waits unboundedly under a cold cell; `maxLag` counts
+    * arrival batches, the router's `seq`). For each ready group,
+    * `consume` receives (kb, rows) — a cell-clustered micro-batch,
+    * materialized BEFORE its staged partition deletes; the delete (an
+    * empty [[graft.operators.MergeWriter.overwritePartitionsAtomic]]
+    * publish — the same atomic partition mechanics as every partitioned
+    * rewrite here) runs only after `consume` returns, so a crash between
+    * the two redelivers the WHOLE group, which the maintainers' id
+    * guards collapse — the engine's standard at-least-once seam. The
+    * readiness probe is one bounded aggregate (≤ `groups` rows
+    * collected). Returns the flushed group ids; drain at decommission
+    * with minRows = 1. */
+  def flushCellGroups(spark: SparkSession, stageTable: String,
+      minRows: Long, maxLag: Long, curSeq: Long)(
+      consume: (Long, DataFrame) => Unit): Seq[Long] = {
+    // heal a crashed flush's pending partition publish before reading
+    // the stage to derive this flush's own deletes (the documented
+    // read-your-own-table contract of the partitioned writer)
+    graft.operators.MergeWriter.repairPartitionedTable(spark, stageTable, "kb")
+    tryRead(spark, stageTable).map { st =>
+      val ready = st.groupBy(col("kb").cast("long").as("kb"))
+        .agg(count(lit(1)).as("n"), min(col("seq")).as("oldest"))
+        .filter(col("n") >= minRows || col("oldest") <= lit(curSeq - maxLag))
+        .select(col("kb")).collect().map(_.getLong(0)).toIndexedSeq.sorted
+      ready.foreach { kb =>
+        val rows = st.filter(col("kb") === kb)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        consume(kb, rows)
+        // the group is consumed — publish its empty partition (atomic
+        // directory removal; crash before this point redelivers)
+        graft.operators.MergeWriter.overwritePartitionsAtomic(
+          rows.limit(0).select(col("vec_id"), col("embedding"),
+            lit(0L).as("seq"), lit(kb).as("kb")),
+          stageTable, "kb", Seq(kb))
+      }
+      ready
+    }.getOrElse(Seq.empty)
+  }
+
+  /** [[routeByCell]] + [[flushCellGroups]] + [[maintainKnnGraphState]]
+    * as ONE foreachBatch sink — the deployable loop that gives real
+    * decorrelated ingest the cell-routed advance cost the round-17
+    * measurement showed: each arriving micro-batch stages under the
+    * router, then every ready cell group advances the graph as its own
+    * cell-clustered micro-batch. Restart redelivers at both seams
+    * (source → stage, stage → advance); the postings id guard closes
+    * both. Drain the stage with a minRows = 1 flush at decommission, or
+    * rely on the age trigger. */
+  def routedKnnGraphStream(vecs: DataFrame, cents: DataFrame,
+      stageTable: String, postingsTable: String, graphTable: String,
+      k: Int = 3, groups: Int = 8, minRows: Long = 1000L, maxLag: Long = 4L,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startMaintainer(vecs, checkpoint)((b: DataFrame, seq: Long) => {
+      routeByCell(b, cents, stageTable, groups, seq)
+      flushCellGroups(b.sparkSession, stageTable, minRows, maxLag, seq)(
+        (_, rows) =>
+          maintainKnnGraphState(rows, cents, postingsTable, graphTable, k))
+      ()
+    })
+
   /** pp38's continuous loop: CONTINUOUS LSH-index maintenance — the
     * serving index behind vs04, kept current as vectors arrive
     * ([[maintainIvfState]]'s sibling with the hash-bucket geometry in
