@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * and at the 10× corpus and prints the observed scaling factor per
   * gate.
   *
-  * Usage: `runMain graft.ScaleProbe [workDir] [baseSfDir]` (defaults
-  * /tmp/graft-sf1 and /root/testdata/sf0.1).
+  * Usage: `runMain graft.ScaleProbe [workDir] [baseSfDir] [mode]`
+  * (defaults /tmp/graft-sf1 and /root/testdata/sf0.1). Modes: full gate
+  * sweep (no mode), `kernels`, `skew`, `repair`, `only=g1,g2`,
+  * `recall` (width-rule recall@5 vs the exact kernel), `three` (the
+  * 30x third scale point for the headline kernels; optional 4th arg =
+  * the 30x work dir, default workDir + "-30x").
   */
 object ScaleProbe {
 
@@ -141,6 +145,116 @@ object ScaleProbe {
     }
   }
 
+  /** One split-repair measurement at `dir`'s corpus: build fresh
+    * standing dedup state, time [[graft.streaming.Streams
+    * .repairClusterSplits]] against a FIXED 500-doc base-replica forget
+    * set (identical at every scale — the replicas share no shingles, so
+    * the touched components are too), then time the two deployment
+    * alternatives over the survivors: the bare dd06 recluster kernel
+    * (min-of-3, no writes) and the TRUE from-scratch state ingest
+    * (writes included — what ForgetStateSpec equates the repair
+    * against). Repair is timed once per scale against fresh state (a
+    * re-run is a no-op by design). Returns (repair s, recluster s,
+    * ingest s). */
+  private def repairRow(spark: SparkSession, dir: String): (Double, Double, Double) = {
+    import graft.streaming.Streams
+    val root = java.nio.file.Files.createTempDirectory("repair-probe").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Streams.maintainDedupState(docs, s"$root/index", s"$root/pairs",
+      s"$root/shingles", s"$root/labels", s"$root/buckets",
+      s"$root/remap", s"$root/docs")
+    val ids = docs
+      .filter(pmod(col("doc_id"), lit(120L)) === 0L && col("doc_id") < 10000000L)
+      .select(col("doc_id")).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    Streams.repairClusterSplits(spark, ids, s"$root/index",
+      s"$root/labels", s"$root/buckets", s"$root/remap")
+    val rt = (System.nanoTime() - t0) / 1e9
+    val survivors = docs.join(ids, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    def once(): Double = {
+      val t = System.nanoTime()
+      graft.queries.TextOps.dupClusters(survivors)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    once() // warm
+    val ft = (1 to 3).map(_ => once()).min
+    // the TRUE deployment alternative: rebuild the standing state
+    // from scratch over the survivors (what ForgetStateSpec equates
+    // the repair against) — ingest into fresh tables, writes included
+    val root2 = java.nio.file.Files.createTempDirectory("repair-ref").toString
+    val t1 = System.nanoTime()
+    Streams.maintainDedupState(survivors, s"$root2/index", s"$root2/pairs",
+      s"$root2/shingles", s"$root2/labels", s"$root2/buckets",
+      s"$root2/remap", s"$root2/docs")
+    val it = (System.nanoTime() - t1) / 1e9
+    // blanket block sweep only once the row's frames are all spent —
+    // a mid-row sweep would destroy ids'/survivors' checkpoint blocks
+    // while still referenced (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    (rt, ft, it)
+  }
+
+  /** vs04's Q=1000 kernel — the WIDTH rule's regime: LSH cost is hashing
+    * (N × tables × bits) + probing (Q × tables × N / 2^bits); a
+    * query-heavy workload (near-dup sweeps probe with every row) is
+    * probe-dominated, where fixed bits leaves the probe term linear in
+    * the corpus and autoBits holds it flat. One timed run, noop sink. */
+  private def lshQ1000(spark: SparkSession, dir: String, auto: Boolean): Double = {
+    import graft.operators.Ann
+    val t0 = System.nanoTime()
+    val e = graft.Tables.embeddings(spark, dir)
+    val bits = if (auto) Ann.autoBits(e.count(), targetBucket = 16L) else 4
+    Ann.lshTopK(e.filter(col("vec_id") < 1000), e, "vec_id", "embedding",
+        k = 5, bits = bits, tables = 8)
+      .write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    dt
+  }
+
+  /** q50's kernel under a DELIBERATELY skewed hot key — half the big
+    * side's rows collapse onto ONE join key, broadcast disabled (the
+    * regime the salt exists for: dimension too big to broadcast, AQE's
+    * skew split unavailable). One timed run, noop sink; the conf knobs
+    * are restored afterward. */
+  private def saltedHotJoin(spark: SparkSession, dir: String, salted: Boolean,
+      aqeSkew: Boolean): Double = {
+    import graft.operators.Salting
+    val kv = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> aqeSkew.toString)
+    val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = graft.queries.QueryUtils.hex8(
+        concat(lit("hot:"), col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))) % 2 === 0
+      val big = graft.Tables.lineitem(spark, dir).select(
+        when(hot, lit(7L)).otherwise(col("l_partkey")).as("pk"),
+        col("l_extendedprice"), col("l_discount"))
+      val small = graft.Tables.part(spark, dir)
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      val t0 = System.nanoTime()
+      val joined =
+        if (salted) Salting.saltedJoin(big, small, "pk", salts = 8)
+        else big.join(small, Seq("pk"))
+      joined.groupBy(col("p_brand"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft-sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -167,6 +281,12 @@ object ScaleProbe {
     // block shares)
     val skewOnly = args.lift(2).contains("skew")
     val repairOnly = args.lift(2).contains("repair")
+    // "recall": recall@5 vs the vs01 exact kernel for the LSH width rule
+    // (r17 verdict item 3 — the width rule's recall got only prose);
+    // "three": the THIRD scale point (30x) for the headline kernels —
+    // every COVERAGE exponent was a two-point fit that cannot see a knee
+    val recallOnly = args.lift(2).contains("recall")
+    val threeOnly = args.lift(2).contains("three")
     val only: Option[Set[String]] = args.lift(2)
       .filter(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").filter(_.nonEmpty).toSet)
@@ -271,46 +391,7 @@ object ScaleProbe {
     // fresh state (a re-run is a no-op by design — nothing left to
     // repair); the recluster row is min-of-3 on the same survivors.
     if (repairOnly) {
-      import graft.streaming.Streams
-      def row(dir: String): (Double, Double, Double) = {
-        val root = java.nio.file.Files.createTempDirectory("repair-probe").toString
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        Streams.maintainDedupState(docs, s"$root/index", s"$root/pairs",
-          s"$root/shingles", s"$root/labels", s"$root/buckets",
-          s"$root/remap", s"$root/docs")
-        val ids = docs
-          .filter(pmod(col("doc_id"), lit(120L)) === 0L && col("doc_id") < 10000000L)
-          .select(col("doc_id")).localCheckpoint(true)
-        val t0 = System.nanoTime()
-        Streams.repairClusterSplits(spark, ids, s"$root/index",
-          s"$root/labels", s"$root/buckets", s"$root/remap")
-        val rt = (System.nanoTime() - t0) / 1e9
-        val survivors = docs.join(ids, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        def once(): Double = {
-          val t = System.nanoTime()
-          graft.queries.TextOps.dupClusters(survivors)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t) / 1e9
-        }
-        once() // warm
-        val ft = (1 to 3).map(_ => once()).min
-        // the TRUE deployment alternative: rebuild the standing state
-        // from scratch over the survivors (what ForgetStateSpec equates
-        // the repair against) — ingest into fresh tables, writes included
-        val root2 = java.nio.file.Files.createTempDirectory("repair-ref").toString
-        val t1 = System.nanoTime()
-        Streams.maintainDedupState(survivors, s"$root2/index", s"$root2/pairs",
-          s"$root2/shingles", s"$root2/labels", s"$root2/buckets",
-          s"$root2/remap", s"$root2/docs")
-        val it = (System.nanoTime() - t1) / 1e9
-        // blanket block sweep only once the row's frames are all spent —
-        // a mid-row sweep would destroy ids'/survivors' checkpoint blocks
-        // while still referenced (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        (rt, ft, it)
-      }
+      def row(dir: String) = repairRow(spark, dir)
       val (r1, f1, i1) = row(sf01) // sf0.1 first: its run is also the JIT warm
       val (r2, f2, i2) = row(work)
       println("| gate | sf0.1 s | 10x corpus s | ratio | exponent |")
@@ -318,6 +399,112 @@ object ScaleProbe {
       println(f"| split repair @ fixed 500-doc forget | $r1%.2f | $r2%.2f | ${r2 / r1}%.2f | ${math.log10(r2 / r1)}%.2f |")
       println(f"| dd06 recluster kernel over survivors (no writes) | $f1%.2f | $f2%.2f | ${f2 / f1}%.2f | ${math.log10(f2 / f1)}%.2f |")
       println(f"| from-scratch state ingest of survivors | $i1%.2f | $i2%.2f | ${i2 / i1}%.2f | ${math.log10(i2 / i1)}%.2f |")
+      spark.stop(); return
+    }
+
+    // RECALL for the LSH width rule (r17 verdict item 3): autoBits holds
+    // the expected bucket constant, but longer codes lower the per-table
+    // probability that a TRUE neighbor shares all `bits` sign bits —
+    // growing the width trades flat probe cost for recall, which only a
+    // measurement can price. Reference = the vs01 exact kernel
+    // (Ann.bruteTopK — same integer-quantized scoring, deterministic
+    // ties), 100 queries, k = 5, tables = 8 (the vs04 gate geometry).
+    if (recallOnly) {
+      import graft.operators.Ann
+      def recallAt(dir: String, bitsOf: Long => Int, mb: Option[Int],
+          tables: Int): (Double, Double, Int) = {
+        val e = graft.Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 100)
+        val bits = bitsOf(e.count())
+        def topSets(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          d.select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (qid, v) => qid -> v.map(_._2).toSet }
+        val exact = topSets(Ann.bruteTopK(q, e, "vec_id", "embedding", k = 5))
+        val t0 = System.nanoTime()
+        val got = topSets(Ann.lshTopK(q, e, "vec_id", "embedding", k = 5,
+          bits = bits, tables = tables, maxBucket = mb))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val rec = exact.toSeq.map { case (qid, ex) =>
+          got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (rec.sum / rec.size, dt, bits)
+      }
+      // the trade under measurement: per-table, a true neighbor collides
+      // with probability ~prod over bits of P(sign agrees), so RECALL
+      // falls as bits grow and is bought back by tables (1-(1-p)^T). The
+      // aggressive Q=1000-kernel width (target 16) prices the probe term
+      // flat but should show the recall bill; the production DEFAULT
+      // (target 4096) grows bits much more slowly; doubling tables at
+      // the aggressive width measures the documented buy-back.
+      val configs: Seq[(String, Long => Int, Option[Int], Int)] = Seq(
+        ("fixed 4 bits, tables 8", _ => 4, None, 8),
+        ("autoBits target 4096 (production default), tables 8",
+          n => Ann.autoBits(n), None, 8),
+        ("autoBits target 16, tables 8",
+          n => Ann.autoBits(n, targetBucket = 16L), None, 8),
+        ("autoBits target 16, tables 16",
+          n => Ann.autoBits(n, targetBucket = 16L), None, 16),
+        ("autoBits target 16 + maxBucket 256, tables 8",
+          n => Ann.autoBits(n, targetBucket = 16L), Some(256), 8))
+      println("| config | sf0.1 bits | sf0.1 recall@5 | sf0.1 s | 10x bits | 10x recall@5 | 10x s |")
+      println("|---|---|---|---|---|---|---|")
+      for ((label, bo, mb, tb0) <- configs) {
+        recallAt(sf01, bo, mb, tb0) // warm
+        val (ra, ta, ba) = recallAt(sf01, bo, mb, tb0)
+        val (rb, tb, bb) = recallAt(work, bo, mb, tb0)
+        println(f"| $label | $ba | $ra%.3f | $ta%.2f | $bb | $rb%.3f | $tb%.2f |")
+      }
+      spark.stop(); return
+    }
+
+    // THIRD SCALE POINT (r17 verdict item 2): a 30x corpus beside sf0.1
+    // and 10x for the headline kernels, so each exponent is a LEAST-
+    // SQUARES FIT over three points instead of a two-point interpolation
+    // that cannot see a knee. 30x, not 100x: the embedding replica
+    // rotation needs replicas <= dim (64), and generate() already
+    // enforces it loudly.
+    if (threeOnly) {
+      val work30 = args.lift(3).getOrElse(s"$work-30x")
+      generate(spark, work30, sf01, replicas = 30)
+      def fit(pts: Seq[(Double, Double)]): Double = {
+        val xs = pts.map(p => math.log10(p._1))
+        val ys = pts.map(p => math.log10(p._2))
+        val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+        xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+          xs.map(x => (x - xm) * (x - xm)).sum
+      }
+      println("| kernel | sf0.1 s | 10x s | 30x s | r(10/1) | r(30/10) | LS exponent |")
+      println("|---|---|---|---|---|---|---|")
+      def report(label: String, f: String => Double,
+          reps: Int = 2): Unit = {
+        // warm at the smallest scale only — each 30x run is expensive and
+        // the first sf0.1 run carries the codegen/JIT cost
+        f(sf01)
+        val t1 = (1 to reps).map(_ => f(sf01)).min
+        val t2 = (1 to reps).map(_ => f(work)).min
+        val t3 = (1 to reps).map(_ => f(work30)).min
+        val e = fit(Seq((1.0, t1), (10.0, t2), (30.0, t3)))
+        println(f"| $label | $t1%.2f | $t2%.2f | $t3%.2f | ${t2 / t1}%.2f | ${t3 / t2}%.2f | $e%.2f |")
+      }
+      report("vs04 kernel @ Q=1000, autoBits target 16",
+        d => lshQ1000(spark, d, auto = true))
+      report("q50 kernel @ hot key 50%, salted x8, no AQE skew",
+        d => saltedHotJoin(spark, d, salted = true, aqeSkew = false))
+      report("pp38_incremental_lsh gate", d => run("pp38_incremental_lsh", d))
+      report("dd06_dup_clusters gate", d => run("dd06_dup_clusters", d))
+      // the split repair is timed ONCE per scale against fresh standing
+      // state (a re-run is a no-op by design — see repairRow); its
+      // companion rows ride along for the same three points
+      val (ra, fa, ia) = repairRow(spark, sf01)
+      val (rb, fb, ib) = repairRow(spark, work)
+      val (rc, fc, ic) = repairRow(spark, work30)
+      def rrow(label: String, t1: Double, t2: Double, t3: Double): Unit =
+        println(f"| $label | $t1%.2f | $t2%.2f | $t3%.2f | ${t2 / t1}%.2f | ${t3 / t2}%.2f | ${fit(Seq((1.0, t1), (10.0, t2), (30.0, t3)))}%.2f |")
+      rrow("split repair @ fixed 500-doc forget", ra, rb, rc)
+      rrow("dd06 recluster kernel over survivors (no writes)", fa, fb, fc)
+      rrow("from-scratch state ingest of survivors", ia, ib, ic)
       spark.stop(); return
     }
 
@@ -526,17 +713,7 @@ object ScaleProbe {
       // term ∝ Q·N/16 (linear in the corpus, quadratic when Q ∝ N);
       // autoBits holds the expected bucket at 16, so the probe term
       // stays ∝ Q·target flat and only the N·bits hashing grows.
-      def vs04QAt(dir: String, auto: Boolean): Double = {
-        val t0 = System.nanoTime()
-        val e = graft.Tables.embeddings(spark, dir)
-        val bits = if (auto) Ann.autoBits(e.count(), targetBucket = 16L) else 4
-        Ann.lshTopK(e.filter(col("vec_id") < 1000), e, "vec_id", "embedding",
-            k = 5, bits = bits, tables = 8)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        dt
-      }
+      def vs04QAt(dir: String, auto: Boolean): Double = lshQ1000(spark, dir, auto)
       for (auto <- Seq(false, true)) {
         vs04QAt(sf01, auto); vs04QAt(work, auto) // warm
         val aa = (1 to 3).map(_ => vs04QAt(sf01, auto)).min
@@ -597,42 +774,8 @@ object ScaleProbe {
     // contrast — AQE covers this case for sort-merge joins, the salt is
     // the explicit tool for the plans AQE can't split.
     {
-      import graft.operators.Salting
-      def withConf[T](kv: (String, String)*)(body: => T): T = {
-        val prior = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-        kv.foreach { case (k, v) => spark.conf.set(k, v) }
-        try body
-        finally prior.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None) => spark.conf.unset(k)
-        }
-      }
-      def skewAt(dir: String, salted: Boolean, aqeSkew: Boolean): Double = {
-        val hot = graft.queries.QueryUtils.hex8(
-          concat(lit("hot:"), col("l_orderkey").cast("string"), lit(":"),
-            col("l_linenumber").cast("string"))) % 2 === 0
-        val big = graft.Tables.lineitem(spark, dir).select(
-          when(hot, lit(7L)).otherwise(col("l_partkey")).as("pk"),
-          col("l_extendedprice"), col("l_discount"))
-        val small = graft.Tables.part(spark, dir)
-          .select(col("p_partkey").as("pk"), col("p_brand"))
-        withConf(
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-          "spark.sql.adaptive.skewJoin.enabled" -> aqeSkew.toString) {
-          val t0 = System.nanoTime()
-          val joined =
-            if (salted) Salting.saltedJoin(big, small, "pk", salts = 8)
-            else big.join(small, Seq("pk"))
-          joined.groupBy(col("p_brand"))
-            .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("revenue"), count(lit(1)).as("n"))
-            .write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-          dt
-        }
-      }
+      def skewAt(dir: String, salted: Boolean, aqeSkew: Boolean): Double =
+        saltedHotJoin(spark, dir, salted, aqeSkew)
       for ((label, salted, aqeSkew) <- Seq(
           ("q50 kernel @ hot key 50%, UNSALTED, no AQE skew", false, false),
           ("q50 kernel @ hot key 50%, salted x8, no AQE skew", true, false),

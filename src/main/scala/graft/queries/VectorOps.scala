@@ -2507,14 +2507,19 @@ object VectorOps {
     val root = java.nio.file.Files.createTempDirectory("pp39-routed").toString
     val (stageT, postT, graphT) =
       (s"$root/stage", s"$root/postings", s"$root/graph")
-    val arrivals = 5
+    // 2 arrivals x 2 groups keeps the gate's advance count bounded (~4
+    // real advances — each advance is fixed-overhead-priced at gate
+    // scale, so the gate's cost is advance COUNT, not data) while still
+    // exercising multi-arrival staging, the age trigger, and the drain;
+    // CellRouterSpec covers the size trigger, wider group fans, and the
+    // crash seams
+    val arrivals = 2
     for (k <- 0 until arrivals) {
       Streams.routeByCell(e.filter(pmod($"vec_id", lit(arrivals)) === k),
-        cents, stageT, groups = 4, seq = k.toLong)
+        cents, stageT, groups = 2, seq = k.toLong)
       // size trigger high enough that the AGE trigger paces the flushes:
-      // every group flushes within 2 arrivals of its oldest row — both
-      // triggers exercise across the run at any sf
-      Streams.flushCellGroups(s, stageT, minRows = 100000L, maxLag = 2L,
+      // every group flushes within one arrival of its oldest row
+      Streams.flushCellGroups(s, stageT, minRows = 100000L, maxLag = 1L,
         curSeq = k.toLong)((_, rows) =>
         Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
     }

@@ -1176,7 +1176,26 @@ object Streams {
     * drop delta table, [[compactSemDedupDrops]]. */
   def maintainIvfState(batch: DataFrame, cents: DataFrame,
       postingsTable: String, sumsTable: String,
-      dropTable: Option[String] = None, tau: Double = 0.30): Unit = {
+      dropTable: Option[String] = None, tau: Double = 0.30): Unit =
+    maintainIvfStateImpl(batch, cents, postingsTable, sumsTable, dropTable,
+      tau, Int.MaxValue)
+
+  /** Test seam (round-18 verdict item 5): `failAfterStep` throws after
+    * the drop-delta append (0) or the sums append (1) — the two
+    * MID-ADVANCE windows where some of the advance's tables have
+    * advanced and others have not, which the redelivery/guard argument
+    * covers but no spec crashed until now. MidAdvanceFaultSpec crashes
+    * each window and pins that a plain re-run (the checkpoint's
+    * redelivery of the same batch) converges every snapshot to the
+    * no-crash state: the guard hasn't moved (the postings append is
+    * last), so the replay recomputes byte-identical drop/sums rows under
+    * the same batch_key and the snapshots' dedup collapses them. */
+  private[graft] def maintainIvfStateImpl(batch: DataFrame, cents: DataFrame,
+      postingsTable: String, sumsTable: String,
+      dropTable: Option[String], tau: Double, failAfterStep: Int): Unit = {
+    def crashPoint(n: Int): Unit =
+      if (failAfterStep == n) throw new IllegalStateException(
+        s"maintainIvfState: injected crash after step $n")
     val spark = batch.sparkSession
     // ONE logical read of the standing postings serves both the id guard
     // (column-pruned projection) and, below, the SemDedup standing frame
@@ -1232,7 +1251,9 @@ object Streams {
         graft.queries.VectorOps.semDedupAdvance(standing, assigned, tau),
         batchKey)
     }
+    crashPoint(0)
     ivfSumsDelta(assigned, batchKey).write.mode("append").parquet(sumsTable)
+    crashPoint(1)
     assigned.unionByName(rejects).write.mode("append").parquet(postingsTable)
   }
 
