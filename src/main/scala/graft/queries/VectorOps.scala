@@ -2492,7 +2492,7 @@ object VectorOps {
     * decorrelated arrivals into per-cell-group micro-batches under the
     * standing quantizer and [[graft.streaming.Streams.flushCellGroups]]
     * releases each group — size- or age-triggered — as its own advance.
-    * The gate replays exactly that: five id-interleaved arrival batches
+    * The gate replays exactly that: id-interleaved arrival batches
     * (every batch spans every cell — the worst decorrelated shape)
     * route through a real staging table, ready groups advance the real
     * maintained graph, and the decommission drain flushes the rest. The

@@ -1585,7 +1585,18 @@ object Streams {
     * guards collapse — the engine's standard at-least-once seam. The
     * readiness probe is one bounded aggregate (≤ `groups` rows
     * collected). Returns the flushed group ids; drain at decommission
-    * with minRows = 1. */
+    * with minRows = 1.
+    *
+    * SIZE `minRows` TO A FULL ADVANCE BATCH, not to the smallest group
+    * the trigger math tolerates (measured, round-18 probe at 100k
+    * standing): every flushed group pays the advance's per-batch
+    * standing reads (the id-guard probe, the graph-snapshot listing),
+    * so 2-arrivals'-worth groups (~8k rows) re-paid them 2-3× per
+    * arrival and erased most of the routing win (13-15 s vs ~16.5
+    * unrouted), while batch-sized groups (~20k rows) read 6.4-7.4 s —
+    * the hand-grouped cellwise band. The latency bill of a bigger
+    * `minRows` is bounded by `maxLag`, which is the knob that caps how
+    * long a cold cell's rows wait. */
   def flushCellGroups(spark: SparkSession, stageTable: String,
       minRows: Long, maxLag: Long, curSeq: Long)(
       consume: (Long, DataFrame) => Unit): Seq[Long] = {
@@ -1621,7 +1632,11 @@ object Streams {
     * cell-clustered micro-batch. Restart redelivers at both seams
     * (source → stage, stage → advance); the postings id guard closes
     * both. Drain the stage with a minRows = 1 flush at decommission, or
-    * rely on the age trigger. */
+    * rely on the age trigger. Size `minRows` to a FULL advance batch
+    * for your arrival rate (see [[flushCellGroups]] — the round-18
+    * measurement: batch-sized cell-pure flushes hit the hand-grouped
+    * cellwise band, small groups re-pay the standing reads per flush);
+    * the default here is a floor, not a recommendation. */
   def routedKnnGraphStream(vecs: DataFrame, cents: DataFrame,
       stageTable: String, postingsTable: String, graphTable: String,
       k: Int = 3, groups: Int = 8, minRows: Long = 1000L, maxLag: Long = 4L,
