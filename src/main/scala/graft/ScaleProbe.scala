@@ -448,13 +448,22 @@ object ScaleProbe {
           n => Ann.autoBits(n, targetBucket = 16L), None, 16),
         ("autoBits target 16 + maxBucket 256, tables 8",
           n => Ann.autoBits(n, targetBucket = 16L), Some(256), 8))
-      println("| config | sf0.1 bits | sf0.1 recall@5 | sf0.1 s | 10x bits | 10x recall@5 | 10x s |")
-      println("|---|---|---|---|---|---|---|")
+      // optional 4th arg: a third corpus dir (the `three` mode's 30x)
+      // for a recall point beyond 10x — the width grows another step
+      // there, so the decay gets its own third scale point
+      val extra = args.lift(3)
+      println("| config | sf0.1 bits | sf0.1 recall@5 | sf0.1 s | 10x bits | 10x recall@5 | 10x s |" +
+        (if (extra.isDefined) " 30x bits | 30x recall@5 | 30x s |" else ""))
+      println("|---|---|---|---|---|---|---|" + (if (extra.isDefined) "---|---|---|" else ""))
       for ((label, bo, mb, tb0) <- configs) {
         recallAt(sf01, bo, mb, tb0) // warm
         val (ra, ta, ba) = recallAt(sf01, bo, mb, tb0)
         val (rb, tb, bb) = recallAt(work, bo, mb, tb0)
-        println(f"| $label | $ba | $ra%.3f | $ta%.2f | $bb | $rb%.3f | $tb%.2f |")
+        val tail = extra.map { d =>
+          val (rc, tc, bc) = recallAt(d, bo, mb, tb0)
+          f" $bc | $rc%.3f | $tc%.2f |"
+        }.getOrElse("")
+        println(f"| $label | $ba | $ra%.3f | $ta%.2f | $bb | $rb%.3f | $tb%.2f |" + tail)
       }
       spark.stop(); return
     }
@@ -494,6 +503,12 @@ object ScaleProbe {
         d => saltedHotJoin(spark, d, salted = true, aqeSkew = false))
       report("pp38_incremental_lsh gate", d => run("pp38_incremental_lsh", d))
       report("dd06_dup_clusters gate", d => run("dd06_dup_clusters", d))
+      // the auto-sized pair-kernel family at its third point: these are
+      // the rows whose 100-TB claim IS the sizing rule (Sigma|cell|^2
+      // held ~N*target), so a knee here would matter most
+      report("vs23_knn_graph_auto gate", d => run("vs23_knn_graph_auto", d))
+      report("dd16_semantic_dedup_auto gate",
+        d => run("dd16_semantic_dedup_auto", d))
       // the split repair is timed ONCE per scale against fresh standing
       // state (a re-run is a no-op by design — see repairRow); its
       // companion rows ride along for the same three points

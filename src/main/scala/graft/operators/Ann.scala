@@ -80,7 +80,18 @@ object Ann {
     * same integer arithmetic cross-engine. Clamps: ≥ 1 (a 0-bit table is
     * one all-pairs bucket), ≤ `maxBits` (the plane matrix is a
     * driver-side literal of tables × bits × dim longs — a broadcast
-    * budget, like autoNlist's maxNlist). */
+    * budget, like autoNlist's maxNlist).
+    *
+    * `targetBucket` is a RECALL knob as much as a cost knob (measured,
+    * round-18 ScaleProbe `recall` rows): per table a true neighbor
+    * shares the query's bucket with probability that decays in `bits`,
+    * so an aggressive small target buys its probe-cost win at a steep
+    * recall bill — target 16 read recall@5 of 0.30 (sf0.1) and 0.07
+    * (10×) against the exact kernel, and doubling `tables` bought back
+    * only 0.13 at ~2× cost — while the DEFAULT (4096) read 1.000/0.906
+    * and was simultaneously the cheapest configuration at those corpus
+    * sizes. Size the target to the probe budget; do not shrink it to
+    * the smallest bucket the cost model tolerates. */
   def autoBits(n: Long, targetBucket: Long = 4096L, maxBits: Int = 24): Int = {
     require(targetBucket > 0L,
       s"autoBits: targetBucket must be positive, got $targetBucket")

@@ -120,6 +120,58 @@ class MaintainerRestartSpec extends AnyFunSuite with SparkSpec {
       == wantIds, "guard lost or duplicated ids across the kill")
   }
 
+  test("cell-routed graph maintainer: kill after batch-0 route+flush lands, restart from checkpoint == full build") {
+    import spark.implicits._
+    val all = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (b0, b1) = (all.take(250), all.drop(250))
+    val root = Files.createTempDirectory("restart-routed").toString
+    val (stageT, postT, graphT) = (s"$root/stage", s"$root/post", s"$root/graph")
+    val allDf = all.toSeq.toDF("vec_id", "embedding")
+    val cents = graft.queries.VectorOps.ivfCentroids(
+      graft.queries.VectorOps.normed(allDf))
+    val src = Files.createTempDirectory("restart-routed-src").toString
+    b0.toSeq.toDF("vec_id", "embedding").write.json(s"$src/b0")
+    b1.toSeq.toDF("vec_id", "embedding").write.json(s"$src/b1")
+
+    // the kill lands after batch 0 ROUTED AND FLUSHED (low size trigger
+    // so real advances run before the crash) but before the checkpoint
+    // commits — the restart redelivers batch 0, whose rows re-stage as
+    // duplicates and collapse at the postings guard when their groups
+    // re-flush; this is the router's double at-least-once seam
+    // (source -> stage, stage -> advance) crossed by one kill
+    killThenRestart(src, s"$root/chk",
+      b => {
+        Streams.routeByCell(b, cents, stageT, groups = 3, seq = 0L)
+        Streams.flushCellGroups(spark, stageT, minRows = 100L, maxLag = 1L,
+          curSeq = 0L)((_, rows) =>
+          Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
+        ()
+      },
+      s => Streams.routedKnnGraphStream(s, cents, stageT, postT, graphT,
+        k = 3, groups = 3, minRows = 100L, maxLag = 1L,
+        checkpoint = Some(s"$root/chk")),
+      schema = "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    // decommission drain, then the exactness pin: the maintained graph
+    // equals the full vs13 build over everything arrived
+    Streams.flushCellGroups(spark, stageT, minRows = 1L, maxLag = 0L,
+      curSeq = 99L)((_, rows) =>
+      Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
+    def key(g: org.apache.spark.sql.DataFrame) = g
+      .select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val maintained = key(Streams.knnGraphSnapshot(spark, graphT))
+    val scratch = key(graft.queries.VectorOps.knnGraph(
+      graft.queries.VectorOps.assignCells(
+        graft.queries.VectorOps.normed(allDf), cents), 3))
+    assert(maintained.nonEmpty && maintained == scratch,
+      "restarted routed maintainer's graph != full build")
+    assert(spark.read.parquet(postT).select("vec_id").distinct().count()
+      == all.size.toLong, "guard lost or duplicated ids across the kill")
+  }
+
   test("dedup/cluster maintainer: kill after batch-0 state lands, restart from checkpoint == all-at-once build") {
     import spark.implicits._
     val (b0, b1) = docBatches()
