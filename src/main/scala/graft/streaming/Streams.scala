@@ -1544,9 +1544,17 @@ object Streams {
     * id-clustered (monotonic) ingest measured no better than
     * interleaved. Real arrivals are decorrelated from cells, so the
     * router STAGES them: the arriving micro-batch is assigned under the
-    * standing quantizer (the same |batch| × nlist broadcast argmax every
-    * advance pays anyway — paid here ONCE, at routing time) and appended
-    * to `stageTable` partitioned by CELL GROUP kb = cid mod `groups`;
+    * standing quantizer (one |batch| × nlist broadcast argmax) and
+    * appended to `stageTable` partitioned by CELL GROUP
+    * kb = cid mod `groups`. The routing assignment is for GROUPING
+    * only — the downstream advance re-derives assignment under the
+    * CURRENT quantizer, on purpose: a row staged before a
+    * [[rebuildIvfState]]-style era swap still lands in the right cell
+    * when it finally flushes (its group is then merely approximate,
+    * which costs prune quality for that one advance, never
+    * correctness). The extra argmax pass is the price of regrouping —
+    * measured round-18: ~2.3–2.8 s per 20k-row arrival, write
+    * included, against a 10 s/advance saving;
     * zero-norm arrivals carry no cell and ride group 0 so they still
     * arrive exactly once. A later [[flushCellGroups]] turns each ready
     * group into a cell-clustered micro-batch touching ~1/groups of the
