@@ -114,6 +114,36 @@ class CellRouterSpec extends AnyFunSuite with SparkSpec {
     assert(sized == 1, "size trigger did not fire for a full group")
   }
 
+  test("rows staged under an OLD quantizer still land correctly after an era swap — the advance re-assigns") {
+    import spark.implicits._
+    val e = corpus()
+    def df(b: Seq[(Long, Seq[Float])]) = b.toSeq.toDF("vec_id", "embedding")
+    val all = df(e.toIndexedSeq)
+    val n = graft.queries.VectorOps.normed(all)
+    // two legitimately different fixed quantizers (disjoint seed rows —
+    // the MaintainerProbe's rebuild pattern)
+    val centsA = graft.queries.VectorOps.ivfCentroids(n)
+    val centsB = n.filter($"vec_id" >= 8 && $"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"nrm".as("cn"))
+    val root = Files.createTempDirectory("router-era").toString
+    val (stageT, postT, graphT) = (s"$root/stage", s"$root/post", s"$root/graph")
+    // stage EVERYTHING under quantizer A (its grouping), then the era
+    // swaps before anything flushes; the advance runs under B
+    Streams.routeByCell(df(e.toIndexedSeq), centsA, stageT, 3, 0L)
+    Streams.flushCellGroups(spark, stageT, minRows = 1L, maxLag = 0L,
+      curSeq = 1L)((_, rows) =>
+      Streams.maintainKnnGraphState(rows, centsB, postT, graphT, k = 3))
+    def key(g: org.apache.spark.sql.DataFrame) = g
+      .select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val maintained = key(Streams.knnGraphSnapshot(spark, graphT))
+    val scratch = key(graft.queries.VectorOps.knnGraph(
+      graft.queries.VectorOps.assignCells(n, centsB), 3))
+    assert(maintained.nonEmpty && maintained == scratch,
+      "stale-grouped staging corrupted the post-swap graph — the advance " +
+        "must re-derive assignment under the current quantizer")
+  }
+
   test("routed ingest == full vs13 build, through a consume-crash redelivery and a zero-norm arrival") {
     import spark.implicits._
     val e = corpus()
