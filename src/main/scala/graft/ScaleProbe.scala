@@ -314,7 +314,8 @@ object ScaleProbe {
       "pp16_incremental_mix",
       "pp09_incremental_containment", "dd11_containment",
       "dd13_containment_index", "pp12_incremental_containment_index",
-      "vs04_ann_lsh", "vs26_ann_lsh_auto", "pp38_incremental_lsh",
+      "vs04_ann_lsh", "vs26_ann_lsh_auto", "vs27_lsh_recall",
+      "pp38_incremental_lsh",
       "vs06_ivf_search", "vs12_range_search", "vs13_knn_graph",
       "vs14_knn_graph_probe2",
       "vs07_kmeans_step",

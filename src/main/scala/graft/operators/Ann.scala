@@ -206,6 +206,34 @@ object Ann {
         col("v").as("cos"), col("rank"))
   }
 
+  /** MEASURED recall of the LSH path against the exact kernel — the
+    * production acceptance check for an (bits, tables, maxBucket)
+    * configuration, shipped as an operator because round-18's
+    * measurement showed the width knob is a recall knob (autoBits'
+    * Scaladoc records the numbers): per query, the exact top-k
+    * ([[bruteTopK]] — run on a QUERY SAMPLE in production; its cost is
+    * Q × N, so recall estimation prices at one sample sweep) is
+    * outer-joined against the LSH result and the hit count reported.
+    * Output (query_id, n_exact, hits) — integers only, so the gate
+    * (vs27) hash-pins the recall MATH cross-engine with no FP-division
+    * representation risk; recall@k = hits / n_exact is the consumer's
+    * one division. A deployment runs this at each corpus doubling (or
+    * after a width rebuild) and raises `tables` — or the autoBits
+    * target — when the floor is breached. */
+  def recallAtK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int, tables: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val exact = bruteTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = lshTopK(queries, candidates, idCol, vecCol, k, bits, tables,
+        maxBucket)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("hits"))
+      .orderBy(col("query_id"))
+  }
+
   /** LSH-bucketed top-k: candidates hashed once per table; queries probe
     * their bucket in every table; per-query dedup + rank merges tables.
     * recall < 1 by construction; raise `tables` (probes) or lower `bits`

@@ -194,6 +194,52 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** vs27 — the RECALL MEASUREMENT itself, oracle-pinned
+    * ([[graft.operators.Ann.recallAtK]]): per query, how many of the
+    * exact top-5 (vs01's kernel) the vs04-configured LSH path returns.
+    * Round-18's ScaleProbe sessions showed the width knob is a recall
+    * knob (default-target 0.84–1.00, aggressive-target 0.05–0.30), so
+    * the estimator a deployment runs at each corpus doubling is shipped
+    * as an operator — and this gate pins its MATH cross-engine: the
+    * oracle composes vs01's and vs04's SQL (shared quantize/norm CTEs)
+    * and counts the per-query intersection. Integers only (n_exact,
+    * hits) — the one recall division is left to the consumer, so the
+    * hash compare carries no FP-representation risk. */
+  private def vs27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    graft.operators.Ann.recallAtK(e.filter($"vec_id" < 10), e,
+      "vec_id", "embedding", k = 5, bits = 4, tables = 8)
+  }
+  private val vs27Sql = {
+    def m(t: String, b: String, d: String) =
+      s"((list_sum([(strpos('0123456789abcdef', substr(md5($t || ':' || $b || ':' || $d), j, 1)) - 1) " +
+        s"* CAST(power(16, 8 - j) AS BIGINT) for j in range(1, 9)])) % 2000001 - 1000000)"
+    val proj = s"list_sum([q[i] * ${m("CAST(t AS VARCHAR)", "CAST(bb AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")} for i in range(1, len(q) + 1)])"
+    s"""WITH q AS (SELECT vec_id, $quantSql AS q FROM embeddings),
+       |n AS (SELECT vec_id, q, sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) AS nrm FROM q
+       |      WHERE sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE)) > 0.0),
+       |tb AS (SELECT vec_id, q, nrm, unnest(range(0, 8)) AS t FROM n),
+       |bk AS (SELECT vec_id, q, nrm, t,
+       |    list_sum([CASE WHEN $proj >= 0 THEN CAST(power(2, bb) AS BIGINT) ELSE 0 END
+       |              for bb in range(0, 4)]) AS bucket
+       |  FROM tb),
+       |p AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+       |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, len(x.q) + 1)]) AS DOUBLE) / (x.nrm * y.nrm) AS cos
+       |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+       |  WHERE x.vec_id < 10 AND x.vec_id <> y.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM p),
+       |lsh AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rank <= 5),
+       |es AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum([a.q[i] * b.q[i] for i in range(1, len(a.q) + 1)]) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM es),
+       |ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5)
+       |SELECT ex.query_id, COUNT(*) AS n_exact, COUNT(lsh.hit) AS hits
+       |FROM ex LEFT JOIN lsh ON ex.query_id = lsh.query_id AND ex.neighbor_id = lsh.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
   /** vs05 — IVF centroid pass: per-(label, dimension) exact integer sums
     * of the quantized vectors (sum/n IS the centroid; the sum is the
     * exact, order-independent part so that's what the gate pins).
@@ -2563,6 +2609,7 @@ object VectorOps {
     Q("vs03_cluster_stats", "per-label quantized norm statistics", vs03, Some(vs03Sql)),
     Q("vs04_ann_lsh", "LSH-bucketed ANN top-5 (scale path)", vs04, Some(vs04Sql)),
     Q("vs26_ann_lsh_auto", "vs04 under the production width rule: bits = ceil(log2(ceil(N/targetBucket))) so the expected bucket stays constant as the corpus grows; oracle replays the integer bit count", vs26, Some(vs26Sql)),
+    Q("vs27_lsh_recall", "the recall estimator as an operator (Ann.recallAtK): per query, how many of the exact top-5 the vs04-configured LSH returns — integers only; oracle composes vs01's and vs04's SQL and counts the intersection", vs27, Some(vs27Sql)),
     Q("pp38_incremental_lsh", "incremental LSH-index maintenance: standing index advanced by hashing only the batch (row-local additivity), maintained index serves the query — equals vs04 over the full table, oracle verbatim", pp38, Some(vs04Sql)),
     Q("vs05_centroid_sums", "per-(label, dim) exact centroid sums (IVF pass)", vs05, Some(vs05Sql)),
     Q("vs06_ivf_search", "IVF ANN: assign → probe 2 centroids → search those clusters only", vs06, Some(vs06Sql)),
