@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** array<float> → array<long> quantization (exact integer dot products). */
+  /** array<float> → array<long> quantization (exact integer dot products).
+    * Native fused expression (graft.functions.QuantizeVector): the
+    * composed `transform(c, x => floor(x.cast("double") * 10000).cast("long"))`
+    * form is a CodegenFallback higher-order function — interpreted
+    * per-element lambda dispatch on EVERY vector gate's scan, and
+    * duplicated wherever the optimizer inlines `q` into a filter AND a
+    * projection (the normed-frame shape). Same arithmetic bit for bit. */
   def quantize(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * 10000.0).cast("long"))
+    graft.functions.PqExpressions.quantizeVec(c)
 
   /** Fused native dot product (graft.functions.QuantizedDotProduct): one
     * codegen'd loop, no intermediate zip array — the scoring inner loop. */

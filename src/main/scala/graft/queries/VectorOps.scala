@@ -1229,10 +1229,16 @@ object VectorOps {
       transform(typedLit(books(sp)), w =>
         aggregate(zip_with(slice(vec, sp * subDims + 1, subDims), w,
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-    /** The m codeword ids a vector compresses to. */
+    /** The m codeword ids a vector compresses to. Native fused encode
+      * (graft.functions.PqEncodeVector): the composed
+      * `array_position(dists, array_min(dists)) − 1` form evaluates
+      * m × nCodes interpreted zip_with+aggregate folds per row (the
+      * higher-order functions are CodegenFallback) — measured as the
+      * dominant term of every PQ gate; the native argmin loop is the
+      * same first-minimum-in-book-order choice in one codegen'd pass. */
     def codes(vec: Column): Column =
-      array((0 until m).map(sp =>
-        array_position(dists(sp, vec), array_min(dists(sp, vec))) - 1L): _*)
+      graft.functions.PqExpressions.pqEncode(vec,
+        books.map(_.map(_.toArray).toArray).toArray, subDims)
     /** A query's flat m × nCodes distance table (s-major). */
     def dtab(vec: Column): Column =
       flatten(array((0 until m).map(sp => dists(sp, vec)): _*))
@@ -1552,17 +1558,11 @@ object VectorOps {
     * code choice. */
   private[graft] def sqCodes(vec: Column, vmin: Array[Long],
       vdiff: Array[Long]): Column =
-    transform(vec, (x, i) => {
-      val mn = element_at(typedLit(vmin), (i + 1).cast("int"))
-      val df = element_at(typedLit(vdiff), (i + 1).cast("int"))
-      // the clamp is inert for in-range values (every corpus the TRAIN
-      // saw) — it exists for the MAINTAINED deployment, where the bounds
-      // are fixed at era start and a later arrival may fall outside them:
-      // such a vector must encode to the nearest grid edge, not to a
-      // negative or >8-bit code that would corrupt the byte-packed index
-      when(df === 0L, 0L).otherwise(
-        greatest(lit(0L), least(lit(255L), idivNonneg((x - mn) * 255L, df))))
-    })
+    // native fused encode (graft.functions.SqEncodeVector) — the previous
+    // transform-with-element_at form was a CodegenFallback HOF evaluated
+    // per corpus row; same arithmetic (floor division, 0 on vdiff = 0,
+    // clamp to the grid edge for out-of-bounds maintained arrivals)
+    graft.functions.PqExpressions.sqEncode(vec, vmin, vdiff)
 
   /** Row-local SQ8 DECODE: recon_d = vmin_d + ⌊code_d · vdiff_d / 255⌋ —
     * the integer-exact reconstruction the asymmetric distance scores
@@ -1606,9 +1606,12 @@ object VectorOps {
     val scored = broadcast(queries)
       .join(enc.filter(size(col("codes")) > 0), col("query_id") =!= col("vec_id"))
       .select(col("query_id"),
-        (-aggregate(zip_with(col("qq"), sqRecon(col("codes"), vmin, vdiff),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, y) => acc + y))
-          .cast("double").as("nd"),
+        // native fused decode+L2 (graft.functions.SqAdistance): this is
+        // the catalog's highest-row-count HOF site — |queries| × N pair
+        // rows each paid an interpreted transform + zip_with + aggregate;
+        // one codegen'd loop, same integer reconstruction bit for bit
+        (-graft.functions.PqExpressions.sqAdist(col("qq"), col("codes"),
+          vmin, vdiff)).cast("double").as("nd"),
         col("vec_id"))
     graft.operators.GroupedTopK.topK(scored, "query_id", "nd", "vec_id", k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
