@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(c: Column): Column =
-    filter(split(c, " "), t => t =!= "")
+  /** Whitespace tokens, empties dropped. Previously
+    * `filter(split(c, " "), t => t =!= "")`; now the native codegen'd
+    * [[WsTokens]] — same value (spec-pinned element-for-element in
+    * TextExpressionsSpec), one byte scan instead of a per-row regex
+    * split plus an interpreted ArrayFilter lambda walk. */
+  def tokens(c: Column): Column = TextExpressions.wsTokens(c)
 
   /** dd15/pp17's canonicalizer seam. ASCII mode (default) is the
     * cross-engine fold the oracle replays byte-for-byte (lowercase, every
@@ -32,12 +35,17 @@ object Text {
     else
       trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** Word n-grams (space-joined) over a token array; < n tokens → empty. */
-  def wordNGrams(toks: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  /** Word n-grams (space-joined) over a token array; < n tokens → empty.
+    * Previously `when(size ≥ n, transform(sequence(0, size−n), i =>
+    * concat_ws(" ", element_at(toks, i+1)…))).otherwise(array())` — and
+    * because Catalyst does NO subexpression elimination inside lambda
+    * bodies, a composed `wordNGrams(tokens(text), 2)` re-ran the whole
+    * split+filter per `element_at`, i.e. O(tokens²) per document (the
+    * same trap [[shingles]] documents). Now the native codegen'd
+    * [[WordNGrams]]: same value including the null contracts
+    * (spec-pinned in TextExpressionsSpec), one fused pass. */
+  def wordNGrams(toks: Column, n: Int): Column =
+    TextExpressions.wordNGrams(toks, n)
 
   private def shingleArr(t: String, n: Int): Array[String] = {
     if (t == null) return Array.empty
