@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   * derived from the checkpointed rollup instead of a second pushed-
   * filter scan) so its cost can be compared instead of argued.
   *
-  * Usage: `runMain graft.StageProbe [sfDir]` (default /root/testdata/sf0.1). */
+  * Round-18 addition: `dedup` mode — stage budget for the MinHash/LSH
+  * cluster family (dd06/dd14/sa11/pp04/pp37 share `dupClusters`; dd02/
+  * dd05/dd07/dd13/pp02 share the shingle pass): times the signature UDF
+  * pass, the band projection, the bucket→CC clustering, and the shingle
+  * UDF pass in isolation, so kernel-promotion effort lands on the
+  * dominant stage.
+  *
+  * Usage: `runMain graft.StageProbe [sfDir] [mode]` (default
+  * /root/testdata/sf0.1, mode ta17|dedup, default ta17). */
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = if (args.length > 1) args(1) else "ta17"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -44,6 +53,103 @@ object StageProbe {
     }
 
     val docs = Tables.documents(spark, d)
+
+    if (mode == "dedup") {
+      // S1: the one-pass MinHash signature UDF (dd06's row-local path)
+      time("D1_minhash_sigs") {
+        noop(docs.select($"doc_id", Text.minhashSigs($"text").as("sigs")))
+      }
+      // S2: signatures + band-key projection + posexplode (sigBandsLocal)
+      time("D2_sig_bands_local") {
+        noop(docs.select($"doc_id", Text.minhashSigs($"text").as("sigs"))
+          .filter($"sigs".isNotNull)
+          .select($"doc_id", posexplode(Text.bandKeys($"sigs"))))
+      }
+      // S3: the full dd06 clustering (bands → bucket CC → labels)
+      time("D3_dd06_full") {
+        noop(graft.queries.Catalog.byName("dd06_dup_clusters").fn(spark, d))
+      }
+      // S4: the distinct-shingle UDF pass (dd02/dd05/dd07/dd13's frame)
+      time("D4_shingles_udf") {
+        noop(docs.select($"doc_id", Text.shingles($"text", 3).as("arr"))
+          .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh")))
+      }
+      // S5: dd14 full (dd06 + score join) for the family headline
+      time("D5_dd14_full") {
+        noop(graft.queries.Catalog.byName("dd14_canonical_keep").fn(spark, d))
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "pp33") {
+      // Leg budget for the composite maintainer gates (pp33/pp34): build
+      // the five families' standing state once through the SAME public
+      // Streams API the gate uses, then time each snapshot leg and the
+      // full gate — so composite-optimization effort lands on the
+      // dominant leg.
+      val st = graft.streaming.Streams
+      val dir = java.nio.file.Files.createTempDirectory("probe-pp33").toString
+      val dall = docs.select($"doc_id", $"source", $"lang", $"text")
+        .localCheckpoint(true)
+      val isNew = graft.functions.HashExpressions.md5Fold32(
+        concat(lit("pipe:"), $"doc_id".cast("string"))) % 5 === 0
+      st.buildRefState(dall, s"$dir/ref")
+      for (b <- Seq(dall.filter(!isNew), dall.filter(isNew))) {
+        st.maintainDedupState(b.select($"doc_id", $"text"),
+          s"$dir/xstats", s"$dir/xdocs")
+        st.maintainScoreState(b, s"$dir/ref", s"$dir/scores", s"$dir/sdocs")
+        st.maintainTfState(b.select($"doc_id", $"text"),
+          s"$dir/tf", s"$dir/dl", s"$dir/tdocs")
+        st.maintainCmsState(b.select($"doc_id", $"text"),
+          s"$dir/cells", s"$dir/vocab", s"$dir/cdocs")
+        st.maintainHllState(b, s"$dir/regs", s"$dir/hdocs")
+      }
+      time("L1_dedup_snapshot") { noop(st.dedupSnapshot(spark, s"$dir/xstats")) }
+      time("L2_score_snapshot") { noop(st.scoreSnapshot(spark, s"$dir/scores")) }
+      // ta18's fixed workload, inlined (TA18_QUERIES is queries-private)
+      val ta18q = Seq(1L -> "vector index scan", 2L -> "customer order join",
+        3L -> "stream window watermark", 4L -> "hash",
+        5L -> "slow query filter sort").toDF("query_id", "qtext")
+      time("L3_bm25_serve") {
+        noop(st.bm25ServeSnapshot(spark, s"$dir/tf", s"$dir/dl", ta18q, 10))
+      }
+      time("L3a_dl_snapshot") { noop(st.dlSnapshot(spark, s"$dir/dl")) }
+      time("L3b_tf_scan") { noop(spark.read.parquet(s"$dir/tf")) }
+      time("L3c_bm25_serve_dlpinned") {
+        noop(st.bm25ServeSnapshot(spark, s"$dir/tf", s"$dir/dl", ta18q, 10,
+          materialize = _.localCheckpoint(true)))
+      }
+      time("L4_cms_snapshot") {
+        noop(st.cmsSnapshot(spark, s"$dir/cells", s"$dir/vocab"))
+      }
+      time("L5_hll_snapshot") { noop(st.hllSnapshot(spark, s"$dir/regs")) }
+      // compacted-state re-run: the production cadence runs the family
+      // compactors between advances; measure what the snapshot legs pay
+      // for the UNcompacted 2-advance layout vs the compacted one
+      st.compactDedup(spark, s"$dir/xstats", s"$dir/xdocs")
+      st.compactScores(spark, s"$dir/scores")
+      st.compactTf(spark, s"$dir/tf", s"$dir/dl")
+      st.compactCms(spark, s"$dir/cells", s"$dir/cdocs")
+      st.compactHll(spark, s"$dir/regs")
+      time("C1_dedup_snapshot") { noop(st.dedupSnapshot(spark, s"$dir/xstats")) }
+      time("C2_score_snapshot") { noop(st.scoreSnapshot(spark, s"$dir/scores")) }
+      time("C3_bm25_serve") {
+        noop(st.bm25ServeSnapshot(spark, s"$dir/tf", s"$dir/dl", ta18q, 10))
+      }
+      time("C4_cms_snapshot") {
+        noop(st.cmsSnapshot(spark, s"$dir/cells", s"$dir/vocab"))
+      }
+      time("L6_pp33_full") {
+        noop(graft.queries.Catalog.byName("pp33_incremental_pipeline").fn(spark, d))
+      }
+      time("L7_pp34_full") {
+        noop(graft.queries.Catalog.byName("pp34_incremental_multimodal").fn(spark, d))
+      }
+      spark.stop()
+      return
+    }
+
     def mRoll = docs
       .select($"doc_id", $"source",
         explode(Text.wordNGrams(Text.tokens($"text"), 2)).as("bigram"))

@@ -159,27 +159,46 @@ object ConnectedComponents {
     // stitch). Materialized once in one barrier — every round reads these
     // blocks, never the upstream bucketing.
     import org.apache.spark.sql.expressions.Window
-    val m = timed("members materialize")(materialize(
+    // r18 optimization (guide §2.4 — shared exchanges): every wave joins
+    // the membership table TWICE, once item-keyed and once bucket-keyed.
+    // A single checkpointed copy satisfies neither join's distribution,
+    // so each wave re-exchanged the pruned membership table (the dup
+    // graph × bands — small at gate scale, but growing with the dup rate
+    // at corpus scale) 2-3 times. Materialize the table ONCE PER KEY
+    // instead: `mB` rides the window's own hashpartitioning(__b) straight
+    // into the checkpoint (no extra exchange — the prune and the
+    // bucket-join key coincide), `mI` pays one explicit repartition(__i)
+    // (measured ~0.05 s at sf0.1). localCheckpoint captures the physical
+    // partitioning in the LogicalRDD, so the rounds' joins reuse it and a
+    // wave's data movement drops toward the two exchanges the
+    // doc→bucket→doc propagation fundamentally is (label rows by __b,
+    // then by __i). Honest gate-scale effect: dd06 2.63 → 2.50 s at
+    // sf0.1 — the rounds there are STAGE-LATENCY-bound (~12 micro-stage
+    // barriers across round 0's three composed waves), so the win is
+    // structural (bytes-per-wave at scale), not local wall time.
+    val mB = timed("members materialize (bucket-keyed)")(materialize(
       members.select(col(idCol).as("__i"), col(bucketCol).as("__b")).distinct()
         .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__b"))))
         .filter(col("__n") >= 2).drop("__n")))
+    val mI = timed("members materialize (item-keyed)")(materialize(
+      mB.repartition(col("__i"))))
 
     // one wave: bucket := min over members, item := min over its buckets.
     // The item's own label rides through its buckets' minima (it is a
     // member), so no separate self-union is needed.
     def wave(ls: DataFrame): DataFrame = {
-      val bmin = m.join(ls, "__i")
+      val bmin = mI.join(ls, "__i")
         .groupBy(col("__b")).agg(min(col("component")).as("__bc"))
-      m.join(bmin, "__b")
+      mB.join(bmin, "__b")
         .groupBy(col("__i")).agg(min(col("__bc")).as("component"))
     }
     // final wave of a round: same propagation, but rides the incoming
     // label alongside as __old so convergence is a filter on the
     // materialized frame — no separate old-vs-new join job
     def waveCarryOld(ls: DataFrame): DataFrame = {
-      val bmin = m.join(ls, "__i")
+      val bmin = mI.join(ls, "__i")
         .groupBy(col("__b")).agg(min(col("component")).as("__bc"))
-      m.join(bmin, "__b")
+      mB.join(bmin, "__b")
         .select(col("__i"), col("__bc").as("component"), lit(false).as("__isold"))
         .unionByName(ls.select(col("__i"), col("component"), lit(true).as("__isold")))
         .groupBy(col("__i"))
@@ -190,7 +209,7 @@ object ConnectedComponents {
           max(when(col("__isold"), col("component"))).as("__old"))
     }
 
-    var labels = m.select(col("__i")).distinct()
+    var labels = mI.select(col("__i")).distinct()
       .select(col("__i"), col("__i").as("component"))
     var retired: Option[DataFrame] = None
     var iter = 0
@@ -215,7 +234,8 @@ object ConnectedComponents {
       s"connected components did not converge within $maxIter rounds — " +
         s"a component's pair-graph diameter exceeds maxIter + 2 = ${maxIter + 2} " +
         "hops (each wave floods one doc→bucket→doc hop); raise maxIter")
-    Bridge.unpersistMaterialized(m)
+    Bridge.unpersistMaterialized(mB)
+    Bridge.unpersistMaterialized(mI)
     labels.select(col("__i").as(idCol), col("component"))
   }
 }

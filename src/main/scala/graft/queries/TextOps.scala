@@ -2922,6 +2922,23 @@ object TextOps {
     st.maintainHllState(b, s"$dir/regs", s"$dir/hdocs")
   }
 
+  /** The families' CADENCED COMPACTION — the production lifecycle step
+    * between advances (every compactor is content-preserving and
+    * spec-pinned in its own family suite). Run by pp33/pp34's standing
+    * build after the era loop: the two-advance append layout otherwise
+    * leaves [[graft.streaming.Streams.TF_PARTITIONS]] × eras small
+    * files per doc-bucketed table, and the snapshot legs re-pay that
+    * listing/open tax on every read (r18, guide §6 — measured 0.6 s on
+    * the bm25 leg alone at sf0.1). */
+  private def textFamiliesCompact(s: SparkSession, dir: String): Unit = {
+    val st = graft.streaming.Streams
+    st.compactDedup(s, s"$dir/xstats", s"$dir/xdocs")
+    st.compactScores(s, s"$dir/scores")
+    st.compactTf(s, s"$dir/tf", s"$dir/dl")
+    st.compactCms(s, s"$dir/cells", s"$dir/cdocs")
+    st.compactHll(s, s"$dir/regs")
+  }
+
   /** One composite leg: a family's snapshot serialized to tagged rows.
     * Serialization uses concat (NULL-poisoning, like SQL ||), never
     * concat_ws (which silently drops NULLs and would mask a NULL where
@@ -2941,8 +2958,14 @@ object TextOps {
       .unionByName(tagLeg("scores", st.scoreSnapshot(s, s"$stand/scores"),
         Seq("doc_id", "source", "score", "rank", "bucket")))
       .unionByName(tagLeg("bm25",
+        // the dl snapshot is consumed twice (the N/L scalars and the
+        // scoring join); the operator's own materialize knob pins it so
+        // the dl table is derived once per read instead of twice (r18 —
+        // the knob's documented purpose; dl is the compact 2-column
+        // per-doc table, the smallest frame in the leg)
         st.bm25ServeSnapshot(s, s"$stand/tf", s"$stand/dl",
-          TA18_QUERIES.toDF("query_id", "qtext"), TA18_K),
+          TA18_QUERIES.toDF("query_id", "qtext"), TA18_K,
+          materialize = _.localCheckpoint(true)),
         Seq("query_id", "rank", "doc_id", "score")))
       .unionByName(tagLeg("cms", st.cmsSnapshot(s, s"$stand/cells", s"$stand/vocab"),
         Seq("tok", "cf", "est")))
@@ -2962,6 +2985,7 @@ object TextOps {
       st.buildRefState(docs, s"$dir/ref")
       for (b <- Seq(docs.filter(!isNew), docs.filter(isNew)))
         textFamiliesIngest(b, dir)
+      textFamiliesCompact(s, dir)
     }
     textFamiliesTagged(s, stand).orderBy($"family", $"row")
   }
@@ -3025,6 +3049,7 @@ object TextOps {
         textFamiliesIngest(bd, dir)
         st.maintainIvfState(bv, cents, s"$dir/postings", s"$dir/sums")
       }
+      textFamiliesCompact(s, dir)
     }
     val queries = e.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"nrm".as("qn"))

@@ -2552,7 +2552,12 @@ object VectorOps {
     import s.implicits._
     import graft.streaming.Streams
     val e = embeddings(s, d).select($"vec_id", $"embedding")
-    val cents = ivfCentroids(normed(e))
+    // pinned: assignCells collects the centroid table per call, and this
+    // gate calls it once per routed arrival plus once per flushed-group
+    // advance (~8×/run) — without the pin each collect re-runs the
+    // embeddings scan + quantize + filter (r18, guide §5 caching: reused
+    // AND recompute-heavier-than-memory; 8 rows)
+    val cents = ivfCentroids(normed(e)).localCheckpoint(true)
     val root = java.nio.file.Files.createTempDirectory("pp39-routed").toString
     val (stageT, postT, graphT) =
       (s"$root/stage", s"$root/postings", s"$root/graph")

@@ -1482,15 +1482,23 @@ object Streams {
         Seq("vec_id"), "left_anti"))
       .getOrElse(batch)
       .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
-    val fresh = graft.queries.VectorOps.normed(freshRaw).localCheckpoint(true)
-    // both pinned: the isEmpty probes would otherwise re-run the
-    // anti-join / multi-join advance plans a second time for the writes,
-    // doubling the advance's stated per-batch compute
-    val rejects = freshRaw
-      .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // r18 (guide §1.2 step 1 — don't pay a pass twice): ONE checkpoint of
+    // the quantized+normed batch, with fresh (nrm > 0 — VectorOps.normed's
+    // exact predicate) and the zero-norm/null rejects both FILTERS over
+    // it, instead of the previous two checkpoints (normed, then an
+    // anti-join re-deriving the rejects). Same rows on both sides: the
+    // anti-join kept exactly the vec_ids normed dropped, i.e. nrm null
+    // or ≤ 0.
+    val graded = freshRaw
+      .select(col("vec_id"),
+        graft.operators.Ann.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(graft.operators.Ann.dotQ(col("q"), col("q"))
+        .cast("double")))
+      .localCheckpoint(true)
+    val fresh = graded.filter(col("nrm") > 0.0)
+    val rejects = graded.filter(coalesce(col("nrm"), lit(0.0)) <= 0.0)
       .select(lit(-1L).as("cid"), col("vec_id"),
         lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
-      .localCheckpoint(true)
     if (fresh.isEmpty) {
       if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
       return
@@ -1499,14 +1507,20 @@ object Streams {
       .localCheckpoint(true)
     val standPost = postings.map(_.filter(col("cid") >= 0))
       .getOrElse(assigned.limit(0))
-    val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
-      standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
-      .localCheckpoint(true)
-    if (!touchedRows.isEmpty) {
-      // touched cells are batch-bounded (≤ nlist, the driver-bounded
-      // centroid table) — the collect is codebook-sized by construction
-      val touchedCids = touchedRows.select(col("cid").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    // touched cells derive from the checkpointed ASSIGNMENT (every cid
+    // the advance can emit rows for is a batch-assigned cid, and the
+    // collect is codebook-sized by construction) — the advance output
+    // itself is then written in its single pass, instead of the previous
+    // checkpoint + isEmpty probe + second collect over it. A batch-only
+    // singleton cell can stage ZERO rows for its cid; the manifest's
+    // "empty" leg publishes that as partition deletion, which is the
+    // correct graph for a one-member cell (no edges) and a no-op when
+    // the partition never existed.
+    val touchedCids = assigned.select(col("cid").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    if (touchedCids.nonEmpty) {
+      val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
+        standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
       graft.operators.MergeWriter.overwritePartitionsAtomic(
         touchedRows, graphTable, "cid", touchedCids)
     }
