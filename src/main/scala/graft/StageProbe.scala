@@ -82,6 +82,19 @@ object StageProbe {
       return
     }
 
+    if (mode == "comp") {
+      // lean composite-gate A/B: just the two full gates, nothing else in
+      // the session — the bisect harness for the round-18 composite work
+      time("G1_pp33_full") {
+        noop(graft.queries.Catalog.byName("pp33_incremental_pipeline").fn(spark, d))
+      }
+      time("G2_pp34_full") {
+        noop(graft.queries.Catalog.byName("pp34_incremental_multimodal").fn(spark, d))
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "pp33") {
       // Leg budget for the composite maintainer gates (pp33/pp34): build
       // the five families' standing state once through the SAME public
