@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
   * dominant stage.
   *
   * Usage: `runMain graft.StageProbe [sfDir] [mode]` (default
-  * /root/testdata/sf0.1, mode ta17|dedup, default ta17). */
+  * /root/testdata/sf0.1; mode ta17|dedup|comp|pp33|export|cdc|pp39,
+  * default ta17 — an unknown mode fails fast instead of silently
+  * running the default probe). */
 object StageProbe {
+  private val Modes = Set("ta17", "dedup", "comp", "pp33", "export", "cdc", "pp39")
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = if (args.length > 1) args(1) else "ta17"
+    require(Modes(mode),
+      s"StageProbe: unknown mode '$mode' (expected ${Modes.toSeq.sorted.mkString("|")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -2572,14 +2572,19 @@ object VectorOps {
       Streams.routeByCell(e.filter(pmod($"vec_id", lit(arrivals)) === k),
         cents, stageT, groups = 2, seq = k.toLong)
       // size trigger high enough that the AGE trigger paces the flushes:
-      // every group flushes within one arrival of its oldest row
-      Streams.flushCellGroups(s, stageT, minRows = 100000L, maxLag = 1L,
-        curSeq = k.toLong)((_, rows) =>
+      // every group flushes within one arrival of its oldest row. The
+      // WAVE-batched flush (r19) materializes the ready groups once and
+      // runs ONE advance per wave — the per-group fixed costs (repair,
+      // id-guard probe, graph-snapshot listing, postings append) were
+      // the gate's dominant term, and the maintained graph is invariant
+      // under the merge (see flushCellGroupsBatched)
+      Streams.flushCellGroupsBatched(s, stageT, minRows = 100000L,
+        maxLag = 1L, curSeq = k.toLong)(rows =>
         Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
     }
     // decommission drain: whatever is still staged advances now
-    Streams.flushCellGroups(s, stageT, minRows = 1L, maxLag = 0L,
-      curSeq = arrivals.toLong)((_, rows) =>
+    Streams.flushCellGroupsBatched(s, stageT, minRows = 1L, maxLag = 0L,
+      curSeq = arrivals.toLong)(rows =>
       Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3))
     Streams.knnGraphSnapshot(s, graphT).orderBy($"query_id", $"rank")
   }
@@ -2642,7 +2647,7 @@ object VectorOps {
     Q("vs22_opq_search", "OPQ train-then-deploy: learned permutation + one-iteration books, row-local query permute, vs08's encode + ADC search unchanged", vs22, Some(vs22Sql)),
     Q("pp28_incremental_opq", "incremental OPQ maintenance: (perm, books) trained on the standing slice and persisted, increment encoded under the era's artifacts row-locally, ADC search over standing + increment codes (oracle replays the era split)", pp28, Some(pp28Sql)),
     Q("pp24_incremental_knn_graph", "incremental kNN-graph maintenance: stored edges stand in for standing-standing pairs, batch scores only its cells' members, graph == vs13", pp24, Some(vs13Sql)),
-    Q("pp39_cell_routed_graph", "cell-routed graph ingest: decorrelated arrivals staged by routeByCell into per-cell-group micro-batches (size/age-triggered flush), each flushed group advances the maintained graph touching only its cells' partitions — final graph == vs13, oracle verbatim", pp39, Some(vs13Sql)),
+    Q("pp39_cell_routed_graph", "cell-routed graph ingest: decorrelated arrivals staged by routeByCell into per-cell-group micro-batches (size/age-triggered flush), each flush wave's ready groups advance the maintained graph as one cell-clustered batch touching only their cells' partitions — final graph == vs13, oracle verbatim", pp39, Some(vs13Sql)),
     Q("pp36_incremental_knn_graph_auto", "incremental kNN-graph maintenance under the AUTO-SIZED quantizer era: pp24's advance kernel verbatim, nlist = ceil(N/targetCellSize) from the post-rebuild count, advance cost bounded per touched cell at ~targetCellSize standing members — graph == vs23", pp36, Some(vs23Sql)),
     Q("pp20_incremental_sq", "incremental SQ-codes maintenance: standing codes table advanced by row-local batch encodes under fixed bounds, search == vs15", pp20, Some(vs15Sql)),
     Q("pp05_incremental_ivf", "incremental IVF maintenance: batch-assigned postings appended to standing lists, search == vs06", pp05, Some(vs06Sql)),

@@ -1482,48 +1482,58 @@ object Streams {
         Seq("vec_id"), "left_anti"))
       .getOrElse(batch)
       .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
-    // r18 (guide §1.2 step 1 — don't pay a pass twice): ONE checkpoint of
-    // the quantized+normed batch, with fresh (nrm > 0 — VectorOps.normed's
-    // exact predicate) and the zero-norm/null rejects both FILTERS over
-    // it, instead of the previous two checkpoints (normed, then an
-    // anti-join re-deriving the rejects). Same rows on both sides: the
-    // anti-join kept exactly the vec_ids normed dropped, i.e. nrm null
-    // or ≤ 0.
+    // r18/r19 (guide §1.2 step 1 — don't pay a pass twice): ONE checkpoint
+    // of the quantized+normed+ASSIGNED batch — assignment is a pure
+    // row-local projection (NearestCentroid), so folding it into the same
+    // checkpoint removes the second per-advance checkpoint job the r18
+    // shape still paid; fresh and the zero-norm/null rejects are both
+    // FILTERS over it. fresh/rejects are a TRUE PARTITION of graded
+    // (p and !p): a row is classified exactly once regardless of exotic
+    // norm values. A reject's row-local cid is discarded (overridden to
+    // the −1 sentinel), so assigning it first costs nothing but the fused
+    // projection's arithmetic. An EMPTY quantizer assigns cid null and
+    // the null filter below drops those rows from `assigned` — exactly
+    // assignCells' empty-quantizer contract (assign nothing), with the
+    // rejects leg unaffected.
+    val cs = cents.select(col("cid"), col("cq"), col("cn")).collect()
     val graded = freshRaw
       .select(col("vec_id"),
         graft.operators.Ann.quantize(col("embedding")).as("q"))
       .withColumn("nrm", sqrt(graft.operators.Ann.dotQ(col("q"), col("q"))
         .cast("double")))
+      .withColumn("cid",
+        if (cs.isEmpty) lit(null).cast("long")
+        else graft.functions.VectorExpressions.nearestCentroid(
+          col("q"), col("nrm"),
+          cs.map(_.getLong(0)),
+          cs.map(_.getSeq[Long](1).toArray),
+          cs.map(_.getDouble(2))))
       .localCheckpoint(true)
-    val fresh = graded.filter(col("nrm") > 0.0)
-    val rejects = graded.filter(coalesce(col("nrm"), lit(0.0)) <= 0.0)
+    val assigned = graded.filter(col("nrm") > 0.0 && col("cid").isNotNull)
+      .select(col("cid"), col("vec_id"), col("q"), col("nrm"))
+    val rejects = graded.filter(!coalesce(col("nrm") > 0.0, lit(false)))
       .select(lit(-1L).as("cid"), col("vec_id"),
         lit(Array.empty[Long]).as("q"), lit(0.0).as("nrm"))
-    if (fresh.isEmpty) {
-      if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
-      return
-    }
-    val assigned = graft.queries.VectorOps.assignCells(fresh, cents)
-      .localCheckpoint(true)
     val standPost = postings.map(_.filter(col("cid") >= 0))
       .getOrElse(assigned.limit(0))
     // touched cells derive from the checkpointed ASSIGNMENT (every cid
     // the advance can emit rows for is a batch-assigned cid, and the
-    // collect is codebook-sized by construction) — the advance output
-    // itself is then written in its single pass, instead of the previous
-    // checkpoint + isEmpty probe + second collect over it. A batch-only
-    // singleton cell can stage ZERO rows for its cid; the manifest's
-    // "empty" leg publishes that as partition deletion, which is the
-    // correct graph for a one-member cell (no edges) and a no-op when
-    // the partition never existed.
+    // collect is codebook-sized by construction) — the collect doubles as
+    // the fresh-emptiness probe, so the advance pays no separate isEmpty
+    // job. A batch-only singleton cell can stage ZERO rows for its cid;
+    // the manifest's "empty" leg publishes that as partition deletion,
+    // which is the correct graph for a one-member cell (no edges) and a
+    // no-op when the partition never existed.
     val touchedCids = assigned.select(col("cid").cast("long"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    if (touchedCids.nonEmpty) {
-      val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
-        standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
-      graft.operators.MergeWriter.overwritePartitionsAtomic(
-        touchedRows, graphTable, "cid", touchedCids)
+    if (touchedCids.isEmpty) {
+      if (!rejects.isEmpty) rejects.write.mode("append").parquet(postingsTable)
+      return
     }
+    val touchedRows = graft.queries.VectorOps.knnGraphAdvanceTouched(
+      standPost, knnGraphSnapshot(spark, graphTable), assigned, k)
+    graft.operators.MergeWriter.overwritePartitionsAtomic(
+      touchedRows, graphTable, "cid", touchedCids)
     assigned.unionByName(rejects).write.mode("append").parquet(postingsTable)
   }
 
@@ -1646,19 +1656,65 @@ object Streams {
     }.getOrElse(Seq.empty)
   }
 
-  /** [[routeByCell]] + [[flushCellGroups]] + [[maintainKnnGraphState]]
-    * as ONE foreachBatch sink — the deployable loop that gives real
-    * decorrelated ingest the cell-routed advance cost the round-17
-    * measurement showed: each arriving micro-batch stages under the
-    * router, then every ready cell group advances the graph as its own
-    * cell-clustered micro-batch. Restart redelivers at both seams
-    * (source → stage, stage → advance); the postings id guard closes
-    * both. Drain the stage with a minRows = 1 flush at decommission, or
-    * rely on the age trigger. Size `minRows` to a FULL advance batch
-    * for your arrival rate (see [[flushCellGroups]] — the round-18
-    * measurement: batch-sized cell-pure flushes hit the hand-grouped
-    * cellwise band, small groups re-pay the standing reads per flush);
-    * the default here is a floor, not a recommendation. */
+  /** [[flushCellGroups]] with the WAVE as the flush unit (r19, guide
+    * §1.2 step 1 — batch the per-group driver jobs across the flush
+    * set): every ready group's rows are materialized in ONE pass and
+    * handed to `consume` as a single cell-clustered micro-batch, and
+    * the flushed partitions delete in ONE atomic publish after it
+    * returns. The downstream advance is invariant-correct over any
+    * union of groups (after an advance, every touched cell's partition
+    * equals the full build over standing ∪ batch — cells are computed
+    * independently), so merging a wave changes WHICH advances run,
+    * never the maintained graph; what it saves is the per-group fixed
+    * costs the round-18 measurement priced (the stage-table repair,
+    * the id-guard probe, the graph-snapshot listing, the postings
+    * append — previously re-paid once PER READY GROUP per wave). The
+    * crash seam coarsens from group to wave: a crash between `consume`
+    * and the publish redelivers the WHOLE wave, which the maintainers'
+    * id guards collapse — the same at-least-once contract. At steady
+    * state waves usually hold ONE ready group (triggers stagger), so
+    * the cell-clustering the router buys is intact; a multi-group wave
+    * touches exactly the union of its groups' cells either way. */
+  def flushCellGroupsBatched(spark: SparkSession, stageTable: String,
+      minRows: Long, maxLag: Long, curSeq: Long)(
+      consume: DataFrame => Unit): Seq[Long] = {
+    graft.operators.MergeWriter.repairPartitionedTable(spark, stageTable, "kb")
+    tryRead(spark, stageTable).map { st =>
+      val ready = st.groupBy(col("kb").cast("long").as("kb"))
+        .agg(count(lit(1)).as("n"), min(col("seq")).as("oldest"))
+        .filter(col("n") >= minRows || col("oldest") <= lit(curSeq - maxLag))
+        .select(col("kb")).collect().map(_.getLong(0)).toIndexedSeq.sorted
+      if (ready.nonEmpty) {
+        val rows = st.filter(col("kb").cast("long").isin(ready: _*))
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        consume(rows)
+        // all flushed partitions are consumed — publish their empty
+        // partitions in one manifest (atomic; crash before this point
+        // redelivers the wave)
+        graft.operators.MergeWriter.overwritePartitionsAtomic(
+          rows.limit(0).select(col("vec_id"), col("embedding"),
+            lit(0L).as("seq"), lit(0L).as("kb")),
+          stageTable, "kb", ready)
+      }
+      ready
+    }.getOrElse(Seq.empty)
+  }
+
+  /** [[routeByCell]] + [[flushCellGroupsBatched]] +
+    * [[maintainKnnGraphState]] as ONE foreachBatch sink — the
+    * deployable loop that gives real decorrelated ingest the
+    * cell-routed advance cost the round-17 measurement showed: each
+    * arriving micro-batch stages under the router, then the ready cell
+    * groups advance the graph as one cell-clustered micro-batch per
+    * wave (usually a single group — triggers stagger at steady state).
+    * Restart redelivers at both seams (source → stage, stage →
+    * advance); the postings id guard closes both. Drain the stage with
+    * a minRows = 1 flush at decommission, or rely on the age trigger.
+    * Size `minRows` to a FULL advance batch for your arrival rate (see
+    * [[flushCellGroups]] — the round-18 measurement: batch-sized
+    * cell-pure flushes hit the hand-grouped cellwise band, small groups
+    * re-pay the standing reads per flush); the default here is a floor,
+    * not a recommendation. */
   def routedKnnGraphStream(vecs: DataFrame, cents: DataFrame,
       stageTable: String, postingsTable: String, graphTable: String,
       k: Int = 3, groups: Int = 8, minRows: Long = 1000L, maxLag: Long = 4L,
@@ -1666,8 +1722,8 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     startMaintainer(vecs, checkpoint)((b: DataFrame, seq: Long) => {
       routeByCell(b, cents, stageTable, groups, seq)
-      flushCellGroups(b.sparkSession, stageTable, minRows, maxLag, seq)(
-        (_, rows) =>
+      flushCellGroupsBatched(b.sparkSession, stageTable, minRows, maxLag, seq)(
+        rows =>
           maintainKnnGraphState(rows, cents, postingsTable, graphTable, k))
       ()
     })

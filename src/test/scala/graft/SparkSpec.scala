@@ -11,7 +11,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
+  /** The shared session, SELF-HEALING: anything fatal that stops the
+    * JVM-wide context (an OOM'd executor thread, a fatal task error)
+    * would otherwise poison every suite that runs after it — the
+    * round-18 driver run lost DegenerateBatchSpec to exactly that
+    * ("SparkContext has been shutdown"). getOrCreate skips a stopped
+    * default session and builds a fresh one, so each suite's first
+    * access gets a LIVE session; the per-suite lazy val in the trait
+    * then pins it for that suite's lifetime. */
+  def session: SparkSession = synchronized {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -114,6 +114,58 @@ class CellRouterSpec extends AnyFunSuite with SparkSpec {
     assert(sized == 1, "size trigger did not fire for a full group")
   }
 
+  test("wave-batched flush: ready groups flush as ONE batch, exactly once, crash redelivers the whole wave, graph == full build") {
+    import spark.implicits._
+    val e = corpus()
+    def df(b: Seq[(Long, Seq[Float])]) = b.toSeq.toDF("vec_id", "embedding")
+    val all = df(e.toIndexedSeq)
+    val cents = graft.queries.VectorOps.ivfCentroids(
+      graft.queries.VectorOps.normed(all))
+    val root = Files.createTempDirectory("router-wave").toString
+    val (stageT, postT, graphT) = (s"$root/stage", s"$root/post", s"$root/graph")
+    def advance(rows: org.apache.spark.sql.DataFrame): Unit =
+      Streams.maintainKnnGraphState(rows, cents, postT, graphT, k = 3)
+
+    val waves = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val arrivals = 3
+    var crashed = false
+    for (k <- 0 until arrivals) {
+      Streams.routeByCell(df(e.filter(_._1 % arrivals == k.toLong).toIndexedSeq),
+        cents, stageT, 3, k.toLong)
+      try Streams.flushCellGroupsBatched(spark, stageT, minRows = 60L,
+        maxLag = 1L, curSeq = k.toLong) { rows =>
+        advance(rows)
+        waves += rows.select($"vec_id").collect().map(_.getLong(0)).toSet
+        // crash ONCE between the consume and the wave's staged delete:
+        // the WHOLE wave must redeliver at the next flush, and the
+        // maintainer's id guard must collapse the duplicates
+        if (!crashed) { crashed = true; throw new IllegalStateException("boom") }
+      } catch { case ex: IllegalStateException if ex.getMessage == "boom" => }
+    }
+    assert(crashed, "the crash leg never ran — triggers too lazy")
+    Streams.flushCellGroupsBatched(spark, stageT, minRows = 1L, maxLag = 0L,
+      curSeq = arrivals.toLong)(rows => {
+      advance(rows)
+      waves += rows.select($"vec_id").collect().map(_.getLong(0)).toSet
+    })
+    // exactly once modulo the injected crash: the crashed wave's rows may
+    // appear twice across waves (redelivery), every routed row flushed
+    assert(waves.flatten.toSet == e.map(_._1).toSet, "a routed row never flushed")
+    // the drain left nothing staged
+    assert(Streams.flushCellGroupsBatched(spark, stageT, minRows = 1L,
+      maxLag = 0L, curSeq = arrivals.toLong)(_ => ()).isEmpty,
+      "drain left staged groups")
+    def key(g: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] = g
+      .select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val maintained = key(Streams.knnGraphSnapshot(spark, graphT))
+    val scratch = key(graft.queries.VectorOps.knnGraph(
+      graft.queries.VectorOps.assignCells(
+        graft.queries.VectorOps.normed(all), cents), 3))
+    assert(maintained.nonEmpty && maintained == scratch,
+      "wave-batched routed graph drifted from the full build")
+  }
+
   test("rows staged under an OLD quantizer still land correctly after an era swap — the advance re-assigns") {
     import spark.implicits._
     val e = corpus()
