@@ -263,22 +263,18 @@ object Multimodal {
     * PlanSpec-pinned for mm05). Empty payload → no rows; null payload →
     * no rows. */
   def cdcChunks(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
-    val withEnds = df.select(col(idCol), col(blobCol).as("__blob"))
-      .withColumn("ends",
-        graft.functions.CdcExpressions.cdcBoundaries(col("__blob")))
-    // start_i = 1 for the first chunk, previous end + 1 after; the
-    // (element, 0-based index) transform makes element_at(ends, i) —
-    // 1-based — exactly the PREVIOUS end for i >= 1
-    val chunkStructs = expr(
-      """transform(ends, (e, i) -> named_struct(
-        |  'chunk_idx', i,
-        |  'start', IF(i = 0, 1, element_at(ends, i) + 1),
-        |  'clen', e - IF(i = 0, 1, element_at(ends, i) + 1) + 1,
-        |  'digest', md5(substring(__blob,
-        |     IF(i = 0, 1, element_at(ends, i) + 1),
-        |     e - IF(i = 0, 1, element_at(ends, i) + 1) + 1))))""".stripMargin)
-    withEnds.select(col(idCol), chunkStructs.as("__chunks"))
-      .select(col(idCol), explode(col("__chunks")).as("ch"))
+    // r19 (guide §4): boundaries + per-chunk md5 in ONE fused native
+    // expression. The previous composed form — transform(cdc_boundaries(
+    // blob), (e, i) -> named_struct(..., md5(substring(blob, ...)))) —
+    // was a CodegenFallback HOF whose lambda body inlined the full
+    // boundary scan into every element_at, and the Generate evaluated
+    // the whole transform three times per row (condition twice,
+    // projection once): O(chunks · boundary-scan) per payload. Values
+    // are bit-identical (CdcChunkRows' Scaladoc states the recurrence;
+    // CdcChunkSpec pins native == composed element-for-element).
+    df.select(col(idCol),
+        explode(graft.functions.CdcExpressions.cdcChunkRows(col(blobCol)))
+          .as("ch"))
       .select(col(idCol), col("ch.chunk_idx").as("chunk_idx"),
         col("ch.start").as("start"), col("ch.clen").as("clen"),
         col("ch.digest").as("digest"))

@@ -90,6 +90,45 @@ class CdcChunkSpec extends AnyFunSuite with SparkSpec {
       "CDC failed to re-align under a 37-byte prepend")
   }
 
+  test("fused cdc_chunk_rows == the composed transform form, null/empty legs included") {
+    import spark.implicits._
+    // adversarial payloads: null, empty, shorter than the window, exactly
+    // the window, multi-chunk deterministic bytes, real text
+    val texts: Seq[(Long, Option[String])] = Seq(
+      1L -> None,
+      2L -> Some(""),
+      3L -> Some("abc"),
+      4L -> Some("12345678"),
+      5L -> Some(new String(payload(700, 9).map(b => (33 + ((b & 0x7f) % 90)).toChar))),
+      6L -> Some(("the quick brown fox " * 25).trim))
+    val df = texts.toDF("id", "t")
+      .withColumn("blob", when($"t".isNotNull, encode($"t", "UTF-8")))
+    val native = df.select($"id",
+      graft.functions.CdcExpressions.cdcChunkRows($"blob").as("chunks"))
+    val composed = df
+      .withColumn("ends", graft.functions.CdcExpressions.cdcBoundaries($"blob"))
+      .withColumn("__blob", $"blob")
+      .select($"id", expr(
+        """transform(ends, (e, i) -> named_struct(
+          |  'chunk_idx', i,
+          |  'start', IF(i = 0, 1, element_at(ends, i) + 1),
+          |  'clen', e - IF(i = 0, 1, element_at(ends, i) + 1) + 1,
+          |  'digest', md5(substring(__blob,
+          |     IF(i = 0, 1, element_at(ends, i) + 1),
+          |     e - IF(i = 0, 1, element_at(ends, i) + 1) + 1))))""".stripMargin)
+        .as("chunks"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select($"id", explode_outer($"chunks").as("ch"))
+      .select($"id", $"ch.chunk_idx", $"ch.start", $"ch.clen", $"ch.digest")
+      .collect().map(_.toSeq).toSet
+    assert(rows(native) == rows(composed),
+      "fused chunk rows drifted from the composed form")
+    // null payload → null array (NOT empty): both forms must agree
+    val nativeNull = native.filter($"id" === 1L).select($"chunks".isNull)
+      .collect().head.getBoolean(0)
+    assert(nativeNull, "null payload must yield a null chunk array")
+  }
+
   test("chunkDupAdvance: standing report + advance == full-corpus report over any batch split") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
