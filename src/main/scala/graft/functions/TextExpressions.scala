@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the TOKENIZE / word-n-gram kernels —
@@ -119,6 +120,60 @@ final case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass per-row token statistics — (n, sl, nd, ntop, nstop) as a
+  * struct, replacing ta16's composed battery whose `ntop` leg was
+  * `array_max(transform(array_distinct(t), x => size(filter(t, y =>
+  * y === x))))` — an O(distinct × n) interpreted HOF scan per row (each
+  * distinct token re-walks the whole array through a boxed lambda), on
+  * top of separate `aggregate`/`filter`/`array_distinct` passes for the
+  * other four stats. One hash-map pass computes the identical values
+  * (r19, guide §4):
+  *
+  *  - n     = size(t)                               (int)
+  *  - sl    = aggregate(t, 0L, (a, x) => a + length(x)) — Σ CHARACTER
+  *            lengths; null if any element is null (null + acc), 0 when
+  *            empty                                (long, nullable)
+  *  - nd    = size(array_distinct(t)) — a null element counts as one
+  *            distinct value                        (int)
+  *  - ntop  = the composed array_max form above: max frequency among
+  *            non-null tokens (a null distinct entry contributes 0 —
+  *            `y === null` is never TRUE); NULL for an empty array
+  *            (array_max of empty)                  (int, nullable)
+  *  - nstop = size(filter(t, x => x === "the" || x === "a")) (int)
+  *
+  * Null array → null struct (nullIntolerant — the composed forms all
+  * propagate the null and the caller coalesces). Equality is UTF8String
+  * binary equality, exactly `===`/array_distinct's. */
+final case class TokenRowStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = TokenRowStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_row_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenRowStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenRowStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRowStats =
+    copy(child = newChild)
+}
+
+object TokenRowStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("sl", LongType, nullable = true),
+    StructField("nd", IntegerType, nullable = false),
+    StructField("ntop", IntegerType, nullable = true),
+    StructField("nstop", IntegerType, nullable = false)))
+}
+
 /** Shared row-local kernels, called from BOTH interpreted eval and
   * generated code (the [[Md5Fold32]] pattern — one implementation, no
   * path drift). */
@@ -199,6 +254,40 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  private val THE = UTF8String.fromString("the")
+  private val A = UTF8String.fromString("a")
+
+  /** One hash-map pass over the token array — [[TokenRowStats]]' kernel
+    * (contract and equivalences in its Scaladoc). */
+  def tokenRowStats(toks: ArrayData): GenericInternalRow = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](math.max(8, n * 2))
+    var sl = 0L
+    var slNull = false
+    var sawNull = false
+    var nstop = 0
+    var ntop = 0
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) { slNull = true; sawNull = true }
+      else {
+        val t = toks.getUTF8String(i)
+        sl += t.numChars()
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > ntop) ntop = c
+        if (t.equals(THE) || t.equals(A)) nstop += 1
+      }
+      i += 1
+    }
+    val nd = counts.size() + (if (sawNull) 1 else 0)
+    new GenericInternalRow(Array[Any](
+      n,
+      if (slNull) null else sl,
+      nd,
+      if (n == 0) null else ntop,
+      nstop))
+  }
 }
 
 object TextExpressions {
@@ -210,4 +299,8 @@ object TextExpressions {
   /** Column API for the fused word n-grams. */
   def wordNGrams(toks: Column, n: Int): Column =
     Bridge.column(WordNGrams(Bridge.expression(toks), n))
+
+  /** Column API for the one-pass token statistics struct. */
+  def tokenRowStats(toks: Column): Column =
+    Bridge.column(TokenRowStats(Bridge.expression(toks)))
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -413,6 +413,108 @@ final case class RankedCentroids(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local LSH bucket ids of a quantized vector under EVERY table's
+  * hyperplanes in one fused loop — array<long> of length `tables`
+  * (bucket of table t at index t), r19's guide-§4 promotion of
+  * [[graft.operators.Ann]]'s composed per-(table, bit) form:
+  * `explode(array(struct(t, Σ_b when(dotQ(q, lit(plane_{t,b})) >= 0,
+  * 1<<b, 0))))` — a plan tree (and generated-code size) LINEAR in
+  * tables × bits with one 64-long literal per plane, the exact
+  * Janino-budget failure mode [[NearestCentroid]]'s Scaladoc documents
+  * at nlist = 80 (the catalog geometry is 8 × 4 = 32 plane literals per
+  * side of every LSH gate). Here the plane matrix is a code-external
+  * reference object and the work is one tables × bits × dim loop.
+  *
+  * Null contract mirrors the composed form EXACTLY, which is why this
+  * expression is never null: a null array or a null element made every
+  * projection null and `when(null >= 0)` took the otherwise-0 branch —
+  * so every table's bucket is 0. Per-dot read range is
+  * min(|q|, dim) ([[QuantizedDotProduct]]'s min-length loop), the null
+  * scan covers exactly that range, and dim = 0 sets every bit
+  * (empty dot = 0 ≥ 0), all as composed. */
+final case class LshTableBuckets(child: Expression,
+    planes: Array[Array[Long]], bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1, s"LshTableBuckets: bits must be >= 1, got $bits")
+  require(planes.nonEmpty && planes.length % bits == 0,
+    s"LshTableBuckets: ${planes.length} planes not a multiple of bits=$bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_buckets"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    LshKernels.buckets(
+      if (v == null) null else v.asInstanceOf[ArrayData], planes, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    val childGen = child.genCode(ctx)
+    val value = ctx.freshName("buckets")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData $value =
+          graft.functions.LshKernels.buckets(
+            ${childGen.isNull} ? null : ${childGen.value}, $planesRef, $bits);
+      """
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(value, classOf[org.apache.spark.sql.catalyst.util.GenericArrayData]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshTableBuckets =
+    copy(child = newChild)
+}
+
+/** Static kernel shared by [[LshTableBuckets]]' interpreted eval and
+  * generated code (the Md5Fold32 pattern — one implementation, no path
+  * drift). */
+object LshKernels {
+  def buckets(q: ArrayData, planes: Array[Array[Long]],
+      bits: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tables = planes.length / bits
+    val out = new Array[Long](tables)
+    if (q == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val dim = planes(0).length
+    val n = math.min(q.numElements(), dim)
+    var j = 0
+    while (j < n) {
+      // a null element nulls every projection → every bucket 0 (the
+      // composed form's when-otherwise contract)
+      if (q.isNullAt(j))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      j += 1
+    }
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        var s = 0L
+        var i = 0
+        while (i < n) { s += q.getLong(i) * plane(i); i += 1 }
+        if (s >= 0L) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -420,6 +522,12 @@ object VectorExpressions {
   def quantizedDot(a: Column, b: Column): Column =
     Bridge.column(
       QuantizedDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for the fused every-table LSH bucket array: planes is the
+    * (tables × bits)-row plane matrix, row t·bits + b = table t's bit-b
+    * hyperplane. */
+  def lshTableBuckets(q: Column, planes: Array[Array[Long]], bits: Int): Column =
+    Bridge.column(LshTableBuckets(Bridge.expression(q), planes, bits))
 
   /** Column API for the row-local fixed-quantizer cell assignment. */
   def nearestCentroid(q: Column, nrm: Column, cids: Array[Long],

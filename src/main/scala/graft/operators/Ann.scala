@@ -108,31 +108,26 @@ object Ann {
     math.min(math.max(b, 1), maxBits)
   }
 
-  /** Sign-bit bucket id of a quantized vector under `bits` hyperplanes of
-    * one table. The plane matrix is a driver-computed literal (tables ×
-    * bits × dim longs — a few KiB), so per row the work is `bits` fused
-    * integer dot products ([[dotQ]], codegen'd) — no per-row re-hashing. */
-  private def bucketOf(vec: Column, table: Int, bits: Int, dim: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val planes = Array.tabulate(dim)(i => planeComponent(table, b, i))
-      val proj = dotQ(vec, lit(planes))
-      when(proj >= 0L, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** One pass over the rows: per row compute every table's bucket, then
-    * explode (table, bucket) structs — no N-branch union re-reading and
-    * re-quantizing the input. Shared by the batch kernel ([[lshTopK]])
-    * and the maintained-index halves below. */
+  /** One pass over the rows: per row compute every table's bucket in ONE
+    * fused native expression, then posexplode the bucket array as
+    * (table, bucket) — no N-branch union re-reading and re-quantizing
+    * the input. Shared by the batch kernel ([[lshTopK]]) and the
+    * maintained-index halves below.
+    *
+    * r19 (guide §4): previously composed as explode(array(struct(t,
+    * Σ_b when(dotQ(vec, lit(plane)) >= 0, 1<<b, 0)))) — a plan tree with
+    * tables × bits 64-long literals whose generated-code size grows
+    * linearly in the geometry (the NearestCentroid Janino lesson); the
+    * fused [[graft.functions.LshTableBuckets]] computes the identical
+    * bucket ids (same planeComponent matrix, same min-length dot, same
+    * null-to-bucket-0 contract) in one constant-size loop. */
   private def withBuckets(df: DataFrame, vec: String, bits: Int,
       tables: Int, dim: Int): DataFrame = {
-    val tb = (0 until tables).map(t =>
-      struct(lit(t).as("table"), bucketOf(col(vec), t, bits, dim).as("bucket")))
-    df.withColumn("__tb", explode(array(tb: _*)))
-      .withColumn("table", col("__tb.table"))
-      .withColumn("bucket", col("__tb.bucket"))
-      .drop("__tb")
+    val planes = Array.tabulate(tables * bits)(j =>
+      Array.tabulate(dim)(i => planeComponent(j / bits, j % bits, i)))
+    df.select(col("*"),
+      posexplode(graft.functions.VectorExpressions.lshTableBuckets(
+        col(vec), planes, bits)).as(Seq("table", "bucket")))
   }
 
   /** The standing rows of a MAINTAINED LSH index (pp38): every candidate

@@ -2126,15 +2126,19 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     def cb(c: Column): Column = coalesce(c, lit(false))
+    // r19 (guide §4): the five row stats come from ONE fused hash-map
+    // pass (TokenRowStats) instead of the composed HOF battery, whose
+    // ntop leg alone was an O(distinct × n) interpreted scan per row
+    // (array_max(transform(array_distinct, x => size(filter(t, y ===
+    // x))))). Values are identical — the expression's Scaladoc states
+    // each leg's equivalence; TextExpressionsSpec pins native ==
+    // composed on adversarial fixtures.
     docs
-      .withColumn("t", Text.tokens($"text"))
+      .withColumn("st", graft.functions.TextExpressions.tokenRowStats(
+        Text.tokens($"text")))
       .select($"doc_id",
-        size($"t").as("n"),
-        aggregate($"t", lit(0L), (acc, x) => acc + length(x)).as("sl"),
-        size(array_distinct($"t")).as("nd"),
-        array_max(transform(array_distinct($"t"), x =>
-          size(filter($"t", y => y === x)))).as("ntop"),
-        size(filter($"t", x => x === "the" || x === "a")).as("nstop"))
+        $"st.n".as("n"), $"st.sl".as("sl"), $"st.nd".as("nd"),
+        $"st.ntop".as("ntop"), $"st.nstop".as("nstop"))
       .select($"doc_id",
         cb($"n" >= 25 && $"n" <= 100000).as("r_len"),
         cb(coalesce($"sl", lit(0L)) >= $"n" * 3L &&

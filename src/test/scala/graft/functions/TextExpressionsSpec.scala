@@ -95,6 +95,61 @@ class TextExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(0).getSeq[String](1) == Seq("a", "b"))
   }
 
+  test("tokenRowStats equals the composed five-stat battery, null/empty/null-element legs included") {
+    import spark.implicits._
+    // the pre-r19 composed form, verbatim (ta16's old battery)
+    def composedStats(t: org.apache.spark.sql.Column) = struct(
+      size(t).as("n"),
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sl"),
+      size(array_distinct(t)).as("nd"),
+      array_max(transform(array_distinct(t), x =>
+        size(filter(t, y => y === x)))).as("ntop"),
+      size(filter(t, x => x === "the" || x === "a")).as("nstop"))
+    val textDf = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", Text.tokens($"text").as("toks"))
+    // plus hand-built arrays the tokenizer can't produce: null elements,
+    // all-null, repeated tokens with stopwords
+    val arrDf = Seq(
+      (100L, Some(Seq(Some("a"), None, Some("a"), Some("the")))),
+      (101L, Some(Seq[Option[String]](None, None))),
+      (102L, Some(Seq(Some("x"), Some("x"), Some("x"), Some("y")))),
+      (103L, Some(Seq.empty[Option[String]])),
+      (104L, None)
+    ).toDF("id", "toks")
+    // compare EXTRACTED FIELDS (what ruleVerdicts consumes): a null token
+    // array yields a null fused struct but a composed struct of null
+    // fields — field extraction gives identical null columns either way
+    val stats = Seq("n", "sl", "nd", "ntop", "nstop")
+    for (df <- Seq(textDf, arrDf)) {
+      val rows = df
+        .withColumn("f", graft.functions.TextExpressions.tokenRowStats($"toks"))
+        .withColumn("c", composedStats($"toks"))
+        .select($"id" +: stats.flatMap(s0 =>
+          Seq(col(s"f.$s0").as(s"f_$s0"), col(s"c.$s0").as(s"c_$s0"))): _*)
+        .orderBy($"id").collect()
+      rows.foreach { r =>
+        for (k <- stats.indices) {
+          val (fi, ci) = (1 + 2 * k, 2 + 2 * k)
+          assert((r.isNullAt(fi) && r.isNullAt(ci)) ||
+            (!r.isNullAt(fi) && !r.isNullAt(ci) && r.get(fi) == r.get(ci)),
+            s"stat ${stats(k)} drift on id=${r.getLong(0)}: $r")
+        }
+      }
+    }
+    // interpreted == codegen for the new kernel
+    val expr = graft.functions.TextExpressions.tokenRowStats($"toks")
+    val viaCodegen = arrDf.select($"id", expr.as("s")).orderBy($"id").collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = arrDf.select($"id", expr.as("s")).orderBy($"id").collect()
+      viaCodegen.zip(viaEval).foreach { case (a, b) =>
+        assert(a.toString == b.toString, "interpreted/codegen drift")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("interpreted eval matches codegen (one kernel, no path drift)") {
     import spark.implicits._
     val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }

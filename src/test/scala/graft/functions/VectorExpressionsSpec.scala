@@ -22,6 +22,51 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).getLong(0) == 32L)
   }
 
+  test("lshTableBuckets equals the composed per-(table, bit) form, null/empty/short legs included") {
+    import spark.implicits._
+    val bits = 4
+    val tables = 3
+    val dim = 8
+    // any deterministic planes work for the equivalence pin — use small
+    // signed values exercising both branch signs
+    val planes = Array.tabulate(tables * bits)(j =>
+      Array.tabulate(dim)(i => ((j * 31 + i * 17) % 13 - 6).toLong))
+    val df = Seq(
+      (1L, Some(Seq(Some(3L), Some(-2L), Some(5L), Some(1L), Some(-9L), Some(4L), Some(0L), Some(7L)))),
+      (2L, Some(Seq(Some(0L), Some(0L)))),                        // shorter than dim
+      (3L, Some(Seq.empty[Option[Long]])),                        // empty
+      (4L, Some(Seq(Some(1L), None, Some(2L)))),                  // null element
+      (5L, Option.empty[Seq[Option[Long]]])                       // null array
+    ).toDF("id", "q")
+    // the pre-r19 composed form, verbatim (Ann.bucketOf + struct explode)
+    val composedTb = (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { b =>
+        val proj = VectorExpressions.quantizedDot($"q", lit(planes(t * bits + b)))
+        when(proj >= 0L, lit(1L << b)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bitCols.reduce(_ + _).as("bucket"))
+    }
+    val composed = df.withColumn("__tb", explode(array(composedTb: _*)))
+      .select($"id", $"__tb.table".as("table"), $"__tb.bucket".as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = df.select($"id",
+        posexplode(VectorExpressions.lshTableBuckets($"q", planes, bits))
+          .as(Seq("table", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused == composed, "fused LSH buckets drifted from the composed form")
+    // interpreted == codegen
+    val expr = VectorExpressions.lshTableBuckets($"q", planes, bits)
+    val viaCodegen = df.select($"id", expr.as("b")).orderBy($"id").collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = df.select($"id", expr.as("b")).orderBy($"id").collect()
+      viaCodegen.zip(viaEval).foreach { case (a, b) =>
+        assert(a.getSeq[Long](1) == b.getSeq[Long](1), "interpreted/codegen drift")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("null input yields null (null-intolerant)") {
     import spark.implicits._
     val df = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]])).toDF("a", "b")
