@@ -87,6 +87,77 @@ object StageProbe {
       return
     }
 
+    if (mode == "export") {
+      // Leg budget for the export pipeline gates (pp01/pp11): the
+      // composed stages re-expressed inline (same kernels), so the
+      // optimization effort lands on the dominant stage. E1/E2/E3 are
+      // cumulative prefixes of pp01's chain; E4/E5 the full gates.
+      import org.apache.spark.sql.expressions.Window
+      val q1 = docs.withColumn("__t", Text.tokens($"text"))
+        .filter(size($"__t") >= 20 &&
+          size(array_distinct($"__t")).cast("double") / size($"__t") >= 0.3)
+        .drop("__t")
+      time("E1_quality_filter") { noop(q1) }
+      val q2 = q1.withColumn("__k",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"__k").drop("__k")
+      time("E2_exact_dup_window") { noop(q2) }
+      time("E3_shingle_rows_q2") {
+        noop(q2.select($"doc_id", Text.shingles($"text", 3).as("arr"))
+          .select($"doc_id", size($"arr").as("sz"), explode($"arr").as("sh")))
+      }
+      time("E4_pp01_full") {
+        noop(graft.queries.Catalog.byName("pp01_export_pipeline").fn(spark, d))
+      }
+      time("E5_pp11_full") {
+        noop(graft.queries.Catalog.byName("pp11_export_sharded").fn(spark, d))
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "cdc") {
+      // Leg budget for the multimodal perceptual/CDC gates (mm04/mm05/
+      // pp19/pp21): the row-local kernel passes in isolation vs the full
+      // gates, so the next cut lands on the dominant stage.
+      val blobbed = docs.withColumn("blob", encode($"text", "UTF-8"))
+      time("C1_cdc_chunk_rows") {
+        noop(graft.operators.Multimodal.cdcChunks(blobbed, "doc_id", "blob"))
+      }
+      time("C2_mm05_full") {
+        noop(graft.queries.Catalog.byName("mm05_chunk_dedup").fn(spark, d))
+      }
+      time("C3_mm04_full") {
+        noop(graft.queries.Catalog.byName("mm04_perceptual_dedup").fn(spark, d))
+      }
+      time("C4_pp19_full") {
+        noop(graft.queries.Catalog.byName("pp19_incremental_perceptual").fn(spark, d))
+      }
+      time("C5_pp21_full") {
+        noop(graft.queries.Catalog.byName("pp21_incremental_chunks").fn(spark, d))
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "pp39") {
+      // Wave budget for the cell-routed graph gate: route pass alone,
+      // then the full gate — the advance count is the gate's price.
+      time("R1_route_pass") {
+        val e = graft.Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+        val cents = graft.queries.VectorOps.ivfCentroids(
+          graft.queries.VectorOps.normed(e)).localCheckpoint(true)
+        val root = java.nio.file.Files.createTempDirectory("probe-pp39").toString
+        graft.streaming.Streams.routeByCell(e, cents, s"$root/stage",
+          groups = 2, seq = 0L)
+      }
+      time("R2_pp39_full") {
+        noop(graft.queries.Catalog.byName("pp39_cell_routed_graph").fn(spark, d))
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "comp") {
       // lean composite-gate A/B: just the two full gates, nothing else in
       // the session — the bisect harness for the round-18 composite work

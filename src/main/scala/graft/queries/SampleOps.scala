@@ -444,17 +444,29 @@ object SampleOps {
     * running total but are not in the kept state — without the marker,
     * an advance over (kept ∪ batch) would under-count and wrongly admit
     * it. */
-  private[graft] def budgetKept(frame: DataFrame, budget: Long): DataFrame =
-    graft.operators.PrefixSum
+  /** Both halves of the budget state from ONE ranked pass (r19, guide
+    * §1.2 step 1): kept and cut are complementary filters over the same
+    * running total, and [[graft.operators.PrefixSum.runningTotalBy]]
+    * eagerly checkpoints its range-partitioned frame — so one call here
+    * shares that checkpoint across both branches, where the previous
+    * separate budgetKept + budgetCut calls each ran their own full
+    * range-exchange + checkpoint + window machinery over the same
+    * frame. */
+  private[graft] def budgetState(frame: DataFrame,
+      budget: Long): (DataFrame, DataFrame) = {
+    val re = graft.operators.PrefixSum
       .runningTotalBy(frame, "source", Seq("key", "doc_id"), "n_tokens", "running")
-      .filter(col("running") <= budget)
+    (re.filter(col("running") <= budget),
+      re.filter(col("running") > budget)
+        .groupBy(col("source")).agg(min(struct(col("key"), col("doc_id"))).as("c"))
+        .select(col("source"), col("c.key").as("cut_key"), col("c.doc_id").as("cut_doc")))
+  }
+
+  private[graft] def budgetKept(frame: DataFrame, budget: Long): DataFrame =
+    budgetState(frame, budget)._1
 
   private[graft] def budgetCut(frame: DataFrame, budget: Long): DataFrame =
-    graft.operators.PrefixSum
-      .runningTotalBy(frame, "source", Seq("key", "doc_id"), "n_tokens", "running")
-      .filter(col("running") > budget)
-      .groupBy(col("source")).agg(min(struct(col("key"), col("doc_id"))).as("c"))
-      .select(col("source"), col("c.key").as("cut_key"), col("c.doc_id").as("cut_doc"))
+    budgetState(frame, budget)._2
 
   /** The token-budget ADVANCE — sa10's incremental kernel (pp22's gate
     * and [[graft.streaming.Streams.maintainBudgetState]]'s loop): given
@@ -506,9 +518,17 @@ object SampleOps {
     import s.implicits._
     val frame = budgetFrame(documents(s, d))
     val isNew = fold(concat_ws(":", lit("bmix"), $"doc_id".cast("string")), 5) === 0
-    val old = frame.filter(!isNew).localCheckpoint(true)
-    val kept = budgetKept(old, sa10Budget).localCheckpoint(true)
-    val cut = budgetCut(old, sa10Budget).localCheckpoint(true)
+    // ONE ranked pass builds both standing halves (budgetState shares
+    // PrefixSum's internal checkpoint across them) — previously
+    // budgetKept + budgetCut each ran their own range-exchange +
+    // checkpoint + window over the same frame, which also forced a pin
+    // of the input. The halves keep their own pins: budgetAdvance
+    // consumes each twice, and re-deriving them per consumer measured
+    // SLOWER than the two checkpoint jobs (2.09 vs 1.51 s subset A/B —
+    // the same added-barrier-loses lesson as pp15's remap note).
+    val (kept0, cut0) = budgetState(frame.filter(!isNew), sa10Budget)
+    val kept = kept0.localCheckpoint(true)
+    val cut = cut0.localCheckpoint(true)
     val (kept2, _) = budgetAdvance(kept, cut, frame.filter(isNew), sa10Budget)
     kept2.select($"doc_id", $"source", $"n_tokens", $"running")
       .orderBy($"doc_id")

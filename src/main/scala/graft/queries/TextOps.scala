@@ -1465,7 +1465,15 @@ object TextOps {
     val ranked = graft.operators.PrefixSum.runningTotalBy(
       scored.withColumn("one", lit(1L)),
       "source", Seq("score", "doc_id"), "one", "rank").drop("one")
-    val sizes = scored.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    // per-source size = max(rank), BY CONSTRUCTION of the running count
+    // (rank is the inclusive running total of 1 within the source, so
+    // the source's last row carries its row count). Deriving it from
+    // `ranked` reads the rank machinery's own checkpoint; the previous
+    // `scored.groupBy(source).count()` re-instantiated the ENTIRE scored
+    // lineage a second time — for ta17 that is the full corpus
+    // tokenize + bigram rollup + reference join (r19, guide §1.2 step 1:
+    // don't pay a pass twice).
+    val sizes = ranked.groupBy(col("source")).agg(max(col("rank")).as("nd"))
     ranked.join(broadcast(sizes), Seq("source"))
       .withColumn("__s1", expr("nd div 3 + if(nd % 3 >= 1, 1, 0)"))
       .withColumn("__s2", expr("2 * (nd div 3) + if(nd % 3 >= 1, 1, 0) + if(nd % 3 >= 2, 1, 0)"))
@@ -3516,8 +3524,13 @@ object TextOps {
     // final n_chars. Compute it HERE and drop text, so stages 3-5 join and
     // shuffle (doc_id, n_chars) rows, never the corpus (the plan pin
     // allows exactly ONE text-carrying exchange: the stage-2 window).
-    val q3 = q2.select(col("doc_id"), length(col("text")).as("n_chars"))
-      .join(nearDrop, Seq("doc_id"), "left_anti")
+    // materialized (r19): q3 is consumed TWICE (sized3's semi-join probe
+    // and q4's base), and its lineage carries the whole q1 → q2-window →
+    // nearDrop chain — without the pin both consumers re-instantiate
+    // that chain (exchange reuse dedupes the shuffles but not the
+    // map-side stages). The frame is (doc_id, n_chars), doc-count-sized.
+    val q3 = materialize(q2.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(nearDrop, Seq("doc_id"), "left_anti"))
     // stage 4 — decontamination vs the benchmark shingle set (full-corpus
     // docs 0-19), broadcast probe like dd07. Filter BEFORE shingling: the
     // bench set is 20 docs; the predicate reaches the parquet scan instead
