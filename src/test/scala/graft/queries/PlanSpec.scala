@@ -214,26 +214,56 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("pp01: composed chain — broadcast bench probe, no all-pairs join") {
-    val d = df("pp01_export_pipeline")
-    val ns = nodes(d)
+    // since r19 the gate pins its q3 survivor frame (localCheckpoint), so
+    // the gate's FINAL plan starts past the whole near-dup chain — the
+    // chain-shape pins therefore probe the UN-materialized composition
+    // (materialize = identity exposes every stage in one lazy plan),
+    // while the gate plan itself gets the (stronger) post-pin payload
+    // check below
+    val chain = TextOps.exportPipeline(
+      graft.Tables.documents(spark, sf), identity)
+    val ns = nodes(chain)
     assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
     assert(!ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
     // candidates-first near-dup verify inside the chain: every
     // shingle-hash join is keyed by a candidate doc id. (The decontamination
     // LeftSemi keys on the shingle STRING column `sh`, a distinct name in
     // the typed tree — no regex boundary games needed to exclude it.)
-    val sj = shingleHashJoinKeys("pp01_export_pipeline")
+    val sj = equiJoinKeys(chain).filter(_.contains("h"))
     assert(sj.nonEmpty && sj.forall(_.contains("d2")))
     // decontamination: the benchmark shingle set broadcasts into a semi join
     assert(ns.exists {
       case j: BroadcastHashJoinExec => j.joinType == LeftSemi
       case _ => false
     })
-    // the document body crosses the wire EXACTLY once: the exact-dedup
-    // window (keyed on the precomputed md5, carrying the surviving rows).
-    // Every other exchange — signatures, bands, candidates, verification,
-    // decontamination — ships digests and ids only.
-    assert(exchangePayloads(d).count(_.contains("text")) == 1)
+    // the document body crosses the wire ONLY inside the exact-dedup
+    // window exchange (keyed on the precomputed md5 of the body). In the
+    // identity plan that subtree appears once per consumer pre-execution
+    // (AQE reuse collapses them at runtime), so the pin is the partition
+    // DISCIPLINE of every text-carrying exchange, not a count.
+    val textEx = nodes(chain).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.output.exists(_.name == "text") => e
+    }
+    assert(textEx.nonEmpty, "the exact-dedup window exchange vanished")
+    textEx.foreach(e => e.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        // the window pre-projects md5(text) into a _w* attribute, so the
+        // digest expression lives in the exchange CHILD's projection and
+        // the partitioning references that derived attribute — never the
+        // body column itself
+        val keyNames = h.expressions.flatMap(_.references.map(_.name)).toSet
+        assert(!keyNames.contains("text"),
+          s"text-carrying exchange keyed on the raw body: $h")
+        assert((h.expressions ++ e.child.expressions).exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Md5])),
+          s"text-carrying exchange not fed by the md5 digest: $h")
+      case other => fail(s"text-carrying exchange not hash-partitioned: $other")
+    })
+    // and the GATE plan (q3 pinned): nothing past the checkpoint ships
+    // the body at all
+    exchangePayloads(df("pp01_export_pipeline")).foreach(p =>
+      assert(!p.contains("text"), s"gate exchange ships the document body: $p"))
   }
 
   test("dd07: bench set broadcasts; the corpus shingle pass runs once") {
@@ -467,12 +497,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val d = df("ta17_ref_perplexity")
     d.collect()
     // the frozen-reference predicate reaches the documents scan — the
-    // reference LM derivation reads the reference slice only
-    val scans = fileScans(d)
+    // reference LM derivation reads the reference slice only. Since r19
+    // the GATE's lazy plan starts at the rank machinery's checkpoint
+    // (refBuckets derives sizes from it too — nothing below re-reads the
+    // corpus), so the pushdown pin probes the SCORING composition, which
+    // is where the scan lives.
+    val docs = graft.Tables.documents(spark, sf)
+    val scans = fileScans(TextOps.refSurprise(docs, TextOps.refLmCounts(docs)))
     assert(scans.exists { s =>
       val p = s.metadata("PushedFilters")
       p.contains("EqualTo(lang,en)") && p.contains("LessThan(doc_id,100)")
     }, s"reference predicates not pushed: ${scans.map(_.metadata("PushedFilters"))}")
+    // and the gate plan itself must be corpus-free past the checkpoint:
+    // a reappearing documents scan means the sizes/buckets legs regressed
+    // to re-deriving the scored frame
+    assert(fileScans(d).isEmpty,
+      "ta17's final plan re-reads the corpus below the rank checkpoint")
     // bucketing ranks via the two-level scan: every window either runs
     // partition-local (__pid in its keys) or sees only (partition,
     // source) SUMMARY rows — a NTILE/row_number window partitioned by
